@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{DocQueries, TpchQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator from SURVEY.md §2 appears in `queries`
+  * with matching DuckDB SQL in `oracleSql`; non-SQL-expressible ops
+  * (tokeniser, hash-seeded sketches) appear in `queries` only and get the
+  * driver's weaker rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    DocQueries.qualityScore(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational surface (SURVEY §2.5/2.6/2.7, §7 step 7)
+    "q1_pricing_summary" -> (TpchQueries.pricingSummary _),
+    "q6_revenue_filter" -> (TpchQueries.revenueFilter _),
+    "q3_revenue_by_nation" -> (TpchQueries.revenueByNation _),
+    "q4_semi_join_orders" -> (TpchQueries.semiJoinOrders _),
+    "q5_anti_join_customers" -> (TpchQueries.antiJoinCustomers _),
+    "q_top_orders" -> (TpchQueries.topOrders _),
+    "q_user_running_stats" -> (TpchQueries.userRunningStats _),
+    "q_events_hourly" -> (TpchQueries.eventsHourly _),
+    "q_sessionize" -> (TpchQueries.sessionize _),
+    "q_revenue_by_brand" -> (TpchQueries.revenueByBrand _),
+    // Document pipeline operators (SURVEY §2.2-2.4, 2.9, 2.10)
+    "q_doc_metrics" -> (DocQueries.docMetrics _),
+    "q_doc_prefilter" -> (DocQueries.docPrefilter _),
+    "q_dedup_exact" -> (DocQueries.dedupExact _),
+    "q_dedup_near" -> (DocQueries.dedupNear _),
+    "q_token_stats" -> (DocQueries.tokenStats _),
+    "q_langid" -> (DocQueries.langId _),
+    "q_pii_mask" -> (DocQueries.piiMask _),
+    "q_toxicity" -> (DocQueries.toxicity _),
+    "q_quality_score" -> (DocQueries.qualityScore _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> TpchQueries.pricingSummarySql,
+    "q6_revenue_filter" -> TpchQueries.revenueFilterSql,
+    "q3_revenue_by_nation" -> TpchQueries.revenueByNationSql,
+    "q4_semi_join_orders" -> TpchQueries.semiJoinOrdersSql,
+    "q5_anti_join_customers" -> TpchQueries.antiJoinCustomersSql,
+    "q_top_orders" -> TpchQueries.topOrdersSql,
+    "q_user_running_stats" -> TpchQueries.userRunningStatsSql,
+    "q_events_hourly" -> TpchQueries.eventsHourlySql,
+    "q_sessionize" -> TpchQueries.sessionizeSql,
+    "q_revenue_by_brand" -> TpchQueries.revenueByBrandSql,
+    "q_doc_metrics" -> DocQueries.docMetricsSql,
+    "q_doc_prefilter" -> DocQueries.docPrefilterSql,
+    "q_dedup_exact" -> DocQueries.dedupExactSql,
+    "q_dedup_near" -> DocQueries.dedupNearSql,
+    "q_token_stats" -> DocQueries.tokenStatsSql,
+    "q_langid" -> DocQueries.langIdSql,
+    "q_pii_mask" -> DocQueries.piiMaskSql,
+    "q_toxicity" -> DocQueries.toxicitySql,
+    "q_quality_score" -> DocQueries.qualityScoreSql
+  )
 }

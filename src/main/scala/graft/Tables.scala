@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All engine queries take a scale-factor directory and read the table
+  * they need; Catalyst handles column pruning / filter pushdown on the
+  * parquet scans, so loading "the whole table" here is free.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark's
+    * reader rejects outright. Read the nanos as a plain long (legacy
+    * conf) and truncate to Spark's native microsecond timestamps with
+    * integer arithmetic (`div` — double division would lose precision on
+    * an epoch-nanos int64).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Documents table with the stable ingest sequence the pipeline's
+    * order-dependent operators (dedup keep-first, sharding) require.
+    * `doc_id` is already a dense monotone id in the test data, so it
+    * doubles as `ingest_seq` (SURVEY.md §1: assign at source, never
+    * rely on monotonically_increasing_id across repartitions).
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").withColumn("ingest_seq", col("doc_id"))
+
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+}

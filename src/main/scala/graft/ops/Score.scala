@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Quality scoring + mixture assignment (SURVEY.md §2.10, Q1/Q2).
+  *
+  * Arithmetic replicated from scoring_and_mixture.py:52-106 (weights
+  * 0.4 lang / 0.3 length / 0.2 uniqueness / 0.1 pii, clamped to [0,1])
+  * and :141-143 (subset threshold 0.8). Pure column expressions; the
+  * exact same formula is emitted as DuckDB SQL by `duckdbExpr` so the
+  * oracle can never drift from the engine.
+  */
+object Score {
+
+  val MinTokensPref = 20
+  val MaxTokensPref = 1000
+  val HighQualityThreshold = 0.8
+
+  private def clamp01(c: Column): Column = greatest(lit(0.0), least(lit(1.0), c))
+
+  /** Q1: quality_score in [0,1]. Null handling mirrors the reference's
+    * `row.get(col) or 0.0` (null -> 0.0, missing has_pii -> false).
+    */
+  def qualityScore(langScore: Column, tokenCount: Column,
+                   uniqueTokenRatio: Column, hasPii: Column): Column = {
+    val lang = clamp01(coalesce(langScore, lit(0.0)))
+    val tc = coalesce(tokenCount, lit(0)).cast("double")
+    val maxCap = (MaxTokensPref * 4).toDouble
+    val lengthScore =
+      when(tc <= 0.0, 0.0)
+        .when(tc < MinTokensPref, tc / MinTokensPref.toDouble)
+        .when(tc > MaxTokensPref,
+          greatest(lit(0.0),
+            lit(1.0) - (least(tc, lit(maxCap)) - MaxTokensPref.toDouble)
+              / (maxCap - MaxTokensPref.toDouble)))
+        .otherwise(1.0)
+    val uniq = clamp01(coalesce(uniqueTokenRatio, lit(0.0)))
+    val pii = when(coalesce(hasPii, lit(false)), 0.0).otherwise(1.0)
+    clamp01(lit(0.4) * lang + lit(0.3) * lengthScore + lit(0.2) * uniq + lit(0.1) * pii)
+  }
+
+  /** Q2: subset label from the score. */
+  def subset(score: Column): Column =
+    when(score >= HighQualityThreshold, "high_quality").otherwise("rest")
+
+  /** DuckDB SQL for the identical quality_score, given SQL fragments for
+    * the four inputs. Operation order matches `qualityScore` exactly so
+    * double results are bit-identical.
+    */
+  def duckdbExpr(langScore: String, tokenCount: String,
+                 uniqueTokenRatio: String, hasPii: String): String = {
+    val maxCap = (MaxTokensPref * 4).toDouble
+    val tc = s"CAST(coalesce($tokenCount, 0) AS DOUBLE)"
+    val lang = s"greatest(0.0, least(1.0, coalesce($langScore, 0.0)))"
+    val lengthScore =
+      s"""CASE WHEN $tc <= 0.0 THEN 0.0
+         | WHEN $tc < $MinTokensPref THEN $tc / ${MinTokensPref.toDouble}
+         | WHEN $tc > $MaxTokensPref THEN greatest(0.0, 1.0 - (least($tc, $maxCap) - ${MaxTokensPref.toDouble}) / ${maxCap - MaxTokensPref.toDouble})
+         | ELSE 1.0 END""".stripMargin.replace("\n", " ")
+    val uniq = s"greatest(0.0, least(1.0, coalesce($uniqueTokenRatio, 0.0)))"
+    val pii = s"CASE WHEN coalesce($hasPii, false) THEN 0.0 ELSE 1.0 END"
+    s"greatest(0.0, least(1.0, 0.4 * $lang + 0.3 * ($lengthScore) + 0.2 * $uniq + 0.1 * $pii))"
+  }
+}

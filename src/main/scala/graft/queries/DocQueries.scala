@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Filters, Score}
+import graft.text.{LangId, Normalize, Pii, TextMetrics, Toxicity}
+
+/** Pipeline operators exposed as standalone queries over the `documents`
+  * table, each paired with DuckDB oracle SQL (SURVEY.md §5.4).
+  *
+  * Shared building blocks: the SQL fragments are generated from the same
+  * Scala constants (stopword lists, regexes, thresholds) that drive the
+  * column expressions, so engine and oracle cannot drift.
+  *
+  * NFKC is dropped from these queries (DuckDB has none; the corpus is
+  * ASCII so results are identical) — the full pipeline in graft.Pipeline
+  * applies it.
+  */
+object DocQueries {
+
+  // ---- shared SQL fragments -------------------------------------------
+
+  /** P1 (sans NFKC) over a column named `text`. */
+  private val NormSql =
+    """nullif(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')), '')"""
+
+  private def toksSql(t: String) =
+    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+
+  private def sqlStrList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+
+  // ---- q_doc_metrics: P1 + M1-M4 --------------------------------------
+
+  def docMetrics(s: SparkSession, dir: String): DataFrame = {
+    val norm = Normalize.normalizeText(col("text"), applyNfkc = false)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("text_norm"))
+      .select(
+        col("doc_id"),
+        col("text_norm"),
+        TextMetrics.charLen(col("text_norm")).cast("long").as("char_len"),
+        TextMetrics.wordCount(col("text_norm")).cast("long").as("word_count"),
+        TextMetrics.alphaRatio(col("text_norm")).as("alpha_ratio"),
+        TextMetrics.repetitionRatio(col("text_norm")).as("repetition_ratio"))
+  }
+
+  val docMetricsSql: String =
+    s"""WITH n AS (SELECT doc_id, $NormSql AS text_norm FROM documents),
+       |t AS (SELECT *, ${toksSql("text_norm")} AS toks FROM n)
+       |SELECT doc_id, text_norm,
+       | length(text_norm) AS char_len,
+       | len(toks) AS word_count,
+       | CASE WHEN length(text_norm) > 0 THEN CAST(length(regexp_replace(text_norm, '[^\\p{L}]', '', 'g')) AS DOUBLE) / CAST(length(text_norm) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+       | CASE WHEN len(toks) > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS repetition_ratio
+       |FROM t""".stripMargin
+
+  // ---- q_doc_prefilter: F1-F8 drop-reason chain ------------------------
+
+  def docPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val norm = Normalize.normalizeText(col("text"), applyNfkc = false)
+    val df = Tables.documents(s, dir)
+      .withColumn("text_norm", norm)
+      .withColumn("char_len", TextMetrics.charLen(col("text_norm")).cast("long"))
+      .withColumn("word_count", TextMetrics.wordCount(col("text_norm")).cast("long"))
+    Filters.applyRules(df,
+      Filters.prefilterRules(col("text"), col("text_norm"), col("char_len"), col("word_count")))
+      .select("doc_id", "char_len", "word_count", "drop_reason")
+  }
+
+  val docPrefilterSql: String = {
+    val nullLike = sqlStrList(Filters.NullLike)
+    s"""WITH n AS (SELECT doc_id, text, $NormSql AS text_norm FROM documents),
+       |m AS (SELECT *, length(text_norm) AS char_len,
+       |       len(${toksSql("text_norm")}) AS word_count FROM n)
+       |SELECT doc_id, char_len, word_count,
+       | CASE WHEN text IS NULL THEN 'missing'
+       |  WHEN text_norm IS NULL THEN 'empty_after_clean'
+       |  WHEN list_contains($nullLike, lower(coalesce(text_norm, ''))) THEN 'null_like'
+       |  WHEN regexp_matches(coalesce(text_norm, ''), '^[\\d\\.\\-]+$$') THEN 'numeric_like'
+       |  WHEN char_len < 20 THEN 'too_short_chars'
+       |  WHEN word_count < 2 THEN 'too_short_words'
+       |  WHEN char_len > 100000 THEN 'too_long'
+       | END AS drop_reason
+       |FROM m""".stripMargin
+  }
+
+  // ---- q_dedup_exact / q_dedup_near: D1-D3 -----------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir), textCol = "text")
+      .select("doc_id", "exact_hash", "is_dup_exact", "dup_of")
+
+  val dedupExactSql: String =
+    """WITH c AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS dedup_id,
+      |  sha256(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS exact_hash
+      | FROM documents),
+      |w AS (SELECT *,
+      |  row_number() OVER (PARTITION BY exact_hash ORDER BY doc_id) AS rn,
+      |  first_value(dedup_id) OVER (PARTITION BY exact_hash ORDER BY doc_id) AS fid
+      | FROM c)
+      |SELECT doc_id, exact_hash, rn > 1 AS is_dup_exact,
+      | CASE WHEN rn > 1 THEN fid END AS dup_of
+      |FROM w""".stripMargin
+
+  def dedupNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupStage(Tables.documents(s, dir), textCol = "text")
+      .select("doc_id", "is_dup_exact", "is_dup_near", "dup_of", "drop_reason")
+
+  val dedupNearSql: String =
+    s"""WITH c AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS dedup_id,
+       |  regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS canon
+       | FROM documents),
+       |e AS (SELECT *, sha256(canon) AS exact_hash,
+       |  substr(canon, 1, ${Dedup.NearKeyChars}) AS near_key, length(canon) AS clen FROM c),
+       |w AS (SELECT *,
+       |  row_number() OVER (PARTITION BY exact_hash ORDER BY doc_id) AS rne,
+       |  first_value(dedup_id) OVER (PARTITION BY exact_hash ORDER BY doc_id) AS fide
+       | FROM e),
+       |x AS (SELECT *, rne > 1 AS is_dup_exact,
+       |  CASE WHEN rne > 1 THEN fide END AS dup_of_e FROM w),
+       |nw AS (SELECT doc_id AS ndoc,
+       |  row_number() OVER (PARTITION BY near_key ORDER BY doc_id) AS rnn,
+       |  first_value(dedup_id) OVER (PARTITION BY near_key ORDER BY doc_id) AS fidn
+       | FROM x WHERE clen >= ${Dedup.NearDupMinLen} AND near_key <> ''),
+       |j AS (SELECT x.*, nw.rnn, nw.fidn FROM x LEFT JOIN nw ON x.doc_id = nw.ndoc)
+       |SELECT doc_id, is_dup_exact,
+       | coalesce(rnn > 1 AND NOT is_dup_exact, false) AS is_dup_near,
+       | coalesce(dup_of_e, CASE WHEN rnn > 1 AND NOT is_dup_exact THEN fidn END) AS dup_of,
+       | CASE WHEN is_dup_exact THEN 'exact_duplicate'
+       |      WHEN coalesce(rnn > 1 AND NOT is_dup_exact, false) THEN 'near_duplicate' END AS drop_reason
+       |FROM j""".stripMargin
+
+  // ---- q_token_stats: M5 ----------------------------------------------
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextMetrics.tokenCount(col("text")).cast("long").as("token_count"),
+      TextMetrics.uniqueTokens(col("text")).cast("long").as("unique_tokens"),
+      TextMetrics.uniqueTokenRatio(col("text")).as("unique_token_ratio"),
+      TextMetrics.stopwordRatio(col("text")).as("stopword_ratio"))
+
+  val tokenStatsSql: String = {
+    val stops = sqlStrList(TextMetrics.EnStopwords)
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+       |SELECT doc_id,
+       | len(toks) AS token_count,
+       | len(list_distinct(toks)) AS unique_tokens,
+       | CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS unique_token_ratio,
+       | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($stops, lower(x)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+       |FROM t""".stripMargin
+  }
+
+  // ---- q_langid: L1 + F9-F12 -------------------------------------------
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val (pred, score) = LangId.detect(col("text"))
+    val df = Tables.documents(s, dir)
+      .withColumn("lang_pred", pred)
+      .withColumn("lang_score", score)
+      .withColumn("non_latin_ratio", TextMetrics.nonLatinRatio(col("text")))
+    Filters.applyRules(df,
+      Filters.langRules(col("lang_pred"), col("lang_score"), col("non_latin_ratio")))
+      .select("doc_id", "lang_pred", "lang_score", "non_latin_ratio", "drop_reason")
+  }
+
+  val langIdSql: String = {
+    val (pred, score) = LangId.duckdbExprs("text")
+    s"""WITH l AS (SELECT doc_id, $pred AS lang_pred, $score AS lang_score,
+       |  CASE WHEN length(regexp_replace(coalesce(text, ''), '[^\\p{L}]', '', 'g')) > 0
+       |   THEN CAST(length(regexp_replace(regexp_replace(coalesce(text, ''), '[^\\p{L}]', '', 'g'), '[\\x00-\\x7f]', '', 'g')) AS DOUBLE)
+       |        / CAST(length(regexp_replace(coalesce(text, ''), '[^\\p{L}]', '', 'g')) AS DOUBLE)
+       |   ELSE 0.0 END AS non_latin_ratio
+       | FROM documents)
+       |SELECT doc_id, lang_pred, lang_score, non_latin_ratio,
+       | CASE WHEN lang_pred = 'unk' THEN 'lang_unknown'
+       |  WHEN lang_pred <> 'en' THEN 'non_english'
+       |  WHEN lang_pred = 'en' AND lang_score < 0.80 THEN 'low_lang_confidence'
+       |  WHEN non_latin_ratio > 0.50 THEN 'non_latin_heavy'
+       | END AS drop_reason
+       |FROM l""".stripMargin
+  }
+
+  // ---- q_pii: M7/M8 counts + mask chain --------------------------------
+
+  def piiMask(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Pii.piiEmailHits(t).cast("long").as("pii_email_hits"),
+      Pii.piiPhoneHits(t).cast("long").as("pii_phone_hits"),
+      Pii.piiCcHits(t).cast("long").as("pii_cc_hits"),
+      Pii.piiIbanHits(t).cast("long").as("pii_iban_hits"),
+      Pii.hasPii(Pii.piiEmailHits(t), Pii.piiPhoneHits(t),
+        Pii.piiCcHits(t), Pii.piiIbanHits(t)).as("has_pii"),
+      Pii.maskPii(t).as("text_pii_masked"))
+  }
+
+  val piiMaskSql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+    val e = cnt(Pii.EmailRe)
+    val p = cnt(Pii.PhoneRe)
+    val c = cnt(Pii.CreditCardRe)
+    val i = cnt(Pii.IbanRe)
+    s"""SELECT doc_id,
+       | $e AS pii_email_hits,
+       | $p AS pii_phone_hits,
+       | $c AS pii_cc_hits,
+       | $i AS pii_iban_hits,
+       | ($e + $p + $c + $i) > 0 AS has_pii,
+       | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |   '${Pii.EmailRe}', '<EMAIL>', 'g'),
+       |   '${Pii.PhoneRe}', '<PHONE>', 'g'),
+       |   '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'),
+       |   '${Pii.IbanRe}', '<IBAN>', 'g') AS text_pii_masked
+       |FROM documents""".stripMargin
+  }
+
+  // ---- q_toxicity: M9 ---------------------------------------------------
+
+  def toxicity(s: SparkSession, dir: String): DataFrame = {
+    val sc = Toxicity.scores(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id") +:
+        Seq("toxicity", "severe_toxicity", "insult", "threat",
+          "identity_attack", "sexual_explicit").map(n => sc(n).as(n)): _*)
+  }
+
+  val toxicitySql: String = {
+    val toks = "regexp_extract_all(lower(coalesce(text, '')), '\\w+')"
+    def hits(ws: Seq[String]) =
+      s"CAST(len(list_filter($toks, x -> list_contains(${sqlStrList(ws)}, x))) AS DOUBLE)"
+    val n = s"CAST(greatest(1, len($toks)) AS DOUBLE)"
+    val bad = hits(Toxicity.BadWords)
+    val ins = hits(Toxicity.InsultWords)
+    val thr = hits(Toxicity.ThreatWords)
+    val sex = hits(Toxicity.SexualWords)
+    val slr = hits(Toxicity.SlurWords)
+    val tox = s"least(1.0, ($bad + $ins + $thr + $sex + $slr) / $n * 5.0)"
+    s"""SELECT doc_id,
+       | $tox AS toxicity,
+       | CASE WHEN $tox >= 0.9 THEN 1.0 ELSE 0.0 END AS severe_toxicity,
+       | least(1.0, $ins / $n * 5.0) AS insult,
+       | least(1.0, $thr / $n * 5.0) AS threat,
+       | least(1.0, $slr / $n * 5.0) AS identity_attack,
+       | least(1.0, $sex / $n * 5.0) AS sexual_explicit
+       |FROM documents""".stripMargin
+  }
+
+  // ---- q_quality_score: Q1/Q2 end-to-end over documents ----------------
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val (_, langScore) = LangId.detect(t)
+    val hasPii = Pii.hasPii(Pii.piiEmailHits(t), Pii.piiPhoneHits(t),
+      Pii.piiCcHits(t), Pii.piiIbanHits(t))
+    val df = Tables.documents(s, dir)
+      .withColumn("lang_score", langScore)
+      .withColumn("token_count", TextMetrics.tokenCount(t).cast("long"))
+      .withColumn("unique_token_ratio", TextMetrics.uniqueTokenRatio(t))
+      .withColumn("has_pii", hasPii)
+      .withColumn("quality_score", Score.qualityScore(
+        col("lang_score"), col("token_count"), col("unique_token_ratio"), col("has_pii")))
+    df.select(col("doc_id"), col("token_count"), col("quality_score"),
+      Score.subset(col("quality_score")).as("subset"),
+      lit("web_sample").as("mixture_name"))
+  }
+
+  val qualityScoreSql: String = {
+    val (_, langScoreSql) = LangId.duckdbExprs("text")
+    def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+    val hasPiiSql =
+      s"(${cnt(Pii.EmailRe)} + ${cnt(Pii.PhoneRe)} + ${cnt(Pii.CreditCardRe)} + ${cnt(Pii.IbanRe)}) > 0"
+    val scoreExpr = Score.duckdbExpr("lang_score", "token_count",
+      "unique_token_ratio", "has_pii")
+    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  $langScoreSql AS lang_score,
+       |  len(toks) AS token_count,
+       |  CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS unique_token_ratio,
+       |  $hasPiiSql AS has_pii
+       | FROM t),
+       |q AS (SELECT doc_id, token_count, $scoreExpr AS quality_score FROM m)
+       |SELECT doc_id, token_count, quality_score,
+       | CASE WHEN quality_score >= ${Score.HighQualityThreshold} THEN 'high_quality' ELSE 'rest' END AS subset,
+       | 'web_sample' AS mixture_name
+       |FROM q""".stripMargin
+  }
+}

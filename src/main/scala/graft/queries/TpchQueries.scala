@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generic relational query surface over the TPC-H-ish tables
+  * (SURVEY.md §7 step 7 — north-star capability beyond reference parity).
+  *
+  * Numeric-parity design for the DuckDB oracle: double SUMs are
+  * aggregated as DECIMAL(18,4) (exact, order-independent — a double sum
+  * would differ in the low bits between engines because Spark reduces in
+  * shuffle order), then cast back to double and rounded. Averages are
+  * exact-decimal-sum / count. Per-row double arithmetic keeps identical
+  * operation order on both sides, so values match bit-for-bit.
+  */
+object TpchQueries {
+
+  /** sum(double) made deterministic AND engine-portable: quantize each
+    * row to 1e-4 with floor (floor of identical doubles is identical —
+    * unlike double->decimal casts, whose rounding is engine-specific),
+    * sum exactly as BIGINT, divide back once. Same value bit-for-bit in
+    * Spark and DuckDB regardless of partitioning / accumulation order.
+    */
+  private def decSum(c: Column): Column =
+    sum(floor(c * lit(10000.0)).cast("long")) / lit(10000.0)
+
+  private def decAvg(c: Column): Column =
+    sum(floor(c * lit(10000.0)).cast("long")) / lit(10000.0) / count(lit(1))
+
+  private val DecSumSql = (x: String) =>
+    s"sum(CAST(floor(($x) * 10000.0) AS BIGINT)) / 10000.0"
+  private val DecAvgSql = (x: String) =>
+    s"sum(CAST(floor(($x) * 10000.0) AS BIGINT)) / 10000.0 / count(*)"
+
+  /** q1: TPC-H Q1-style pricing summary. Partial (map-side) aggregation
+    * + single shuffle on the two low-cardinality group keys; scan prunes
+    * to the 7 referenced columns with the shipdate filter pushed down.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${DecSumSql("l_quantity")} AS sum_qty,
+       | ${DecSumSql("l_extendedprice")} AS sum_base_price,
+       | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       | ${DecSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       | ${DecAvgSql("l_quantity")} AS avg_qty,
+       | ${DecAvgSql("l_extendedprice")} AS avg_price,
+       | ${DecAvgSql("l_discount")} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q6: TPC-H Q6-style forecast revenue — pure pushed-down filter + agg. */
+  def revenueFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24 &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val revenueFilterSql: String =
+    s"""SELECT ${DecSumSql("l_extendedprice * l_discount")} AS revenue,
+       | count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
+  /** q3: revenue per customer nation — a 4-table join tree. nation and
+    * region are tiny dims: broadcast explicitly so the big fact tables
+    * never shuffle for them (only the orders⋈customer equi-join shuffles).
+    */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  val revenueByNationSql: String =
+    s"""SELECT r_name AS region_name, n_name AS nation_name,
+       | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | count(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+
+  /** q4: left-semi join — orders that have at least one line item with a
+    * quantity above threshold, counted per priority.
+    */
+  def semiJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      .select("l_orderkey")
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val semiJoinOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q5: anti join — customers with no orders, per market segment. */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  val antiJoinCustomersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q_topk: top 10 orders by total price (deterministic tiebreak on key). */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** q_window: per-user running event stats (rank + cumulative value).
+    * Window partitions by user_id — a plain hash shuffle, no global sort.
+    */
+  def userRunningStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("event_rank", row_number().over(w))
+      .withColumn("running_value",
+        sum(floor(col("value") * lit(10000.0)).cast("long")).over(w) / lit(10000.0))
+      .select("event_id", "user_id", "event_type", "event_rank", "running_value")
+  }
+
+  val userRunningStatsSql: String =
+    """SELECT event_id, user_id, event_type,
+      | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank,
+      | sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) / 10000.0 AS running_value
+      |FROM events""".stripMargin
+
+  /** q_tumbling: hourly tumbling-window aggregation over the event stream
+    * table (the batch twin of the Structured Streaming query in
+    * graft.streaming.Streams).
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+
+  val eventsHourlySql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+       | count(*) AS n_events,
+       | ${DecSumSql("value")} AS total_value
+       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  /** q_sessions: gap-based sessionization via lag() — session starts when
+    * >30 min elapsed since the user's previous event.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("is_session_start",
+        col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800))
+      .withColumn("session_id",
+        sum(when(col("is_session_start"), 1).otherwise(0)).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("session_value"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH l AS (
+       | SELECT user_id, event_id, ts, value,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       | FROM events),
+       |m AS (
+       | SELECT *, (prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800) AS is_session_start FROM l),
+       |sess AS (
+       | SELECT *, CAST(sum(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+       |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+       | FROM m)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       | ${DecSumSql("value")} AS session_value
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** q_brand: lineitem ⋈ broadcast(part) revenue per brand. */
+  def revenueByBrand(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+
+  val revenueByBrandSql: String =
+    s"""SELECT p_brand,
+       | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | ${DecAvgSql("l_quantity")} AS avg_qty,
+       | count(*) AS n_rows
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin
+}

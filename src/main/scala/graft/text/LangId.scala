@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic language identification (SURVEY.md §2.3 L1).
+  *
+  * The reference uses langdetect (an n-gram naive-Bayes model, seeded —
+  * text_clean_and_filter.py:385-408). No such model exists in this
+  * offline environment, so we implement the classic public-knowledge
+  * alternative: a stopword/character-profile scorer over the five
+  * languages present in the corpus (en/fr/es/de/zh), behind the same
+  * `(lang_pred, lang_score)` contract ('unk', 0.0 on empty/unknown).
+  *
+  * Deliberately built from pure native expressions with no UDF so that
+  * (a) it stays inside whole-stage codegen and (b) the exact same
+  * computation is expressible in DuckDB SQL — making L1 oracle-checkable,
+  * which the reference's langdetect never was. `duckdbSql` generates that
+  * SQL from the same word lists, so the two can never drift.
+  */
+object LangId {
+
+  // Distinctive function words per language (public knowledge).
+  val En = Seq("the", "and", "of", "to", "in", "is", "that", "it", "for",
+    "was", "with", "as", "on", "be", "at", "by", "this", "have", "from",
+    "or", "are", "not", "but", "a")
+  val De = Seq("der", "die", "das", "und", "ist", "von", "zu", "den",
+    "dem", "ein", "eine", "nicht", "mit", "sich", "auf", "als",
+    "auch", "werden", "aus", "dass", "wird", "bei", "einem", "einer")
+  val Es = Seq("el", "los", "las", "del", "una", "es", "que", "por",
+    "con", "para", "su", "al", "lo", "como", "pero", "este", "esta",
+    "cuando", "muy", "sin", "sobre", "tambien", "hasta", "donde")
+  val Fr = Seq("le", "les", "des", "du", "et", "une", "est", "qui",
+    "dans", "pour", "pas", "sur", "avec", "au", "ce", "il", "elle",
+    "nous", "vous", "ne", "se", "sont", "mais", "ses")
+
+  /** Scaling constants: hit-ratio -> confidence score. */
+  private val StopwordGain = 4.0
+  private val CjkGain = 5.0
+  private val CjkMinRatio = 0.05
+
+  private def letterTokens(c: Column): Column =
+    regexp_extract_all(lower(coalesce(c, lit(""))), lit("\\p{L}+"), lit(0))
+
+  private def hitsIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(words), t)))
+
+  /** Returns (lang_pred, lang_score) columns. Tie-break priority on equal
+    * stopword hits: en > de > es > fr (fixed, documented, deterministic).
+    */
+  def detect(c: Column): (Column, Column) = {
+    val s = coalesce(c, lit(""))
+    val nch = length(s)
+    val cjk = length(regexp_replace(s, "[^一-鿿]", ""))
+    val isZh = (cjk > 0) && (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
+    val toks = letterTokens(c)
+    val n = size(toks)
+    val he = hitsIn(toks, En)
+    val hd = hitsIn(toks, De)
+    val hs = hitsIn(toks, Es)
+    val hf = hitsIn(toks, Fr)
+    val maxHits = greatest(he, hd, hs, hf)
+    val empty = c.isNull || trim(c) === ""
+
+    val pred =
+      when(empty, "unk")
+        .when(isZh, "zh")
+        .when(n === 0 || maxHits === 0, "unk")
+        .when(he === maxHits, "en")
+        .when(hd === maxHits, "de")
+        .when(hs === maxHits, "es")
+        .otherwise("fr")
+
+    val score =
+      when(empty, 0.0)
+        .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
+        .when(n === 0 || maxHits === 0, 0.0)
+        .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
+
+    (pred, score)
+  }
+
+  private def sqlList(ws: Seq[String]): String = ws.mkString("['", "', '", "']")
+
+  /** DuckDB SQL fragments computing the identical (pred, score) pair for
+    * text column `t`. Emitted into oracleSql so the word lists and the
+    * arithmetic stay mechanically in sync with `detect`.
+    */
+  def duckdbExprs(t: String): (String, String) = {
+    val cjk = s"length(regexp_replace($t, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    val nch = s"length($t)"
+    val isZh = s"($cjk > 0 AND CAST($cjk AS DOUBLE) * $CjkGain / CAST($nch AS DOUBLE) > ${CjkMinRatio * CjkGain})"
+    val toks = s"regexp_extract_all(lower($t), '\\p{L}+')"
+    val n = s"len($toks)"
+    def hits(ws: Seq[String]) =
+      s"len(list_filter($toks, x -> list_contains(${sqlList(ws)}, x)))"
+    val (he, hd, hs, hf) = (hits(En), hits(De), hits(Es), hits(Fr))
+    val maxHits = s"greatest($he, $hd, $hs, $hf)"
+    val empty = s"($t IS NULL OR trim($t) = '')"
+    val pred =
+      s"""CASE WHEN $empty THEN 'unk'
+         | WHEN $isZh THEN 'zh'
+         | WHEN $n = 0 OR $maxHits = 0 THEN 'unk'
+         | WHEN $he = $maxHits THEN 'en'
+         | WHEN $hd = $maxHits THEN 'de'
+         | WHEN $hs = $maxHits THEN 'es'
+         | ELSE 'fr' END""".stripMargin.replace("\n", " ")
+    val score =
+      s"""CASE WHEN $empty THEN 0.0
+         | WHEN $isZh THEN least(1.0, CAST($cjk AS DOUBLE) * $CjkGain / CAST($nch AS DOUBLE))
+         | WHEN $n = 0 OR $maxHits = 0 THEN 0.0
+         | ELSE least(1.0, CAST($maxHits AS DOUBLE) * $StopwordGain / CAST($n AS DOUBLE)) END""".stripMargin.replace("\n", " ")
+    (pred, score)
+  }
+}

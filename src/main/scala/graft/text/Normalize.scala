@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text normalisation / canonicalisation column expressions.
+  *
+  * Behavior replicated from the reference (see SURVEY.md §2.2):
+  *  - P1 normalize_text:      /root/reference/text_clean_and_filter.py:50-86
+  *  - P2 strip_html:          /root/reference/deep_clean_and_pii.py:92-116
+  *  - P3 remove_boilerplate:  /root/reference/deep_clean_and_pii.py:78-87,120-149
+  *  - P4 normalize_repeated:  /root/reference/deep_clean_and_pii.py:152-170
+  *  - P5 structural_cleanup:  /root/reference/deep_clean_and_pii.py:174-205
+  *  - P6/P7 canonicalize:     /root/reference/duplication.py:31-56
+  *  - P12 best-text coalesce: /root/reference/Export_to_jsonl.py:25-30
+  *
+  * Everything except NFKC is a native (codegen'd) Spark expression.
+  */
+object Normalize {
+
+  /** NFKC unicode normalisation. No native Spark function exists; the
+    * JVM's java.text.Normalizer is the standard public implementation.
+    * v1: Scala UDF (JVM-speed, breaks codegen locally); a codegen'd
+    * Catalyst UnaryExpression variant lives in graft.plans.NfkcExpr.
+    */
+  val nfkc = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+  }
+
+  /** Control chars the reference strips: U+0000-U+001F and U+007F-U+009F. */
+  private val ControlChars = "[\\x00-\\x1F\\x7F-\\x9F]"
+
+  /** P1: NFKC -> control chars to space -> collapse whitespace -> trim ->
+    * NULL if empty. `applyNfkc=false` gives the ASCII-identical variant
+    * used in oracle-checked queries (DuckDB has no NFKC; the synthetic
+    * corpus is ASCII so the result is identical).
+    */
+  def normalizeText(c: Column, applyNfkc: Boolean = true): Column = {
+    val base = if (applyNfkc) nfkc(c) else c
+    val cleaned =
+      trim(regexp_replace(regexp_replace(base, ControlChars, " "), "\\s+", " "))
+    nullif(cleaned, lit(""))
+  }
+
+  /** P2: drop anything that looks like an HTML tag. Null passes through. */
+  def stripHtml(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
+
+  /** P3 boilerplate line patterns (behavioral data from the reference,
+    * deep_clean_and_pii.py:78-87; matched against the lowercased line).
+    */
+  val BoilerplatePatterns: Seq[String] = Seq(
+    "cookie(s)? policy",
+    "accept( all)? cookies",
+    "privacy policy",
+    "terms of service",
+    "all rights reserved",
+    "sign up for our newsletter",
+    "subscribe to our newsletter",
+    "contact us"
+  )
+  private val BoilerRe = BoilerplatePatterns.mkString("(", ")|(", ")")
+
+  /** P3: drop lines whose lowercase form matches any boilerplate pattern,
+    * rejoin with \n, trim. NOTE (SURVEY §2.2 P3): upstream P1 collapsed
+    * newlines, so in the reference pipeline each doc is ONE line and a hit
+    * anywhere blanks the whole doc — faithful by construction here.
+    */
+  def removeBoilerplateLines(c: Column): Column =
+    trim(array_join(
+      filter(split(c, "\n"), l => !lower(l).rlike(BoilerRe)),
+      "\n"))
+
+  /** P4: `([!?.,])\1{2,}` -> `$1$1`; `(.)\1{3,}` -> `$1$1$1`.
+    * Backreference patterns — Java regex only (RE2/DuckDB can't run
+    * these, so P4 is excluded from oracle-checked columns).
+    */
+  def normalizeRepeatedChars(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "([!?.,])\\1{2,}", "$1$1"),
+      "(.)\\1{3,}", "$1$1$1")
+
+  /** P5: the deep-clean composition strip_html ∘ boilerplate ∘ repeats. */
+  def structuralCleanup(c: Column): Column =
+    normalizeRepeatedChars(removeBoilerplateLines(stripHtml(c)))
+
+  /** P5 without P4, for oracle-checked queries (no backrefs in RE2). */
+  def structuralCleanupNoRepeats(c: Column): Column =
+    removeBoilerplateLines(stripHtml(c))
+
+  /** P6: canonical form for exact dedup — null->"", lower, trim,
+    * collapse whitespace. (Reference trims before collapsing; trim+collapse
+    * commute, result identical.)
+    */
+  def canonExact(c: Column): Column =
+    regexp_replace(trim(lower(coalesce(c, lit("")))), "\\s+", " ")
+
+  /** P7: near-dup key = first `maxChars` chars of the exact canon form. */
+  def canonNear(c: Column, maxChars: Int = 500): Column =
+    substring(canonExact(c), 1, maxChars)
+
+  /** P12: first non-null non-blank of the given columns, else "". */
+  def bestText(cols: Column*): Column =
+    coalesce(cols.map(c => nullif(trim(c), lit(""))) :+ lit(""): _*)
+
+  /** P8: reference doc id — SHA1 of "url||text" where nulls stringify to
+    * "nan" (pandas NaN quirk, ingest.py:51-67 — preserved deliberately).
+    */
+  def sha1DocId(url: Column, text: Column): Column =
+    sha1(concat(coalesce(url, lit("nan")), lit("||"), coalesce(text, lit("nan"))))
+
+  /** P9: SHA256 hex of the canon text (dedup hash). */
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+}

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-row numeric text metrics (SURVEY.md §2.3, M1–M6).
+  *
+  * Reference behavior:
+  *  - M1/M2 char_len/word_count:  text_clean_and_filter.py:124-127
+  *  - M3/M4 quality metrics:      text_clean_and_filter.py:206-236
+  *  - M5 token stats:             deep_clean_and_pii.py:219-260
+  *  - M6 non_latin_ratio:         text_clean_and_filter.py:451-469
+  *
+  * All native expressions (higher-order array functions, no UDFs) so the
+  * whole metric block stays inside one whole-stage-codegen span.
+  */
+object TextMetrics {
+
+  /** Whitespace tokens; empty/null/whitespace-only -> empty array
+    * (Spark's split("") would yield [""], the reference yields []).
+    */
+  def tokens(c: Column): Column =
+    when(c.isNull || trim(c) === "", array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** M1 on text_norm: length; stays NULL for null input (pandas .str.len). */
+  def charLen(c: Column): Column = length(c)
+
+  /** M2: whitespace token count; null -> 0 (reference fillna("")). */
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  /** M1' (compute_quality_metrics n_chars): null -> 0. */
+  def nChars(c: Column): Column = coalesce(length(c), lit(0))
+
+  /** M3: alphabetic chars / total chars; 0 when empty. Python isalpha ~ \p{L}. */
+  def alphaRatio(c: Column): Column = {
+    val n = length(c)
+    when(n > 0,
+      length(regexp_replace(c, "[^\\p{L}]", "")).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** M4: 1 - unique_words/n_words; 0 when no words. */
+  def repetitionRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** M5 stopword set (behavioral data, deep_clean_and_pii.py:211-216). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "for", "on", "at",
+    "is", "it", "this", "that", "with", "as", "by", "from", "be", "are",
+    "was", "were", "will", "would", "can", "could", "has", "have", "had",
+    "about", "into", "over", "after", "before", "between", "up", "down")
+
+  /** M5: (token_count, unique_tokens, unique_token_ratio, stopword_ratio).
+    * Stopword match lowercases the token; uniqueness is case-sensitive —
+    * exactly the reference's asymmetry.
+    */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def uniqueTokens(c: Column): Column = size(array_distinct(tokens(c)))
+
+  def uniqueTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    val stops = typedlit(EnStopwords)
+    when(size(t) > 0,
+      size(filter(t, tok => array_contains(stops, lower(tok)))).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** M6: non-ASCII alphabetic chars / alphabetic chars; 0 if no letters. */
+  def nonLatinRatio(c: Column): Column = {
+    val letters = regexp_replace(coalesce(c, lit("")), "[^\\p{L}]", "")
+    val total = length(letters)
+    when(total > 0,
+      length(regexp_replace(letters, "[\\x00-\\x7F]", "")).cast("double")
+        / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** A4 (small-doc default form): max single-token frequency / token count.
+    * O(unique·n) per row via higher-order functions — fine at the
+    * reference's <=5000-word docs; the explode+groupBy variant for truly
+    * huge docs is Report.maxTokenFreqExploded.
+    */
+  def maxTokenFreqRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      array_max(transform(array_distinct(t),
+        x => size(filter(t, y => y === x)))).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+}

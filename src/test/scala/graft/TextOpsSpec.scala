@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Normalize, Pii, TextMetrics, Toxicity}
+
+/** Unit coverage for the FIXTURES.md §3 adversarial transform cases. */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm1(s: String): String = {
+    val r = Seq(Option(s)).toDF("t")
+      .select(Normalize.normalizeText(col("t")).as("n"))
+      .collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("P1 normalize: NFKC, control chars, whitespace collapse, null-if-empty") {
+    assert(norm1("ﬁle ①") == "file 1") // NFKC: ligature + circled digit
+    assert(norm1("ab\tc\n\nd") == "a b c d")
+    assert(norm1("  hi   there  ") == "hi there")
+    assert(norm1("\t\n   ") == null)
+    assert(norm1(null) == null)
+  }
+
+  test("P1 idempotent") {
+    val cases = Seq("a  b", "ﬁle", " x ", "plain text")
+    cases.foreach(c => assert(norm1(norm1(c)) == norm1(c)))
+  }
+
+  test("P2 strip_html") {
+    val r = Seq("<p>Hi <b>there</b></p>").toDF("t")
+      .select(Normalize.stripHtml(col("t"))).as[String].collect()(0)
+    assert(r == " Hi  there  ")
+  }
+
+  test("P3 boilerplate nuke: single-line doc containing a pattern blanks whole doc") {
+    val r = Seq("some text accept all cookies more text").toDF("t")
+      .select(Normalize.removeBoilerplateLines(col("t"))).as[String].collect()(0)
+    assert(r == "")
+    val multi = Seq("keep me\nplease accept cookies now\nkeep too").toDF("t")
+      .select(Normalize.removeBoilerplateLines(col("t"))).as[String].collect()(0)
+    assert(multi == "keep me\nkeep too")
+  }
+
+  test("P4 repeated chars: punct to 2, any char to 3") {
+    val r = Seq("wow!!!!! soooooo").toDF("t")
+      .select(Normalize.normalizeRepeatedChars(col("t"))).as[String].collect()(0)
+    assert(r == "wow!! sooo")
+  }
+
+  test("P6/P7 canonicalize: case/whitespace-insensitive; P6 idempotent") {
+    val df = Seq("  Hello   WORLD  ").toDF("t")
+    val c = df.select(Normalize.canonExact(col("t"))).as[String].collect()(0)
+    assert(c == "hello world")
+    assert(df.select(Normalize.canonExact(Normalize.canonExact(col("t"))))
+      .as[String].collect()(0) == c)
+    val near = Seq(("x" * 600)).toDF("t")
+      .select(Normalize.canonNear(col("t"))).as[String].collect()(0)
+    assert(near.length == 500)
+  }
+
+  test("M2/M4: word metrics with empty-string guards") {
+    val r = Seq(("a a b", 3, 1.0 - 2.0 / 3.0), ("", 0, 0.0))
+      .toDF("t", "wc", "rep")
+    val out = r.select(
+      TextMetrics.wordCount(col("t")).as("wc2"),
+      TextMetrics.repetitionRatio(col("t")).as("rep2"),
+      col("wc"), col("rep")).collect()
+    out.foreach { row =>
+      assert(row.getInt(0) == row.getInt(2))
+      assert(math.abs(row.getDouble(1) - row.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("M5 token stats: unique case-sensitive, stopwords lowercase-matched") {
+    val out = Seq("The the THE quick").toDF("t").select(
+      TextMetrics.tokenCount(col("t")),
+      TextMetrics.uniqueTokens(col("t")),
+      TextMetrics.stopwordRatio(col("t"))).collect()(0)
+    assert(out.getInt(0) == 4)
+    assert(out.getInt(1) == 4) // The/the/THE/quick all case-sensitively distinct
+    assert(math.abs(out.getDouble(2) - 0.75) < 1e-12) // all three match 'the'
+  }
+
+  test("M8 PII: counts and ordered mask chain") {
+    val out = Seq("mail a.b@x.co ph +1 415-555-0134 cc 4111 1111 1111 1111 ib DE89370400440532013000")
+      .toDF("t").select(
+        Pii.piiEmailHits(col("t")),
+        Pii.piiCcHits(col("t")),
+        Pii.piiIbanHits(col("t")),
+        Pii.maskPii(col("t"))).collect()(0)
+    assert(out.getInt(0) == 1)
+    assert(out.getInt(1) >= 1)
+    assert(out.getInt(2) == 1)
+    val masked = out.getString(3)
+    assert(masked.contains("<EMAIL>") && masked.contains("<IBAN>"))
+    assert(!masked.contains("a.b@x.co"))
+  }
+
+  test("M9 toxicity: scaled fractions, severe at >= 0.9") {
+    val out = Seq("damn damn clean words here and there")
+      .toDF("t").select(Toxicity.scores(col("t"))("toxicity")).collect()(0)
+    // 2 hits / 7 tokens * 5 = 1.428 -> clamped 1.0? no: 2/7*5 = 1.43 -> 1.0
+    assert(out.getDouble(0) == 1.0)
+    val mild = Seq("damn one two three four five six seven eight nine")
+      .toDF("t").select(Toxicity.scores(col("t"))("toxicity")).collect()(0)
+    assert(math.abs(mild.getDouble(0) - 0.5) < 1e-12) // 1/10*5
+  }
+
+  test("A4 max token freq ratio") {
+    val out = Seq("yes yes yes yes no").toDF("t")
+      .select(TextMetrics.maxTokenFreqRatio(col("t"))).collect()(0)
+    assert(math.abs(out.getDouble(0) - 0.8) < 1e-12)
+  }
+}
