@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.ops.{Dedup, Filters, Score, Shard}
+import graft.text.{LangId, Normalize, Pii, TextMetrics, Tokenize, Toxicity}
+
+/** The full reference pipeline as pure DataFrame -> DataFrame stages
+  * (SURVEY.md §3 E1/E2). Each stage is a single select/withColumn chain
+  * that Catalyst fuses into one codegen'd pass; the only shuffles in the
+  * whole pipeline are the two dedup windows and the shard sequencing.
+  *
+  * Design notes vs the reference:
+  *  - Single-frame drop_reason semantics: the reference physically splits
+  *    kept/dropped per stage and computes later columns only on kept rows.
+  *    We keep one frame and let first-match-wins reasons mask dropped
+  *    rows — identical values on kept rows, one pass, no ragged unions.
+  *    `Filters.kept/dropped` reproduce the split at any point.
+  *  - The double-execution bug of the reference stage 2 and its mutable
+  *    global counters are deliberately NOT replicated (SURVEY §4).
+  */
+object Pipeline {
+
+  /** Stage 1 — ingest raw (url, text): stable ingest_seq assigned at the
+    * source (partition-order zipWithIndex, resilient to later
+    * repartitioning), SHA1 doc id (with the reference's null->"nan"
+    * quirk), constant source, one driver-side batch timestamp.
+    */
+  def ingest(raw: DataFrame, source: String = "mainpipe_v1"): DataFrame = {
+    val spark = raw.sparkSession
+    val indexed = raw.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    val df = spark.createDataFrame(indexed,
+      StructType(raw.schema.fields :+ StructField("ingest_seq", LongType, nullable = false)))
+    df.withColumn("doc_id", Normalize.sha1DocId(col("url"), col("text")))
+      .withColumn("source", lit(source))
+      .withColumn("ingest_ts", lit(java.time.Instant.now.toString))
+  }
+
+  /** Stage 2 — normalize, prefilter, metrics, language, PII hits,
+    * toxicity, quality rules (text_clean_and_filter.py:605-813).
+    */
+  def cleanAndFilter(df: DataFrame, allowedLangs: Seq[String] = Seq("en"),
+                     minConf: Double = 0.80): DataFrame = {
+    val norm = df
+      .withColumn("text_norm", Normalize.normalizeText(col("text")))
+      .withColumn("char_len", TextMetrics.charLen(col("text_norm")).cast("long"))
+      .withColumn("word_count", TextMetrics.wordCount(col("text_norm")).cast("long"))
+    val pre = Filters.applyRules(norm, Filters.prefilterRules(
+      col("text"), col("text_norm"), col("char_len"), col("word_count")))
+
+    val t = col("text_norm") // reference promotes text_norm to text post-split
+    val (langPred, langScore) = LangId.detect(t)
+    val tox = Toxicity.scores(t)
+    val metered = pre
+      .withColumn("n_chars", TextMetrics.nChars(t))
+      .withColumn("n_words", TextMetrics.wordCount(t).cast("long"))
+      .withColumn("alpha_ratio", TextMetrics.alphaRatio(t))
+      .withColumn("repetition_ratio", TextMetrics.repetitionRatio(t))
+      .withColumn("lang_pred", langPred)
+      .withColumn("lang_score", langScore)
+      .withColumn("non_latin_ratio", TextMetrics.nonLatinRatio(t))
+      .withColumn("email_hits", Pii.emailHits(t).cast("long"))
+      .withColumn("phone_hits", Pii.phoneHitsSimple(t).cast("long"))
+      .withColumn("toxicity", tox("toxicity"))
+      .withColumn("severe_toxicity", tox("severe_toxicity"))
+      .withColumn("insult", tox("insult"))
+      .withColumn("threat", tox("threat"))
+      .withColumn("identity_attack", tox("identity_attack"))
+      .withColumn("sexual_explicit", tox("sexual_explicit"))
+      .withColumn("model_q", lit(0.5))
+    val lang = Filters.applyRules(metered, Filters.langRules(
+      col("lang_pred"), col("lang_score"), col("non_latin_ratio"),
+      allowedLangs, minConf))
+    Filters.applyRules(lang, Filters.qualityRules(
+      t, col("n_words"), col("alpha_ratio"), col("repetition_ratio"),
+      if (df.columns.contains("url")) col("url") else lit(""),
+      col("email_hits"), col("phone_hits"), col("toxicity")))
+  }
+
+  /** Stage 3 — structural deep clean, token stats, low-info filters,
+    * PII masking (deep_clean_and_pii.py).
+    */
+  def deepCleanAndPii(df: DataFrame, dropPii: Boolean = false): DataFrame = {
+    val cleaned = df.withColumn("text_deep_clean",
+      Normalize.structuralCleanup(col("text_norm")))
+    val t = col("text_deep_clean")
+    val stats = cleaned
+      .withColumn("token_count", TextMetrics.tokenCount(t).cast("long"))
+      .withColumn("unique_tokens", TextMetrics.uniqueTokens(t).cast("long"))
+      .withColumn("unique_token_ratio", TextMetrics.uniqueTokenRatio(t))
+      .withColumn("stopword_ratio", TextMetrics.stopwordRatio(t))
+      .withColumn("max_token_freq_ratio", TextMetrics.maxTokenFreqRatio(t))
+      .withColumn("text_pii_masked", Pii.maskPii(t))
+      .withColumn("pii_email_hits", Pii.piiEmailHits(t).cast("long"))
+      .withColumn("pii_phone_hits", Pii.piiPhoneHits(t).cast("long"))
+      .withColumn("pii_cc_hits", Pii.piiCcHits(t).cast("long"))
+      .withColumn("pii_iban_hits", Pii.piiIbanHits(t).cast("long"))
+    val flagged = stats.withColumn("has_pii", Pii.hasPii(
+      col("pii_email_hits"), col("pii_phone_hits"),
+      col("pii_cc_hits"), col("pii_iban_hits")))
+    Filters.applyRules(flagged, Filters.deepCleanRules(
+      col("token_count"), col("max_token_freq_ratio"),
+      col("unique_token_ratio"), col("stopword_ratio"),
+      col("has_pii"), dropPii))
+  }
+
+  /** Stage 4 — dedup on the masked text (duplication.py). */
+  def dedup(df: DataFrame): DataFrame =
+    Dedup.dedupStage(df, textCol = "text_pii_masked")
+
+  /** Stage 5 — scoring + mixture (scoring_and_mixture.py). */
+  def score(df: DataFrame, mixtureName: String = "web_sample"): DataFrame =
+    df.withColumn("quality_score", Score.qualityScore(
+      col("lang_score"), col("token_count"),
+      col("unique_token_ratio"), col("has_pii")))
+      .withColumn("mixture_name", lit(mixtureName))
+      .withColumn("subset", Score.subset(col("quality_score")))
+
+  /** Stage 6 — tokenise + length gates (Tokenisation_JSONL_export.py). */
+  def tokenise(df: DataFrame): DataFrame = {
+    val t = Tokenize.tokenize(col("text_pii_masked"))
+    val tokked = df
+      .withColumn("input_ids", t.getField("_1"))
+      .withColumn("attention_mask", t.getField("_2"))
+      .withColumn("n_tokens", t.getField("_3").cast("long"))
+    Filters.applyRules(tokked, Filters.tokenLengthRules(col("n_tokens")))
+  }
+
+  /** Stage 7 — shard assignment over the kept rows. */
+  def shard(df: DataFrame, docsPerShard: Int = Shard.DocsPerShard): DataFrame =
+    Shard.assignShards(Filters.kept(df), docsPerShard = docsPerShard)
+
+  /** Stages 2-6 fused into one lazy DAG (the fast path; per-stage parquet
+    * checkpointing is the caller's choice, matching the reference's
+    * resumable mode).
+    */
+  def run(raw: DataFrame): DataFrame =
+    tokenise(score(dedup(deepCleanAndPii(cleanAndFilter(raw)))))
+
+  /** Adapt the driver's documents table to the pipeline's raw contract. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(lit("https://"), col("source"),
+      lit("/doc/"), col("doc_id").cast("string")))
+
+  /** P12 best-available text for export (Export_to_jsonl.py:25-30). */
+  def exportText(df: DataFrame): DataFrame =
+    df.withColumn("export_text", Normalize.bestText(
+      col("text_pii_masked"), col("text_deep_clean"),
+      col("text_norm"), col("text")))
+}

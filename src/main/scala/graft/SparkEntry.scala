@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, TpchQueries}
+import graft.queries.{DocQueries, PipelineQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,9 +13,11 @@ import graft.queries.{DocQueries, TpchQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full reference pipeline (stages 2-6 fused into one DAG).
+    */
   def entry(spark: SparkSession): DataFrame =
-    DocQueries.qualityScore(spark, "/root/testdata/sf0.001")
+    PipelineQueries.pipelineFull(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -39,7 +41,18 @@ object SparkEntry {
     "q_langid" -> (DocQueries.langId _),
     "q_pii_mask" -> (DocQueries.piiMask _),
     "q_toxicity" -> (DocQueries.toxicity _),
-    "q_quality_score" -> (DocQueries.qualityScore _)
+    "q_quality_score" -> (DocQueries.qualityScore _),
+    // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
+    "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
+    "q_describe_chars" -> (PipelineQueries.describeChars _),
+    "q_histogram_chars" -> (PipelineQueries.histogramChars _),
+    "q_top_sources" -> (PipelineQueries.topSources _),
+    "q_export_coalesce" -> (PipelineQueries.exportCoalesce _),
+    "q_fingerprint" -> (PipelineQueries.fingerprint _),
+    "q_shard_assign" -> (PipelineQueries.shardAssign _),
+    "q_shard_manifest" -> (PipelineQueries.shardManifest _),
+    "q_tokenize" -> (PipelineQueries.tokenize _),
+    "q_pipeline_full" -> (PipelineQueries.pipelineFull _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,6 +77,16 @@ object SparkEntry {
     "q_langid" -> DocQueries.langIdSql,
     "q_pii_mask" -> DocQueries.piiMaskSql,
     "q_toxicity" -> DocQueries.toxicitySql,
-    "q_quality_score" -> DocQueries.qualityScoreSql
+    "q_quality_score" -> DocQueries.qualityScoreSql,
+    "q_drop_reason_counts" -> PipelineQueries.dropReasonCountsSql,
+    "q_describe_chars" -> PipelineQueries.describeCharsSql,
+    "q_histogram_chars" -> PipelineQueries.histogramCharsSql,
+    "q_top_sources" -> PipelineQueries.topSourcesSql,
+    "q_export_coalesce" -> PipelineQueries.exportCoalesceSql,
+    "q_fingerprint" -> PipelineQueries.fingerprintSql,
+    "q_shard_assign" -> PipelineQueries.shardAssignSql,
+    "q_shard_manifest" -> PipelineQueries.shardManifestSql
+    // q_tokenize, q_pipeline_full: engine-defined tokenizer + NFKC UDF —
+    // not SQL-expressible; rows-only check (SURVEY §5.4 exclusions).
   )
 }

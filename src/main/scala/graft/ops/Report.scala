@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reporting / metrics aggregations (SURVEY.md §2.6, A1-A7 and H1-H3).
+  *
+  * The reference computes these in plots_charts.py (+ per-stage logged
+  * summaries) with pandas value_counts/describe; here they are ordinary
+  * shuffling aggregations returning small DataFrames. Rendering (PNG
+  * plots) is presentation and out of engine scope — the aggregates ARE
+  * the engine output (SURVEY §2.1 S8).
+  */
+object Report {
+
+  /** A1: drop-reason counts, most frequent first. */
+  def dropReasonCounts(df: DataFrame): DataFrame =
+    df.groupBy("drop_reason").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc_nulls_first("drop_reason"))
+
+  /** A2: numeric describe of a column — min/max/mean/median/count.
+    * Exact percentile (not approx) for oracle parity.
+    */
+  def describeCol(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(col(c)).as("n"),
+      min(col(c)).as("min"),
+      max(col(c)).as("max"),
+      avg(col(c)).as("mean"),
+      expr(s"percentile($c, 0.5)").as("median"))
+
+  /** A3: boolean/scalar sums over flag columns (replaces the reference's
+    * mutable global counters with side-effect-free aggregation).
+    */
+  def piiTotals(df: DataFrame): DataFrame =
+    df.agg(
+      sum("pii_email_hits").as("email_hits"),
+      sum("pii_phone_hits").as("phone_hits"),
+      sum("pii_cc_hits").as("cc_hits"),
+      sum("pii_iban_hits").as("iban_hits"),
+      count(when(col("has_pii"), 1)).as("docs_with_pii"))
+
+  /** A4 scalable variant: max-token-frequency via explode + two-level
+    * aggregation (map-side combine on both) — for corpora whose largest
+    * docs would blow up the per-row higher-order-function form.
+    */
+  def maxTokenFreqExploded(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol), explode(tokensCol).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(max("cnt").as("max_freq"), sum("cnt").as("n_tokens"))
+      .withColumn("max_token_freq_ratio",
+        col("max_freq").cast("double") / col("n_tokens").cast("double"))
+
+  /** A5: subset distribution. */
+  def subsetCounts(df: DataFrame): DataFrame =
+    df.groupBy("subset").agg(count(lit(1)).as("n"))
+
+  /** H1: fixed-width histogram of a numeric column (bucket floor(c/w)). */
+  def histogram(df: DataFrame, c: String, width: Double): DataFrame =
+    df.filter(col(c).isNotNull)
+      .groupBy(floor(col(c) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** H2: top-N value counts with a deterministic tiebreak. */
+  def topValues(df: DataFrame, c: String, n: Int = 30): DataFrame =
+    df.groupBy(c).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc(c)).limit(n)
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sharding / partitioned export (SURVEY.md §2.12, W2 + X1-X3).
+  *
+  * Reference: sequential 50k-doc slices -> train_shard_%05d.jsonl plus a
+  * manifest of per-shard doc/token counts (sharding.py:104-178).
+  *
+  * Scale design: the reference's `df.iloc[start:end]` implies a global
+  * row order. A single-partition `Window.orderBy` would serialize the
+  * whole dataset through one task at 100 TB, so the global sequence is
+  * assigned with the two-pass partition-offset scheme (`zipWithIndex`):
+  * range-partition by the stable sort key, count per partition, prefix-sum
+  * the offsets on the driver (one tiny action), then number rows locally.
+  */
+object Shard {
+
+  val DocsPerShard = 50000
+
+  /** Stable global sequence via range partitioning + partition offsets.
+    * `orderCol` must be unique (e.g. ingest_seq) for a deterministic
+    * result. O(1) driver memory (one long per partition).
+    */
+  def withGlobalSeq(df: DataFrame, orderCol: String,
+                    seqName: String = "global_seq"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(df.rdd.getNumPartitions, 1)
+    val sorted = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed,
+      StructType(sorted.schema.fields :+ StructField(seqName, LongType, nullable = false)))
+  }
+
+  /** W2+X1: shard_id from the global sequence. */
+  def assignShards(df: DataFrame, orderCol: String = "ingest_seq",
+                   docsPerShard: Int = DocsPerShard): DataFrame =
+    withGlobalSeq(df, orderCol)
+      .withColumn("shard_id", (col("global_seq") / docsPerShard).cast("long"))
+
+  /** X2: per-shard manifest aggregates (collected to the driver by the
+    * caller — the manifest is inherently small: one row per shard).
+    */
+  def shardManifest(df: DataFrame): DataFrame =
+    df.groupBy("shard_id")
+      .agg(count(lit(1)).as("num_docs"), sum("n_tokens").as("total_tokens"))
+      .withColumn("filename",
+        format_string("train_shard_%05d.jsonl", col("shard_id")))
+
+  /** X1 sink: partitioned JSONL export, one directory per shard.
+    * (Spark writes part-files per shard dir rather than single files —
+    * documented divergence from the reference's one-file-per-shard.)
+    */
+  def writeShards(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy("shard_id").json(outDir)
+
+  /** X3: seeded toy sample (approximate n like df.sample; excluded from
+    * oracle checks — engine RNGs differ by design, SURVEY §2.8 O4).
+    */
+  def toySample(df: DataFrame, n: Int = 1000, seed: Long = 42): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Pipeline, Tables}
+import graft.ops.{Report, Shard}
+import graft.text.Normalize
+
+/** Reporting, sharding, export and end-to-end pipeline queries
+  * (SURVEY.md §2.6/2.8/2.12 + §3 E1/E3).
+  */
+object PipelineQueries {
+
+  // ---- q_drop_reason_counts: A1 over the stage-2a chain ----------------
+
+  def dropReasonCounts(s: SparkSession, dir: String): DataFrame =
+    Report.dropReasonCounts(
+      DocQueries.docPrefilter(s, dir).select("doc_id", "drop_reason"))
+
+  val dropReasonCountsSql: String =
+    s"""WITH pre AS (${DocQueries.docPrefilterSql})
+       |SELECT drop_reason, count(*) AS n FROM pre GROUP BY drop_reason
+       |ORDER BY n DESC, drop_reason ASC NULLS FIRST""".stripMargin
+
+  // ---- q_describe_chars: A2 numeric describe ---------------------------
+
+  def describeChars(s: SparkSession, dir: String): DataFrame =
+    Report.describeCol(Tables.documents(s, dir), "n_chars")
+
+  val describeCharsSql: String =
+    """SELECT count(n_chars) AS n, min(n_chars) AS min, max(n_chars) AS max,
+      | avg(n_chars) AS mean, quantile_cont(n_chars, 0.5) AS median
+      |FROM documents""".stripMargin
+
+  // ---- q_histogram_chars: H1 fixed-width histogram ---------------------
+
+  def histogramChars(s: SparkSession, dir: String): DataFrame =
+    Report.histogram(Tables.documents(s, dir), "n_chars", 50.0)
+
+  val histogramCharsSql: String =
+    """SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, count(*) AS n
+      |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1""".stripMargin
+
+  // ---- q_top_sources: H2 top-N value counts ----------------------------
+
+  def topSources(s: SparkSession, dir: String): DataFrame =
+    Report.topValues(Tables.documents(s, dir), "source", 10)
+
+  val topSourcesSql: String =
+    """SELECT source, count(*) AS n FROM documents
+      |GROUP BY source ORDER BY n DESC, source ASC LIMIT 10""".stripMargin
+
+  // ---- q_export_coalesce: P12 best-available text ----------------------
+
+  def exportCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val deep = Normalize.structuralCleanupNoRepeats(col("text"))
+    val masked = graft.text.Pii.maskPii(deep)
+    Tables.documents(s, dir).select(col("doc_id"),
+      Normalize.bestText(masked, deep, col("text")).as("export_text"))
+  }
+
+  val exportCoalesceSql: String = {
+    import graft.text.Pii
+    val boiler = Normalize.BoilerplatePatterns.mkString("(", ")|(", ")")
+    val deep =
+      s"""trim(list_aggregate(list_filter(string_split(regexp_replace(text, '<[^>]+>', ' ', 'g'), chr(10)),
+         | l -> NOT regexp_matches(lower(l), '$boiler')), 'string_agg', chr(10)))""".stripMargin.replace("\n", "")
+    val masked =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($deep,
+         | '${Pii.EmailRe}', '<EMAIL>', 'g'), '${Pii.PhoneRe}', '<PHONE>', 'g'),
+         | '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'), '${Pii.IbanRe}', '<IBAN>', 'g')""".stripMargin.replace("\n", "")
+    s"""SELECT doc_id,
+       | coalesce(nullif(trim($masked), ''), nullif(trim($deep), ''), nullif(trim(text), ''), '') AS export_text
+       |FROM documents""".stripMargin
+  }
+
+  // ---- q_fingerprint: document fingerprint (md5 of canon text) ----------
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      md5(Normalize.canonExact(col("text"))).as("fingerprint"),
+      Normalize.sha256Hex(Normalize.canonExact(col("text"))).as("fingerprint_sha256"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      | md5(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS fingerprint,
+      | sha256(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS fingerprint_sha256
+      |FROM documents""".stripMargin
+
+  // ---- q_shard_assign + q_shard_manifest: W2/X1/X2 ---------------------
+
+  private val QueryDocsPerShard = 100
+
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Shard.assignShards(Tables.documents(s, dir), docsPerShard = QueryDocsPerShard)
+      .select("doc_id", "global_seq", "shard_id")
+
+  val shardAssignSql: String =
+    s"""SELECT doc_id,
+       | row_number() OVER (ORDER BY doc_id) - 1 AS global_seq,
+       | CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / $QueryDocsPerShard.0) AS BIGINT) AS shard_id
+       |FROM documents""".stripMargin
+
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    Shard.assignShards(Tables.documents(s, dir), docsPerShard = QueryDocsPerShard)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("num_docs"), sum("n_chars").as("total_chars"))
+      .withColumn("filename",
+        format_string("train_shard_%05d.jsonl", col("shard_id")))
+
+  val shardManifestSql: String =
+    s"""WITH sh AS (
+       | SELECT n_chars,
+       |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / $QueryDocsPerShard.0) AS BIGINT) AS shard_id
+       | FROM documents)
+       |SELECT shard_id, count(*) AS num_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       | printf('train_shard_%05d.jsonl', shard_id) AS filename
+       |FROM sh GROUP BY shard_id""".stripMargin
+
+  // ---- q_tokenize: T1 (engine-defined tokenizer; rows-only check) -------
+
+  def tokenize(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.text.Tokenize.tokenize(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      t.getField("_1").as("input_ids"),
+      t.getField("_2").as("attention_mask"),
+      t.getField("_3").cast("long").as("n_tokens"))
+  }
+
+  // ---- q_pipeline_full: stages 2-6 fused, end to end (rows-only) --------
+
+  def pipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val raw = Pipeline.fromDocuments(Tables.documents(s, dir))
+    Pipeline.run(raw).select(
+      "doc_id", "ingest_seq", "drop_reason", "lang_pred", "lang_score",
+      "token_count", "unique_token_ratio", "has_pii", "is_dup_exact",
+      "is_dup_near", "quality_score", "subset", "n_tokens")
+  }
+}
