@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, PipelineQueries, TpchQueries}
+import graft.queries.{DocQueries, PipelineQueries, SimilarityQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,7 +52,14 @@ object SparkEntry {
     "q_shard_assign" -> (PipelineQueries.shardAssign _),
     "q_shard_manifest" -> (PipelineQueries.shardManifest _),
     "q_tokenize" -> (PipelineQueries.tokenize _),
-    "q_pipeline_full" -> (PipelineQueries.pipelineFull _)
+    "q_pipeline_full" -> (PipelineQueries.pipelineFull _),
+    // Similarity search + sketch dedup (builder brief first-class ops)
+    "q_ann_topk" -> (SimilarityQueries.annTopK _),
+    "q_embed_neardup" -> (SimilarityQueries.embedNearDup _),
+    "q_ivf_assign" -> (SimilarityQueries.ivfAssign _),
+    "q_ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
+    "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
+    "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,8 +92,13 @@ object SparkEntry {
     "q_export_coalesce" -> PipelineQueries.exportCoalesceSql,
     "q_fingerprint" -> PipelineQueries.fingerprintSql,
     "q_shard_assign" -> PipelineQueries.shardAssignSql,
-    "q_shard_manifest" -> PipelineQueries.shardManifestSql
-    // q_tokenize, q_pipeline_full: engine-defined tokenizer + NFKC UDF —
-    // not SQL-expressible; rows-only check (SURVEY §5.4 exclusions).
+    "q_shard_manifest" -> PipelineQueries.shardManifestSql,
+    "q_ann_topk" -> SimilarityQueries.annTopKSql,
+    "q_embed_neardup" -> SimilarityQueries.embedNearDupSql,
+    "q_ivf_assign" -> SimilarityQueries.ivfAssignSql,
+    "q_ngram_jaccard" -> SimilarityQueries.ngramJaccardSql
+    // No oracle (rows-only checks, SURVEY §5.4 exclusions):
+    // q_tokenize, q_pipeline_full (engine-defined tokenizer + NFKC UDF),
+    // q_minhash_lsh, q_simhash_pairs (xxhash64/FNV seeds are engine-defined).
   )
 }

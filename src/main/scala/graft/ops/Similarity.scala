@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star capability for a training-data
+  * engine; SURVEY.md §7 step 7 + builder brief).
+  *
+  * Numeric-parity note: cosine is computed as three left-to-right double
+  * folds (dot, |a|², |b|²) combined as dot/(sqrt(na)*sqrt(nb)) — verified
+  * bit-identical to DuckDB's list_cosine_similarity over DOUBLE[], so
+  * these queries are oracle-checkable with no rounding fudge.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one pass, no shuffle until the per-query top-k
+  * window on k·|Q| rows. The near-dup path buckets by sign-bit LSH
+  * (axis-aligned random hyperplanes — deterministic, SQL-expressible)
+  * so the candidate join is per-bucket instead of all-pairs: at 100 TB
+  * the all-pairs cross join is the thing that must never happen.
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product over two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sign-bit LSH bucket from the first `nbits` dimensions (MSB-first
+    * fold, identical to the DuckDB list_reduce form).
+    */
+  def lshBucket(v: Column, nbits: Int = 16): Column =
+    aggregate(sequence(lit(1), lit(nbits)), lit(0L),
+      (acc, i) => acc * 2 + when(element_at(v, i.cast("int")) > 0, 1L).otherwise(0L))
+
+  /** Brute-force cosine top-k: exact baseline. Query set = vec_id < nQueries. */
+  def annTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidates share a sign-bit
+    * bucket (recall/cost trade documented: pairs split across buckets are
+    * missed; raise recall with fewer bits or multi-probe).
+    */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double,
+                      nbits: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nbits))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs baseline (tests + recall measurement only — the
+    * cross join is quadratic; never the scale path).
+    */
+  def nearDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF-style centroid assignment: nearest of k label-centroids (computed
+    * from the labeled sample), the classic coarse quantizer for ANN at
+    * scale — search only the probe-list's partitions.
+    */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cents = e
+      .select(col("label"), posexplode(col("v")))
+      .toDF("label", "pos", "x")
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("centroid_label"),
+        expr("transform(pairs, p -> p.cx)").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("centroid_label"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cosine", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("centroid_label").as("assigned_centroid"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{SketchDedup, Similarity}
+
+/** Similarity-search and sketch-dedup queries over the embeddings and
+  * documents tables (builder brief: dedup + ANN as first-class ops).
+  */
+object SimilarityQueries {
+
+  private val NearDupThreshold = 0.25
+  private val LshBits = 16
+
+  // ---- q_ann_topk: brute-force cosine top-k (exact baseline) -----------
+
+  def annTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(s, dir), nQueries = 10, k = 5)
+
+  val annTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cosine
+      |      FROM q JOIN e ON vec_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  // ---- q_embed_neardup: sign-bit LSH bucketed cosine pairs -------------
+
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(Tables.embeddings(s, dir),
+      threshold = NearDupThreshold, nbits = LshBits)
+
+  val embedNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  list_reduce(list_transform(generate_series(1, $LshBits),
+       |    i -> CASE WHEN v[i] > 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b) AS bucket
+       | FROM e)
+       |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       | list_cosine_similarity(a.v, b2.v) AS cosine
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE list_cosine_similarity(a.v, b2.v) >= $NearDupThreshold""".stripMargin
+
+  // ---- q_ivf_assign: IVF coarse-quantizer assignment --------------------
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(Tables.embeddings(s, dir))
+
+  val ivfAssignSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+      |cent AS (
+      | SELECT label AS centroid_label, list(cx ORDER BY p) AS cv
+      | FROM (SELECT label, p, avg(v[p]) AS cx FROM e CROSS JOIN pos GROUP BY label, p)
+      | GROUP BY label),
+      |scored AS (
+      | SELECT vec_id, label, centroid_label,
+      |  list_cosine_similarity(v, cv) AS cosine
+      | FROM e CROSS JOIN cent),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_label) AS rn FROM scored)
+      |SELECT vec_id, label, centroid_label AS assigned_centroid FROM r WHERE rn = 1""".stripMargin
+
+  // ---- q_ngram_jaccard: blocked exact Jaccard near-dup pairs ------------
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.ngramJaccardPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 3, blockTokens = 8, threshold = 0.8)
+
+  val ngramJaccardSql: String =
+    """WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+      |s AS (SELECT doc_id,
+      |  array_to_string(toks[1:8], ' ') AS block_key,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh
+      | FROM c)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+      |FROM s a JOIN s b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin
+
+  // ---- engine-defined sketches (hash-seeded; rows-only checks) ----------
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.minhashLshPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text",
+      numHashes = 64, bands = 16, threshold = 0.7)
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.simhashPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", maxHamming = 3)
+}
