@@ -1,7 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.TextMetrics
 
@@ -17,25 +20,134 @@ import graft.text.TextMetrics
   */
 object SketchDedup {
 
-  /** Distinct word k-shingles; shorter docs collapse to one shingle. */
-  def wordShingles(c: Column, k: Int = 3): Column = {
-    val toks = TextMetrics.tokens(c)
+  /** Distinct word k-shingles from a *materialized* token-array column.
+    * ⚠ `toks` MUST be a bound attribute (a column produced by a previous
+    * select), not an inline expression: an inline tokenizer subtree gets
+    * copied into the `slice` lambda and re-evaluated per shingle index —
+    * O(n²) per document (measured 3× the whole query's budget at sf0.1).
+    */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
         .otherwise(array().cast("array<string>")))
+
+  /** Convenience single-expression form (tests / tiny inputs only — see
+    * the quadratic-inlining warning on [[shinglesFromTokens]]).
+    */
+  def wordShingles(c: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextMetrics.tokens(c), k)
+
+  /** Shingle identities as 64-bit hashes built from per-token hashes —
+    * no shingle strings are ever materialized. `tokenHashes` must be a
+    * bound attribute (same inlining hazard as [[shinglesFromTokens]]).
+    * A hash collision perturbing a Jaccard estimate is ~2^-64 noise.
+    */
+  def shingleHashes(tokenHashes: Column, k: Int = 3): Column =
+    when(size(tokenHashes) >= k,
+      array_distinct(transform(sequence(lit(0), size(tokenHashes) - k),
+        i => xxhash64((1 to k).map(d => element_at(tokenHashes, i + d)): _*))))
+      .otherwise(when(size(tokenHashes) > 0,
+        array(aggregate(tokenHashes, lit(-1L), (a, h) => xxhash64(a, h))))
+        .otherwise(array().cast("array<bigint>")))
+
+  /** MinHash signature over base-hashed shingles: the numHashes-member
+    * hash family is derived by re-mixing the 8-byte base hash
+    * (xxhash64(j, h)) rather than re-hashing the shingle string per
+    * seed — bytes hashed per row drop by ~|shingle|/8 × numHashes.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      when(size(hashes) > 0,
+        array_min(transform(hashes, h => xxhash64(j, h))))
+        .otherwise(lit(Long.MaxValue)))
+
+  // ---- compiled sketch fast path -----------------------------------------
+  //
+  // Higher-order array expressions are CodegenFallback (interpreted) in
+  // Spark; the nested transform/array_min tree above costs seconds of JIT
+  // warm-up alone and ~10× steady-state vs compiled code. The hot path
+  // computes the identical hashes (verified in SketchDedupSpec) in one
+  // tight loop per document. Hash parity rules with the expression form:
+  //   token hash      = xxhash64(tok)            = hashUTF8String(tok, 42)
+  //   k-shingle hash  = xxhash64(h1..hk)         = fold hashLong, seed 42
+  //   <k-token doc    = aggregate(th, -1L, xxhash64(acc, h)) fold
+  //   signature slot  = min over hs of xxhash64(j, h)
+  //                   = min hashLong(h, hashInt(j, 42))
+
+  /** (shingle hashes, signature, band keys) for one document. Band key b
+    * folds hashLong over the band's signature slots seeded with
+    * hashInt(b, 42) — band identity lives in the seed, so one long column
+    * replaces the expression form's "b_hash" strings.
+    */
+  private[graft] def sketchDoc(s: String, k: Int, numHashes: Int,
+                             bands: Int): (Array[Long], Array[Long], Array[Long]) = {
+    val empty = (Array.empty[Long], Array.empty[Long], Array.empty[Long])
+    if (s == null) return empty
+    val t = s.trim
+    if (t.isEmpty) return empty
+    val toks = t.split("\\s+")
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      th(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      i += 1
+    }
+    val hsBuf = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (toks.length >= k) {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      i = 0
+      while (i <= toks.length - k) {
+        var h = 42L
+        var d = 0
+        while (d < k) { h = XXH64.hashLong(th(i + d), h); d += 1 }
+        if (seen.add(h)) hsBuf += h
+        i += 1
+      }
+    } else {
+      var acc = -1L
+      i = 0
+      while (i < toks.length) {
+        acc = XXH64.hashLong(th(i), XXH64.hashLong(acc, 42L))
+        i += 1
+      }
+      hsBuf += acc
+    }
+    val hs = hsBuf.toArray
+    val sig = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val seedJ = XXH64.hashInt(j, 42L)
+      var mn = Long.MaxValue
+      i = 0
+      while (i < hs.length) {
+        val r = XXH64.hashLong(hs(i), seedJ)
+        if (r < mn) mn = r
+        i += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    val rowsPerBand = numHashes / bands
+    val bk = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var d = 0
+      while (d < rowsPerBand) { h = XXH64.hashLong(sig(b * rowsPerBand + d), h); d += 1 }
+      bk(b) = h
+      b += 1
+    }
+    (hs, sig, bk)
   }
 
-  /** MinHash signature: numHashes seeded xxhash64 min-folds over the
-    * shingle set. Seeding via the first hash argument (xxhash64(j, s))
-    * keeps it one codegen'd expression per row.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      when(size(shingles) > 0,
-        array_min(transform(shingles, s => xxhash64(j, s))))
-        .otherwise(lit(Long.MaxValue)))
+  /** Compiled sketch UDF: doc -> struct(hs, bands). */
+  def minhashSketch(k: Int, numHashes: Int, bands: Int) =
+    udf { (s: String) =>
+      val (hs, _, bk) = sketchDoc(s, k, numHashes, bands)
+      (hs, bk)
+    }
 
   /** LSH band keys: hash each band of `rowsPerBand` signature slots. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -52,27 +164,30 @@ object SketchDedup {
                       threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sketched = df.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band_key", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-    val a = sketched.select(col("band_key"), col("id").as("id_a"))
-    val b = sketched.select(col("band_key"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band_key"))
+    // One compiled pass computes the whole per-doc sketch. The sketch is
+    // persisted: it feeds both sides of the candidate self-join AND both
+    // verify joins — at scale you never recompute a corpus-wide sketch
+    // four times.
+    val sk = minhashSketch(shingleSize, numHashes, bands)
+    val hashed = df
+      .select(col(idCol).as("id"), sk(col(textCol)).as("sk"))
+      .select(col("id"), col("sk._1").as("hs"), col("sk._2").as("bands"))
+      .filter(size(col("hs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // materialize before the plan fans out four ways
+    val banded = hashed.select(col("id"), explode(col("bands")).as("band_key"))
+    val candidates = banded.select(col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shingleSets = df.select(col(idCol).as("sid"),
-      wordShingles(col(textCol), shingleSize).as("sset"))
+    // Verify candidates with exact Jaccard over the base-hashed sets;
+    // |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array.
     candidates
-      .join(shingleSets.withColumnRenamed("sid", "id_a")
-        .withColumnRenamed("sset", "sh_a"), Seq("id_a"))
-      .join(shingleSets.withColumnRenamed("sid", "id_b")
-        .withColumnRenamed("sset", "sh_b"), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -142,18 +257,21 @@ object SketchDedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, blockTokens: Int = 8,
                         threshold: Double = 0.8): DataFrame = {
-    val toks = TextMetrics.tokens(col(textCol))
     val keyed = df
       .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
-      .select(col(idCol).as("id"),
-        concat_ws(" ", slice(toks, 1, blockTokens)).as("block_key"),
-        wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"), TextMetrics.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), 1, blockTokens)).as("block_key"),
+        shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("block_key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("block_key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block_key")).filter(col("id_a") < col("id_b"))
+      // |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array pass, same
+      // double value as the oracle's len(list_distinct(a.sh || b.sh)).
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

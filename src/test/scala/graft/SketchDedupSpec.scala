@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, SketchDedup}
+import graft.text.TextMetrics
+
+/** Sketch-dedup invariants + hash parity between the compiled fast path
+  * (SketchDedup.sketchDoc) and the declarative expression form.
+  */
+class SketchDedupSpec extends SparkTestBase {
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "one two",
+    "single",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "repeat repeat repeat repeat repeat repeat repeat"
+  )
+
+  test("compiled sketch matches expression shingle hashes and signature") {
+    import spark.implicits._
+    val df = docs.toDF("text")
+      .select(col("text"),
+        transform(TextMetrics.tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("text"), SketchDedup.shingleHashes(col("th"), 3).as("hs"))
+      .select(col("text"), col("hs"),
+        SketchDedup.minhashSignature(col("hs"), 16).as("sig"))
+    df.collect().foreach { r =>
+      val (hs, sig, bands) = SketchDedup.sketchDoc(r.getString(0), 3, 16, 4)
+      assert(hs.toSeq === r.getSeq[Long](1), s"hs mismatch for '${r.getString(0)}'")
+      assert(sig.toSeq === r.getSeq[Long](2), s"sig mismatch for '${r.getString(0)}'")
+      assert(bands.length === 4)
+    }
+  }
+
+  test("sketchDoc edge cases: null, empty, whitespace") {
+    assert(SketchDedup.sketchDoc(null, 3, 16, 4)._1.isEmpty)
+    assert(SketchDedup.sketchDoc("", 3, 16, 4)._1.isEmpty)
+    assert(SketchDedup.sketchDoc("   ", 3, 16, 4)._1.isEmpty)
+    assert(SketchDedup.sketchDoc("one two", 3, 16, 4)._1.length === 1)
+  }
+
+  test("minhashLshPairs finds exact and near duplicates, not distinct docs") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+    val df = Seq(
+      ("a", base),
+      ("b", base),                          // exact duplicate of a
+      ("c", base + "kilo lima"),            // near duplicate of a
+      ("d", "completely different words entirely unrelated content here okay")
+    ).toDF("doc_id", "text")
+    val pairs = SketchDedup.minhashLshPairs(df, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.7)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("a", "b")))
+    assert(pairs.contains(("a", "c")) && pairs.contains(("b", "c")))
+    assert(!pairs.exists { case (x, y) => x == "d" || y == "d" })
+  }
+
+  test("simhash: identical docs distance 0, near docs within threshold") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val df = Seq(("a", base), ("b", base), ("c", base.replace("echo", "exxo")),
+      ("d", "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val pairs = SketchDedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (x, y, h) => x == "a" && y == "b" && h == 0 })
+    assert(!pairs.exists { case (x, y, _) => x == "d" || y == "d" })
+  }
+
+  test("cosine matches a plain scala computation") {
+    import spark.implicits._
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(4.0, 5.0, 6.0)
+    val expected = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - expected) < 1e-15)
+  }
+}
