@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.Pipeline
+import graft.text.Normalize
+
+/** Structured Streaming surface (SURVEY.md §2.13).
+  *
+  * The reference is strictly batch; this module is the engine's added
+  * capability for continuous ingestion. Design:
+  *  - Stage 2/3/5 transforms are stateless column maps, so the *same*
+  *    `Pipeline` functions run unchanged on a streaming DataFrame —
+  *    streaming/batch parity is tested, not asserted (StreamingSpec).
+  *  - Exact dedup (D1) is a window over global history in batch; on a
+  *    stream it becomes `dropDuplicatesWithinWatermark` over the canon
+  *    hash — state is bounded by the watermark instead of the corpus.
+  *  - Event analytics: watermarked tumbling/sliding windows, and gap
+  *    sessionization as explicit `flatMapGroupsWithState` state (the
+  *    batch equivalent is the q_sessionize lag/cumsum window query).
+  *
+  * At scale: every groupBy here shuffles on its key (event_type/user_id)
+  * with watermark-bounded state per key; no driver-side state anywhere.
+  */
+object Streaming {
+
+  /** Open a JSONL landing directory as a stream with an explicit schema
+    * (streams cannot infer; `maxFilesPerTrigger` bounds batch size).
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+                dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Stages 2+3 of the batch pipeline applied to a stream of raw docs
+    * (url, text). Identical column semantics to the batch path — it IS
+    * the batch code.
+    */
+  def cleanStream(raw: DataFrame): DataFrame =
+    Pipeline.deepCleanAndPii(Pipeline.cleanAndFilter(raw))
+
+  /** Streaming exact dedup: canon-hash the text, keep the first arrival
+    * per hash within the watermark horizon. `eventTimeCol` must be a
+    * timestamp column (use the ingest time of the landing file).
+    */
+  def dedupStream(df: DataFrame, textCol: String, eventTimeCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withColumn("exact_hash",
+        Normalize.sha256Hex(Normalize.canonExact(col(textCol))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("exact_hash")
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (windowDuration, slideDuration). */
+  def eventsSliding(events: DataFrame, window_ : String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // ---- gap sessionization (flatMapGroupsWithState) ----------------------
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionAcc(start: Long, end: Long, n: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long,
+                        sum_value: Double)
+
+  /** Sessions close when `gap` passes with no events for the user (state
+    * timeout keyed on event time, so state is bounded by the watermark).
+    * Emits each session exactly once, on close.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val gapMs = gapMinutes * 60L * 1000L
+    implicit val evEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
+    implicit val accEnc: Encoder[SessionAcc] = Encoders.product[SessionAcc]
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+    def close(userId: Long, s: SessionAcc): SessionOut =
+      SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end),
+        s.n, s.sumValue)
+
+    def fn(userId: Long, batch: Iterator[SessionEvent],
+           state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = close(userId, state.get)
+        state.remove()
+        Iterator(out)
+      } else {
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        batch.toArray.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1,
+                s.sumValue + e.value))
+            case Some(s) =>
+              closed ::= close(userId, s)
+              cur = Some(SessionAcc(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionAcc(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        coalesce(col("value"), lit(0.0)).cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

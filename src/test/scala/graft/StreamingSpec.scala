@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Structured Streaming behavior: windowed aggs, watermark dedup, gap
+  * sessionization, and streaming/batch parity of the stateless stages.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("tumbling window aggregates per event type (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.eventsTumbling(
+      in.toDF().toDF("ts", "event_type", "value"), window_ = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(40), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups exact text within horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = Streaming.dedupStream(
+      in.toDF().toDF("ingest_ts", "text"), "text", "ingest_ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "Hello   World"), (ts(1), "hello world"), (ts(2), "other doc"))
+      q.processAllAvailable()
+      // canon collapses case/whitespace -> first two rows share a hash
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("gap sessionization emits a session once the watermark closes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = Streaming.sessionize(
+      in.toDF().toDF("user_id", "ts", "value"),
+      gapMinutes = 10, watermark = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // burst 1: user 7, 10:00-10:04; then silence > gap
+      in.addData((7L, ts(0), 1.0), (7L, ts(4), 2.0))
+      q.processAllAvailable()
+      // a much later event advances the watermark past 10:04+gap
+      in.addData((9L, ts(45), 9.0))
+      q.processAllAvailable()
+      in.addData((9L, ts(59), 1.0)) // push watermark again so timeout fires
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((7L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stateless clean stage: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      ("https://ok.example.com/a", "This is a perfectly reasonable document with enough words to pass the filters in place."),
+      ("https://ok.example.com/b", "too short"),
+      ("https://ok.example.com/c", "12345.678"),
+      ("https://ok.example.com/d", null.asInstanceOf[String])
+    )
+    val cols = Seq("url", "text")
+    val batch = Streaming.cleanStream(docs.toDF(cols: _*))
+      .select("url", "text_norm", "drop_reason", "token_count")
+    val in = MemoryStream[(String, String)]
+    val stream = Streaming.cleanStream(in.toDF().toDF(cols: _*))
+      .select("url", "text_norm", "drop_reason", "token_count")
+    val q = stream.writeStream.format("memory").queryName("cleaned")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("cleaned").collect().map(_.toSeq).toSet
+      val want = batch.collect().map(_.toSeq).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+}
