@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, PipelineQueries, SimilarityQueries, TpchQueries}
+import graft.queries.{DocQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,7 +59,12 @@ object SparkEntry {
     "q_ivf_assign" -> (SimilarityQueries.ivfAssign _),
     "q_ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
-    "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _)
+    "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
+    // Multimodal binary columns (builder brief first-class ops)
+    "q_media_meta" -> (MultimodalQueries.mediaMeta _),
+    "q_frame_sample" -> (MultimodalQueries.frameSample _),
+    "q_audio_chunks" -> (MultimodalQueries.audioChunks _),
+    "q_media_features" -> (MultimodalQueries.mediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,9 +101,13 @@ object SparkEntry {
     "q_ann_topk" -> SimilarityQueries.annTopKSql,
     "q_embed_neardup" -> SimilarityQueries.embedNearDupSql,
     "q_ivf_assign" -> SimilarityQueries.ivfAssignSql,
-    "q_ngram_jaccard" -> SimilarityQueries.ngramJaccardSql
+    "q_ngram_jaccard" -> SimilarityQueries.ngramJaccardSql,
+    "q_media_meta" -> MultimodalQueries.mediaMetaSql,
+    "q_frame_sample" -> MultimodalQueries.frameSampleSql,
+    "q_audio_chunks" -> MultimodalQueries.audioChunksSql
     // No oracle (rows-only checks, SURVEY §5.4 exclusions):
     // q_tokenize, q_pipeline_full (engine-defined tokenizer + NFKC UDF),
-    // q_minhash_lsh, q_simhash_pairs (xxhash64/FNV seeds are engine-defined).
+    // q_minhash_lsh, q_simhash_pairs (xxhash64/FNV seeds are engine-defined),
+    // q_media_features (xxhash64-derived stub embeddings).
   )
 }

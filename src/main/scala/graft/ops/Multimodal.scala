@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (builder brief): image/audio/video as opaque
+  * `binary` content plus typed metadata, processed with the engine's
+  * regular relational operators. The *decode* step is a clearly-marked
+  * deterministic STUB (no codec libraries exist in this environment);
+  * everything Spark-side — schema, partition-batched processing, frame
+  * arithmetic, explode shapes — is real and tested.
+  *
+  * Scale design: content bytes stay opaque inside a single column (never
+  * exploded per-pixel); per-partition batch processing amortizes decoder/
+  * model initialization exactly like a vectorized Python UDF would, but
+  * in compiled Scala via `mapPartitions` + `grouped(batchSize)`.
+  */
+object Multimodal {
+
+  /** A media row: typed metadata travels beside the opaque payload. */
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+                      width: Int, height: Int, sample_rate: Int,
+                      n_frames: Int)
+
+  case class MediaFeature(media_id: Long, kind: String,
+                          embedding: Array[Float])
+
+  /** Derive a deterministic media view from the documents table: the
+    * UTF-8 text bytes stand in for an encoded payload, metadata derives
+    * from byte length. This is the fixture adapter — a real deployment
+    * reads parquet with genuine binary columns of the same schema.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val bytes = col("text").cast("binary")
+    val blen = length(bytes)
+    docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      bytes.as("content"),
+      (blen % 640 + 1).cast("int").as("width"),
+      (blen % 480 + 1).cast("int").as("height"),
+      // tiny synthetic "sample rates" so chunking arithmetic produces
+      // multiple chunks at fixture payload sizes (real audio: 16k/44.1k)
+      ((blen % 8 + 1) * 4).cast("int").as("sample_rate"),
+      (blen % 120 + 1).cast("int").as("n_frames"))
+  }
+
+  // ---- decode stubs ------------------------------------------------------
+
+  /** STUB image decode: a real implementation hands `content` to a codec
+    * (JPEG/PNG) and returns pixel planes. The stub returns the declared
+    * dims and a deterministic checksum so downstream plumbing (schema,
+    * nullability, batch shape) is exercised end-to-end.
+    */
+  private[graft] def decodeImageStub(content: Array[Byte], width: Int,
+                                     height: Int): (Int, Int, Long) = {
+    val checksum = XXH64.hashUnsafeBytes(content,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, content.length, 42L)
+    (width, height, checksum)
+  }
+
+  /** Fixed-dim deterministic embedding from payload bytes: stands in for
+    * a vision/audio model forward pass. Pure function of (content, dim).
+    */
+  private[graft] def embedStub(content: Array[Byte], dim: Int): Array[Float] = {
+    val base = XXH64.hashUnsafeBytes(content,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, content.length, 42L)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      // map hash to [-1, 1); stable across JVMs
+      out(i) = (XXH64.hashLong(i.toLong, base).toDouble / Long.MaxValue).toFloat
+      i += 1
+    }
+    out
+  }
+
+  // ---- partition-batched feature extraction ------------------------------
+
+  /** Per-partition batched "model inference" over media rows — the Scala
+    * analogue of a vectorized Python UDF: one expensive init per
+    * partition, payloads processed in `batchSize` groups so peak memory
+    * is bounded by batch, not partition.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+                      batchSize: Int = 64): Dataset[MediaFeature] = {
+    implicit val enc: Encoder[MediaFeature] = Encoders.product[MediaFeature]
+    implicit val rowEnc: Encoder[(Long, String, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+    media.select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real code: load model weights / open codec context HERE, once
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, kind, content) =>
+            MediaFeature(id, kind, embedStub(content, dim))
+          }
+        }
+      }
+  }
+
+  // ---- frame / chunk arithmetic (pure relational) ------------------------
+
+  /** Evenly-strided frame indices: ceil(n/maxFrames) stride keeps at most
+    * `maxFrames` samples regardless of clip length.
+    */
+  def frameIndices(nFrames: Column, maxFrames: Int = 8): Column =
+    sequence(lit(0), nFrames - 1,
+      ceil(nFrames.cast("double") / maxFrames).cast("int"))
+
+  /** One row per sampled frame of each video: the explode shape a real
+    * frame extractor feeds; frame_idx drives the (stubbed) per-frame
+    * decode downstream.
+    */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 8): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        posexplode(frameIndices(col("n_frames"), maxFrames))
+          .as(Seq("sample_pos", "frame_idx")))
+      .select(col("media_id"), col("n_frames"),
+        col("sample_pos").cast("long").as("sample_pos"),
+        col("frame_idx").cast("long").as("frame_idx"))
+
+  /** Fixed-duration audio chunk boundaries from metadata arithmetic:
+    * byte offsets for `chunkSeconds` windows at 2 bytes/sample mono.
+    */
+  def audioChunks(media: DataFrame, chunkSeconds: Int = 10): DataFrame = {
+    val bytesPerChunk = col("sample_rate") * 2 * chunkSeconds
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), length(col("content")).as("n_bytes"),
+        bytesPerChunk.as("chunk_bytes"))
+      .select(col("media_id"), col("n_bytes"), col("chunk_bytes"),
+        posexplode(sequence(lit(0), greatest(col("n_bytes") - 1, lit(0)),
+          col("chunk_bytes"))).as(Seq("chunk_idx", "byte_offset")))
+      .select(col("media_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("byte_offset").cast("long").as("byte_offset"),
+        least(col("chunk_bytes"), col("n_bytes") - col("byte_offset"))
+          .cast("long").as("chunk_len"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Multimodal
+
+/** Multimodal binary-column queries (builder brief): the synthetic media
+  * view derives deterministically from the documents table (UTF-8 bytes
+  * as payload), so every metadata/explode shape is DuckDB-checkable even
+  * though real decode is stubbed.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticMedia(Tables.documents(s, dir))
+
+  // ---- q_media_meta: per-kind metadata aggregates ------------------------
+
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).groupBy("kind").agg(
+      count(lit(1)).as("n_media"),
+      sum(length(col("content"))).as("total_bytes"),
+      avg(col("n_frames")).as("avg_frames"),
+      max(col("width")).as("max_width"))
+
+  val mediaMetaSql: String =
+    """WITH m AS (
+      |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |         octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |k AS (SELECT kind, blen, blen % 120 + 1 AS n_frames,
+      |             blen % 640 + 1 AS width FROM m)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+      |       CAST(sum(blen) AS BIGINT) AS total_bytes,
+      |       avg(n_frames) AS avg_frames,
+      |       CAST(max(width) AS INT) AS max_width
+      |FROM k GROUP BY kind""".stripMargin
+
+  // ---- q_frame_sample: strided frame indices per video -------------------
+
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(media(s, dir), maxFrames = 8)
+
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS blen
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |v AS (SELECT media_id, blen % 120 + 1 AS n_frames,
+      |             CAST(ceil((blen % 120 + 1) / 8.0) AS BIGINT) AS stride
+      |      FROM m)
+      |SELECT media_id, CAST(n_frames AS INT) AS n_frames,
+      |       p AS sample_pos, p * stride AS frame_idx
+      |FROM v, LATERAL (
+      |  SELECT unnest(generate_series(0, (n_frames - 1) // stride)) AS p)""".stripMargin
+
+  // ---- q_audio_chunks: byte-window boundaries per audio clip -------------
+
+  def audioChunks(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioChunks(media(s, dir), chunkSeconds = 10)
+
+  val audioChunksSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |a AS (SELECT media_id, n_bytes,
+      |             (n_bytes % 8 + 1) * 4 * 2 * 10 AS chunk_bytes FROM m)
+      |SELECT media_id, c AS chunk_idx, c * chunk_bytes AS byte_offset,
+      |       least(chunk_bytes, n_bytes - c * chunk_bytes) AS chunk_len
+      |FROM a, LATERAL (
+      |  SELECT unnest(generate_series(0,
+      |    greatest(n_bytes - 1, 0) // chunk_bytes)) AS c)""".stripMargin
+
+  // ---- q_media_features: partition-batched stub inference (rows-only) ----
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(media(s, dir), dim = 16)
+      .toDF()
+      .select(col("media_id"), col("kind"), size(col("embedding")).as("dim"),
+        col("embedding"))
+}
