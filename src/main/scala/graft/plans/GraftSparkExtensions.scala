@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Session extension wiring the engine's native expressions into the
+  * FunctionRegistry, so they're callable from SQL text:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftSparkExtensions
+  *   spark.sql("SELECT nfkc(text) FROM docs")
+  *
+  * For an already-built session, use [[GraftFunctions.register]].
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder))
+}
+
+/** Imperative registration for sessions built without the extension. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder)
+}

@@ -20,8 +20,8 @@ object Normalize {
 
   /** NFKC unicode normalisation. No native Spark function exists; the
     * JVM's java.text.Normalizer is the standard public implementation.
-    * v1: Scala UDF (JVM-speed, breaks codegen locally); a codegen'd
-    * Catalyst UnaryExpression variant lives in graft.plans.NfkcExpr.
+    * The UDF form is kept as a differential-test baseline; the pipeline
+    * uses the codegen'd Catalyst expression graft.plans.NfkcNormalize.
     */
   val nfkc = udf { (s: String) =>
     if (s == null) null
@@ -37,7 +37,7 @@ object Normalize {
     * corpus is ASCII so the result is identical).
     */
   def normalizeText(c: Column, applyNfkc: Boolean = true): Column = {
-    val base = if (applyNfkc) nfkc(c) else c
+    val base = if (applyNfkc) graft.plans.NfkcNormalize(c) else c
     val cleaned =
       trim(regexp_replace(regexp_replace(base, ControlChars, " "), "\\s+", " "))
     nullif(cleaned, lit(""))
