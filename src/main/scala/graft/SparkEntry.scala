@@ -53,6 +53,8 @@ object SparkEntry {
     "q_shard_manifest" -> (PipelineQueries.shardManifest _),
     "q_tokenize" -> (PipelineQueries.tokenize _),
     "q_pipeline_full" -> (PipelineQueries.pipelineFull _),
+    "q_pii_totals" -> (PipelineQueries.piiTotals _),
+    "q_subset_counts" -> (PipelineQueries.subsetCounts _),
     // Similarity search + sketch dedup (builder brief first-class ops)
     "q_ann_topk" -> (SimilarityQueries.annTopK _),
     "q_embed_neardup" -> (SimilarityQueries.embedNearDup _),
@@ -98,6 +100,8 @@ object SparkEntry {
     "q_fingerprint" -> PipelineQueries.fingerprintSql,
     "q_shard_assign" -> PipelineQueries.shardAssignSql,
     "q_shard_manifest" -> PipelineQueries.shardManifestSql,
+    "q_pii_totals" -> PipelineQueries.piiTotalsSql,
+    "q_subset_counts" -> PipelineQueries.subsetCountsSql,
     "q_ann_topk" -> SimilarityQueries.annTopKSql,
     "q_embed_neardup" -> SimilarityQueries.embedNearDupSql,
     "q_ivf_assign" -> SimilarityQueries.ivfAssignSql,

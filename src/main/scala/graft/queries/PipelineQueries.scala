@@ -118,6 +118,32 @@ object PipelineQueries {
        | printf('train_shard_%05d.jsonl', shard_id) AS filename
        |FROM sh GROUP BY shard_id""".stripMargin
 
+  // ---- q_pii_totals: A3 corpus-level PII aggregates ---------------------
+
+  def piiTotals(s: SparkSession, dir: String): DataFrame =
+    Report.piiTotals(DocQueries.piiMask(s, dir)).select(
+      col("email_hits").cast("long"), col("phone_hits").cast("long"),
+      col("cc_hits").cast("long"), col("iban_hits").cast("long"),
+      col("docs_with_pii").cast("long"))
+
+  val piiTotalsSql: String =
+    s"""WITH p AS (${DocQueries.piiMaskSql})
+       |SELECT CAST(sum(pii_email_hits) AS BIGINT) AS email_hits,
+       | CAST(sum(pii_phone_hits) AS BIGINT) AS phone_hits,
+       | CAST(sum(pii_cc_hits) AS BIGINT) AS cc_hits,
+       | CAST(sum(pii_iban_hits) AS BIGINT) AS iban_hits,
+       | CAST(count(*) FILTER (WHERE has_pii) AS BIGINT) AS docs_with_pii
+       |FROM p""".stripMargin
+
+  // ---- q_subset_counts: A5 subset distribution --------------------------
+
+  def subsetCounts(s: SparkSession, dir: String): DataFrame =
+    Report.subsetCounts(DocQueries.qualityScore(s, dir))
+
+  val subsetCountsSql: String =
+    s"""WITH q AS (${DocQueries.qualityScoreSql})
+       |SELECT subset, count(*) AS n FROM q GROUP BY subset""".stripMargin
+
   // ---- q_tokenize: T1 (engine-defined tokenizer; rows-only check) -------
 
   def tokenize(s: SparkSession, dir: String): DataFrame = {
