@@ -94,7 +94,7 @@ object DocQueries {
 
   val dedupExactSql: String =
     """WITH c AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS dedup_id,
-      |  sha256(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS exact_hash
+      |  sha256(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS exact_hash
       | FROM documents),
       |w AS (SELECT *,
       |  row_number() OVER (PARTITION BY exact_hash ORDER BY doc_id) AS rn,
@@ -110,7 +110,7 @@ object DocQueries {
 
   val dedupNearSql: String =
     s"""WITH c AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS dedup_id,
-       |  regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS canon
+       |  trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS canon
        | FROM documents),
        |e AS (SELECT *, sha256(canon) AS exact_hash,
        |  substr(canon, 1, ${Dedup.NearKeyChars}) AS near_key, length(canon) AS clen FROM c),

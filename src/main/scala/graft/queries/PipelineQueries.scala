@@ -84,8 +84,8 @@ object PipelineQueries {
 
   val fingerprintSql: String =
     """SELECT doc_id,
-      | md5(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS fingerprint,
-      | sha256(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS fingerprint_sha256
+      | md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint,
+      | sha256(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint_sha256
       |FROM documents""".stripMargin
 
   // ---- q_shard_assign + q_shard_manifest: W2/X1/X2 ---------------------

@@ -88,12 +88,17 @@ object Normalize {
   def structuralCleanupNoRepeats(c: Column): Column =
     removeBoilerplateLines(stripHtml(c))
 
-  /** P6: canonical form for exact dedup — null->"", lower, trim,
-    * collapse whitespace. (Reference trims before collapsing; trim+collapse
-    * commute, result identical.)
+  /** P6: canonical form for exact dedup — null->"", lower, collapse
+    * whitespace, trim. The reference strips first (duplication.py:31-45),
+    * but Python strip() eats ALL whitespace while Spark trim() eats only
+    * 0x20 — trimming first would leave "\t"-terminal strings with a
+    * boundary space after the \s+ collapse (non-idempotent; caught by
+    * PropertySpec). Collapse-then-trim is idempotent and agrees with the
+    * reference for ASCII whitespace; unicode-space divergence (
+    * etc.) is the documented Java-vs-Python \s dialect drift (SURVEY §7).
     */
   def canonExact(c: Column): Column =
-    regexp_replace(trim(lower(coalesce(c, lit("")))), "\\s+", " ")
+    trim(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", " "))
 
   /** P7: near-dup key = first `maxChars` chars of the exact canon form. */
   def canonNear(c: Column, maxChars: Int = 500): Column =

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Dedup, Filters, Score}
+import graft.text.{Normalize, TextMetrics}
+
+/** Property-based invariants (SURVEY.md §5.2): idempotence of the canon
+  * forms, ratio/score ranges, first-match-wins uniqueness, and the
+  * kept/dropped partition laws of the dedup window.
+  *
+  * Generators are driven directly with fixed seeds (the scalatest
+  * bridge isn't in the offline artifact cache), so failures reproduce
+  * exactly. Strings are adversarial: unicode, control chars, whitespace
+  * runs, null-likes, repeats — the FIXTURES.md families.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private val weirdChars: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\u00a0'),
+    1 -> Gen.oneOf('\u0001', '\u0007', '\u009f', '\u200b'),
+    1 -> Gen.oneOf('\ufb01', '\uff46', '\u2461', '\u00e9', '\u00df',
+      '\u4e2d', '!', '?', '.', ','),
+    1 -> Gen.oneOf('<', '>', '/', '|'))
+
+  private val textGen: Gen[String] = Gen.frequency(
+    10 -> Gen.listOf(weirdChars).map(_.mkString),
+    1 -> Gen.const(""),
+    1 -> Gen.oneOf("nan", "None", "NULL", "n/a"),
+    1 -> Gen.const("aaaa bbbb " * 30))
+
+  /** Deterministic sampling loop standing in for forAll. */
+  private def forAllSeeded[A](gen: Gen[A], trials: Int = 8)(f: A => Unit): Unit =
+    (1 to trials).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(a => f(a))
+    }
+
+  private def evalStr(in: Seq[String], c: org.apache.spark.sql.Column): Seq[String] = {
+    import spark.implicits._
+    in.toDF("s").select(c.as("r")).as[String].collect().toSeq
+  }
+
+  test("P1 normalize_text is idempotent") {
+    forAllSeeded(Gen.listOfN(20, textGen)) { ss =>
+      if (ss.nonEmpty) {
+        val once = evalStr(ss, Normalize.normalizeText(col("s")))
+        val twice = evalStr(once.map(s => if (s == null) "" else s),
+          Normalize.normalizeText(col("s")))
+        // null normalizes to null; "" also normalizes to null — align
+        assert(twice === once.map(s => if (s == null) null else s))
+      }
+    }
+  }
+
+  test("P6 canon_exact is idempotent and outer-whitespace-insensitive") {
+    forAllSeeded(Gen.listOfN(20, textGen)) { ss =>
+      if (ss.nonEmpty) {
+        val once = evalStr(ss, Normalize.canonExact(col("s")))
+        val twice = evalStr(once, Normalize.canonExact(col("s")))
+        assert(twice === once)
+        val padded = evalStr(ss.map(s => "  " + s + "\t"), Normalize.canonExact(col("s")))
+        assert(padded === once)
+      }
+    }
+  }
+
+  test("ratios stay in [0,1] on arbitrary strings") {
+    forAllSeeded(Gen.listOfN(30, textGen)) { ss =>
+      if (ss.nonEmpty) {
+        import spark.implicits._
+        val rows = ss.toDF("s").select(
+          TextMetrics.alphaRatio(col("s")).as("a"),
+          TextMetrics.repetitionRatio(col("s")).as("r"),
+          TextMetrics.uniqueTokenRatio(col("s")).as("u"),
+          TextMetrics.stopwordRatio(col("s")).as("sw"),
+          TextMetrics.nonLatinRatio(col("s")).as("nl"))
+          .as[(Double, Double, Double, Double, Double)].collect()
+        rows.foreach { case (a, r, u, sw, nl) =>
+          Seq(a, r, u, sw, nl).foreach(v =>
+            assert(v >= 0.0 && v <= 1.0, s"out-of-range ratio in $rows"))
+        }
+      }
+    }
+  }
+
+  test("Q1 quality score in [0,1] and monotone in lang_score") {
+    val inputs = Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0, 5000),
+      Gen.chooseNum(0.0, 1.0), Gen.oneOf(true, false))
+    forAllSeeded(Gen.listOfN(30, inputs)) { xs =>
+      if (xs.nonEmpty) {
+        import spark.implicits._
+        val scored = xs.toDF("ls", "tc", "ur", "pii")
+          .select(Score.qualityScore(col("ls"), col("tc"), col("ur"), col("pii")).as("q"),
+            Score.qualityScore(least(col("ls") + 0.1, lit(1.0)), col("tc"),
+              col("ur"), col("pii")).as("qUp"))
+          .as[(Double, Double)].collect()
+        scored.foreach { case (q, qUp) =>
+          assert(q >= 0.0 && q <= 1.0)
+          assert(qUp >= q - 1e-12, "raising lang_score must not lower the score")
+        }
+      }
+    }
+  }
+
+  test("first-match-wins: reasons never overwritten; kept/dropped partition input") {
+    forAllSeeded(Gen.listOfN(25, Gen.option(textGen)), trials = 5) { ss =>
+      if (ss.nonEmpty) {
+        import spark.implicits._
+        def rules(df: org.apache.spark.sql.DataFrame) =
+          Filters.applyRules(df, Filters.prefilterRules(
+            col("text"), col("text_norm"), col("char_len"), col("word_count")))
+        val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t.orNull) }
+          .toDF("ingest_seq", "text")
+          .withColumn("text_norm", Normalize.normalizeText(col("text")))
+          .withColumn("char_len", TextMetrics.charLen(col("text_norm")).cast("long"))
+          .withColumn("word_count", TextMetrics.wordCount(col("text_norm")).cast("long"))
+        val ruled = rules(df)
+        val n = ruled.count()
+        assert(Filters.kept(ruled).count() + Filters.dropped(ruled).count() === n)
+        val first = ruled.select("ingest_seq", "drop_reason").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val second = rules(ruled).select("ingest_seq", "drop_reason").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(second === first, "re-applying rules must not change reasons")
+      }
+    }
+  }
+
+  test("D1 exact dedup keeps exactly one row per hash") {
+    val docGen = Gen.oneOf("dup a", "dup b", "dup c", "unique x", "unique y z")
+    forAllSeeded(Gen.listOfN(30, docGen), trials = 5) { ss =>
+      if (ss.nonEmpty) {
+        import spark.implicits._
+        val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("ingest_seq", "text_pii_masked")
+        val out = Dedup.exactDedup(df)
+        val perHash = out.groupBy("exact_hash")
+          .agg(sum(when(!col("is_dup_exact"), 1L).otherwise(0L)).as("kept"))
+          .select("kept").as[Long].collect()
+        assert(perHash.forall(_ === 1L))
+        // the kept row is the minimum ingest_seq of its group
+        val firsts = out.groupBy("exact_hash").agg(min("ingest_seq").as("mn")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        out.filter(!col("is_dup_exact")).collect().foreach { r =>
+          assert(r.getAs[Long]("ingest_seq") ===
+            firsts(r.getAs[String]("exact_hash")))
+        }
+      }
+    }
+  }
+}
