@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.{DocQueries, TpchQueries}
+
+/** Physical-plan discipline (builder brief: ".explain the plan and
+  * iterate until it's the plan you'd want"): these tests pin the
+  * properties that matter at 100 TB — scan-level filter pushdown, column
+  * pruning, broadcast joins for dims, map-side partial aggregation, and
+  * whole-stage codegen over the scalar pipelines.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q6: filters reach the parquet scan (PushedFilters)") {
+    val p = plan(TpchQueries.revenueFilter(spark, dir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q6: scan reads only the four needed columns (ReadSchema pruning)") {
+    val p = plan(TpchQueries.revenueFilter(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").foreach(c =>
+      assert(readSchema.contains(c), readSchema))
+    Seq("l_comment", "l_orderkey", "l_partkey").foreach(c =>
+      assert(!readSchema.contains(c), s"unnecessary column $c read: $readSchema"))
+  }
+
+  test("q3: dimension joins are broadcast, not shuffled") {
+    val p = plan(TpchQueries.revenueByNation(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the one legitimate shuffle join: lineitem ⋈ orders on orderkey
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 4, p)
+  }
+
+  test("q1: aggregation is partial (map-side combine) with one shuffle") {
+    val p = plan(TpchQueries.pricingSummary(spark, dir))
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing:\n" + p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one shuffle, plan:\n$p")
+  }
+
+  test("doc metrics: single whole-stage-codegen'd pass, no shuffle") {
+    val p = plan(DocQueries.docMetrics(spark, dir))
+    assert(p.contains("[codegen id : 1]"), "not codegen'd:\n" + p)
+    assert(!p.contains("codegen id : 2"), "metrics split across codegen stages:\n" + p)
+    assert(!p.contains("Exchange"), s"scalar metrics must not shuffle:\n$p")
+  }
+
+  test("pipeline stages 2+3 fuse into a shuffle-free scalar pass") {
+    val raw = Pipeline.fromDocuments(Tables.documents(spark, dir))
+    val p = plan(Pipeline.deepCleanAndPii(Pipeline.cleanAndFilter(raw)))
+    assert(!p.contains("Exchange"),
+      s"stages 2-3 are per-row maps; a shuffle here is a regression:\n$p")
+  }
+}
