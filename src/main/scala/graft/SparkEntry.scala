@@ -32,6 +32,9 @@ object SparkEntry {
     "q_events_hourly" -> (TpchQueries.eventsHourly _),
     "q_sessionize" -> (TpchQueries.sessionize _),
     "q_revenue_by_brand" -> (TpchQueries.revenueByBrand _),
+    "q_rollup_events" -> (TpchQueries.rollupEvents _),
+    "q_asof_join" -> (TpchQueries.asofPurchaseClick _),
+    "q_union_by_name" -> (TpchQueries.unionByNameEvents _),
     // Document pipeline operators (SURVEY §2.2-2.4, 2.9, 2.10)
     "q_doc_metrics" -> (DocQueries.docMetrics _),
     "q_doc_prefilter" -> (DocQueries.docPrefilter _),
@@ -83,6 +86,9 @@ object SparkEntry {
     "q_events_hourly" -> TpchQueries.eventsHourlySql,
     "q_sessionize" -> TpchQueries.sessionizeSql,
     "q_revenue_by_brand" -> TpchQueries.revenueByBrandSql,
+    "q_rollup_events" -> TpchQueries.rollupEventsSql,
+    "q_asof_join" -> TpchQueries.asofPurchaseClickSql,
+    "q_union_by_name" -> TpchQueries.unionByNameEventsSql,
     "q_doc_metrics" -> DocQueries.docMetricsSql,
     "q_doc_prefilter" -> DocQueries.docPrefilterSql,
     "q_dedup_exact" -> DocQueries.dedupExactSql,

@@ -241,4 +241,61 @@ object TpchQueries {
        | count(*) AS n_rows
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand""".stripMargin
+
+  /** q_rollup: multi-level aggregate over (event_type, hour) with
+    * subtotals and grand total — ROLLUP grouping sets.
+    */
+  def rollupEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .rollup(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+
+  val rollupEventsSql: String =
+    s"""SELECT event_type, hour(ts) AS h, count(*) AS n_events,
+       | ${DecSumSql("value")} AS total_value
+       |FROM events GROUP BY ROLLUP(event_type, hour(ts))""".stripMargin
+
+  /** q_asof: backward as-of join — each purchase attaches the user's most
+    * recent click at-or-before it (graft.ops.AsOfJoin; DuckDB oracle uses
+    * its native ASOF LEFT JOIN). Timestamps compared at microseconds on
+    * both sides (Spark's native resolution).
+    */
+  def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    graft.ops.AsOfJoin
+      .asofBackward(purchases, clicks, "user_id", "ts",
+        Seq("click_event_id", "click_value"))
+      .select("event_id", "user_id", "click_event_id", "click_value")
+  }
+
+  val asofPurchaseClickSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS us,
+      |                  event_type, value FROM events),
+      |p AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, us, event_id AS click_event_id,
+      |             value AS click_value FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, c.click_event_id, c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.us <= p.us""".stripMargin
+
+  /** q_union: U1 ragged-schema union (unionByName allowMissingColumns). */
+  def unionByNameEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "props")
+    clicks.unionByName(signups, allowMissingColumns = true)
+  }
+
+  val unionByNameEventsSql: String =
+    """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+      |UNION ALL BY NAME
+      |SELECT event_id, user_id, props FROM events WHERE event_type = 'signup'""".stripMargin
 }
