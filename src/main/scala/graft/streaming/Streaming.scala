@@ -78,6 +78,29 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** End-to-end continuous pipeline: JSONL landing dir -> stages 2+3 ->
+    * watermarked exact dedup -> parquet, with a checkpoint for exactly-
+    * once file-sink semantics. Returns the started query; the caller
+    * owns its lifecycle. `ingest_ts` is the arrival wall clock (the
+    * streaming stand-in for the batch pipeline's single driver-side
+    * batch timestamp).
+    */
+  def runPipeline(spark: org.apache.spark.sql.SparkSession, schema: StructType,
+                  landingDir: String, outDir: String, checkpointDir: String,
+                  watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = readJsonl(spark, schema, landingDir)
+      .withColumn("ingest_ts", current_timestamp())
+    val cleaned = cleanStream(raw)
+    dedupStream(cleaned, textCol = "text_pii_masked",
+      eventTimeCol = "ingest_ts", watermark = watermark)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   // ---- gap sessionization (flatMapGroupsWithState) ----------------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
