@@ -12,14 +12,20 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * For an already-built session, use [[GraftFunctions.register]].
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder))
+    ext.injectOptimizerRule(_ => CollapseNfkc)
+  }
 }
 
 /** Imperative registration for sessions built without the extension. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder)
+    if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CollapseNfkc
+  }
 }

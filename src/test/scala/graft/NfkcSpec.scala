@@ -58,6 +58,26 @@ class NfkcSpec extends SparkTestBase {
     assert(got === java.text.Normalizer.normalize("ﬁｆｕｌｌ", java.text.Normalizer.Form.NFKC))
   }
 
+  test("CollapseNfkc optimizer rule removes nested applications") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // parquet-backed source so ConvertToLocalRelation can't pre-evaluate
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = docs
+      .select(NfkcNormalize(NfkcNormalize(NfkcNormalize(col("text")))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan
+    var count = 0
+    optimized.transformAllExpressions {
+      case e: graft.plans.NfkcNormalize => count += 1; e
+    }
+    assert(count === 1, s"expected nested nfkc collapsed to one:\n$optimized")
+    // semantics preserved vs a single application
+    val got = df.limit(5).as[String].collect().toSeq
+    val want = docs.select(NfkcNormalize(col("text")).as("n"))
+      .limit(5).as[String].collect().toSeq
+    assert(got === want)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
