@@ -53,15 +53,12 @@ object Pipeline {
       col("text"), col("text_norm"), col("char_len"), col("word_count")))
 
     val t = col("text_norm") // reference promotes text_norm to text post-split
-    val (langPred, langScore) = LangId.detect(t)
     val tox = Toxicity.scores(t)
-    val metered = pre
+    val metered = LangId.withLangColumns(pre, t)
       .withColumn("n_chars", TextMetrics.nChars(t))
       .withColumn("n_words", TextMetrics.wordCount(t).cast("long"))
       .withColumn("alpha_ratio", TextMetrics.alphaRatio(t))
       .withColumn("repetition_ratio", TextMetrics.repetitionRatio(t))
-      .withColumn("lang_pred", langPred)
-      .withColumn("lang_score", langScore)
       .withColumn("non_latin_ratio", TextMetrics.nonLatinRatio(t))
       .withColumn("email_hits", Pii.emailHits(t).cast("long"))
       .withColumn("phone_hits", Pii.phoneHitsSimple(t).cast("long"))

@@ -156,10 +156,7 @@ object DocQueries {
   // ---- q_langid: L1 + F9-F12 -------------------------------------------
 
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val (pred, score) = LangId.detect(col("text"))
-    val df = Tables.documents(s, dir)
-      .withColumn("lang_pred", pred)
-      .withColumn("lang_score", score)
+    val df = LangId.withLangColumns(Tables.documents(s, dir), col("text"))
       .withColumn("non_latin_ratio", TextMetrics.nonLatinRatio(col("text")))
     Filters.applyRules(df,
       Filters.langRules(col("lang_pred"), col("lang_score"), col("non_latin_ratio")))
@@ -253,11 +250,11 @@ object DocQueries {
 
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val (_, langScore) = LangId.detect(t)
     val hasPii = Pii.hasPii(Pii.piiEmailHits(t), Pii.piiPhoneHits(t),
       Pii.piiCcHits(t), Pii.piiIbanHits(t))
-    val df = Tables.documents(s, dir)
-      .withColumn("lang_score", langScore)
+    val df = LangId.withLangColumns(Tables.documents(s, dir), t,
+      predName = "__lang_pred_unused")
+      .drop("__lang_pred_unused")
       .withColumn("token_count", TextMetrics.tokenCount(t).cast("long"))
       .withColumn("unique_token_ratio", TextMetrics.uniqueTokenRatio(t))
       .withColumn("has_pii", hasPii)
