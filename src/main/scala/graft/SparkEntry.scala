@@ -62,6 +62,7 @@ object SparkEntry {
     "q_ann_topk" -> (SimilarityQueries.annTopK _),
     "q_embed_neardup" -> (SimilarityQueries.embedNearDup _),
     "q_ivf_assign" -> (SimilarityQueries.ivfAssign _),
+    "q_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "q_ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_ann_topk" -> SimilarityQueries.annTopKSql,
     "q_embed_neardup" -> SimilarityQueries.embedNearDupSql,
     "q_ivf_assign" -> SimilarityQueries.ivfAssignSql,
+    "q_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "q_ngram_jaccard" -> SimilarityQueries.ngramJaccardSql,
     "q_media_meta" -> MultimodalQueries.mediaMetaSql,
     "q_frame_sample" -> MultimodalQueries.frameSampleSql,

@@ -100,6 +100,59 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Label-centroid table (centroid_label, cv): the IVF coarse quantizer
+    * "training" step. Small by construction (one row per label) — cache
+    * or collect+rebroadcast for reuse across assignment and search.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    e.select(col("label"), posexplode(col("v")))
+      .toDF("label", "pos", "x")
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("centroid_label"),
+        expr("transform(pairs, p -> p.cx)").as("cv"))
+  }
+
+  /** IVF probe-limited top-k search: assign the corpus to its nearest
+    * centroid, rank centroids per query, search ONLY the top-`probes`
+    * centroid partitions. The scale path for ANN: the corpus-side work
+    * is one assignment pass + a candidate join keyed on centroid —
+    * query cost scales with probed partitions, not corpus size.
+    * Centroids are computed once, collected (tiny: one row per label)
+    * and broadcast into both uses.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              probes: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val centDf = labelCentroids(emb)
+    val cents = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema))
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("centroid_label"))
+    val assigned = e.crossJoin(cents)
+      .withColumn("cosine", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_label").as("assigned_centroid"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("c_cosine"), asc("centroid_label"))
+    val queryProbes = q.crossJoin(cents)
+      .withColumn("c_cosine", cosine(col("qv"), col("cv")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= probes)
+      .select(col("query_id"), col("qv"), col("centroid_label").as("probe_centroid"))
+    val wTop = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    queryProbes
+      .join(assigned, col("probe_centroid") === col("assigned_centroid")
+        && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF-style centroid assignment: nearest of k label-centroids (computed
     * from the labeled sample), the classic coarse quantizer for ANN at
     * scale — search only the probe-list's partitions.

@@ -63,6 +63,42 @@ object SimilarityQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_label) AS rn FROM scored)
       |SELECT vec_id, label, centroid_label AS assigned_centroid FROM r WHERE rn = 1""".stripMargin
 
+  // ---- q_ivf_topk: probe-limited IVF ANN search -------------------------
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), nQueries = 10, k = 5, probes = 2)
+
+  val ivfTopKSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+      |cent AS (
+      | SELECT label AS centroid_label, list(cx ORDER BY p) AS cv
+      | FROM (SELECT label, p, avg(v[p]) AS cx FROM e CROSS JOIN pos GROUP BY label, p)
+      | GROUP BY label),
+      |assigned AS (
+      | SELECT vec_id, v, centroid_label AS assigned_centroid FROM (
+      |  SELECT e.vec_id, e.v, cent.centroid_label,
+      |   row_number() OVER (PARTITION BY e.vec_id
+      |     ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.centroid_label) AS rn
+      |  FROM e CROSS JOIN cent)
+      | WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |probes AS (
+      | SELECT query_id, qv, centroid_label AS probe_centroid FROM (
+      |  SELECT q.query_id, q.qv, cent.centroid_label,
+      |   row_number() OVER (PARTITION BY q.query_id
+      |     ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_label) AS pr
+      |  FROM q CROSS JOIN cent)
+      | WHERE pr <= 2),
+      |cand AS (
+      | SELECT p.query_id, a.vec_id,
+      |  list_cosine_similarity(p.qv, a.v) AS cosine
+      | FROM probes p JOIN assigned a
+      |   ON p.probe_centroid = a.assigned_centroid AND a.vec_id <> p.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, vec_id) AS rank FROM cand)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
   // ---- q_ngram_jaccard: blocked exact Jaccard near-dup pairs ------------
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
