@@ -51,12 +51,15 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sign-bit LSH bucket from the first `nbits` dimensions (MSB-first
-    * fold, identical to the DuckDB list_reduce form).
+  /** Sign-bit LSH bucket over dims [start, start+nbits) (MSB-first fold,
+    * identical to the DuckDB list_reduce form).
     */
-  def lshBucket(v: Column, nbits: Int = 16): Column =
-    aggregate(sequence(lit(1), lit(nbits)), lit(0L),
+  def lshBucketAt(v: Column, start: Column, nbits: Int): Column =
+    aggregate(sequence(start, start + nbits - 1), lit(0L),
       (acc, i) => acc * 2 + when(element_at(v, i.cast("int")) > 0, 1L).otherwise(0L))
+
+  def lshBucket(v: Column, nbits: Int = 16): Column =
+    lshBucketAt(v, lit(1), nbits)
 
   /** Brute-force cosine top-k: exact baseline. Query set = vec_id < nQueries. */
   def annTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -71,17 +74,31 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
-  /** LSH-bucketed near-duplicate pairs: candidates share a sign-bit
-    * bucket (recall/cost trade documented: pairs split across buckets are
-    * missed; raise recall with fewer bits or multi-probe).
+  /** Multi-table sign-bit LSH near-duplicate pairs: `tables` independent
+    * hash tables of `nbits` sign bits each (table t reads dims
+    * [t·nbits, (t+1)·nbits)); candidates share ANY table's bucket,
+    * verified with exact cosine. Recall ≈ 1-(1-p^nbits)^tables for
+    * per-dim sign-agreement probability p — one wide table is near-zero
+    * recall for moderately-similar pairs (measured 4e-4 at 16 bits on
+    * the fixture); banding is the standard fix, the same trade as
+    * MinHash LSH bands.
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-                      nbits: Int = 16): DataFrame = {
+                      nbits: Int = 8, tables: Int = 8): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nbits))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val banded = e
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .select(col("vec_id"), col("t"),
+        lshBucketAt(col("v"), col("t") * nbits + 1, nbits).as("bucket"))
+    val pairs = banded.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(banded.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

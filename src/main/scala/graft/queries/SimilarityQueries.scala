@@ -12,7 +12,8 @@ import graft.ops.{SketchDedup, Similarity}
 object SimilarityQueries {
 
   private val NearDupThreshold = 0.25
-  private val LshBits = 16
+  private val LshBits = 8
+  private val LshTables = 8
 
   // ---- q_ann_topk: brute-force cosine top-k (exact baseline) -----------
 
@@ -27,22 +28,25 @@ object SimilarityQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s)
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
-  // ---- q_embed_neardup: sign-bit LSH bucketed cosine pairs -------------
+  // ---- q_embed_neardup: multi-table sign-bit LSH cosine pairs ----------
 
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(Tables.embeddings(s, dir),
-      threshold = NearDupThreshold, nbits = LshBits)
+      threshold = NearDupThreshold, nbits = LshBits, tables = LshTables)
 
   val embedNearDupSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v,
-       |  list_reduce(list_transform(generate_series(1, $LshBits),
+       |b AS (SELECT vec_id, v, t,
+       |  list_reduce(list_transform(generate_series(t * $LshBits + 1, t * $LshBits + $LshBits),
        |    i -> CASE WHEN v[i] > 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b) AS bucket
-       | FROM e)
-       |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-       | list_cosine_similarity(a.v, b2.v) AS cosine
-       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       |WHERE list_cosine_similarity(a.v, b2.v) >= $NearDupThreshold""".stripMargin
+       | FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       | FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       |   AND a.vec_id < b2.vec_id)
+       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cosine
+       |FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+       |            JOIN e eb ON eb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= $NearDupThreshold""".stripMargin
 
   // ---- q_ivf_assign: IVF coarse-quantizer assignment --------------------
 
