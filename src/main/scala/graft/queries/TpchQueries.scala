@@ -284,6 +284,20 @@ object TpchQueries {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND c.us <= p.us""".stripMargin
 
+  /** q_distinct: distinct-aggregate (exact count distinct per group) —
+    * native capability beyond the reference (SURVEY §2.6 note).
+    */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      | count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** q_union: U1 ragged-schema union (unionByName allowMissingColumns). */
   def unionByNameEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

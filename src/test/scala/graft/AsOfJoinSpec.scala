@@ -31,6 +31,39 @@ class AsOfJoinSpec extends SparkTestBase {
       1L -> Some(200.0), 2L -> Some(100.0), 3L -> None, 4L -> None))
   }
 
+  test("matches a brute-force reference on pseudo-random data") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture (seeded)
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(60))))
+    val right = (1 to 80).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(60)), rnd.nextInt(1000).toDouble))
+    val got = AsOfJoin.asofBackward(
+      left.toDF("event_id", "user_id", "ts"),
+      right.toDF("user_id", "ts", "pay"),
+      "user_id", "ts", Seq("pay"))
+      .select("event_id", "pay").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // brute force: latest right at-or-before, ties -> any of the tied
+    // rows is acceptable (engine picks one deterministically per run)
+    val want = left.map { case (id, u, t) =>
+      val priors = right.filter(r => r._1 == u && !r._2.after(t))
+      id -> (if (priors.isEmpty) Set.empty[Double]
+             else {
+               val mx = priors.map(_._2.getTime).max
+               priors.filter(_._2.getTime == mx).map(_._3).toSet
+             })
+    }.toMap
+    left.foreach { case (id, _, _) =>
+      (got(id), want(id)) match {
+        case (None, w) => assert(w.isEmpty, s"event $id: expected a match from $w")
+        case (Some(v), w) => assert(w.contains(v), s"event $id: $v not in $w")
+      }
+    }
+  }
+
   test("rejects colliding payload column names") {
     import spark.implicits._
     val l = Seq((1L, 1L, ts(0), 5.0)).toDF("event_id", "user_id", "ts", "v")

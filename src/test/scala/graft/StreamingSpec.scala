@@ -74,6 +74,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join: events enriched from a static dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = in.toDF().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((7L, 1.0), (9L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user_id", "tier").as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows === Set((7L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("end-to-end file pipeline: landing JSONL -> cleaned deduped parquet") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("stream_e2e").toString
