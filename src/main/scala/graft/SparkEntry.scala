@@ -46,6 +46,7 @@ object SparkEntry {
     "q_pii_mask" -> (DocQueries.piiMask _),
     "q_toxicity" -> (DocQueries.toxicity _),
     "q_quality_score" -> (DocQueries.qualityScore _),
+    "q_spam_exploded" -> (DocQueries.spamExploded _),
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_pii_mask" -> DocQueries.piiMaskSql,
     "q_toxicity" -> DocQueries.toxicitySql,
     "q_quality_score" -> DocQueries.qualityScoreSql,
+    "q_spam_exploded" -> DocQueries.spamExplodedSql,
     "q_drop_reason_counts" -> PipelineQueries.dropReasonCountsSql,
     "q_describe_chars" -> PipelineQueries.describeCharsSql,
     "q_histogram_chars" -> PipelineQueries.histogramCharsSql,

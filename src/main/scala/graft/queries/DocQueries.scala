@@ -180,6 +180,27 @@ object DocQueries {
        |FROM l""".stripMargin
   }
 
+  // ---- q_spam_exploded: A4 scalable max-token-frequency ----------------
+
+  /** The explode->two-level-aggregate form of the spam ratio — the shape
+    * that survives pathological documents (millions of tokens) where the
+    * per-row array form would blow a single task.
+    */
+  def spamExploded(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Report.maxTokenFreqExploded(
+      Tables.documents(s, dir).filter(trim(coalesce(col("text"), lit(""))) =!= ""),
+      "doc_id", TextMetrics.tokens(col("text")))
+      .select(col("doc_id"), col("max_freq"), col("n_tokens"),
+        col("max_token_freq_ratio"))
+
+  val spamExplodedSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+       |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+       |g AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
+       |SELECT doc_id, max(cnt) AS max_freq, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       | CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS max_token_freq_ratio
+       |FROM g GROUP BY doc_id""".stripMargin
+
   // ---- q_pii: M7/M8 counts + mask chain --------------------------------
 
   def piiMask(s: SparkSession, dir: String): DataFrame = {
