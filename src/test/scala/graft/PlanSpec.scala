@@ -60,4 +60,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"),
       s"stages 2-3 are per-row maps; a shuffle here is a regression:\n$p")
   }
+
+  test("as-of join costs exactly one keyed shuffle") {
+    val p = plan(TpchQueries.asofPurchaseClick(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges === 1, s"as-of must shuffle once (the key window):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF search never cross-joins the corpus with itself") {
+    val p = plan(graft.queries.SimilarityQueries.ivfTopK(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x corpus cartesian in IVF plan:\n$p")
+    // centroid fan-outs are broadcast nested loops over a tiny local side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
