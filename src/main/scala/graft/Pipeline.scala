@@ -85,12 +85,7 @@ object Pipeline {
     val cleaned = df.withColumn("text_deep_clean",
       Normalize.structuralCleanup(col("text_norm")))
     val t = col("text_deep_clean")
-    val stats = cleaned
-      .withColumn("token_count", TextMetrics.tokenCount(t).cast("long"))
-      .withColumn("unique_tokens", TextMetrics.uniqueTokens(t).cast("long"))
-      .withColumn("unique_token_ratio", TextMetrics.uniqueTokenRatio(t))
-      .withColumn("stopword_ratio", TextMetrics.stopwordRatio(t))
-      .withColumn("max_token_freq_ratio", TextMetrics.maxTokenFreqRatio(t))
+    val stats = TextMetrics.withTokenStats(cleaned, t)
       .withColumn("text_pii_masked", Pii.maskPii(t))
       .withColumn("pii_email_hits", Pii.piiEmailHits(t).cast("long"))
       .withColumn("pii_phone_hits", Pii.piiPhoneHits(t).cast("long"))

@@ -135,12 +135,9 @@ object DocQueries {
   // ---- q_token_stats: M5 ----------------------------------------------
 
   def tokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      TextMetrics.tokenCount(col("text")).cast("long").as("token_count"),
-      TextMetrics.uniqueTokens(col("text")).cast("long").as("unique_tokens"),
-      TextMetrics.uniqueTokenRatio(col("text")).as("unique_token_ratio"),
-      TextMetrics.stopwordRatio(col("text")).as("stopword_ratio"))
+    TextMetrics.withTokenStats(Tables.documents(s, dir), col("text"))
+      .select("doc_id", "token_count", "unique_tokens",
+        "unique_token_ratio", "stopword_ratio")
 
   val tokenStatsSql: String = {
     val stops = sqlStrList(TextMetrics.EnStopwords)

@@ -92,13 +92,43 @@ object TextMetrics {
     * O(unique·n) per row via higher-order functions — fine at the
     * reference's <=5000-word docs; the explode+groupBy variant for truly
     * huge docs is Report.maxTokenFreqExploded.
+    * ⚠ single-expression form: the split subtree sits inside the filter
+    * lambda and re-evaluates per distinct token. Hot paths go through
+    * [[withTokenStats]], which stages the token array as an attribute.
     */
-  def maxTokenFreqRatio(c: Column): Column = {
-    val t = tokens(c)
+  def maxTokenFreqRatio(c: Column): Column = maxTokenFreqFromTokens(tokens(c))
+
+  private def maxTokenFreqFromTokens(t: Column): Column =
     when(size(t) > 0,
       array_max(transform(array_distinct(t),
         x => size(filter(t, y => y === x)))).cast("double")
         / size(t).cast("double"))
       .otherwise(lit(0.0))
+
+  /** M5+A4 staged: tokenize ONCE into an attribute, derive all five
+    * token stats from it (value-identical to the single-column forms —
+    * same expressions over a bound array instead of an inline split,
+    * which would otherwise re-run per reference and, inside the A4
+    * lambda, per distinct token).
+    */
+  def withTokenStats(df: org.apache.spark.sql.DataFrame,
+                     c: Column): org.apache.spark.sql.DataFrame = {
+    val staged = df.withColumn("__toks", tokens(c))
+    val t = col("__toks")
+    val stops = typedlit(EnStopwords)
+    staged
+      .withColumn("token_count", size(t).cast("long"))
+      .withColumn("unique_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("unique_token_ratio",
+        when(size(t) > 0,
+          size(array_distinct(t)).cast("double") / size(t).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(size(t) > 0,
+          size(filter(t, tok => array_contains(stops, lower(tok)))).cast("double")
+            / size(t).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("max_token_freq_ratio", maxTokenFreqFromTokens(t))
+      .drop("__toks")
   }
 }
