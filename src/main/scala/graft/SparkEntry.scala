@@ -36,6 +36,7 @@ object SparkEntry {
     "q_asof_join" -> (TpchQueries.asofPurchaseClick _),
     "q_union_by_name" -> (TpchQueries.unionByNameEvents _),
     "q_distinct_users" -> (TpchQueries.distinctUsers _),
+    "q_group_sample" -> (TpchQueries.groupSample _),
     // Document pipeline operators (SURVEY §2.2-2.4, 2.9, 2.10)
     "q_doc_metrics" -> (DocQueries.docMetrics _),
     "q_doc_prefilter" -> (DocQueries.docPrefilter _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_asof_join" -> TpchQueries.asofPurchaseClickSql,
     "q_union_by_name" -> TpchQueries.unionByNameEventsSql,
     "q_distinct_users" -> TpchQueries.distinctUsersSql,
+    "q_group_sample" -> TpchQueries.groupSampleSql,
     "q_doc_metrics" -> DocQueries.docMetricsSql,
     "q_doc_prefilter" -> DocQueries.docPrefilterSql,
     "q_dedup_exact" -> DocQueries.dedupExactSql,

@@ -284,6 +284,24 @@ object TpchQueries {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND c.us <= p.us""".stripMargin
 
+  /** q_group_sample: deterministic uniform per-group sample (md5
+    * priority ranking — reproducible across partitionings and engines,
+    * so unlike RNG samples it IS oracle-checkable).
+    */
+  def groupSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.uniformPerGroup(
+      Tables.events(s, dir).select("event_id", "event_type", "user_id"),
+      "event_type", "event_id", k = 5)
+
+  val groupSampleSql: String =
+    """WITH r AS (
+      | SELECT event_id, event_type, user_id,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS sample_rank
+      | FROM events)
+      |SELECT event_id, event_type, user_id, sample_rank
+      |FROM r WHERE sample_rank <= 5""".stripMargin
+
   /** q_distinct: distinct-aggregate (exact count distinct per group) —
     * native capability beyond the reference (SURVEY §2.6 note).
     */
