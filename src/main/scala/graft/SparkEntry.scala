@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TpchQueries}
+import graft.queries.{DocQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,20 @@ object SparkEntry {
     "q_union_by_name" -> (TpchQueries.unionByNameEvents _),
     "q_distinct_users" -> (TpchQueries.distinctUsers _),
     "q_group_sample" -> (TpchQueries.groupSample _),
+    // Relational surface, round 2: subqueries, grouping sets, reshaping,
+    // set ops, window frames, range join, tiles, full outer, generators
+    "q_small_qty_revenue" -> (RelationalQueries.smallQtyRevenue _),
+    "q_cube_events" -> (RelationalQueries.cubeEvents _),
+    "q_pivot_user_events" -> (RelationalQueries.pivotUserEvents _),
+    "q_unpivot_priority" -> (RelationalQueries.unpivotPriority _),
+    "q_except_click_no_purchase" -> (RelationalQueries.exceptClickNoPurchase _),
+    "q_intersect_signup_error" -> (RelationalQueries.intersectSignupError _),
+    "q_moving_window" -> (RelationalQueries.movingWindow _),
+    "q_range_join_clicks" -> (RelationalQueries.rangeJoinClicks _),
+    "q_order_quartiles" -> (RelationalQueries.orderQuartiles _),
+    "q_full_outer_nation" -> (RelationalQueries.fullOuterNation _),
+    "q_word_freq" -> (RelationalQueries.wordFreq _),
+    "q_approx_distinct" -> (RelationalQueries.approxDistinct _),
     // Document pipeline operators (SURVEY §2.2-2.4, 2.9, 2.10)
     "q_doc_metrics" -> (DocQueries.docMetrics _),
     "q_doc_prefilter" -> (DocQueries.docPrefilter _),
@@ -95,6 +109,17 @@ object SparkEntry {
     "q_union_by_name" -> TpchQueries.unionByNameEventsSql,
     "q_distinct_users" -> TpchQueries.distinctUsersSql,
     "q_group_sample" -> TpchQueries.groupSampleSql,
+    "q_small_qty_revenue" -> RelationalQueries.smallQtyRevenueSql,
+    "q_cube_events" -> RelationalQueries.cubeEventsSql,
+    "q_pivot_user_events" -> RelationalQueries.pivotUserEventsSql,
+    "q_unpivot_priority" -> RelationalQueries.unpivotPrioritySql,
+    "q_except_click_no_purchase" -> RelationalQueries.exceptClickNoPurchaseSql,
+    "q_intersect_signup_error" -> RelationalQueries.intersectSignupErrorSql,
+    "q_moving_window" -> RelationalQueries.movingWindowSql,
+    "q_range_join_clicks" -> RelationalQueries.rangeJoinClicksSql,
+    "q_order_quartiles" -> RelationalQueries.orderQuartilesSql,
+    "q_full_outer_nation" -> RelationalQueries.fullOuterNationSql,
+    "q_word_freq" -> RelationalQueries.wordFreqSql,
     "q_doc_metrics" -> DocQueries.docMetricsSql,
     "q_doc_prefilter" -> DocQueries.docPrefilterSql,
     "q_dedup_exact" -> DocQueries.dedupExactSql,
@@ -126,6 +151,8 @@ object SparkEntry {
     // No oracle (rows-only checks, SURVEY §5.4 exclusions):
     // q_tokenize, q_pipeline_full (engine-defined tokenizer + NFKC UDF),
     // q_minhash_lsh, q_simhash_pairs (xxhash64/FNV seeds are engine-defined),
-    // q_media_features (xxhash64-derived stub embeddings).
+    // q_media_features (xxhash64-derived stub embeddings),
+    // q_approx_distinct (HLL++/KLL sketch internals are engine-defined;
+    //   ApproxSpec asserts estimates against exact answers instead).
   )
 }

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational batch (SURVEY.md §7 step 7, round 2): subquery
+  * decorrelation, CUBE grouping sets, pivot/unpivot reshaping, set
+  * operations, window frames (rows + range), time-range joins, ranking
+  * tiles, full-outer joins and generator (explode) queries — all
+  * DuckDB-oracle-checked.
+  *
+  * Cross-engine float determinism follows TpchQueries: doubles are
+  * quantized with floor(x*1e4) to an exact BIGINT sum, divided back
+  * once — identical bit patterns on Spark and DuckDB regardless of
+  * accumulation order.
+  */
+object RelationalQueries {
+
+  private def decSum(c: Column): Column =
+    sum(floor(c * lit(10000.0)).cast("long")) / lit(10000.0)
+
+  private val DecSumSql = (x: String) =>
+    s"sum(CAST(floor(($x) * 10000.0) AS BIGINT)) / 10000.0"
+
+  // ---- q_small_qty_revenue: TPC-H Q17-style correlated scalar subquery -
+
+  /** Revenue from "small" line items: quantity below 0.2× that part's own
+    * average quantity — the classic correlated scalar subquery, expressed
+    * as Catalyst would decorrelate it: a per-key aggregate joined back to
+    * the fact table (one shuffle on l_partkey shared by both sides; AQE
+    * picks the join strategy). The per-part average is quantized so both
+    * engines derive the identical threshold double.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(floor(col("l_quantity") * lit(10000.0)).cast("long")) /
+        lit(10000.0) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg((decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val smallQtyRevenueSql: String =
+    s"""WITH a AS (
+       |  SELECT l_partkey AS ap_partkey,
+       |         sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) / 10000.0 / count(*) AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT p_brand,
+       |       ${DecSumSql("l_extendedprice")} / 7.0 AS avg_yearly,
+       |       count(*) AS n_small
+       |FROM lineitem
+       |JOIN a ON l_partkey = ap_partkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE l_quantity < 0.2 * avg_qty
+       |GROUP BY p_brand""".stripMargin
+
+  // ---- q_cube_events: CUBE grouping sets with grouping_id --------------
+
+  /** Full CUBE over (event_type, hour): every subtotal combination plus
+    * the grand total, tagged with the grouping bit-vector. Spark's
+    * grouping_id() orders bits leftmost-cube-column-first; the DuckDB
+    * oracle reconstructs the same value from per-column GROUPING().
+    */
+  def cubeEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), hour(col("ts")).as("h"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+
+  val cubeEventsSql: String =
+    s"""SELECT event_type, hour(ts) AS h,
+       | CAST(GROUPING(event_type)*2 + GROUPING(hour(ts)) AS BIGINT) AS gid,
+       | count(*) AS n_events,
+       | ${DecSumSql("value")} AS total_value
+       |FROM events GROUP BY CUBE(event_type, hour(ts))""".stripMargin
+
+  // ---- q_pivot_user_events: pivot long->wide ---------------------------
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user event counts pivoted into one column per event type. The
+    * pivot value list is explicit (no discovery scan) so the plan is a
+    * single partial-aggregate shuffle; missing combinations are 0, not
+    * null, to match conditional aggregation on the oracle side.
+    */
+  def pivotUserEvents(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  val pivotUserEventsSql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n ")
+    s"SELECT user_id,\n $cols\nFROM events GROUP BY user_id"
+  }
+
+  // ---- q_unpivot_priority: unpivot wide->long (melt) -------------------
+
+  /** Per-priority order metrics melted into (priority, metric, value)
+    * rows — Dataset.unpivot, the inverse reshaping of pivot.
+    */
+  def unpivotPriority(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"),
+        countDistinct("o_custkey").cast("double").as("n_customers"))
+    wide.unpivot(
+      ids = Array(col("o_orderpriority")),
+      values = Array(col("n_orders"), col("total_price"), col("n_customers")),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+  }
+
+  val unpivotPrioritySql: String =
+    s"""WITH w AS (
+       |  SELECT o_orderpriority,
+       |         CAST(count(*) AS DOUBLE) AS n_orders,
+       |         ${DecSumSql("o_totalprice")} AS total_price,
+       |         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+       |  FROM orders GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+       |UNION ALL
+       |SELECT o_orderpriority, 'total_price', total_price FROM w
+       |UNION ALL
+       |SELECT o_orderpriority, 'n_customers', n_customers FROM w""".stripMargin
+
+  // ---- q_except_intersect: set operations ------------------------------
+
+  /** (user, hour) slots with clicks but no purchases — EXCEPT (distinct
+    * set difference). Both operands reduce before the set op, so the
+    * shuffle carries distinct keys only.
+    */
+  def exceptClickNoPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def slots(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), hour(col("ts")).as("h")).distinct()
+    slots("click").except(slots("purchase"))
+  }
+
+  val exceptClickNoPurchaseSql: String =
+    """SELECT DISTINCT user_id, hour(ts) AS h FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT DISTINCT user_id, hour(ts) AS h FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** (user, hour) slots with both signups and errors — INTERSECT. */
+  def intersectSignupError(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def slots(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), hour(col("ts")).as("h")).distinct()
+    slots("signup").intersect(slots("error"))
+  }
+
+  val intersectSignupErrorSql: String =
+    """SELECT DISTINCT user_id, hour(ts) AS h FROM events WHERE event_type = 'signup'
+      |INTERSECT
+      |SELECT DISTINCT user_id, hour(ts) AS h FROM events WHERE event_type = 'error'""".stripMargin
+
+  // ---- q_moving_window: rows + range window frames ---------------------
+
+  /** Two framed windows per user: a 3-row moving average (ROWS frame,
+    * deterministic tiebreak on event_id) and a trailing-1-hour sum
+    * (RANGE frame over epoch seconds — peers included identically on
+    * both engines). One shuffle on user_id serves both windows.
+    */
+  def movingWindow(s: SparkSession, dir: String): DataFrame = {
+    val qv = floor(col("value") * lit(10000.0)).cast("long")
+    val wRows = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    val epoch = unix_timestamp(col("ts"))
+    val wRange = Window.partitionBy("user_id").orderBy(epoch)
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("mov_avg_3",
+        sum(qv).over(wRows) / lit(10000.0) / count(lit(1)).over(wRows))
+      .withColumn("hour_sum", sum(qv).over(wRange) / lit(10000.0))
+      .select("event_id", "user_id", "mov_avg_3", "hour_sum")
+  }
+
+  val movingWindowSql: String =
+    """SELECT event_id, user_id,
+      | sum(CAST(floor(value * 10000.0) AS BIGINT))
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 10000.0
+      |   / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg_3,
+      | sum(CAST(floor(value * 10000.0) AS BIGINT))
+      |   OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 10000.0 AS hour_sum
+      |FROM events""".stripMargin
+
+  // ---- q_range_join: time-interval join --------------------------------
+
+  /** Per purchase: how many clicks the same user made in the preceding
+    * hour (inclusive bounds). Executes as an equi-join on user_id with
+    * the range predicate applied post-shuffle — one keyed shuffle, never
+    * a cartesian. Left join keeps zero-click purchases.
+    */
+  def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("ts"), "left")
+      .groupBy("event_id", "user_id")
+      .agg(count(col("c_event")).as("n_clicks_prev_hour"))
+  }
+
+  val rangeJoinClicksSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_event
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, count(c.c_event) AS n_clicks_prev_hour
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.c_user
+      | AND c.c_ts >= p.ts - INTERVAL 1 HOUR AND c.c_ts <= p.ts
+      |GROUP BY p.event_id, p.user_id""".stripMargin
+
+  // ---- q_order_quartiles: ntile + percent_rank -------------------------
+
+  /** Orders ranked into price quartiles (ntile over a deterministic
+    * total order), summarized per tile with the exact percent_rank
+    * boundary. The global window is a single-partition sort — fine for
+    * a 4-row summary; at 100 TB the same result comes from
+    * approx-percentile cutpoints + conditional aggregation (no global
+    * sort), which q_histogram_chars already demonstrates.
+    */
+  def orderQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        max("pr").as("max_percent_rank"))
+  }
+
+  val orderQuartilesSql: String =
+    """WITH r AS (
+      | SELECT o_totalprice,
+      |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+      |  percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+      | FROM orders)
+      |SELECT quartile, count(*) AS n_orders,
+      | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      | max(pr) AS max_percent_rank
+      |FROM r GROUP BY quartile""".stripMargin
+
+  // ---- q_full_outer_nation: full outer join ----------------------------
+
+  /** Negative-balance customers vs suppliers per nation — a FULL OUTER
+    * join where each side genuinely contributes unmatched keys (the
+    * filters are chosen so supplier nations ⊂ customer nations is not
+    * guaranteed either way at any SF).
+    */
+  def fullOuterNation(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") < -500)
+      .groupBy(col("c_nationkey").as("cn")).agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, dir).filter(col("s_acctbal") < -500)
+      .groupBy(col("s_nationkey").as("sn")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("cn") === col("sn"), "full_outer")
+      .select(coalesce(col("cn"), col("sn")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val fullOuterNationSql: String =
+    """WITH c AS (SELECT c_nationkey AS cn, count(*) AS n_cust
+      |           FROM customer WHERE c_acctbal < -500 GROUP BY c_nationkey),
+      |s AS (SELECT s_nationkey AS sn, count(*) AS n_supp
+      |      FROM supplier WHERE s_acctbal < -500 GROUP BY s_nationkey)
+      |SELECT coalesce(cn, sn) AS nationkey,
+      | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON cn = sn""".stripMargin
+
+  // ---- q_word_freq: generator (explode) + top-k ------------------------
+
+  /** Corpus-wide top-30 whitespace tokens — explode(split) with map-side
+    * partial aggregation before the single shuffle on the token, then a
+    * driver-cheap top-k. Case-sensitive (no locale-dependent lowering).
+    */
+  def wordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(30)
+
+  val wordFreqSql: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents)
+      |WHERE length(word) > 0
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin
+
+  // ---- q_approx_distinct: sketch aggregates (rows-only) ----------------
+
+  /** HyperLogLog++ distinct-count and approximate percentiles per event
+    * type — the sketch aggregates a 100 TB engine actually runs instead
+    * of exact distinct/sort. Not hash-comparable across engines (sketch
+    * internals differ) → rows-only driver check; ApproxSpec asserts the
+    * estimates land within rsd of the exact answers.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median_value"),
+        count(lit(1)).as("n_events"))
+}

@@ -134,17 +134,26 @@ object TpchQueries {
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
       |GROUP BY o_orderpriority""".stripMargin
 
-  /** q5: anti join — customers with no orders, per market segment. */
-  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame =
+  /** q5: anti join — customers with no high-value (>450k) order, per
+    * market segment. The filter keeps the right side selective AND makes
+    * the result non-degenerate at every SF (in this data every customer
+    * has *some* order, so an unfiltered anti join would prove a 0=0
+    * match and nothing else).
+    */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000).select("o_custkey")
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
+  }
 
   val antiJoinCustomersSql: String =
     """SELECT c_mktsegment, count(*) AS n_customers
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |GROUP BY c_mktsegment""".stripMargin
 
   /** q_topk: top 10 orders by total price (deterministic tiebreak on key). */
