@@ -101,6 +101,27 @@ object Streaming {
       .start()
   }
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * batch q_range_join_clicks query: each purchase pairs with the same
+    * user's clicks from the trailing `lookback` interval. Both sides are
+    * watermarked and the range predicate bounds the join state Spark
+    * keeps: click state older than (purchase watermark − lookback) is
+    * evicted, purchase state by its own watermark. Executes as one keyed
+    * shuffle on user_id — never a cartesian.
+    */
+  def joinPurchasesWithClicks(purchases: DataFrame, clicks: DataFrame,
+                              lookback: String = "1 hour",
+                              watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_event"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("event_id").as("c_event"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"))
+  }
+
   // ---- gap sessionization (flatMapGroupsWithState) ----------------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

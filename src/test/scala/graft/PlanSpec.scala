@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.queries.{DocQueries, TpchQueries}
+import graft.queries.{DocQueries, RelationalQueries, TpchQueries}
 
 /** Physical-plan discipline (builder brief: ".explain the plan and
   * iterate until it's the plan you'd want"): these tests pin the
@@ -66,6 +66,32 @@ class PlanSpec extends SparkTestBase {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges === 1, s"as-of must shuffle once (the key window):\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("range join executes as an equi-join on user_id, not a cartesian") {
+    val p = plan(RelationalQueries.rangeJoinClicks(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"range join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must ride the user_id equi-join, not a BNLJ:\n$p")
+  }
+
+  test("pivot shuffles at most twice, map-side partial, no discovery scan") {
+    val p = plan(RelationalQueries.pivotUserEvents(spark, dir))
+    // Spark's pivot = pre-aggregate on (user_id, event_type) + pivotfirst
+    // on user_id: two keyed shuffles max, both with partial aggregation
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"pivot must not shuffle more than twice:\n$p")
+    assert(p.contains("partial_"), "pivot aggregation not map-side partial:\n" + p)
+    // an implicit pivot would add a second job scanning for distinct values
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+  }
+
+  test("decorrelated scalar subquery reuses the l_partkey shuffle on both sides") {
+    val p = plan(RelationalQueries.smallQtyRevenue(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // both the per-part aggregate and the join probe hash-partition on
+    // l_partkey; the part dim joins by broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("IVF search never cross-joins the corpus with itself") {

@@ -93,6 +93,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with trailing clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchasesIn = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    val joined = Streaming.joinPurchasesWithClicks(
+      purchasesIn.toDF().toDF(cols: _*), clicksIn.toDF().toDF(cols: _*),
+      lookback = "20 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // user 7: clicks at 10:05 (outside 20-min lookback) and 10:15 (inside);
+      // user 8's click belongs to another user — must not pair.
+      clicksIn.addData((101L, 7L, ts(5)), (102L, 7L, ts(15)), (103L, 8L, ts(29)))
+      purchasesIn.addData((201L, 7L, ts(30)))
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin").select("p_event", "c_event")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((201L, 102L)))
+    } finally q.stop()
+  }
+
   test("end-to-end file pipeline: landing JSONL -> cleaned deduped parquet") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("stream_e2e").toString
