@@ -62,6 +62,7 @@ object SparkEntry {
     "q_toxicity" -> (DocQueries.toxicity _),
     "q_quality_score" -> (DocQueries.qualityScore _),
     "q_spam_exploded" -> (DocQueries.spamExploded _),
+    "q_dedup_tokens" -> (DocQueries.dedupTokens _),
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),
@@ -83,6 +84,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
+    "q_dup_clusters" -> (SimilarityQueries.dupClusters _),
+    "q_contamination" -> (SimilarityQueries.contamination _),
     // Multimodal binary columns (builder brief first-class ops)
     "q_media_meta" -> (MultimodalQueries.mediaMeta _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
@@ -130,6 +133,9 @@ object SparkEntry {
     "q_toxicity" -> DocQueries.toxicitySql,
     "q_quality_score" -> DocQueries.qualityScoreSql,
     "q_spam_exploded" -> DocQueries.spamExplodedSql,
+    "q_dedup_tokens" -> DocQueries.dedupTokensSql,
+    "q_dup_clusters" -> SimilarityQueries.dupClustersSql,
+    "q_contamination" -> SimilarityQueries.contaminationSql,
     "q_drop_reason_counts" -> PipelineQueries.dropReasonCountsSql,
     "q_describe_chars" -> PipelineQueries.describeCharsSql,
     "q_histogram_chars" -> PipelineQueries.histogramCharsSql,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster construction: connected components over near-dup
+  * pair edges (from [[SketchDedup]] MinHash/SimHash/Jaccard pair
+  * generators). Pairwise output alone under-deletes: if A~B and B~C,
+  * keep-first dedup on pairs can keep both A and C. Components give each
+  * doc a stable cluster id (the minimum member id), from which "keep one
+  * per cluster" is a trivial groupBy.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each round a
+  * node adopts the smallest label among (a) itself, (b) its neighbors,
+  * then (c) its label's own label (path halving). Step (b) alone moves
+  * a label one hop per round — O(diameter) rounds, pathological on
+  * chains; step (c) compresses label paths geometrically, so rounds are
+  * O(log diameter) (the same guarantee as large-star/small-star).
+  * Near-dup graphs are overwhelmingly tiny cliques that converge in 2
+  * rounds; the log bound is for the adversarial tail. Each round is two
+  * keyed shuffles (edge join + label self-join).
+  * Labels are localCheckpoint'ed every round: persist alone
+  * caches data but the logical plan still nests one join deeper per
+  * round (a 40-round chain OOMs the driver just *printing* the plan) —
+  * checkpointing pins plan depth constant. On a real cluster use
+  * reliable checkpoints (HDFS dir) so executor loss can't kill a
+  * 20-round job.
+  */
+object DupClusters {
+
+  /** pairs: two id columns (idA, idB), one row per undirected edge.
+    * Returns (id, cluster_id) for every node appearing in any pair,
+    * cluster_id = min node id in the component. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // smallest label among each node's neighbors
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nbr_label"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: label(label(id)) — labels only ever shrink, so the
+      // looked-up label is always <= the current one when present
+      val jump = stepped.select(col("id").as("j_id"), col("label").as("j_label"))
+      val jumped = stepped.join(jump, col("label") === col("j_id"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
+        .localCheckpoint() // materializes AND pins plan depth
+      val changed = jumped.filter(col("label") =!= col("old_label")).count()
+      labels = jumped.select("id", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+}

@@ -303,4 +303,33 @@ object DocQueries {
        | 'web_sample' AS mixture_name
        |FROM q""".stripMargin
   }
+
+  // ---- q_dedup_tokens: order-preserving intra-doc token dedup -----------
+
+  /** Within-document repeated-token removal, first occurrence kept in
+    * order — one codegen'd array expression per row (array_distinct
+    * preserves encounter order), zero shuffles. The oracle has no
+    * order-preserving dedup primitive and must reconstruct it the
+    * explode + row_number + re-aggregate way — the exact shape this
+    * formulation avoids at scale.
+    */
+  def dedupTokens(s: SparkSession, dir: String): DataFrame = {
+    val uniq = array_distinct(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_join(uniq, " ").as("text_unique_tokens"),
+      size(uniq).cast("long").as("n_unique"))
+  }
+
+  val dedupTokensSql: String =
+    """WITH t AS (SELECT doc_id,
+      |             string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+      |           FROM documents),
+      |x AS (SELECT doc_id, unnest(toks) AS tok,
+      |        unnest(range(1, len(toks) + 1)) AS i FROM t),
+      |u AS (SELECT doc_id, i, tok,
+      |        row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS rn
+      |      FROM x)
+      |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_unique_tokens,
+      |       count(*) AS n_unique
+      |FROM u WHERE rn = 1 GROUP BY doc_id""".stripMargin
 }

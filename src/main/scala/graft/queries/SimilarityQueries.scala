@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{SketchDedup, Similarity}
+import graft.ops.{Decontaminate, SketchDedup, Similarity}
 
 /** Similarity-search and sketch-dedup queries over the embeddings and
   * documents tables (builder brief: dedup + ANN as first-class ops).
@@ -126,6 +126,63 @@ object SimilarityQueries {
       |FROM s a JOIN s b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin
+
+  // ---- q_dup_clusters: connected components over near-dup pairs ---------
+
+  /** Duplicate clusters from the Jaccard pair list: min-label-propagation
+    * connected components (graft.ops.DupClusters). The DuckDB oracle
+    * computes the same fixpoint as a recursive transitive-closure CTE —
+    * feasible at oracle scale, while the Spark loop is the shape that
+    * survives 100 TB (one keyed shuffle per round, diameter-bounded).
+    */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DupClusters.connectedComponents(ngramJaccard(s, dir))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.lab FROM e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  // ---- q_contamination: benchmark n-gram decontamination ----------------
+
+  /** Benchmark decontamination over a deterministic split of the corpus:
+    * docs with doc_id % 10 == 0 play the eval set; every other doc is
+    * scored by how many distinct 4-grams it shares with that set
+    * (graft.ops.Decontaminate — broadcast semi-match, corpus never
+    * shuffles).
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.overlapReport(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", textCol = "text", n = 4)
+  }
+
+  val contaminationSql: String =
+    """WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 4 THEN
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+3], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh
+      | FROM c),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |hits AS (SELECT g.doc_id, count(*) AS n_shared
+      |         FROM g JOIN bench USING (gram)
+      |         WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id)
+      |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+      |       coalesce(h.n_shared, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      |LEFT JOIN hits h USING (doc_id)""".stripMargin
 
   // ---- engine-defined sketches (hash-seeded; rows-only checks) ----------
 

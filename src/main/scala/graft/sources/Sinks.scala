@@ -49,6 +49,19 @@ object Sinks {
     df.select(trainingLine, col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").text(outDir)
 
+  /** Hive-style partitioned parquet sink: one directory per distinct
+    * value of each partition column. This is the 100 TB layout decision:
+    * a reader filtering on a partition column never opens non-matching
+    * files (partition pruning happens at planning, before any IO) —
+    * PartitionSpec pins that plan property. Keep partition columns
+    * low-cardinality (source, language, date); high-cardinality keys
+    * belong in bucketing (sources/Bucketing) instead, or small files
+    * swamp the listing.
+    */
+  def writePartitionedParquet(df: DataFrame, outDir: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+
   /** S6: small aggregate to a single headered CSV (reports are tiny —
     * one row per reason/shard — so coalesce(1) is deliberate).
     */

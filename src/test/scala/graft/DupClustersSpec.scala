@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Decontaminate, DupClusters}
+import graft.sources.Sinks
+
+/** Connected-component dup clusters, benchmark decontamination, and the
+  * partitioned-sink pruning contract.
+  */
+class DupClustersSpec extends SparkTestBase {
+
+  test("connected components: chains, cliques and isolated pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain 1-2-3-4), {10,11}, {20,21,22} (star)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = DupClusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components converge on a long chain (diameter > 2)") {
+    import spark.implicits._
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val got = DupClusters.connectedComponents(chain).collect()
+    assert(got.length == 40)
+    assert(got.forall(_.getLong(1) == 0L), "all labels must reach the min id")
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox appears here"), // shares "the quick brown fox"
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "fox brown quick the reversed order shares nothing")   // same words, wrong order
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(1L)._1 >= 1, s"doc 1 must be flagged: $got")
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false))
+  }
+
+  test("partitioned sink: partition filter prunes at plan time") {
+    val base = java.nio.file.Files.createTempDirectory("part_sink").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source")
+    Sinks.writePartitionedParquet(docs, s"$base/by_lang", Seq("lang"))
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length > 1, "fixture needs multiple partitions")
+    val back = spark.read.parquet(s"$base/by_lang")
+      .filter(col("lang") === langs.head)
+    val p = back.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("lang"), s"partition filter not applied at scan:\n$p")
+    // pruning means the non-matching partition's rows never load
+    assert(back.count() ==
+      docs.filter(col("lang") === langs.head).count())
+  }
+}
