@@ -27,27 +27,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Compiled cosine. Accumulation order is the same left-to-right IEEE
-    * double fold as the expression form and DuckDB's
-    * list_cosine_similarity, so results stay bit-identical (oracle-safe);
-    * higher-order expressions are CodegenFallback, so the compiled loop
-    * is the hot path.
+  /** Native codegen'd cosine (graft.plans.CosineSimilarity): reads the
+    * unsafe array buffers in place — no Seq boxing, no SerDe, and the
+    * surrounding filter/window stays in the same whole-stage-codegen
+    * span. Accumulation order is the same left-to-right IEEE double fold
+    * as the expression form and DuckDB's list_cosine_similarity, so
+    * results stay bit-identical (oracle-safe).
     */
-  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var d = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      d += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    d / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -15,6 +15,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"), CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
   }
 }
@@ -24,6 +26,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), CosineSimilarity.info, CosineSimilarity.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc
