@@ -51,6 +51,9 @@ object SparkEntry {
     "q_full_outer_nation" -> (RelationalQueries.fullOuterNation _),
     "q_word_freq" -> (RelationalQueries.wordFreq _),
     "q_approx_distinct" -> (RelationalQueries.approxDistinct _),
+    "q_typed_stats" -> (RelationalQueries.typedStats _),
+    "q_mixture_alloc" -> (RelationalQueries.mixtureAlloc _),
+    "q_sql_surface" -> (RelationalQueries.sqlSurface _),
     // Document pipeline operators (SURVEY §2.2-2.4, 2.9, 2.10)
     "q_doc_metrics" -> (DocQueries.docMetrics _),
     "q_doc_prefilter" -> (DocQueries.docPrefilter _),
@@ -123,6 +126,9 @@ object SparkEntry {
     "q_order_quartiles" -> RelationalQueries.orderQuartilesSql,
     "q_full_outer_nation" -> RelationalQueries.fullOuterNationSql,
     "q_word_freq" -> RelationalQueries.wordFreqSql,
+    "q_typed_stats" -> RelationalQueries.typedStatsSql,
+    "q_mixture_alloc" -> RelationalQueries.mixtureAllocSql,
+    "q_sql_surface" -> RelationalQueries.sqlSurfaceSql,
     "q_doc_metrics" -> DocQueries.docMetricsSql,
     "q_doc_prefilter" -> DocQueries.docPrefilterSql,
     "q_dedup_exact" -> DocQueries.dedupExactSql,

@@ -313,6 +313,83 @@ object RelationalQueries {
       |WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin
 
+  // ---- q_typed_stats: typed Aggregator (UDAF surface) ------------------
+
+  /** Per-event-type count/mean/variance through a typed
+    * `expressions.Aggregator` (ops/StatsAgg) — the engine's UDAF
+    * surface. The quantized-integer buffer makes merge order irrelevant,
+    * so unlike var_pop(double) this IS oracle-checkable.
+    */
+  def typedStats(s: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(graft.ops.StatsAgg.quantizedStats)
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(stats(col("value")).as("s"))
+      .select(col("event_type"), col("s.n").as("n"),
+        col("s.mean").as("mean_value"), col("s.varPop").as("var_value"))
+  }
+
+  val typedStatsSql: String =
+    """WITH q AS (SELECT event_type,
+      |             CAST(floor(value * 100) AS BIGINT) AS qv FROM events)
+      |SELECT event_type, count(*) AS n,
+      | sum(qv) / 100.0 / count(*) AS mean_value,
+      | sum(qv * qv) / 10000.0 / count(*)
+      |   - (sum(qv) / 100.0 / count(*)) * (sum(qv) / 100.0 / count(*)) AS var_value
+      |FROM q GROUP BY event_type""".stripMargin
+
+  // ---- q_mixture_alloc: mixture budget allocation ----------------------
+
+  /** Mixture construction planning: per (lang, source) stratum, the
+    * sampling fraction that hits a fixed per-stratum character budget —
+    * the aggregate that drives ops/Mixture's stratified sampler. One
+    * partial-agg shuffle over the corpus; the allocation arithmetic runs
+    * on the tiny aggregate.
+    */
+  def mixtureAlloc(s: SparkSession, dir: String): DataFrame = {
+    val budget = 50000.0
+    Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .withColumn("alloc_fraction",
+        round(least(lit(1.0), lit(budget) / col("total_chars")), 6))
+      .withColumn("target_docs",
+        ceil(col("n_docs") * col("alloc_fraction")))
+  }
+
+  val mixtureAllocSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | round(least(1.0, 50000.0 / sum(n_chars)), 6) AS alloc_fraction,
+      | CAST(ceil(count(*) * round(least(1.0, 50000.0 / sum(n_chars)), 6)) AS BIGINT) AS target_docs
+      |FROM documents GROUP BY lang, source""".stripMargin
+
+  // ---- q_sql_surface: raw SQL text through the session parser ----------
+
+  /** The engine's SQL-string interface: tables registered as temp views,
+    * query authored as SQL text, parsed/planned by Catalyst exactly like
+    * the DataFrame form (same optimized plan, same oracle). Demonstrates
+    * that a reference user can bring SQL, not just the Scala API.
+    */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_sql_customer")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       sum(CAST(floor(o_totalprice * 10000.0D) AS BIGINT)) / 10000.0D AS total_price
+        |FROM graft_sql_orders JOIN graft_sql_customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       | ${DecSumSql("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY c_mktsegment""".stripMargin
+
   // ---- q_approx_distinct: sketch aggregates (rows-only) ----------------
 
   /** HyperLogLog++ distinct-count and approximate percentiles per event

@@ -156,6 +156,51 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("typed Aggregator stats match a driver-side computation") {
+    val res = RelationalQueries.typedStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_value"), r.getAs[Double]("var_value"))).toMap
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    vals.groupBy(_._1).foreach { case (t, rows) =>
+      val qs = rows.map(r => math.floor(r._2 * 100.0).toLong)
+      val n = qs.length
+      val mean = qs.sum / 100.0 / n
+      val meanSq = qs.map(q => q * q).sum / 10000.0 / n
+      val (gn, gm, gv) = res(t)
+      assert(gn == n)
+      assert(math.abs(gm - mean) < 1e-12, s"mean for $t")
+      assert(math.abs(gv - (meanSq - mean * mean)) < 1e-9, s"var for $t")
+      assert(gv >= 0.0)
+    }
+  }
+
+  test("mixture allocation caps fractions at 1 and covers every stratum") {
+    val rows = RelationalQueries.mixtureAlloc(spark, sf).collect()
+    val strata = Tables.documents(spark, sf)
+      .select("lang", "source").distinct().count()
+    assert(rows.length == strata)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("alloc_fraction")
+      assert(f > 0.0 && f <= 1.0, r.toString)
+      assert(r.getAs[Long]("target_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("SQL-text surface produces the same plan result as the DataFrame form") {
+    val viaSql = RelationalQueries.sqlSurface(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaDf = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 10000.0).cast("long")) / 10000.0).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql == viaDf)
+    assert(viaSql.nonEmpty)
+  }
+
   test("approx sketches land near exact answers") {
     val res = RelationalQueries.approxDistinct(spark, sf).collect()
     val exact = Tables.events(spark, sf).groupBy("event_type")
