@@ -31,6 +31,38 @@ class DupClustersSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) == 0L), "all labels must reach the min id")
   }
 
+  test("property: random graphs match a driver-side union-find") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val nNodes = 10 + rng.nextInt(30)
+      val nEdges = 5 + rng.nextInt(40)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        // min-id canonical form: the min member of each component
+        val byComp = want.groupBy(_._2).flatMap { case (_, m) =>
+          val minId = m.keys.min; m.keys.map(_ -> minId)
+        }
+        val got = DupClusters.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == byComp, s"trial $trial, edges $edges")
+      }
+    }
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over a lazy dog"))

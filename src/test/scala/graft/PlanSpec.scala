@@ -68,6 +68,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan(TpchQueries.topOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must plan as top-k, not materialize a full sort:\n$p")
+  }
+
   test("range join executes as an equi-join on user_id, not a cartesian") {
     val p = plan(RelationalQueries.rangeJoinClicks(spark, dir))
     assert(!p.contains("CartesianProduct"), s"range join degenerated:\n$p")
