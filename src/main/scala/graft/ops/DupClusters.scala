@@ -32,9 +32,47 @@ object DupClusters {
   /** pairs: two id columns (idA, idB), one row per undirected edge.
     * Returns (id, cluster_id) for every node appearing in any pair,
     * cluster_id = min node id in the component. Deterministic.
+    *
+    * Strategy choice by size, like broadcast-vs-shuffle joins: a
+    * near-dup edge list is usually a sliver of the corpus (pairs, not
+    * docs), so when it fits comfortably on the driver
+    * (`smallGraphEdges`, default 1M edges ≈ 16 MB of longs) a local
+    * union-find replaces 2×rounds shuffle jobs; the distributed
+    * pointer-jumping loop is the path for edge lists that don't fit.
+    * Both paths produce the identical labeling.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 25,
+                          smallGraphEdges: Long = 1000000L): DataFrame = {
+    val nEdges = pairs.count()
+    if (nEdges <= smallGraphEdges)
+      connectedComponentsLocal(pairs, idA, idB)
+    else connectedComponentsDistributed(pairs, idA, idB, maxIter)
+  }
+
+  /** Driver union-find with path compression for small edge lists. */
+  private def connectedComponentsLocal(pairs: DataFrame, idA: String,
+                                       idB: String): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = parent.keys.toSeq.map(k => (k, find(k)))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    rows.toDF("id", "cluster_id")
+  }
+
+  /** Distributed pointer-jumping label propagation (see object doc). */
+  private def connectedComponentsDistributed(pairs: DataFrame, idA: String,
+                                             idB: String, maxIter: Int): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()

@@ -22,11 +22,12 @@ class DupClustersSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("connected components converge on a long chain (diameter > 2)") {
+  test("connected components converge on a long chain (distributed path)") {
     import spark.implicits._
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
-    val got = DupClusters.connectedComponents(chain).collect()
+    // force the pointer-jumping path (smallGraphEdges = 0)
+    val got = DupClusters.connectedComponents(chain, smallGraphEdges = 0L).collect()
     assert(got.length == 40)
     assert(got.forall(_.getLong(1) == 0L), "all labels must reach the min id")
   }
@@ -56,9 +57,14 @@ class DupClustersSpec extends SparkTestBase {
         val byComp = want.groupBy(_._2).flatMap { case (_, m) =>
           val minId = m.keys.min; m.keys.map(_ -> minId)
         }
-        val got = DupClusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        // both strategies must produce the identical labeling
+        val local = DupClusters.connectedComponents(edges.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == byComp, s"trial $trial, edges $edges")
+        val dist = DupClusters.connectedComponents(edges.toDF("id_a", "id_b"),
+          smallGraphEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(local == byComp, s"local path, trial $trial, edges $edges")
+        assert(dist == byComp, s"distributed path, trial $trial, edges $edges")
       }
     }
   }
