@@ -26,6 +26,23 @@ object Sinks {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** S1 hardened: PERMISSIVE JSONL scan that quarantines malformed lines
+    * into a `_corrupt_record` column instead of failing the job (the
+    * reference's pd.read_json dies on the first bad line — at 100 TB a
+    * single truncated upload must not kill an ingest). Callers split on
+    * `_corrupt_record IS NULL` the same way the drop-reason machinery
+    * splits kept/dropped.
+    */
+  def readJsonlPermissive(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** S4: minimal projection JSONL {doc_id, text, source}. */
   def writeProjectionJsonl(df: DataFrame, outDir: String,
                            textCol: String = "text"): Unit =

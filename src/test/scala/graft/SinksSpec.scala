@@ -80,4 +80,28 @@ class SinksSpec extends SparkTestBase {
     val parsed = spark.read.json(Seq(txt).toDS())
     assert(parsed.columns.sorted.toSeq === Seq("score_stats", "subset_counts"))
   }
+
+  test("S1 permissive scan quarantines malformed lines, keeps good ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl_corrupt").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch.jsonl"),
+      """{"url": "https://a.example.com", "text": "good doc one"}
+        |{"url": "https://b.example.com", "text": "truncated...
+        |not json at all
+        |{"url": "https://c.example.com", "text": "good doc two"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("text", StringType)))
+    val df = Sinks.readJsonlPermissive(spark, dir, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(bad.count() === 2)
+    assert(good.select("url").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("https://a.example.com", "https://c.example.com"))
+    // the original malformed text is preserved for post-hoc inspection
+    assert(bad.select("_corrupt_record").collect()
+      .forall(r => r.getString(0).nonEmpty))
+    df.unpersist()
+  }
 }
