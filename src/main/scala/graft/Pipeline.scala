@@ -53,8 +53,7 @@ object Pipeline {
       col("text"), col("text_norm"), col("char_len"), col("word_count")))
 
     val t = col("text_norm") // reference promotes text_norm to text post-split
-    val tox = Toxicity.scores(t)
-    val metered = LangId.withLangColumns(pre, t)
+    val metered = Toxicity.withToxicityColumns(LangId.withLangColumns(pre, t), t)
       .withColumn("n_chars", TextMetrics.nChars(t))
       .withColumn("n_words", TextMetrics.wordCount(t).cast("long"))
       .withColumn("alpha_ratio", TextMetrics.alphaRatio(t))
@@ -62,12 +61,6 @@ object Pipeline {
       .withColumn("non_latin_ratio", TextMetrics.nonLatinRatio(t))
       .withColumn("email_hits", Pii.emailHits(t).cast("long"))
       .withColumn("phone_hits", Pii.phoneHitsSimple(t).cast("long"))
-      .withColumn("toxicity", tox("toxicity"))
-      .withColumn("severe_toxicity", tox("severe_toxicity"))
-      .withColumn("insult", tox("insult"))
-      .withColumn("threat", tox("threat"))
-      .withColumn("identity_attack", tox("identity_attack"))
-      .withColumn("sexual_explicit", tox("sexual_explicit"))
       .withColumn("model_q", lit(0.5))
     val lang = Filters.applyRules(metered, Filters.langRules(
       col("lang_pred"), col("lang_score"), col("non_latin_ratio"),

@@ -235,13 +235,10 @@ object DocQueries {
 
   // ---- q_toxicity: M9 ---------------------------------------------------
 
-  def toxicity(s: SparkSession, dir: String): DataFrame = {
-    val sc = Toxicity.scores(col("text"))
-    Tables.documents(s, dir).select(
-      col("doc_id") +:
-        Seq("toxicity", "severe_toxicity", "insult", "threat",
-          "identity_attack", "sexual_explicit").map(n => sc(n).as(n)): _*)
-  }
+  def toxicity(s: SparkSession, dir: String): DataFrame =
+    Toxicity.withToxicityColumns(Tables.documents(s, dir), col("text"))
+      .select("doc_id", "toxicity", "severe_toxicity", "insult", "threat",
+        "identity_attack", "sexual_explicit")
 
   val toxicitySql: String = {
     val toks = "regexp_extract_all(lower(coalesce(text, '')), '\\w+')"

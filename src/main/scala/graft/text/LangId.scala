@@ -86,7 +86,10 @@ object LangId {
     * regexp_extract_all subtree once per reference (8x per row — HOF
     * lambdas carry fresh variable ids, so subexpression elimination
     * never fires on them; measured ~5x the whole query at sf0.1).
-    * Value-identical to [[detect]]: same expressions, same types.
+    * Hit counts run through the native WordlistHits kernel: one codegen'd
+    * pass with hashed lookups instead of 4 interpreted HOF traversals
+    * with linear array_contains scans (value-identical counts).
+    * Value-identical to [[detect]]: same arithmetic, same types.
     */
   def withLangColumns(df: org.apache.spark.sql.DataFrame, c: Column,
                       predName: String = "lang_pred",
@@ -95,10 +98,12 @@ object LangId {
     val staged = df
       .withColumn("__lang_toks", letterTokens(c))
       .withColumn("__cjk", length(regexp_replace(s, "[^一-鿿]", "")))
-      .withColumn("__he", hitsIn(col("__lang_toks"), En))
-      .withColumn("__hd", hitsIn(col("__lang_toks"), De))
-      .withColumn("__hs", hitsIn(col("__lang_toks"), Es))
-      .withColumn("__hf", hitsIn(col("__lang_toks"), Fr))
+      .withColumn("__lang_hits",
+        graft.plans.WordlistHits(col("__lang_toks"), "langid"))
+      .withColumn("__he", element_at(col("__lang_hits"), 1))
+      .withColumn("__hd", element_at(col("__lang_hits"), 2))
+      .withColumn("__hs", element_at(col("__lang_hits"), 3))
+      .withColumn("__hf", element_at(col("__lang_hits"), 4))
       .withColumn("__ln", size(col("__lang_toks")))
     val (cjk, he, hd, hs, hf, n) = (col("__cjk"), col("__he"), col("__hd"),
       col("__hs"), col("__hf"), col("__ln"))
@@ -123,7 +128,8 @@ object LangId {
     staged
       .withColumn(predName, pred)
       .withColumn(scoreName, score)
-      .drop("__lang_toks", "__cjk", "__he", "__hd", "__hs", "__hf", "__ln")
+      .drop("__lang_toks", "__cjk", "__lang_hits",
+        "__he", "__hd", "__hs", "__hf", "__ln")
   }
 
   private def sqlList(ws: Seq[String]): String = ws.mkString("['", "', '", "']")

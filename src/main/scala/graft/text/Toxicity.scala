@@ -30,6 +30,10 @@ object Toxicity {
 
   /** Returns the six reference score columns, given the text column.
     * n_tokens floor of 1 matches `max(1, len(tokens))`.
+    *
+    * ⚠ Inline HOF form: re-tokenizes once per referenced score (lambdas
+    * block subexpression elimination). Semantic reference + tests only —
+    * the pipeline and queries go through [[withToxicityColumns]].
     */
   def scores(c: Column): Map[String, Column] = {
     val toks = toxTokens(c)
@@ -48,5 +52,32 @@ object Toxicity {
       "identity_attack" -> least(lit(1.0), slr / n * 5.0),
       "sexual_explicit" -> least(lit(1.0), sex / n * 5.0)
     )
+  }
+
+  /** Staged fast path: tokenize once, count all five lists in one
+    * native WordlistHits pass (hashed lookups, codegen), score from
+    * attributes. Value-identical to [[scores]] — same arithmetic over
+    * the same counts.
+    */
+  def withToxicityColumns(df: org.apache.spark.sql.DataFrame,
+                          c: Column): org.apache.spark.sql.DataFrame = {
+    val staged = df
+      .withColumn("__tox_toks", toxTokens(c))
+      .withColumn("__tox_hits",
+        graft.plans.WordlistHits(col("__tox_toks"), "toxicity"))
+      .withColumn("__tox_n",
+        greatest(lit(1), size(col("__tox_toks"))).cast("double"))
+    val n = col("__tox_n")
+    def hit(i: Int) = element_at(col("__tox_hits"), i).cast("double")
+    val (bad, ins, thr, sex, slr) = (hit(1), hit(2), hit(3), hit(4), hit(5))
+    val toxicity = least(lit(1.0), (bad + ins + thr + sex + slr) / n * 5.0)
+    staged
+      .withColumn("toxicity", toxicity)
+      .withColumn("severe_toxicity", when(toxicity >= 0.9, 1.0).otherwise(0.0))
+      .withColumn("insult", least(lit(1.0), ins / n * 5.0))
+      .withColumn("threat", least(lit(1.0), thr / n * 5.0))
+      .withColumn("identity_attack", least(lit(1.0), slr / n * 5.0))
+      .withColumn("sexual_explicit", least(lit(1.0), sex / n * 5.0))
+      .drop("__tox_toks", "__tox_hits", "__tox_n")
   }
 }
