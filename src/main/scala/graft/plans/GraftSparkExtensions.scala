@@ -17,6 +17,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder))
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), CosineSimilarity.info, CosineSimilarity.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("wordlist_hits"), WordlistHits.info, WordlistHits.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
   }
 }
@@ -28,6 +30,8 @@ object GraftFunctions {
       FunctionIdentifier("nfkc"), NfkcNormalize.info, NfkcNormalize.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info, CosineSimilarity.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("wordlist_hits"), WordlistHits.info, WordlistHits.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

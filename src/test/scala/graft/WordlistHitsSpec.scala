@@ -73,6 +73,14 @@ class WordlistHitsSpec extends SparkTestBase {
     }
   }
 
+  test("registered in FunctionRegistry: callable from SQL text") {
+    graft.plans.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT wordlist_hits(array('the', 'der', 'the'), 'langid') AS h")
+      .head().getSeq[Int](0)
+    assert(got == Seq(2, 1, 0, 0))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
