@@ -24,7 +24,7 @@ object Skew {
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
     val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedProbe.join(saltedBuild, Seq(key, "__salt"), joinType).drop("__salt")
@@ -40,7 +40,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__s"), count(lit(1)).as("__n"))
       .groupBy(col(key))
