@@ -79,9 +79,10 @@ object Streaming {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** End-to-end continuous pipeline: JSONL landing dir -> stages 2+3 ->
-    * watermarked exact dedup -> parquet, with a checkpoint for exactly-
-    * once file-sink semantics. Returns the started query; the caller
-    * owns its lifecycle. `ingest_ts` is the arrival wall clock (the
+    * watermarked exact dedup -> stage-5 scoring (stateless, the same
+    * batch code) -> parquet, with a checkpoint for exactly-once
+    * file-sink semantics. Returns the started query; the caller owns
+    * its lifecycle. `ingest_ts` is the arrival wall clock (the
     * streaming stand-in for the batch pipeline's single driver-side
     * batch timestamp).
     */
@@ -91,8 +92,9 @@ object Streaming {
     val raw = readJsonl(spark, schema, landingDir)
       .withColumn("ingest_ts", current_timestamp())
     val cleaned = cleanStream(raw)
-    dedupStream(cleaned, textCol = "text_pii_masked",
+    val deduped = dedupStream(cleaned, textCol = "text_pii_masked",
       eventTimeCol = "ingest_ts", watermark = watermark)
+    Pipeline.score(deduped)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -136,6 +136,10 @@ class StreamingSpec extends SparkTestBase {
     assert(out.count() === 2)
     assert(out.filter(col("drop_reason").isNull).count() === 1)
     assert(out.columns.contains("text_pii_masked"))
+    // stage-5 scoring ran on the stream: scores present and in range
+    assert(out.columns.contains("quality_score") && out.columns.contains("subset"))
+    val scores = out.select("quality_score").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0), scores.toSeq.toString)
   }
 
   test("stateless clean stage: streaming result equals batch result") {
