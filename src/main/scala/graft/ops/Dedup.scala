@@ -76,4 +76,31 @@ object Dedup {
   def dedupStage(df: DataFrame, textCol: String = "text_pii_masked",
                  seqCol: String = "ingest_seq"): DataFrame =
     nearDedup(exactDedup(df, textCol, seqCol), textCol, seqCol)
+
+  /** Incremental exact dedup — the daily-ingest shape at corpus scale:
+    * dedup a NEW batch against the running corpus without re-windowing
+    * history. Within-batch keep-first runs as the usual window; rows
+    * whose hash already exists in `seenHashes` (one column,
+    * `exact_hash`, the running corpus state) are marked duplicates via
+    * a left-semi-style join — the historical corpus contributes only
+    * its distinct hash set, never re-shuffles its rows. Returns the
+    * flagged batch; the caller appends
+    * `result.filter(!is_dup_exact).select("exact_hash")` to the seen
+    * set (both sides hash-partition on exact_hash, so the append is
+    * shuffle-free when the state table is bucketed on the hash).
+    */
+  def incrementalExactDedup(batch: DataFrame, seenHashes: DataFrame,
+                            textCol: String = "text_pii_masked",
+                            seqCol: String = "ingest_seq"): DataFrame = {
+    val flagged = exactDedup(batch, textCol, seqCol)
+    val seen = seenHashes.select(col("exact_hash").as("__seen_hash")).distinct()
+    flagged
+      .join(seen, col("exact_hash") === col("__seen_hash"), "left")
+      .withColumn("is_dup_exact",
+        col("is_dup_exact") || col("__seen_hash").isNotNull)
+      .withColumn("drop_reason",
+        when(col("drop_reason").isNull && col("__seen_hash").isNotNull,
+          "exact_duplicate").otherwise(col("drop_reason")))
+      .drop("__seen_hash")
+  }
 }

@@ -105,4 +105,32 @@ class FiltersDedupSpec extends SparkTestBase {
       .select(Score.subset(col("q"))).as[String].collect()
     assert(out(0) == "high_quality" && out(1) == "rest")
   }
+
+  test("incremental exact dedup: cross-batch dups flagged, history never re-windowed") {
+    import spark.implicits._
+    val batch1 = Seq((1L, "day one document alpha"), (2L, "day one document beta"))
+      .toDF("ingest_seq", "text_pii_masked")
+    val day1 = Dedup.exactDedup(batch1)
+    val seen = day1.filter(!col("is_dup_exact")).select("exact_hash")
+
+    val batch2 = Seq(
+      (10L, "day one document alpha"),   // dup of history
+      (11L, "fresh document gamma"),     // new
+      (12L, "fresh document gamma"),     // within-batch dup
+      (13L, "day one DOCUMENT   beta")   // dup of history via canon (case/ws)
+    ).toDF("ingest_seq", "text_pii_masked")
+
+    val flagged = Dedup.incrementalExactDedup(batch2, seen)
+      .select("ingest_seq", "is_dup_exact", "drop_reason").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)))).toMap
+
+    assert(flagged(10L) == (true, Some("exact_duplicate")))
+    assert(flagged(11L) == (false, None))
+    assert(flagged(12L) == (true, Some("exact_duplicate")))
+    assert(flagged(13L) == (true, Some("exact_duplicate")))
+    // appending the new survivors grows the state by exactly one hash
+    val day2Seen = Dedup.incrementalExactDedup(batch2, seen)
+      .filter(!col("is_dup_exact")).select("exact_hash")
+    assert(seen.union(day2Seen).distinct().count() == seen.count() + 1)
+  }
 }
