@@ -75,6 +75,7 @@ object SparkEntry {
     "q_fingerprint" -> (PipelineQueries.fingerprint _),
     "q_shard_assign" -> (PipelineQueries.shardAssign _),
     "q_shard_manifest" -> (PipelineQueries.shardManifest _),
+    "q_manifest_totals" -> (PipelineQueries.manifestTotals _),
     "q_tokenize" -> (PipelineQueries.tokenize _),
     "q_pipeline_full" -> (PipelineQueries.pipelineFull _),
     "q_pii_totals" -> (PipelineQueries.piiTotals _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_fingerprint" -> PipelineQueries.fingerprintSql,
     "q_shard_assign" -> PipelineQueries.shardAssignSql,
     "q_shard_manifest" -> PipelineQueries.shardManifestSql,
+    "q_manifest_totals" -> PipelineQueries.manifestTotalsSql,
     "q_pii_totals" -> PipelineQueries.piiTotalsSql,
     "q_subset_counts" -> PipelineQueries.subsetCountsSql,
     "q_ann_topk" -> SimilarityQueries.annTopKSql,

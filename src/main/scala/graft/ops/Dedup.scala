@@ -80,27 +80,44 @@ object Dedup {
   /** Incremental exact dedup — the daily-ingest shape at corpus scale:
     * dedup a NEW batch against the running corpus without re-windowing
     * history. Within-batch keep-first runs as the usual window; rows
-    * whose hash already exists in `seenHashes` (one column,
-    * `exact_hash`, the running corpus state) are marked duplicates via
-    * a left-semi-style join — the historical corpus contributes only
-    * its distinct hash set, never re-shuffles its rows. Returns the
-    * flagged batch; the caller appends
-    * `result.filter(!is_dup_exact).select("exact_hash")` to the seen
-    * set (both sides hash-partition on exact_hash, so the append is
-    * shuffle-free when the state table is bucketed on the hash).
+    * whose hash already exists in `seenHashes` (the running corpus
+    * state) are marked duplicates via a left join — the historical
+    * corpus contributes only its distinct hash set, never re-shuffles
+    * its rows.
+    *
+    * dup_of lineage: if the state table carries the kept row's
+    * `dedup_id` alongside `exact_hash`, cross-batch duplicates point at
+    * the true (corpus) keeper — including a batch-first row that loses
+    * to history. With a hash-only state table, dup_of stays batch-local
+    * (cross-batch dups get null), so keep the id column in the state.
+    * Callers append `result.filter(!is_dup_exact)
+    * .select("exact_hash", "dedup_id")` to the state (both sides
+    * hash-partition on exact_hash, so the append is shuffle-free when
+    * the state table is bucketed on the hash).
     */
   def incrementalExactDedup(batch: DataFrame, seenHashes: DataFrame,
                             textCol: String = "text_pii_masked",
                             seqCol: String = "ingest_seq"): DataFrame = {
     val flagged = exactDedup(batch, textCol, seqCol)
-    val seen = seenHashes.select(col("exact_hash").as("__seen_hash")).distinct()
+    val seen =
+      if (seenHashes.columns.contains("dedup_id"))
+        seenHashes.groupBy(col("exact_hash").as("__seen_hash"))
+          .agg(min("dedup_id").as("__seen_id"))
+      else
+        seenHashes.select(col("exact_hash").as("__seen_hash")).distinct()
+          .withColumn("__seen_id", lit(null).cast("string"))
     flagged
       .join(seen, col("exact_hash") === col("__seen_hash"), "left")
       .withColumn("is_dup_exact",
         col("is_dup_exact") || col("__seen_hash").isNotNull)
+      // the corpus keeper predates everything in the batch, so it wins
+      // the lineage pointer over the within-batch first occurrence
+      .withColumn("dup_of",
+        when(col("__seen_hash").isNotNull && col("__seen_id").isNotNull,
+          col("__seen_id")).otherwise(col("dup_of")))
       .withColumn("drop_reason",
         when(col("drop_reason").isNull && col("__seen_hash").isNotNull,
           "exact_duplicate").otherwise(col("drop_reason")))
-      .drop("__seen_hash")
+      .drop("__seen_hash", "__seen_id")
   }
 }

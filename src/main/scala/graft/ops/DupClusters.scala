@@ -44,10 +44,18 @@ object DupClusters {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25,
                           smallGraphEdges: Long = 1000000L): DataFrame = {
-    val nEdges = pairs.count()
-    if (nEdges <= smallGraphEdges)
-      connectedComponentsLocal(pairs, idA, idB)
-    else connectedComponentsDistributed(pairs, idA, idB, maxIter)
+    // The edge list often hides an expensive generator plan (LSH / Jaccard
+    // self-join); persist it so the size probe doesn't evaluate that plan
+    // a second time for the collect (local) / edges union (distributed).
+    pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = pairs.count()
+      if (nEdges <= smallGraphEdges)
+        connectedComponentsLocal(pairs, idA, idB)
+      else connectedComponentsDistributed(pairs, idA, idB, maxIter)
+      // both paths finish materialized (driver rows / localCheckpoint),
+      // so releasing the input here cannot re-trigger the generator
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** Driver union-find with path compression for small edge lists. */
@@ -56,9 +64,15 @@ object DupClusters {
     val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // Iterative find (walk to root, then compress): union-by-min without
+    // rank can build O(n) parent chains, and at the 1M-edge threshold a
+    // recursive find would overflow the driver stack.
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
@@ -73,14 +87,30 @@ object DupClusters {
   /** Distributed pointer-jumping label propagation (see object doc). */
   private def connectedComponentsDistributed(pairs: DataFrame, idA: String,
                                              idB: String, maxIter: Int): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists at the RDD layer, where Dataset.unpersist
+    // can't reach — without explicit cleanup every round's checkpoint
+    // blocks accumulate until GC-driven ContextCleaner gets around to
+    // them. Track the RDD ids each checkpoint registers and free the
+    // previous round's once the next is materialized. (Diffing
+    // getPersistentRDDs assumes no concurrent persists on this session —
+    // fine inside one driver-side loop.)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint() // eager: materializes AND pins plan depth
+      (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def freeRdds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var (labels, labelRddIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
 
     var iter = 0
     var converged = false
@@ -96,16 +126,23 @@ object DupClusters {
       // pointer jump: label(label(id)) — labels only ever shrink, so the
       // looked-up label is always <= the current one when present
       val jump = stepped.select(col("id").as("j_id"), col("label").as("j_label"))
-      val jumped = stepped.join(jump, col("label") === col("j_id"), "left")
-        .select(col("id"), col("old_label"),
-          least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
-        .localCheckpoint() // materializes AND pins plan depth
+      val (jumped, newIds) = checkpointTracked(
+        stepped.join(jump, col("label") === col("j_id"), "left")
+          .select(col("id"), col("old_label"),
+            least(col("label"), coalesce(col("j_label"), col("label"))).as("label")))
       val changed = jumped.filter(col("label") =!= col("old_label")).count()
+      freeRdds(labelRddIds) // jumped is materialized; last round's blocks can go
       labels = jumped.select("id", "label")
+      labelRddIds = newIds
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      // returning silently would hand out partially-propagated labels
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(graph diameter exceeds 2^maxIter — raise maxIter)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 }

@@ -18,16 +18,32 @@ object Report {
     df.groupBy("drop_reason").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc_nulls_first("drop_reason"))
 
-  /** A2: numeric describe of a column — min/max/mean/median/count.
-    * Exact percentile (not approx) for oracle parity.
+  /** A2: numeric describe of a column — count/min/max/mean/std/quartiles,
+    * the full pandas `.describe()` surface (text_clean_and_filter.py:662-682).
+    * Exact percentiles (not approx) for oracle parity. Sample stddev is
+    * computed from plain sums (sqrt((Σx² − (Σx)²/n)/(n−1))) rather than
+    * Spark's streaming moment aggregate: for integer-valued columns the
+    * partial sums are exact in double regardless of partition order, so
+    * the result is bit-identical across engines (oracle-safe). The
+    * textbook cancellation caveat applies only to float columns with
+    * mean ≫ spread — quantize those comparisons instead.
     */
-  def describeCol(df: DataFrame, c: String): DataFrame =
+  def describeCol(df: DataFrame, c: String): DataFrame = {
+    val x = col(c).cast("double")
     df.agg(
-      count(col(c)).as("n"),
-      min(col(c)).as("min"),
-      max(col(c)).as("max"),
-      avg(col(c)).as("mean"),
-      expr(s"percentile($c, 0.5)").as("median"))
+        count(col(c)).as("n"),
+        min(col(c)).as("min"),
+        max(col(c)).as("max"),
+        avg(col(c)).as("mean"),
+        sum(x).as("_sx"),
+        sum(x * x).as("_sxx"),
+        expr(s"percentile($c, 0.25)").as("p25"),
+        expr(s"percentile($c, 0.5)").as("median"),
+        expr(s"percentile($c, 0.75)").as("p75"))
+      .withColumn("std",
+        sqrt((col("_sxx") - col("_sx") * col("_sx") / col("n")) / (col("n") - 1)))
+      .drop("_sx", "_sxx")
+  }
 
   /** A3: boolean/scalar sums over flag columns (replaces the reference's
     * mutable global counters with side-effect-free aggregation).

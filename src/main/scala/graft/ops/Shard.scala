@@ -52,6 +52,33 @@ object Shard {
       .withColumn("filename",
         format_string("train_shard_%05d.jsonl", col("shard_id")))
 
+  /** X2 global manifest section (sharding.py:150-178): one-row corpus
+    * totals paired with the per-shard list. `tokensCol` names the per-doc
+    * token-count column.
+    */
+  def manifestTotals(sharded: DataFrame, tokensCol: String = "n_tokens"): DataFrame =
+    sharded.agg(
+      countDistinct("shard_id").as("num_shards"),
+      count(lit(1)).as("total_docs"),
+      sum(tokensCol).as("total_tokens"))
+
+  /** X2 complete manifest JSON — global section (the reference adds run
+    * metadata driver-side: created_at_utc, tokenizer_name, docs_per_shard)
+    * plus the per-shard rows, assembled like metrics_summary.json. Both
+    * sections are aggregates, so the collect inside writeMetricsJson is
+    * small by construction.
+    */
+  def writeManifest(sharded: DataFrame, path: String,
+                    tokenizerName: String, createdAtUtc: String,
+                    docsPerShard: Int = DocsPerShard): Unit = {
+    val global = manifestTotals(sharded)
+      .withColumn("created_at_utc", lit(createdAtUtc))
+      .withColumn("tokenizer_name", lit(tokenizerName))
+      .withColumn("docs_per_shard", lit(docsPerShard))
+    graft.sources.Sinks.writeMetricsJson(
+      Map("global" -> global, "shards" -> shardManifest(sharded)), path)
+  }
+
   /** X1 sink: partitioned JSONL export, one directory per shard.
     * (Spark writes part-files per shard dir rather than single files —
     * documented divergence from the reference's one-file-per-shard.)

@@ -49,17 +49,19 @@ object Similarity {
   def lshBucket(v: Column, nbits: Int = 16): Column =
     lshBucketAt(v, lit(1), nbits)
 
-  /** Brute-force cosine top-k: exact baseline. Query set = vec_id < nQueries. */
+  /** Brute-force cosine top-k: exact baseline. Query set = vec_id < nQueries.
+    * Ranking is TopK.perQuery (bounded-heap aggregate with map-side
+    * combine), NOT a per-query window: a window would funnel the whole
+    * scored corpus into one partition per query — the 100 TB killer.
+    */
   def annTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+      .select("query_id", "vec_id", "cosine")
+    TopK.perQuery(scored, k)
   }
 
   /** Multi-table sign-bit LSH near-duplicate pairs: `tables` independent
@@ -148,14 +150,15 @@ object Similarity {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= probes)
       .select(col("query_id"), col("qv"), col("centroid_label").as("probe_centroid"))
-    val wTop = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
-    queryProbes
+    // Final ranking via the bounded-heap aggregate — the probed-candidate
+    // set still scales with corpus size, so it must never collapse into
+    // one partition per query (see TopK scaladoc).
+    val scored = queryProbes
       .join(assigned, col("probe_centroid") === col("assigned_centroid")
         && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .select("query_id", "vec_id", "cosine")
+    TopK.perQuery(scored, k)
   }
 
   /** IVF-style centroid assignment: nearest of k label-centroids (computed

@@ -74,9 +74,12 @@ object MultimodalQueries {
 
   // ---- q_media_features: partition-batched stub inference (rows-only) ----
 
+  // Array cells crash the driver's pandas sort, so expose the embedding
+  // only as an order-sensitive hash; downstream similarity ops consume the
+  // raw array from Multimodal.extractFeatures directly.
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(s, dir), dim = 16)
       .toDF()
       .select(col("media_id"), col("kind"), size(col("embedding")).as("dim"),
-        col("embedding"))
+        xxhash64(to_json(col("embedding"))).as("emb_hash"))
 }

@@ -30,7 +30,13 @@ object PipelineQueries {
 
   val describeCharsSql: String =
     """SELECT count(n_chars) AS n, min(n_chars) AS min, max(n_chars) AS max,
-      | avg(n_chars) AS mean, quantile_cont(n_chars, 0.5) AS median
+      | avg(n_chars) AS mean,
+      | quantile_cont(n_chars, 0.25) AS p25,
+      | quantile_cont(n_chars, 0.5) AS median,
+      | quantile_cont(n_chars, 0.75) AS p75,
+      | sqrt((sum(CAST(n_chars AS DOUBLE) * n_chars)
+      |       - sum(CAST(n_chars AS DOUBLE)) * sum(CAST(n_chars AS DOUBLE)) / count(n_chars))
+      |      / (count(n_chars) - 1)) AS std
       |FROM documents""".stripMargin
 
   // ---- q_histogram_chars: H1 fixed-width histogram ---------------------
@@ -118,6 +124,26 @@ object PipelineQueries {
        | printf('train_shard_%05d.jsonl', shard_id) AS filename
        |FROM sh GROUP BY shard_id""".stripMargin
 
+  // ---- q_manifest_totals: X2 global manifest section --------------------
+
+  def manifestTotals(s: SparkSession, dir: String): DataFrame =
+    Shard.manifestTotals(
+      Shard.assignShards(
+        Tables.documents(s, dir).withColumn("token_count",
+          graft.text.TextMetrics.tokenCount(col("text")).cast("long")),
+        docsPerShard = QueryDocsPerShard),
+      tokensCol = "token_count")
+
+  val manifestTotalsSql: String =
+    s"""WITH sh AS (
+       | SELECT len(CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |             ELSE string_split_regex(trim(text), '\\s+') END) AS token_count,
+       |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / $QueryDocsPerShard.0) AS BIGINT) AS shard_id
+       | FROM documents)
+       |SELECT count(DISTINCT shard_id) AS num_shards, count(*) AS total_docs,
+       | CAST(sum(token_count) AS BIGINT) AS total_tokens
+       |FROM sh""".stripMargin
+
   // ---- q_pii_totals: A3 corpus-level PII aggregates ---------------------
 
   def piiTotals(s: SparkSession, dir: String): DataFrame =
@@ -153,12 +179,17 @@ object PipelineQueries {
 
   // ---- q_tokenize: T1 (engine-defined tokenizer; rows-only check) -------
 
+  // The driver's pandas compare cannot sort array-typed cells, so the
+  // query surface exposes only harness-sortable scalars: token count plus
+  // an order-sensitive hash of each array. The raw input_ids /
+  // attention_mask arrays remain available via Pipeline.tokenise (the
+  // training-export path, Tokenisation_JSONL_export.py:97-119).
   def tokenize(s: SparkSession, dir: String): DataFrame = {
     val t = graft.text.Tokenize.tokenize(col("text"))
     Tables.documents(s, dir).select(col("doc_id"),
-      t.getField("_1").as("input_ids"),
-      t.getField("_2").as("attention_mask"),
-      t.getField("_3").cast("long").as("n_tokens"))
+      t.getField("_3").cast("long").as("n_tokens"),
+      xxhash64(to_json(t.getField("_1"))).as("ids_hash"),
+      xxhash64(to_json(t.getField("_2"))).as("mask_hash"))
   }
 
   // ---- q_pipeline_full: stages 2-6 fused, end to end (rows-only) --------
