@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Filters
+import graft.sources.Sinks
+
+/** Checkpointed pipeline orchestrator (SURVEY.md §3 E1): the reference's
+  * resumable run mode (run_pipeline.py:24-49), where every stage persists
+  * its full output as a versioned parquet (`mainpipe_v1..v7`) plus the
+  * rows it dropped, and a crashed or killed run restarts from the last
+  * completed version instead of from raw.
+  *
+  * Contrast with [[Pipeline.run]]: that fuses stages 2-6 into one lazy
+  * Catalyst DAG — the fast path when nothing needs inspecting. This
+  * runner trades extra IO for operability: each stage boundary is a real
+  * parquet (inspectable, diffable, resumable), the exact workflow the
+  * reference's subprocess-per-stage design provides. At 100 TB use this
+  * mode for the first run of a new corpus (stage outputs feed audits)
+  * and the fused mode for steady-state re-runs.
+  *
+  * Stage boundaries follow the reference: each stage receives only the
+  * KEPT rows of its predecessor (the reference physically splits
+  * kept/dropped per stage); dropped rows land in a side parquet named by
+  * stage, so per-stage drop-reason audits never rescan the main line.
+  * For order-sensitive stages this split is the reference-faithful
+  * semantics: dedup keep-first here considers only surviving rows,
+  * whereas the fused single-frame mode windows over all rows (a doomed
+  * row can "win" a hash group and shadow a kept one) — documented
+  * divergence between the two modes (duplication.py:114-141 operates on
+  * the post-filter frame).
+  */
+object Orchestrator {
+
+  /** Highest stage version (v7 = sharded). */
+  val LastVersion = 7
+
+  def versionPath(outDir: String, v: Int): String =
+    s"$outDir/mainpipe_v$v.parquet"
+
+  def droppedPath(outDir: String, v: Int): String =
+    s"$outDir/dropped_v$v.parquet"
+
+  /** Ordered stage table: (version, name, transform). Stage v consumes
+    * kept rows of v-1. Versions match the reference's file numbering.
+    */
+  def stages(dropPii: Boolean = false): Seq[(Int, String, DataFrame => DataFrame)] = Seq(
+    (2, "clean_and_filter", df => Pipeline.cleanAndFilter(df)),
+    (3, "deep_clean_and_pii", df => Pipeline.deepCleanAndPii(df, dropPii)),
+    (4, "dedup", df => Pipeline.dedup(df)),
+    (5, "score", df => Pipeline.score(df)),
+    (6, "tokenise", df => Pipeline.tokenise(df)),
+    (7, "shard", df => Pipeline.shard(df)))
+
+  /** Run stages [fromVersion..7], materializing each boundary.
+    *
+    * fromVersion = 1 ingests `raw` (required) and writes v1; any higher
+    * value resumes from `mainpipe_v{fromVersion-1}.parquet` in `outDir`
+    * — `raw` is ignored, matching the reference's "rerun from stage N"
+    * workflow. Returns the final frame read back from v7, and writes a
+    * `run_summary.json` with per-stage kept/dropped row counts (H3).
+    *
+    * Each stage's input is the parquet read-back, not the in-memory
+    * frame: lineage is cut at every boundary (no 7-stage mega-plan), and
+    * a resume sees byte-identical input to the original run.
+    */
+  def run(spark: SparkSession, outDir: String,
+          raw: Option[DataFrame] = None,
+          fromVersion: Int = 1,
+          dropPii: Boolean = false): DataFrame = {
+    require(fromVersion >= 1 && fromVersion <= LastVersion,
+      s"fromVersion must be in [1, $LastVersion], got $fromVersion")
+    if (fromVersion == 1) {
+      val rawDf = raw.getOrElse(throw new IllegalArgumentException(
+        "fromVersion = 1 requires the raw input frame"))
+      Pipeline.ingest(rawDf).write.mode("overwrite")
+        .parquet(versionPath(outDir, 1))
+    }
+    val startV = math.max(fromVersion, 2)
+    var cur = spark.read.parquet(versionPath(outDir, startV - 1))
+    val counts = Seq.newBuilder[(String, Long, Long)]
+    stages(dropPii).dropWhile(_._1 < startV).foreach { case (v, name, fn) =>
+      val out = fn(cur)
+      Filters.kept(out).write.mode("overwrite").parquet(versionPath(outDir, v))
+      Filters.dropped(out).write.mode("overwrite").parquet(droppedPath(outDir, v))
+      cur = spark.read.parquet(versionPath(outDir, v))
+      counts += ((s"v$v:$name", cur.count(),
+        spark.read.parquet(droppedPath(outDir, v)).count()))
+    }
+    val summary = {
+      import spark.implicits._
+      counts.result().toDF("stage", "kept", "dropped")
+    }
+    Sinks.writeMetricsJson(Map("stages" -> summary), s"$outDir/run_summary.json")
+    cur
+  }
+}

@@ -57,6 +57,68 @@ object Streaming {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("exact_hash")
 
+  // ---- stateful flagged dedup (incremental-dedup state shape) -----------
+
+  case class DedupEvent(exact_hash: String, dedup_id: String, ts: Timestamp)
+  case class DedupFlag(dedup_id: String, exact_hash: String,
+                       is_dup_exact: Boolean, dup_of: Option[String])
+
+  /** Streaming twin of [[graft.ops.Dedup.incrementalExactDedup]]: the
+    * keyed state is exactly the batch state table — exact_hash → kept
+    * dedup_id — so duplicates are FLAGGED with lineage (`dup_of` points
+    * at the first arrival, across micro-batches) instead of silently
+    * vanishing the way `dropDuplicatesWithinWatermark` drops them.
+    * Within a micro-batch, arrival order is (ts, dedup_id) — the
+    * deterministic stand-in for the batch path's ingest_seq.
+    *
+    * State expires `ttlMs` past the keeper's last-seen event time, the
+    * same watermark-bounded horizon dropDuplicatesWithinWatermark uses —
+    * kept-row parity with it is exercised in StreamingSpec.
+    */
+  def dedupStreamFlagged(df: DataFrame, textCol: String, idCol: String,
+                         eventTimeCol: String,
+                         watermark: String = "1 hour",
+                         ttlMs: Long = 3600000L): Dataset[DedupFlag] = {
+    implicit val evEnc: Encoder[DedupEvent] = Encoders.product[DedupEvent]
+    implicit val flagEnc: Encoder[DedupFlag] = Encoders.product[DedupFlag]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+
+    def fn(hash: String, batch: Iterator[DedupEvent],
+           state: GroupState[String]): Iterator[DedupFlag] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var keeper = state.getOption
+        var maxTs = Long.MinValue
+        val out = batch.toArray.sortBy(e => (e.ts.getTime, e.dedup_id)).map { e =>
+          maxTs = math.max(maxTs, e.ts.getTime)
+          keeper match {
+            case Some(k) => DedupFlag(e.dedup_id, hash, is_dup_exact = true, Some(k))
+            case None =>
+              keeper = Some(e.dedup_id)
+              DedupFlag(e.dedup_id, hash, is_dup_exact = false, None)
+          }
+        }
+        keeper.foreach { k =>
+          state.update(k)
+          // timeout must stay ahead of the current watermark (late rows
+          // can carry old timestamps)
+          val horizon = math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1)
+          state.setTimeoutTimestamp(horizon)
+        }
+        out.iterator
+      }
+    }
+
+    df.withColumn("exact_hash",
+        Normalize.sha256Hex(Normalize.canonExact(col(textCol))))
+      .select(col("exact_hash"), col(idCol).cast("string").as("dedup_id"),
+        col(eventTimeCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[DedupEvent]
+      .groupByKey(_.exact_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

@@ -107,4 +107,47 @@ class PlanSpec extends SparkTestBase {
     // centroid fan-outs are broadcast nested loops over a tiny local side
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("ANN/IVF top-k ranks by bounded aggregate, never a per-query window") {
+    // A Window partitioned by query_id funnels every scored corpus row
+    // for a query into ONE partition — the 100 TB killer TopK.perQuery
+    // exists to avoid. The final ranking must plan as hash aggregation
+    // with a map-side partial pass (each task pre-reduces to ≤k rows per
+    // query before the exchange). IVF keeps two legitimate small
+    // windows (per-vector argmax: |centroids| rows per high-cardinality
+    // key; probe ranking: |Q|·|centroids| rows total) — only brute-force
+    // ANN must be window-free outright.
+    val ann = plan(graft.queries.SimilarityQueries.annTopK(spark, dir))
+    assert(!ann.contains(") Window"),
+      s"per-query window back in the brute-force top-k path:\n$ann")
+    Seq(ann, plan(graft.queries.SimilarityQueries.ivfTopK(spark, dir))).foreach { p =>
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkscored"),
+        s"top-k must partial-aggregate map-side:\n$p")
+    }
+  }
+
+  test("pipeline_full runtime: 2 executed dedup shuffles, exact exchange reused, 1 scan") {
+    // Statically the union's two branches (near-dup candidates vs rest)
+    // each carry the exact_hash window's exchange; at runtime AQE reuses
+    // the first materialization — so the executed plan must show exactly
+    // two real shuffles (exact_hash + near_key), one ReusedExchange, and
+    // a single parquet scan. Pinning the FINAL adaptive plan guards the
+    // fusion work at the level that actually costs money.
+    val df = graft.queries.PipelineQueries.pipelineFull(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // "+- Exchange hash..." is a real shuffle; a ReusedExchange line also
+    // mentions "Exchange hashpartitioning" but only after its arg list
+    val executed = """[+:]- Exchange hashpartitioning""".r.findAllIn(finalPlan).size
+    val reused = finalPlan.linesIterator.count(_.contains("ReusedExchange"))
+    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(executed === 2, s"expected 2 executed shuffles, got $executed:\n$finalPlan")
+    assert(reused === 1, s"exact-hash exchange not reused across the union:\n$finalPlan")
+    assert(scans === 1, s"documents scanned $scans times at runtime:\n$finalPlan")
+    // the custom codegen expressions stay inlined in the fused plan
+    val static = plan(df)
+    assert(static.contains("wordlist_hits"), s"WordlistHits kernel missing:\n$static")
+    assert(static.contains("nfkc"), s"NfkcNormalize missing:\n$static")
+  }
 }

@@ -49,6 +49,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flagged stateful dedup: kept rows match dropDuplicatesWithinWatermark, dups carry cross-batch lineage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ingest_ts", "id", "text")
+    val flagged = Streaming.dedupStreamFlagged(df, "text", "id", "ingest_ts")
+    val builtin = Streaming.dedupStream(df, "text", "ingest_ts")
+    val qf = flagged.writeStream.format("memory").queryName("flagged")
+      .outputMode("append").start()
+    val qb = builtin.writeStream.format("memory").queryName("builtin")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "a", "Hello   World"), (ts(1), "b", "hello world"),
+        (ts(2), "c", "other doc"))
+      qf.processAllAvailable(); qb.processAllAvailable()
+      // micro-batch 2: a cross-batch duplicate of "hello world" + a fresh doc
+      in.addData((ts(3), "d", "HELLO WORLD"), (ts(4), "e", "new doc"))
+      qf.processAllAvailable(); qb.processAllAvailable()
+
+      val keptFlagged = spark.table("flagged").filter(!col("is_dup_exact"))
+        .select("dedup_id").as[String].collect().toSet
+      val keptBuiltin = spark.table("builtin")
+        .select("id").as[String].collect().toSet
+      assert(keptFlagged === keptBuiltin)
+      assert(keptFlagged === Set("a", "c", "e"))
+
+      // duplicates carry lineage to the first arrival — including d,
+      // whose keeper was seen in the PREVIOUS micro-batch (the
+      // incremental-dedup state shape dropDuplicates can't express)
+      val dupOf = spark.table("flagged").filter(col("is_dup_exact"))
+        .select("dedup_id", "dup_of").as[(String, Option[String])]
+        .collect().toMap
+      assert(dupOf === Map("b" -> Some("a"), "d" -> Some("a")))
+    } finally { qf.stop(); qb.stop() }
+  }
+
   test("gap sessionization emits a session once the watermark closes it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

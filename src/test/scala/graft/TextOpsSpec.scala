@@ -98,6 +98,57 @@ class TextOpsSpec extends SparkTestBase {
     assert(!masked.contains("a.b@x.co"))
   }
 
+  private def ccHits(s: String): Int =
+    Seq(s).toDF("t").select(Pii.piiCcHits(col("t")).as("n"))
+      .collect()(0).getInt(0)
+
+  private def masked(s: String): String =
+    Seq(s).toDF("t").select(Pii.maskPii(col("t")).as("m"))
+      .collect()(0).getString(0)
+
+  test("regex golden: CreditCardRe lazy quantifier matches Python re exactly") {
+    // Golden values from Python 3.11 re over the reference's pattern
+    // (deep_clean_and_pii.py:266-334). The leading \b is what stops a
+    // 17+-digit run from matching at offset 1 — every interior start
+    // position sits between two digits, so the boundary never holds.
+    assert(ccHits("4111 1111 1111 1111") === 1)
+    assert(ccHits("4222222222222") === 1)   // 13 digits: lower bound
+    assert(ccHits("123456789012") === 0)    // 12 digits: under bound
+    assert(ccHits("12345678901234567") === 0) // 17 digits: leading \b blocks
+    assert(ccHits("4111-1111-1111-1111 and 5500 0000 0000 0004") === 2)
+    assert(ccHits("id 1234567890123456x") === 0) // trailing \b blocks
+    // Mask-CHAIN order is part of the semantics: phone runs before cc
+    // (deep_clean_and_pii.py order), and PhoneRe happily eats the first
+    // 3-4/3-4 digit groups of a spaced card number. Python's chain does
+    // exactly the same — golden outputs match byte for byte.
+    assert(masked("pad 4111 1111 1111 1111 pad") === "pad <PHONE> 1111 pad")
+    assert(masked("4111-1111-1111-1111 and x") === "<PHONE>-1111 and x")
+  }
+
+  test("regex golden: \\b at non-ASCII — Spark matches Python; RE2 oracle diverges") {
+    // Word-boundary dialects at non-ASCII letters, measured empirically:
+    // Java (Spark) and Python3 re both treat é as a word character, so
+    // PhoneRe's trailing \b fails after "...4567é", backtracks, and masks
+    // only "555-123" — the engine reproduces the pandas reference
+    // EXACTLY. DuckDB's RE2 \b is ASCII-only and masks the full run
+    // ("call <PHONE>é now"), so oracle SQL on non-ASCII-adjacent digits
+    // would hash-mismatch — irrelevant for the ASCII test corpus, pinned
+    // here so nobody "fixes" the engine toward the oracle (SURVEY §7
+    // hard-parts list).
+    assert(masked("call 555-123-4567 now") === "call <PHONE> now")
+    assert(masked("call 555-123-4567é now") === "call <PHONE>-4567é now")
+    assert(masked("число 555-123-4567") === "число <PHONE>")
+
+    // \w+ tokenization (Toxicity.tokens) is the opposite story: Java \w
+    // is ASCII-only like RE2 (engine == oracle), Python's is Unicode.
+    // Wordlists are plain ASCII so hit counts are unaffected; only the
+    // token-count denominator drifts on accented text.
+    val toks = Seq("merde café naïve").toDF("t")
+      .select(expr("regexp_extract_all(lower(t), '\\\\w+', 0)").as("w"))
+      .collect()(0).getSeq[String](0)
+    assert(toks === Seq("merde", "caf", "na", "ve")) // Python: merde, café, naïve
+  }
+
   test("M9 toxicity: scaled fractions, severe at >= 0.9") {
     val out = Seq("damn damn clean words here and there")
       .toDF("t").select(Toxicity.scores(col("t"))("toxicity")).collect()(0)
