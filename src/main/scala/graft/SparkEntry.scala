@@ -86,6 +86,7 @@ object SparkEntry {
     "q_ivf_assign" -> (SimilarityQueries.ivfAssign _),
     "q_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "q_ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
+    "q_winnow_fp" -> (SimilarityQueries.winnowFp _),
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
     "q_dup_clusters" -> (SimilarityQueries.dupClusters _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_ivf_assign" -> SimilarityQueries.ivfAssignSql,
     "q_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "q_ngram_jaccard" -> SimilarityQueries.ngramJaccardSql,
+    "q_winnow_fp" -> SimilarityQueries.winnowFpSql,
     "q_media_meta" -> MultimodalQueries.mediaMetaSql,
     "q_frame_sample" -> MultimodalQueries.frameSampleSql,
     "q_audio_chunks" -> MultimodalQueries.audioChunksSql

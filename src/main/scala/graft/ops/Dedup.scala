@@ -27,6 +27,18 @@ object Dedup {
   val NearDupMinLen = 200
   val NearKeyChars = 500
 
+  /** Rows already dropped by earlier stages sort LAST in the dedup
+    * windows: the reference dedups the post-filter frame
+    * (duplication.py:100-141), so a doomed row must never "win" a hash
+    * group and shadow a kept row. Ordering doomed rows last (instead of
+    * splitting them out) keeps one window, one scan, and identical
+    * flags on kept rows — the doomed rows' own flags are audit-only
+    * (their drop_reason is already set, first-match-wins preserves it).
+    */
+  private def doomedLast(df: DataFrame) =
+    if (df.columns.contains("drop_reason")) col("drop_reason").isNotNull
+    else lit(false)
+
   /** D1+D3: adds dedup_id, exact_canon_text, exact_hash, is_dup_exact,
     * dup_of, and the `exact_duplicate` drop reason.
     */
@@ -35,7 +47,7 @@ object Dedup {
     val idCol =
       if (df.columns.contains("doc_id")) col("doc_id").cast("string")
       else col(seqCol).cast("string")
-    val w = Window.partitionBy("exact_hash").orderBy(seqCol)
+    val w = Window.partitionBy("exact_hash").orderBy(doomedLast(df), col(seqCol))
     val withFlags = df
       .withColumn("dedup_id", idCol)
       .withColumn("exact_canon_text", Normalize.canonExact(col(textCol)))
@@ -59,7 +71,7 @@ object Dedup {
     val rest = keyed.filter(!isCandidate)
       .withColumn("is_dup_near", lit(false))
 
-    val w = Window.partitionBy("near_key").orderBy(seqCol)
+    val w = Window.partitionBy("near_key").orderBy(doomedLast(df), col(seqCol))
     val candFlagged = cand
       .withColumn("__rn", row_number().over(w))
       .withColumn("__first_id", first("dedup_id").over(w))

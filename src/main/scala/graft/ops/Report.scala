@@ -45,6 +45,27 @@ object Report {
       .drop("_sx", "_sxx")
   }
 
+  /** A2 at 100 TB: exact `percentile` buffers every value in the
+    * aggregation state (fine for one small describe at test scale,
+    * memory-unbounded on a trillion rows); approx_percentile's
+    * KLL-style sketch is the scale path — bounded state at a chosen
+    * accuracy. Sketch internals are engine-defined, so this form is
+    * spec-checked against [[describeCol]] (RelationalSpec), not
+    * oracle-hashed. stddev here is the streaming moment aggregate —
+    * fine when nothing hashes the bits.
+    */
+  def describeColApprox(df: DataFrame, c: String, accuracy: Int = 10000): DataFrame =
+    df.agg(
+        count(col(c)).as("n"),
+        min(col(c)).as("min"),
+        max(col(c)).as("max"),
+        avg(col(c)).as("mean"),
+        stddev_samp(col(c)).as("std"),
+        expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), $accuracy)").as("_q"))
+      .select(col("n"), col("min"), col("max"), col("mean"), col("std"),
+        col("_q").getItem(0).as("p25"), col("_q").getItem(1).as("median"),
+        col("_q").getItem(2).as("p75"))
+
   /** A3: boolean/scalar sums over flag columns (replaces the reference's
     * mutable global counters with side-effect-free aggregation).
     */

@@ -275,4 +275,52 @@ object SketchDedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the standard rolling-hash fingerprint): hash every character
+    * k-gram of the canonical text, slide a window of `w` hashes, keep
+    * each window's minimum. Guarantee: any shared substring of length
+    * ≥ w+k-1 contributes at least one common fingerprint, so fingerprint
+    * intersection finds partial overlaps (quotes, boilerplate reuse)
+    * that whole-document hashing misses.
+    *
+    * Output: (id, fp) — one row per distinct selected hash. Match-finding
+    * is then a hash-partitioned self-join on fp, the same candidate-only
+    * shape as LSH; per-row work is O(n·w) inside one codegen'd
+    * projection, no shuffle.
+    *
+    * Hashes are md5 hex STRINGS, not ints: lexicographic min over hex is
+    * identical in every engine (byte-wise ASCII compare), which keeps
+    * the op oracle-checkable without a shared integer-hash function.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame =
+    winnowSelected(df, idCol, textCol, k, w)
+      .select(col("id"), explode(array_distinct(col("sels"))).as("fp"))
+
+  /** Compact per-document form: fingerprint count + md5 digest of the
+    * sorted fingerprint set. Entirely per-row (no explode, no shuffle) —
+    * the shape for corpus-level fingerprint manifests and fast
+    * whole-set equality checks.
+    */
+  def winnowDigest(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, w: Int = 4): DataFrame =
+    winnowSelected(df, idCol, textCol, k, w)
+      .withColumn("fps", array_sort(array_distinct(col("sels"))))
+      .select(col("id"), size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws("", col("fps"))).as("fp_digest"))
+
+  private def winnowSelected(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, w: Int): DataFrame = {
+    val canon = graft.text.Normalize.canonExact(col(textCol))
+    df.select(col(idCol).as("id"), canon.as("canon"))
+      .withColumn("n", length(col("canon")))
+      .filter(col("n") >= k + w - 1) // need at least one full window
+      // gram hashes must be a bound attribute before the window pass —
+      // same inline-subtree trap as shinglesFromTokens
+      .withColumn("hs",
+        expr(s"transform(sequence(1, n - ${k - 1}), i -> md5(substring(canon, i, $k)))"))
+      .withColumn("sels",
+        expr(s"transform(sequence(1, n - ${k + w - 2}), j -> array_min(slice(hs, j, $w)))"))
+  }
 }

@@ -184,6 +184,30 @@ object SimilarityQueries {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
       |LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  // ---- q_winnow_fp: rolling-hash winnowing fingerprint digest -----------
+
+  private val WinnowK = 8
+  private val WinnowW = 4
+
+  def winnowFp(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.winnowDigest(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", k = WinnowK, w = WinnowW)
+      .withColumnRenamed("id", "doc_id")
+
+  val winnowFpSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS canon
+       | FROM documents),
+       |g AS (SELECT doc_id, canon, length(canon) AS n FROM c
+       |      WHERE length(canon) >= ${WinnowK + WinnowW - 1}),
+       |h AS (SELECT doc_id, n, list_transform(generate_series(1, n - ${WinnowK - 1}),
+       |        i -> md5(substr(canon, i, $WinnowK))) AS hs FROM g),
+       |s AS (SELECT doc_id, list_sort(list_distinct(
+       |        list_transform(generate_series(1, n - ${WinnowK + WinnowW - 2}),
+       |          j -> list_min(hs[j:j+${WinnowW - 1}])))) AS fps FROM h)
+       |SELECT doc_id, len(fps) AS n_fp, md5(array_to_string(fps, '')) AS fp_digest
+       |FROM s""".stripMargin
+
   // ---- engine-defined sketches (hash-seeded; rows-only checks) ----------
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =

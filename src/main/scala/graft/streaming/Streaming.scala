@@ -119,6 +119,48 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Continuous incremental dedup against a PERSISTENT hash corpus: each
+    * micro-batch runs [[graft.ops.Dedup.incrementalExactDedup]] against a
+    * parquet state table of (exact_hash, dedup_id), then appends its own
+    * kept hashes to that state. Unlike the state-store variants
+    * ([[dedupStream]]/[[dedupStreamFlagged]]) the horizon is unbounded —
+    * state lives in a table, not the streaming state store, so it
+    * survives restarts, is inspectable, and can be compacted/bucketed
+    * out-of-band (the 100 TB corpus-state shape: history never
+    * re-shuffles, each batch joins against the hash set only).
+    *
+    * Failure semantics: foreachBatch can replay a batch; replays append
+    * duplicate state rows, which incrementalExactDedup's distinct/min
+    * collapse makes harmless for flagging (output rows are per-batch
+    * parquet appends and follow the sink's replay semantics).
+    */
+  def dedupAgainstCorpus(df: DataFrame, textCol: String, idCol: String,
+                         stateDir: String, outDir: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen =
+          if (new java.io.File(stateDir).exists())
+            spark.read.parquet(stateDir)
+          else
+            spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("exact_hash", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("dedup_id", org.apache.spark.sql.types.StringType))))
+        val flagged = graft.ops.Dedup
+          .incrementalExactDedup(batch, seen, textCol = textCol, seqCol = idCol)
+          .persist() // one evaluation feeds both sinks
+        try {
+          flagged.write.mode("append").parquet(outDir)
+          flagged.filter(!col("is_dup_exact"))
+            .select("exact_hash", "dedup_id")
+            .write.mode("append").parquet(stateDir)
+        } finally flagged.unpersist(blocking = false)
+      }
+      .start()
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

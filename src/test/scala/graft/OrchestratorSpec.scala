@@ -69,6 +69,24 @@ class OrchestratorSpec extends SparkTestBase {
     assert(v7.columns.contains("shard_id") && v7.columns.contains("global_seq"))
   }
 
+  test("fused pipeline equals checkpointed pipeline on kept rows") {
+    // The single-frame fused mode (Pipeline.run) masks dropped rows and
+    // keeps computing; the orchestrator physically splits per stage like
+    // the reference. With doomed rows ordered last in the dedup windows,
+    // the two modes must produce the IDENTICAL kept set with identical
+    // stage columns — the single-frame design's core claim.
+    val raw = Pipeline.fromDocuments(Tables.documents(spark, sfDir))
+      .select("url", "text")
+    val cols = Seq("doc_id", "lang_pred", "token_count", "has_pii",
+      "is_dup_exact", "is_dup_near", "quality_score", "subset", "n_tokens",
+      "global_seq", "shard_id")
+    val fused = Pipeline.shard(Pipeline.run(Pipeline.ingest(raw)))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val checkpointed = spark.read.parquet(Orchestrator.versionPath(outDir, 7))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(fused === checkpointed)
+  }
+
   test("resume from stage 5 reproduces the original v7 exactly") {
     val original = spark.read.parquet(Orchestrator.versionPath(outDir, 7))
       .select("doc_id", "quality_score", "subset", "n_tokens", "shard_id")

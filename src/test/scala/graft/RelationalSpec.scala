@@ -216,4 +216,22 @@ class RelationalSpec extends SparkTestBase {
         math.max(1.0, math.abs(em) * 0.1), s"approx median off for $t")
     }
   }
+
+  test("approx describe tracks exact describe (bounded-state scale path)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = graft.ops.Report.describeCol(docs, "n_chars").collect()(0)
+    val approx = graft.ops.Report.describeColApprox(docs, "n_chars").collect()(0)
+    // identical moments (same plain aggregates)...
+    assert(approx.getAs[Long]("n") === exact.getAs[Long]("n"))
+    assert(approx.getAs[Long]("min") === exact.getAs[Long]("min"))
+    assert(approx.getAs[Long]("max") === exact.getAs[Long]("max"))
+    assert(math.abs(approx.getAs[Double]("mean") - exact.getAs[Double]("mean")) < 1e-9)
+    assert(math.abs(approx.getAs[Double]("std") - exact.getAs[Double]("std")) < 1e-6)
+    // ...and sketched quantiles within 2% of exact at default accuracy
+    Seq("p25", "median", "p75").foreach { q =>
+      val e = exact.getAs[Double](q)
+      val a = approx.getAs[Long](q).toDouble // approx returns the col's type
+      assert(math.abs(a - e) <= math.max(1.0, e * 0.02), s"$q: approx $a vs exact $e")
+    }
+  }
 }

@@ -71,6 +71,31 @@ class SketchDedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (x, y, _) => x == "d" || y == "d" })
   }
 
+  test("winnowing: shared substrings >= w+k-1 chars share a fingerprint; short docs excluded") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    val shared = "a very distinctive stretch of reused prose"
+    val df = Seq(
+      (1L, s"first document begins. $shared. then diverges completely xyz"),
+      (2L, s"totally different opening here! $shared! and another ending"),
+      (3L, "unrelated text with nothing in common at all with the others"),
+      (4L, "tiny") // under k+w-1 chars: no window, no rows
+    ).toDF("doc_id", "text")
+    val fps = SketchDedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the winnowing guarantee: docs 1 and 2 share the long substring
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // doc 3 shares nothing that long with doc 1
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L))
+    // digest form agrees with the exploded form
+    val digests = SketchDedup.winnowDigest(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(digests(1L) === byDoc(1L).size.toLong)
+    assert(digests.keySet === Set(1L, 2L, 3L))
+  }
+
   test("cosine matches a plain scala computation") {
     import spark.implicits._
     val a = Array(1.0, 2.0, 3.0)

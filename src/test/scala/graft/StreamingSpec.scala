@@ -85,6 +85,33 @@ class StreamingSpec extends SparkTestBase {
     } finally { qf.stop(); qb.stop() }
   }
 
+  test("foreachBatch dedup against a persistent parquet corpus state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("corpus_dedup").toString
+    val in = MemoryStream[(String, String)]
+    val q = Streaming.dedupAgainstCorpus(in.toDF().toDF("id", "text"),
+      textCol = "text", idCol = "id",
+      stateDir = s"$base/state", outDir = s"$base/out",
+      checkpointDir = s"$base/ckpt")
+    try {
+      in.addData(("a", "Hello   World"), ("b", "other doc"))
+      q.processAllAvailable()
+      // micro-batch 2: c is a cross-batch duplicate of a
+      in.addData(("c", "HELLO WORLD"), ("d", "third doc"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+      val dups = out.filter(col("is_dup_exact"))
+        .select("dedup_id", "dup_of").as[(String, String)].collect().toMap
+      // dup_of crosses the batch boundary via the state table's kept id
+      assert(dups === Map("c" -> "a"))
+      // the corpus state holds exactly the kept rows' (hash, id)
+      val state = spark.read.parquet(s"$base/state")
+        .select("dedup_id").as[String].collect().toSet
+      assert(state === Set("a", "b", "d"))
+    } finally q.stop()
+  }
+
   test("gap sessionization emits a session once the watermark closes it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
