@@ -314,13 +314,12 @@ object SketchDedup {
                              k: Int, w: Int): DataFrame = {
     val canon = graft.text.Normalize.canonExact(col(textCol))
     df.select(col(idCol).as("id"), canon.as("canon"))
-      .withColumn("n", length(col("canon")))
-      .filter(col("n") >= k + w - 1) // need at least one full window
-      // gram hashes must be a bound attribute before the window pass —
-      // same inline-subtree trap as shinglesFromTokens
-      .withColumn("hs",
-        expr(s"transform(sequence(1, n - ${k - 1}), i -> md5(substring(canon, i, $k)))"))
-      .withColumn("sels",
-        expr(s"transform(sequence(1, n - ${k + w - 2}), j -> array_min(slice(hs, j, $w)))"))
+      .filter(length(col("canon")) >= k + w - 1) // need at least one full window
+      // native kernel, NOT the transform/slice HOF form: CollapseProject
+      // inlines a single-use gram-hash array into the window lambda, so
+      // the HOF form re-hashes all n grams once per window position —
+      // O(n^2) md5 calls per row (77 s for 500 docs, measured). The
+      // kernel hashes each gram once + monotonic-deque window minima.
+      .withColumn("sels", graft.plans.WinnowSelect(col("canon"), k, w))
   }
 }

@@ -19,6 +19,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("cosine_sim"), CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction(
       (FunctionIdentifier("wordlist_hits"), WordlistHits.info, WordlistHits.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
   }
 }
@@ -32,6 +34,8 @@ object GraftFunctions {
       FunctionIdentifier("cosine_sim"), CosineSimilarity.info, CosineSimilarity.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("wordlist_hits"), WordlistHits.info, WordlistHits.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

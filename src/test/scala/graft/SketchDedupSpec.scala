@@ -96,6 +96,31 @@ class SketchDedupSpec extends SparkTestBase {
     assert(digests.keySet === Set(1L, 2L, 3L))
   }
 
+  test("winnow kernel is value-identical to the HOF reference form") {
+    import spark.implicits._
+    // the readable-but-O(n^2) SQL formulation the kernel replaces; kept
+    // here as the executable spec of the kernel's semantics (matches the
+    // DuckDB oracle in SimilarityQueries.winnowFpSql)
+    def hofSels(k: Int, w: Int) = expr(
+      s"""transform(sequence(1, length(canon) - ${k + w - 2}), j ->
+         |  array_min(transform(sequence(j, j + ${w - 1}), i ->
+         |    md5(substring(canon, i, $k)))))""".stripMargin)
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "abababababababab", "ünïcödé — mixed width テキスト here",
+      "exactly-eleven!", "aaaaaaaaaaaaaaaaaaaaaa").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    for ((k, w) <- Seq((8, 4), (5, 3), (3, 7))) {
+      val df = docs.toDF("id", "text")
+        .select(col("id"), graft.text.Normalize.canonExact(col("text")).as("canon"))
+        .filter(length(col("canon")) >= k + w - 1)
+      val got = df.select(col("id"), graft.plans.WinnowSelect(col("canon"), k, w).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = df.select(col("id"), hofSels(k, w).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got === want, s"k=$k w=$w")
+    }
+  }
+
   test("cosine matches a plain scala computation") {
     import spark.implicits._
     val a = Array(1.0, 2.0, 3.0)
