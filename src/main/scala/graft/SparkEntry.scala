@@ -66,6 +66,8 @@ object SparkEntry {
     "q_quality_score" -> (DocQueries.qualityScore _),
     "q_spam_exploded" -> (DocQueries.spamExploded _),
     "q_dedup_tokens" -> (DocQueries.dedupTokens _),
+    "q_token_pack" -> (DocQueries.tokenPack _),
+    "q_domain_cap" -> (DocQueries.domainCap _),
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
     "q_dup_clusters" -> (SimilarityQueries.dupClusters _),
     "q_contamination" -> (SimilarityQueries.contamination _),
+    "q_bloom_contamination" -> (SimilarityQueries.bloomContamination _),
     // Multimodal binary columns (builder brief first-class ops)
     "q_media_meta" -> (MultimodalQueries.mediaMeta _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
@@ -142,8 +145,12 @@ object SparkEntry {
     "q_quality_score" -> DocQueries.qualityScoreSql,
     "q_spam_exploded" -> DocQueries.spamExplodedSql,
     "q_dedup_tokens" -> DocQueries.dedupTokensSql,
+    "q_token_pack" -> DocQueries.tokenPackSql,
+    "q_domain_cap" -> DocQueries.domainCapSql,
     "q_dup_clusters" -> SimilarityQueries.dupClustersSql,
     "q_contamination" -> SimilarityQueries.contaminationSql,
+    // the Bloom path is exact (prefilter + verify join), same oracle
+    "q_bloom_contamination" -> SimilarityQueries.contaminationSql,
     "q_drop_reason_counts" -> PipelineQueries.dropReasonCountsSql,
     "q_describe_chars" -> PipelineQueries.describeCharsSql,
     "q_histogram_chars" -> PipelineQueries.histogramCharsSql,

@@ -33,12 +33,53 @@ object Decontaminate {
     * filter and report.
     */
   def overlapReport(corpus: DataFrame, benchmark: DataFrame,
-                    idCol: String, textCol: String, n: Int = 4): DataFrame = {
+                    idCol: String, textCol: String, n: Int = 4): DataFrame =
+    report(corpus, idCol,
+      grams(corpus, idCol, textCol, n)
+        .join(broadcast(grams(benchmark, idCol, textCol, n).select("gram").distinct()),
+          Seq("gram")))
+
+  /** [[overlapReport]] for benchmark sets too big to broadcast as exact
+    * gram strings (a large eval battery's distinct grams run to GBs; its
+    * Bloom bits run to MBs). Two stages, EXACT final answer:
+    *
+    *  1. Prefilter: a driver-built Bloom filter over the benchmark grams
+    *     is broadcast and applied map-side, dropping ~(1-fpp) of the
+    *     corpus' exploded grams before any exchange.
+    *  2. Verify: the surviving sliver exact-joins the benchmark grams as
+    *     a plain hash-partitioned join, which removes the Bloom's false
+    *     positives — so the output is bit-identical to [[overlapReport]]
+    *     (one spec asserts exactly that) and keeps the same oracle.
+    *
+    * The mightContain probe is a Scala UDF (Spark's BloomFilter has no
+    * public expression form); it breaks codegen only for the prefilter
+    * projection, and removes far more exchange volume than it costs.
+    */
+  def bloomOverlapReport(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 4,
+                         fpp: Double = 0.01): DataFrame = {
     val benchGrams = grams(benchmark, idCol, textCol, n)
       .select("gram").distinct()
-    val counts = grams(corpus, idCol, textCol, n)
-      .join(broadcast(benchGrams), Seq("gram"))
-      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .persist() // feeds the count, the filter build, and the verify join
+    try {
+      val expected = math.max(benchGrams.count(), 1L)
+      val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+      val mightContain = udf((g: String) => g != null && bloom.mightContainString(g))
+      val candidates = grams(corpus, idCol, textCol, n)
+        .filter(mightContain(col("gram")))
+        .join(benchGrams, Seq("gram")) // exact verify: no broadcast on purpose
+      report(corpus, idCol, candidates)
+    } finally
+      // the two driver actions (count, filter build) ran while cached;
+      // the lazy verify join recomputes the benchmark-gram plan once more
+      // at execution — the benchmark side is the small one, and returning
+      // a frame pinned to session cache would leak it
+      benchGrams.unpersist(blocking = false)
+  }
+
+  private def report(corpus: DataFrame, idCol: String,
+                     matchedGrams: DataFrame): DataFrame = {
+    val counts = matchedGrams.groupBy("id").agg(count(lit(1)).as("n_shared"))
     corpus.select(col(idCol).as("id"))
       .join(counts, Seq("id"), "left")
       .select(col("id").as(idCol),

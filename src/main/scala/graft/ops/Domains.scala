@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-domain document caps — the crawl-curation op that keeps one host
+  * from dominating a pretraining mix (a handful of mega-domains can be
+  * half a raw crawl). Deterministic: within a domain the `cap` smallest
+  * doc ids are kept, so reruns and resumes agree.
+  *
+  * Scale shape: "keep the first `cap` per domain" is windowed top-k, and
+  * a `row_number() over (partition by domain)` window would sort EVERY
+  * row of a mega-domain in one task. The keep set is instead built with
+  * the bounded-heap aggregate ([[TopK]]): map-side partial combine caps
+  * each task's state at `cap` ids per domain before the shuffle, so the
+  * exchange carries O(cap · domains · partitions) ids and no
+  * single-domain hotspot exists. Flags then come back via a keyed join
+  * on the unique id.
+  */
+object Domains {
+
+  /** Registrable host of a URL, lowercased: scheme and userinfo stripped,
+    * port/path/query/fragment cut. Empty string for non-URLs (RE2-safe
+    * pattern — anchors + character classes only, no backreferences — so
+    * the DuckDB oracle evaluates it identically).
+    */
+  def domainOf(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+
+  /** Adds `domain`, `domain_rank` (1-based among kept rows, null for
+    * dropped) and `kept`; rows beyond `cap` in a domain get dropped with
+    * first-match-wins semantics left to the caller ([[Filters]] chains).
+    */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+                   cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val withDom = df.withColumn("domain", domainOf(col(urlCol)))
+    // TopK orders by (score DESC, id ASC); a constant score makes it
+    // exactly "cap smallest ids per domain"
+    val kept = withDom
+      .groupBy("domain")
+      .agg(TopK.topK(cap)(lit(0.0), col(idCol).cast("long")).as("t"))
+      .select(col("domain"), posexplode(col("t.items")))
+      .select(col("col.vec_id").as("__kept_id"),
+        (col("pos") + 1).cast("long").as("domain_rank"))
+    withDom
+      .join(kept, col(idCol).cast("long") === col("__kept_id"), "left")
+      .withColumn("kept", col("__kept_id").isNotNull)
+      .drop("__kept_id")
+  }
+}

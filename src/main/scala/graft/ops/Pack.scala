@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing — the training-side op downstream of sharding: a
+  * pretraining loader concatenates every document's tokens into one
+  * stream and chops it at fixed `capacity` boundaries (context windows),
+  * so each doc lands at a deterministic token offset and may straddle a
+  * pack boundary. Knowing the layout AT CORPUS BUILD TIME is what lets a
+  * pipeline size runs (n_packs = ceil(total_tokens / capacity)), audit
+  * boundary-crossing rates per subset, and emit shard files aligned to
+  * whole packs.
+  *
+  * Scale design: the layout is a global exclusive prefix sum of token
+  * counts in stable doc order. A `Window.orderBy` without partitioning
+  * moves the whole corpus through ONE task; instead the same two-pass
+  * partition-offset scheme as [[Shard.withGlobalSeq]]: range-partition by
+  * the order key, per-partition token sums (one long per partition to
+  * the driver), prefix-sum those offsets, then number rows locally. Two
+  * passes over the sorted data, O(#partitions) driver state, no
+  * single-reducer hotspot.
+  */
+object Pack {
+
+  /** Exclusive running total of `valCol` in `orderCol` order (the value
+    * column must be non-null and non-negative; `orderCol` must be unique
+    * for a deterministic result).
+    */
+  def withRunningTotal(df: DataFrame, orderCol: String, valCol: String,
+                       name: String = "start_offset"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(df.rdd.getNumPartitions, 1)
+    val sorted = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val valIdx = sorted.schema.fieldIndex(valCol)
+    val rdd = sorted.rdd
+    // pass 1: one partial sum per partition -> driver prefix sum
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getAs[Number](valIdx).longValue())
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    // pass 2: local running totals seeded with the partition's offset
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getAs[Number](valIdx).longValue()
+        out
+      }
+    }
+    spark.createDataFrame(indexed, StructType(
+      sorted.schema.fields :+ StructField(name, LongType, nullable = false)))
+  }
+
+  /** Concat-and-chop pack layout: each doc's first token lands at
+    * `start_offset`; `pack_first`/`pack_last` are the context windows the
+    * doc touches; `spans_packs` flags boundary-straddling docs (the rows
+    * a no-cross-attention loader splits). Zero-token docs sit wholly at
+    * their offset's pack.
+    */
+  def packTokens(df: DataFrame, idCol: String, tokensCol: String,
+                 capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    withRunningTotal(df, idCol, tokensCol)
+      .withColumn("pack_first", floor(col("start_offset") / capacity).cast("long"))
+      .withColumn("pack_last",
+        when(col(tokensCol) > 0,
+          floor((col("start_offset") + col(tokensCol) - 1) / capacity))
+          .otherwise(floor(col("start_offset") / capacity)).cast("long"))
+      .withColumn("spans_packs", col("pack_last") > col("pack_first"))
+  }
+}

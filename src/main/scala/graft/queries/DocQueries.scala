@@ -329,4 +329,70 @@ object DocQueries {
       |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_unique_tokens,
       |       count(*) AS n_unique
       |FROM u WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
+  // ---- q_token_pack: concat-and-chop context-window layout --------------
+
+  private val PackCapacity = 512L
+
+  /** Sequence-packing layout (graft.ops.Pack): global token offsets in
+    * doc_id order, 512-token context windows. The oracle states the same
+    * layout as one global window cumsum — fine for DuckDB's single node,
+    * exactly the shuffle shape Pack.withRunningTotal exists to avoid.
+    */
+  def tokenPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      size(TextMetrics.tokens(col("text"))).cast("long").as("n_toks"))
+    graft.ops.Pack.packTokens(docs, "doc_id", "n_toks", PackCapacity)
+      .select("doc_id", "n_toks", "start_offset", "pack_first", "pack_last",
+        "spans_packs")
+  }
+
+  val tokenPackSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(len(${toksSql("text")}) AS BIGINT) AS n_toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, n_toks,
+       |        -- DuckDB sum(BIGINT) is HUGEINT -> pandas float; pin BIGINT
+       |        CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS start_offset
+       |      FROM t)
+       |SELECT doc_id, n_toks, start_offset,
+       |  start_offset // $PackCapacity AS pack_first,
+       |  CASE WHEN n_toks > 0 THEN (start_offset + n_toks - 1) // $PackCapacity
+       |       ELSE start_offset // $PackCapacity END AS pack_last,
+       |  (CASE WHEN n_toks > 0 THEN (start_offset + n_toks - 1) // $PackCapacity
+       |        ELSE start_offset // $PackCapacity END)
+       |    > start_offset // $PackCapacity AS spans_packs
+       |FROM s""".stripMargin
+
+  // ---- q_domain_cap: per-domain document caps ----------------------------
+
+  private val DomainCap = 20
+
+  /** Crawl-curation cap (graft.ops.Domains): synthesize the reference's
+    * url column, extract the host, keep the `cap` smallest doc ids per
+    * domain. The oracle states the keep rule as the per-domain
+    * row_number window the engine deliberately avoids.
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Domains.capPerDomain(
+        graft.Pipeline.fromDocuments(Tables.documents(s, dir)),
+        urlCol = "url", idCol = "doc_id", cap = DomainCap)
+      .select("doc_id", "domain", "domain_rank", "kept")
+
+  val domainCapSql: String =
+    s"""WITH u AS (SELECT doc_id,
+       |             'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+       |           FROM documents),
+       |d AS (SELECT doc_id, lower(regexp_extract(url,
+       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain
+       |      FROM u),
+       |r AS (SELECT doc_id, domain,
+       |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+       |      FROM d)
+       |SELECT doc_id, domain,
+       |  CASE WHEN rn <= $DomainCap THEN rn ELSE NULL END AS domain_rank,
+       |  rn <= $DomainCap AS kept
+       |FROM r""".stripMargin
 }

@@ -184,6 +184,18 @@ object SimilarityQueries {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
       |LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** The Bloom-prefiltered form over the same split — EXACT answer (the
+    * Bloom only prunes before the verify join), so it shares
+    * [[contaminationSql]] verbatim as its oracle.
+    */
+  def bloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.bloomOverlapReport(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", textCol = "text", n = 4)
+  }
+
   // ---- q_winnow_fp: rolling-hash winnowing fingerprint digest -----------
 
   private val WinnowK = 8

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Domains, Pack}
+
+/** Sequence packing + domain caps: layout correctness, partition
+  * independence, determinism.
+  */
+class PackSpec extends SparkTestBase {
+
+  test("running total equals a single-threaded scan, regardless of partitioning") {
+    import spark.implicits._
+    val rows = (1L to 997L).map(i => (i, (i * 7919) % 431)) // ragged sizes
+    val df = rows.toDF("id", "n").repartition(13) // scrambled input order
+    val got = Pack.withRunningTotal(df, "id", "n")
+      .select("id", "start_offset").as[(Long, Long)].collect().toMap
+    var run = 0L
+    rows.sortBy(_._1).foreach { case (id, n) =>
+      assert(got(id) === run, s"offset for id=$id")
+      run += n
+    }
+  }
+
+  test("pack layout: boundaries, straddles, zero-token docs") {
+    import spark.implicits._
+    // capacity 10: doc layouts chosen to pin every edge case
+    val df = Seq(
+      (1L, 4L),  // [0,4)    pack 0
+      (2L, 6L),  // [4,10)   pack 0 — ends EXACTLY at the boundary, no straddle
+      (3L, 0L),  // offset 10, zero tokens: wholly in pack 1
+      (4L, 15L), // [10,25)  packs 1..2 — straddles
+      (5L, 1L)   // [25,26)  pack 2
+    ).toDF("doc_id", "n_toks")
+    val got = Pack.packTokens(df, "doc_id", "n_toks", capacity = 10L)
+      .select("doc_id", "start_offset", "pack_first", "pack_last", "spans_packs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((0L, 0L, 0L, false)))
+    assert(got(2L) === ((4L, 0L, 0L, false)))
+    assert(got(3L) === ((10L, 1L, 1L, false)))
+    assert(got(4L) === ((10L, 1L, 2L, true)))
+    assert(got(5L) === ((25L, 2L, 2L, false)))
+  }
+
+  test("domain cap keeps the cap smallest ids per domain, partition-independent") {
+    import spark.implicits._
+    val df = (1L to 90L).map { i =>
+      (i, s"https://user@host${i % 3}.Example.COM:8443/path?q=$i#frag")
+    }.toDF("doc_id", "url")
+    val flagged = Domains.capPerDomain(df.repartition(7), "url", "doc_id", cap = 5)
+    val kept = flagged.filter(col("kept"))
+      .select("domain", "doc_id", "domain_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // port/userinfo/path stripped, lowercased
+    assert(kept.map(_._1).toSet === Set("host0.example.com", "host1.example.com", "host2.example.com"))
+    // per domain: exactly the 5 smallest ids, ranked 1..5 in id order
+    kept.groupBy(_._1).foreach { case (dom, rows) =>
+      val expected = (1L to 90L).filter(i => s"host${i % 3}.example.com" == dom).take(5)
+      assert(rows.sortBy(_._3).map(_._2).toSeq === expected, dom)
+      assert(rows.map(_._3).sorted.toSeq === (1L to 5L), dom)
+    }
+    // dropped rows carry a null rank and the domain
+    val dropped = flagged.filter(!col("kept"))
+    assert(dropped.count() === 90 - 15)
+    assert(dropped.filter(col("domain_rank").isNotNull).count() === 0)
+  }
+
+  test("bloom-prefiltered decontamination is bit-identical to the broadcast-exact form") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = graft.ops.Decontaminate
+      .overlapReport(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // tiny fpp stress: a 50% false-positive bloom must STILL be exact,
+    // because the verify join removes every false positive
+    val viaBloom = graft.ops.Decontaminate
+      .bloomOverlapReport(corpus, bench, "doc_id", "text", n = 4, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaBloom === exact)
+    assert(exact.exists(_._3), "fixture should contain at least one contaminated doc")
+  }
+}
