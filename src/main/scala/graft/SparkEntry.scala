@@ -68,6 +68,9 @@ object SparkEntry {
     "q_dedup_tokens" -> (DocQueries.dedupTokens _),
     "q_token_pack" -> (DocQueries.tokenPack _),
     "q_domain_cap" -> (DocQueries.domainCap _),
+    "q_token_entropy" -> (DocQueries.tokenEntropy _),
+    "q_temperature_mix" -> (DocQueries.temperatureMix _),
+    "q_url_canon" -> (DocQueries.urlCanon _),
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),
@@ -147,6 +150,9 @@ object SparkEntry {
     "q_dedup_tokens" -> DocQueries.dedupTokensSql,
     "q_token_pack" -> DocQueries.tokenPackSql,
     "q_domain_cap" -> DocQueries.domainCapSql,
+    "q_token_entropy" -> DocQueries.tokenEntropySql,
+    "q_temperature_mix" -> DocQueries.temperatureMixSql,
+    "q_url_canon" -> DocQueries.urlCanonSql,
     "q_dup_clusters" -> SimilarityQueries.dupClustersSql,
     "q_contamination" -> SimilarityQueries.contaminationSql,
     // the Bloom path is exact (prefilter + verify join), same oracle

@@ -28,6 +28,26 @@ object Domains {
     lower(regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
 
+  /** URL canonicalization for dedup keys (the CCNet/RefinedWeb-style
+    * pre-dedup step): lowercase, drop the fragment, strip tracking
+    * parameters (utm_*, gclid, fbclid), drop `www.` and default ports,
+    * trim a trailing slash. This is a DEDUP KEY, not a display URL —
+    * lowercasing the path is deliberate (case-variant duplicates should
+    * collide). Every step is one RE2-safe `regexp_replace` with no
+    * capture-group substitutions, so the identical pattern strings run
+    * in Spark (Java regex) and the DuckDB oracle (RE2) with identical
+    * results.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val lowered = lower(coalesce(url, lit("")))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&?", "")
+    val tidyQ = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    val noWww = regexp_replace(tidyQ, "://www\\.", "://")
+    val noPort = regexp_replace(regexp_replace(noWww, ":(80|443)/", "/"), ":(80|443)$", "")
+    regexp_replace(noPort, "/$", "")
+  }
+
   /** Adds `domain`, `domain_rank` (1-based among kept rows, null for
     * dropped) and `kept`; rows beyond `cap` in a domain get dropped with
     * first-match-wins semantics left to the caller ([[Filters]] chains).

@@ -366,6 +366,101 @@ object DocQueries {
        |    > start_offset // $PackCapacity AS spans_packs
        |FROM s""".stripMargin
 
+  // ---- q_token_entropy: per-doc token-distribution entropy ---------------
+
+  /** Shannon entropy of each doc's token distribution (TextMetrics),
+    * floor-quantized at 1e4 for cross-engine float parity. Token array
+    * staged as an attribute (inline subtrees re-evaluate inside HOF
+    * lambdas).
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("__toks", TextMetrics.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_toks"),
+        floor(TextMetrics.tokenEntropyFromTokens(col("__toks")) * 10000)
+          .cast("long").as("entropy_q"))
+
+  val tokenEntropySql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |        list_transform(list_sort(list_distinct(toks)),
+       |          x -> CAST(len(list_filter(toks, y -> y = x)) AS DOUBLE)) AS cnts
+       |      FROM t)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(floor((CASE WHEN len(toks) > 0 THEN
+       |      ln(CAST(len(toks) AS DOUBLE))
+       |        - list_sum(list_transform(cnts, c -> c * ln(c)))
+       |          / CAST(len(toks) AS DOUBLE)
+       |    ELSE 0.0 END) * 10000) AS BIGINT) AS entropy_q
+       |FROM c""".stripMargin
+
+  // ---- q_temperature_mix: alpha-scaled source sampling weights -----------
+
+  private val MixAlpha = 0.7
+  private val MixBudget = 100000L
+
+  /** Temperature-scaled per-source weights (graft.ops.Mixture) over
+    * character mass, alpha = 0.7 — weight and allocation floor-quantized.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.temperatureWeights(Tables.documents(s, dir),
+        strataCol = "source", massCol = "n_chars",
+        alpha = MixAlpha, budgetDocs = MixBudget)
+      .select(col("source"), col("mass"),
+        floor(col("weight") * 10000).cast("long").as("weight_q"),
+        col("docs_alloc"))
+
+  val temperatureMixSql: String =
+    s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+       |           FROM documents GROUP BY source),
+       |p AS (SELECT source, mass, pow(CAST(mass AS DOUBLE), $MixAlpha) AS pw FROM m),
+       |t AS (SELECT sum(pw) AS tot FROM p)
+       |SELECT source, mass,
+       |  CAST(floor(pw / tot * 10000) AS BIGINT) AS weight_q,
+       |  CAST(floor(pw / tot * $MixBudget) AS BIGINT) AS docs_alloc
+       |FROM p CROSS JOIN t""".stripMargin
+
+  // ---- q_url_canon: URL canonicalization for dedup keys ------------------
+
+  /** Canonicalize a deterministically-messied URL (tracking params,
+    * default port, www, fragment, case) — graft.ops.Domains. The mess is
+    * synthesized from doc_id/source so the oracle rebuilds it verbatim.
+    */
+  def urlCanon(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("https://WWW."), col("source"),
+      lit(".com:443/Doc/"), col("doc_id").cast("string"),
+      lit("/?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&fbclid=abc#frag"))
+    val canon = graft.ops.Domains.canonicalizeUrl(messy)
+    Tables.documents(s, dir).select(col("doc_id"),
+      canon.as("url_canon"),
+      graft.ops.Domains.domainOf(canon).as("domain"))
+  }
+
+  val urlCanonSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  lower('https://WWW.' || source || '.com:443/Doc/' || CAST(doc_id AS VARCHAR)
+      |    || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+      |    || '&fbclid=abc#frag') AS l
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(l,
+      |    '#.*$', '', 'g'),
+      |    '(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      |    '\?&', '?', 'g'),
+      |    '[?&]+$', '', 'g'),
+      |    '://www\.', '://', 'g'),
+      |    ':(80|443)/', '/', 'g'),
+      |    ':(80|443)$', '', 'g') AS nearly
+      | FROM u)
+      |SELECT doc_id,
+      |  regexp_replace(nearly, '/$', '', 'g') AS url_canon,
+      |  lower(regexp_extract(regexp_replace(nearly, '/$', '', 'g'),
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain
+      |FROM c""".stripMargin
+
   // ---- q_domain_cap: per-domain document caps ----------------------------
 
   private val DomainCap = 20

@@ -105,6 +105,29 @@ object TextMetrics {
         / size(t).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Shannon entropy (nats) of a doc's token distribution — the
+    * repetition/diversity quality signal: near 0 for "spam spam spam",
+    * ln(n) for all-distinct tokens. Computed per row with ZERO shuffles
+    * via H = ln(n) − (Σ c·ln c)/n over per-distinct-token counts c (the
+    * explode → groupBy formulation spends two exchanges on what is
+    * row-local arithmetic). The distinct array is SORTED before the sum
+    * so float addition order — and thus the bits — match the oracle's
+    * (DuckDB `list_distinct` has no order guarantee; `list_sort` +
+    * `array_sort` pin one).
+    *
+    * O(u·n) per row (u = distinct tokens); `t` must be a bound attribute
+    * (see [[withTokenStats]] ⚠ — inline subtrees re-evaluate per lambda).
+    */
+  def tokenEntropyFromTokens(t: Column): Column =
+    when(size(t) > 0,
+      log(size(t).cast("double")) -
+        aggregate(
+          transform(array_sort(array_distinct(t)),
+            x => size(filter(t, y => y === x)).cast("double")),
+          lit(0.0),
+          (acc, c) => acc + c * log(c)) / size(t).cast("double"))
+      .otherwise(lit(0.0))
+
   /** M5+A4 staged: tokenize ONCE into an attribute, derive all five
     * token stats from it (value-identical to the single-column forms —
     * same expressions over a bound array instead of an inline split,

@@ -164,4 +164,33 @@ class TextOpsSpec extends SparkTestBase {
       .select(TextMetrics.maxTokenFreqRatio(col("t"))).collect()(0)
     assert(math.abs(out.getDouble(0) - 0.8) < 1e-12)
   }
+
+  test("token entropy: 0 for constant docs, ln(n) for all-distinct, exact for mixed") {
+    def h(s: String): Double =
+      Seq(s).toDF("t")
+        .select(TextMetrics.tokenEntropyFromTokens(TextMetrics.tokens(col("t"))))
+        .collect()(0).getDouble(0)
+    assert(h("spam spam spam spam") === 0.0)
+    assert(math.abs(h("a b c d e") - math.log(5)) < 1e-12)
+    // counts 2,1,1: H = ln(4) - (2 ln 2)/4
+    assert(math.abs(h("a a b c") - (math.log(4) - 2 * math.log(2) / 4)) < 1e-12)
+    assert(h("") === 0.0)
+  }
+
+  test("url canonicalization: tracking params, ports, www, fragments, case") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(graft.ops.Domains.canonicalizeUrl(col("u")))
+        .collect()(0).getString(0)
+    assert(canon("https://WWW.Example.COM:443/A/B/?utm_source=x&id=7&fbclid=z#top")
+      === "https://example.com/a/b/?id=7")
+    assert(canon("http://example.com:80/path/") === "http://example.com/path")
+    // all params are tracking -> the query goes entirely
+    assert(canon("https://example.com/?utm_a=1&utm_b=2&gclid=3")
+      === "https://example.com")
+    // non-tracking params survive in order
+    assert(canon("https://example.com/p?a=1&utm_x=9&b=2")
+      === "https://example.com/p?a=1&b=2")
+    // idempotent on an already-canonical url
+    assert(canon("https://example.com/p?a=1") === "https://example.com/p?a=1")
+  }
 }
