@@ -150,4 +150,31 @@ class PlanSpec extends SparkTestBase {
     assert(static.contains("wordlist_hits"), s"WordlistHits kernel missing:\n$static")
     assert(static.contains("nfkc"), s"NfkcNormalize missing:\n$static")
   }
+
+  test("domain cap ranks by bounded aggregate, never a per-domain window") {
+    // same trap as ANN ranking: row_number over partitionBy(domain) sorts
+    // a mega-domain in one task. The keep set must plan as partial
+    // hash aggregation + a keyed join back.
+    val p = plan(DocQueries.domainCap(spark, dir))
+    assert(!p.contains(") Window"), s"per-domain window present:\n$p")
+    assert(p.contains("partial_topkscored") || p.contains("ObjectHashAggregate"),
+      s"bounded top-k aggregate missing:\n$p")
+  }
+
+  test("token entropy and url canon stay one shuffle-free codegen pass") {
+    Seq(DocQueries.tokenEntropy(spark, dir) -> "token entropy",
+        DocQueries.urlCanon(spark, dir) -> "url canon").foreach { case (df, name) =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(p.contains("[codegen id : 1]"), s"$name not codegen'd:\n$p")
+    }
+  }
+
+  test("winnow digest: native kernel present, no shuffle, no HOF transform") {
+    val p = plan(graft.queries.SimilarityQueries.winnowFp(spark, dir))
+    assert(p.contains("winnow_sels"), s"WinnowSelect kernel missing:\n$p")
+    assert(!p.contains("Exchange"), s"per-row fingerprinting must not shuffle:\n$p")
+    // the O(n²) trap this kernel replaces would show as nested transform()
+    assert(!p.contains("transform("), s"HOF gram hashing resurfaced:\n$p")
+  }
 }
