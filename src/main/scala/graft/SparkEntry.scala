@@ -34,6 +34,7 @@ object SparkEntry {
     "q_revenue_by_brand" -> (TpchQueries.revenueByBrand _),
     "q_rollup_events" -> (TpchQueries.rollupEvents _),
     "q_asof_join" -> (TpchQueries.asofPurchaseClick _),
+    "q_asof_native" -> (TpchQueries.asofPurchaseClickNative _),
     "q_union_by_name" -> (TpchQueries.unionByNameEvents _),
     "q_distinct_users" -> (TpchQueries.distinctUsers _),
     "q_group_sample" -> (TpchQueries.groupSample _),
@@ -120,6 +121,8 @@ object SparkEntry {
     "q_revenue_by_brand" -> TpchQueries.revenueByBrandSql,
     "q_rollup_events" -> TpchQueries.rollupEventsSql,
     "q_asof_join" -> TpchQueries.asofPurchaseClickSql,
+    // native whole-operator path, bit-identical contract -> same oracle
+    "q_asof_native" -> TpchQueries.asofPurchaseClickSql,
     "q_union_by_name" -> TpchQueries.unionByNameEventsSql,
     "q_distinct_users" -> TpchQueries.distinctUsersSql,
     "q_group_sample" -> TpchQueries.groupSampleSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,5 +40,37 @@ object AsOfJoin {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     filled.filter(col("__asof_side") === 1).drop("__asof_side")
+  }
+
+  /** The same join through the native operator
+    * ([[graft.plans.AsofJoinPlan]]/[[graft.plans.AsofJoinExec]]) —
+    * identical output contract and exchange shape as [[asofBackward]],
+    * but the per-partition work is a streaming merge instead of
+    * union + window + filter (no carrier rows, one buffered right row).
+    *
+    * The right side is re-aliased behind fresh expression ids so the
+    * operator's two outputs stay disjoint even when both sides derive
+    * from the same scan (the analyzer dedups built-in joins, not custom
+    * nodes).
+    */
+  def asofBackwardNative(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "asofBackwardNative needs at least one payload column")
+    require(!payloadCols.exists(left.columns.contains),
+      s"payload columns ${payloadCols.mkString(",")} collide with left side")
+    val spark = left.sparkSession
+    graft.plans.GraftFunctions.register(spark) // idempotent; adds the strategy
+    val r = right.select(
+      col(keyCol).as("__asof_k") +: col(tsCol).as("__asof_t") +:
+        payloadCols.map(c => col(c).as(c)): _*)
+    val lPlan = GraftSqlBridge.analyzed(left)
+    val rPlan = GraftSqlBridge.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsofJoinPlan(lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
+      attr(lPlan, tsCol), attr(rPlan, "__asof_t"))
+    GraftSqlBridge.dataFrame(spark, node).drop("__asof_k", "__asof_t")
   }
 }

@@ -22,6 +22,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
@@ -39,5 +40,8 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
   }
 }

@@ -283,6 +283,25 @@ object TpchQueries {
       .select("event_id", "user_id", "click_event_id", "click_value")
   }
 
+  /** The same join through the native whole-operator path
+    * (graft.plans.AsofJoinExec — custom LogicalPlan + Strategy +
+    * SparkPlan): identical results, one streaming merge per partition
+    * instead of union + window + filter. Shares the DuckDB ASOF oracle.
+    */
+  def asofPurchaseClickNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"),
+        col("value").as("click_value"))
+    graft.ops.AsOfJoin
+      .asofBackwardNative(purchases, clicks, "user_id", "ts",
+        Seq("click_event_id", "click_value"))
+      .select("event_id", "user_id", "click_event_id", "click_value")
+  }
+
   val asofPurchaseClickSql: String =
     """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS us,
       |                  event_type, value FROM events),
