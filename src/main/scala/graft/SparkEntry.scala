@@ -93,6 +93,8 @@ object SparkEntry {
     "q_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "q_ngram_jaccard" -> (SimilarityQueries.ngramJaccard _),
     "q_winnow_fp" -> (SimilarityQueries.winnowFp _),
+    "q_winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
+    "q_cdc_chunks" -> (SimilarityQueries.cdcChunks _),
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
     "q_dup_clusters" -> (SimilarityQueries.dupClusters _),
@@ -177,6 +179,8 @@ object SparkEntry {
     "q_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "q_ngram_jaccard" -> SimilarityQueries.ngramJaccardSql,
     "q_winnow_fp" -> SimilarityQueries.winnowFpSql,
+    "q_winnow_overlap" -> SimilarityQueries.winnowOverlapSql,
+    "q_cdc_chunks" -> SimilarityQueries.cdcChunksSql,
     "q_media_meta" -> MultimodalQueries.mediaMetaSql,
     "q_frame_sample" -> MultimodalQueries.frameSampleSql,
     "q_audio_chunks" -> MultimodalQueries.audioChunksSql

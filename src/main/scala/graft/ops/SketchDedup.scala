@@ -298,6 +298,37 @@ object SketchDedup {
     winnowSelected(df, idCol, textCol, k, w)
       .select(col("id"), explode(array_distinct(col("sels"))).as("fp"))
 
+  /** Partial-overlap pair detection over winnowing fingerprints — the
+    * match LSH can't make: two documents sharing one long substring
+    * (a quoted paragraph, reused boilerplate) inside otherwise-different
+    * text have near-zero whole-document similarity but MUST share
+    * fingerprints (the winnowing guarantee). Pairing is a
+    * hash-partitioned self-join on the fingerprint — candidate-only,
+    * never all-pairs.
+    *
+    * `maxDf` drops fingerprints present in more than that many docs
+    * before pairing: ubiquitous grams are uninformative for overlap AND
+    * are exactly the self-join's quadratic hot keys, so the guard is
+    * both semantics and the 100 TB skew protection. The fingerprint
+    * table feeds three plans (the df counts + both join sides), so it is
+    * persisted for the build.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4, maxDf: Int = 20,
+                         minShared: Int = 8): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Compact per-document form: fingerprint count + md5 digest of the
     * sorted fingerprint set. Entirely per-row (no explode, no shuffle) —
     * the shape for corpus-level fingerprint manifests and fast

@@ -21,6 +21,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("wordlist_hits"), WordlistHits.info, WordlistHits.builder))
     ext.injectFunction(
       (FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("cdc_chunks"), CdcChunks.info, CdcChunks.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -37,6 +39,8 @@ object GraftFunctions {
       FunctionIdentifier("wordlist_hits"), WordlistHits.info, WordlistHits.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cdc_chunks"), CdcChunks.info, CdcChunks.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -220,6 +220,78 @@ object SimilarityQueries {
        |SELECT doc_id, len(fps) AS n_fp, md5(array_to_string(fps, '')) AS fp_digest
        |FROM s""".stripMargin
 
+  // ---- q_cdc_chunks: content-defined chunking ---------------------------
+
+  private val CdcK = 8
+
+  /** Rolling-hash chunk layout per document (graft.plans.CdcChunks):
+    * 1-based offsets, lengths, md5 chunk hashes — the stable-under-edit
+    * unit for chunk-level dedup of long documents.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.Normalize.canonExact(col("text")).as("canon"))
+      .filter(length(col("canon")) >= 1)
+      .select(col("doc_id"),
+        posexplode(graft.plans.CdcChunks(col("canon"), k = CdcK)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("chunk_len"),
+        col("col.hash").as("chunk_hash"))
+
+  val cdcChunksSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS canon
+       | FROM documents),
+       |g AS (SELECT doc_id, canon, length(canon) AS n FROM c
+       |      WHERE length(canon) >= 1),
+       |b AS (SELECT doc_id, canon, n,
+       |        list_prepend(CAST(1 AS BIGINT),
+       |          list_filter(generate_series(2, n - ${CdcK - 1}),
+       |            i -> substr(md5(substr(canon, i, $CdcK)), 1, 1) = '0')) AS starts
+       |      FROM g),
+       |x AS (SELECT doc_id, canon,
+       |        unnest(starts) AS start,
+       |        unnest(list_concat(starts[2:], [CAST(n + 1 AS BIGINT)])) AS nxt,
+       |        unnest(range(1, len(starts) + 1)) AS chunk_idx
+       |      FROM b)
+       |SELECT doc_id, chunk_idx, start, nxt - start AS chunk_len,
+       |       md5(substr(canon, start, nxt - start)) AS chunk_hash
+       |FROM x""".stripMargin
+
+  // ---- q_winnow_overlap: partial-overlap pairs via fingerprints ---------
+
+  private val WinnowMaxDf = 20
+  private val WinnowMinShared = 8
+
+  /** Doc pairs sharing >= minShared rare winnowing fingerprints — the
+    * quoted-paragraph/boilerplate-reuse detector whole-doc hashing and
+    * LSH both miss (SketchDedup.winnowOverlapPairs).
+    */
+  def winnowOverlap(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.winnowOverlapPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", k = WinnowK, w = WinnowW,
+      maxDf = WinnowMaxDf, minShared = WinnowMinShared)
+
+  val winnowOverlapSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS canon
+       | FROM documents),
+       |g AS (SELECT doc_id, canon, length(canon) AS n FROM c
+       |      WHERE length(canon) >= ${WinnowK + WinnowW - 1}),
+       |h AS (SELECT doc_id, n, list_transform(generate_series(1, n - ${WinnowK - 1}),
+       |        i -> md5(substr(canon, i, $WinnowK))) AS hs FROM g),
+       |s AS (SELECT doc_id, list_distinct(
+       |        list_transform(generate_series(1, n - ${WinnowK + WinnowW - 2}),
+       |          j -> list_min(hs[j:j+${WinnowW - 1}]))) AS fps FROM h),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+       |dfreq AS (SELECT fp, count(*) AS dfr FROM f GROUP BY fp),
+       |kept AS (SELECT f.doc_id, f.fp FROM f JOIN dfreq USING (fp)
+       |         WHERE dfr <= $WinnowMaxDf)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
+
   // ---- engine-defined sketches (hash-seeded; rows-only checks) ----------
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =

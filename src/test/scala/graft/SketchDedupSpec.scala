@@ -96,6 +96,58 @@ class SketchDedupSpec extends SparkTestBase {
     assert(digests.keySet === Set(1L, 2L, 3L))
   }
 
+  test("cdc chunks: tile the text exactly and survive a mid-document insertion") {
+    import spark.implicits._
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 8).trim
+    val edited = base.substring(0, 200) + " INSERTED PASSAGE HERE " + base.substring(200)
+    val chunks = Seq((1L, base), (2L, edited), (3L, "tiny"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.queries.SimilarityQueries.cdcChunks(spark,
+      { // route the fixture through a temp parquet dir shaped like testdata
+        val d = java.nio.file.Files.createTempDirectory("cdc").toString
+        chunks.write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      })
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = got.groupBy(_._1)
+    // chunks tile: starts contiguous from 1, lengths sum to text length
+    Seq(1L -> base, 2L -> edited.replaceAll("\\s+", " ").toLowerCase).foreach { case (id, t) =>
+      val cs = byDoc(id).sortBy(_._2)
+      assert(cs.head._3 === 1L)
+      assert(cs.map(_._4).sum === t.length.toLong, s"doc $id lengths")
+      cs.sliding(2).foreach { case Array(a, b) => assert(a._3 + a._4 === b._3) case _ => }
+    }
+    // CDC property: the edit only disturbs chunks around the insertion —
+    // most chunk hashes survive verbatim
+    val h1 = byDoc(1L).map(_._5).toSeq
+    val h2 = byDoc(2L).map(_._5).toSet
+    val surviving = h1.count(h2.contains)
+    assert(surviving >= h1.length - 3,
+      s"only $surviving/${h1.length} chunks survived the insertion")
+    // sub-gram doc: one whole-text chunk; empty doc: no rows
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq === Seq((1L, 4L)))
+    assert(!byDoc.contains(4L))
+  }
+
+  test("winnow overlap pairs: shared paragraph found, ubiquitous grams pruned") {
+    import spark.implicits._
+    val quote = "to be or not to be that is the question whether tis nobler"
+    val boiler = "all rights reserved contact us for more information today"
+    val docs = Seq(
+      (1L, s"essay one begins here. $quote. and then one concludes. $boiler"),
+      (2L, s"review two starts differently! $quote! closing remarks differ. $boiler"),
+      (3L, s"unrelated third text about completely other topics entirely. $boiler"),
+      (4L, s"fourth doc shares nothing with anyone else at all, honestly. $boiler"),
+      (5L, s"fifth also distinct content through and through, no reuse. $boiler")
+    ).toDF("doc_id", "text")
+    // boilerplate in ALL five docs -> df guard (maxDf=2) must prune it, so
+    // only the quote pair survives
+    val pairs = SketchDedup.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 8, w = 4, maxDf = 2, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("winnow kernel is value-identical to the HOF reference form") {
     import spark.implicits._
     // the readable-but-O(n^2) SQL formulation the kernel replaces; kept
