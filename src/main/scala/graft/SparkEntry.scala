@@ -75,6 +75,7 @@ object SparkEntry {
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),
+    "q_describe_metrics" -> (PipelineQueries.describeMetrics _),
     "q_histogram_chars" -> (PipelineQueries.histogramChars _),
     "q_top_sources" -> (PipelineQueries.topSources _),
     "q_export_coalesce" -> (PipelineQueries.exportCoalesce _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_bloom_contamination" -> SimilarityQueries.contaminationSql,
     "q_drop_reason_counts" -> PipelineQueries.dropReasonCountsSql,
     "q_describe_chars" -> PipelineQueries.describeCharsSql,
+    "q_describe_metrics" -> PipelineQueries.describeMetricsSql,
     "q_histogram_chars" -> PipelineQueries.histogramCharsSql,
     "q_top_sources" -> PipelineQueries.topSourcesSql,
     "q_export_coalesce" -> PipelineQueries.exportCoalesceSql,

@@ -45,6 +45,39 @@ object Report {
       .drop("_sx", "_sxx")
   }
 
+  /** A2 over many metrics in ONE scan (the reference's
+    * `df[metric_cols].describe()` shape): per-column aggregates computed
+    * side by side in a single aggregation pass, then pivoted to one row
+    * per metric. N metrics cost one job and one 1-row shuffle — not N
+    * full-table passes. min/max are cast to double so all metrics share
+    * one row schema (pandas describe emits floats too).
+    */
+  def describeCols(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describeCols needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(count(col(c)).as(s"${c}__n"),
+        min(x).as(s"${c}__min"), max(x).as(s"${c}__max"),
+        avg(col(c)).as(s"${c}__mean"),
+        sum(x).as(s"${c}__sx"), sum(x * x).as(s"${c}__sxx"),
+        expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
+        expr(s"percentile($c, 0.5)").as(s"${c}__median"),
+        expr(s"percentile($c, 0.75)").as(s"${c}__p75"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      val n = col(s"${c}__n")
+      struct(lit(c).as("metric"), n.as("n"),
+        col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
+        col(s"${c}__mean").as("mean"),
+        sqrt((col(s"${c}__sxx") - col(s"${c}__sx") * col(s"${c}__sx") / n)
+          / (n - 1)).as("std"),
+        col(s"${c}__p25").as("p25"), col(s"${c}__median").as("median"),
+        col(s"${c}__p75").as("p75"))
+    }: _*)
+    one.select(explode(rows).as("m")).select("m.*")
+  }
+
   /** A2 at 100 TB: exact `percentile` buffers every value in the
     * aggregation state (fine for one small describe at test scale,
     * memory-unbounded on a trillion rows); approx_percentile's

@@ -39,6 +39,39 @@ object PipelineQueries {
       |      / (count(n_chars) - 1)) AS std
       |FROM documents""".stripMargin
 
+  // ---- q_describe_metrics: A2 over many metrics, one scan --------------
+
+  /** The reference's `df[metric_cols].describe()` — several metric
+    * columns summarized in a single aggregation pass (Report.describeCols),
+    * one output row per metric.
+    */
+  def describeMetrics(s: SparkSession, dir: String): DataFrame =
+    Report.describeCols(
+      Tables.documents(s, dir)
+        .withColumn("token_count",
+          size(graft.text.TextMetrics.tokens(col("text"))).cast("long")),
+      Seq("n_chars", "token_count"))
+
+  val describeMetricsSql: String = {
+    val toks = "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END"
+    def one(c: String) =
+      s"""SELECT '$c' AS metric, count($c) AS n,
+         | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+         | avg($c) AS mean,
+         | sqrt((sum(CAST($c AS DOUBLE) * $c)
+         |       - sum(CAST($c AS DOUBLE)) * sum(CAST($c AS DOUBLE)) / count($c))
+         |      / (count($c) - 1)) AS std,
+         | quantile_cont($c, 0.25) AS p25,
+         | quantile_cont($c, 0.5) AS median,
+         | quantile_cont($c, 0.75) AS p75
+         |FROM t""".stripMargin
+    s"""WITH t AS (SELECT n_chars,
+       |  CAST(len($toks) AS BIGINT) AS token_count FROM documents)
+       |${one("n_chars")}
+       |UNION ALL
+       |${one("token_count")}""".stripMargin
+  }
+
   // ---- q_histogram_chars: H1 fixed-width histogram ---------------------
 
   def histogramChars(s: SparkSession, dir: String): DataFrame =

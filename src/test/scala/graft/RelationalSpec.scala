@@ -217,6 +217,29 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("multi-column describe equals per-column describe, in one pass") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("token_count",
+        size(graft.text.TextMetrics.tokens(col("text"))).cast("long"))
+    val multi = graft.ops.Report.describeCols(docs, Seq("n_chars", "token_count"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("n_chars", "token_count").foreach { c =>
+      val single = graft.ops.Report.describeCol(docs, c).collect()(0)
+      val m = multi(c)
+      assert(m.getAs[Long]("n") === single.getAs[Long]("n"))
+      assert(m.getAs[Double]("min") === single.getAs[Long]("min").toDouble)
+      assert(m.getAs[Double]("max") === single.getAs[Long]("max").toDouble)
+      Seq("mean", "std", "p25", "median", "p75").foreach { f =>
+        assert(m.getAs[Double](f) === single.getAs[Double](f), s"$c.$f")
+      }
+    }
+    // single aggregation pass: exactly one scan in the plan
+    val p = graft.ops.Report.describeCols(docs, Seq("n_chars", "token_count"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+  }
+
   test("approx describe tracks exact describe (bounded-state scale path)") {
     val docs = Tables.documents(spark, sf)
     val exact = graft.ops.Report.describeCol(docs, "n_chars").collect()(0)
