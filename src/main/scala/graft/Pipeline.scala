@@ -107,11 +107,11 @@ object Pipeline {
 
   /** Stage 6 — tokenise + length gates (Tokenisation_JSONL_export.py). */
   def tokenise(df: DataFrame): DataFrame = {
-    val t = Tokenize.tokenize(col("text_pii_masked"))
+    val t = Tokenize.native(col("text_pii_masked"))
     val tokked = df
-      .withColumn("input_ids", t.getField("_1"))
-      .withColumn("attention_mask", t.getField("_2"))
-      .withColumn("n_tokens", t.getField("_3").cast("long"))
+      .withColumn("input_ids", t.getField("input_ids"))
+      .withColumn("attention_mask", t.getField("attention_mask"))
+      .withColumn("n_tokens", t.getField("n_tokens").cast("long"))
     Filters.applyRules(tokked, Filters.tokenLengthRules(col("n_tokens")))
   }
 

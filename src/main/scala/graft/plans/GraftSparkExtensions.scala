@@ -23,6 +23,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder))
     ext.injectFunction(
       (FunctionIdentifier("cdc_chunks"), CdcChunks.info, CdcChunks.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("tokenize_text"), TokenizeText.info, TokenizeText.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -41,6 +43,8 @@ object GraftFunctions {
       FunctionIdentifier("winnow_sels"), WinnowSelect.info, WinnowSelect.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cdc_chunks"), CdcChunks.info, CdcChunks.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("tokenize_text"), TokenizeText.info, TokenizeText.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -218,11 +218,11 @@ object PipelineQueries {
   // attention_mask arrays remain available via Pipeline.tokenise (the
   // training-export path, Tokenisation_JSONL_export.py:97-119).
   def tokenize(s: SparkSession, dir: String): DataFrame = {
-    val t = graft.text.Tokenize.tokenize(col("text"))
+    val t = graft.text.Tokenize.native(col("text"))
     Tables.documents(s, dir).select(col("doc_id"),
-      t.getField("_3").cast("long").as("n_tokens"),
-      xxhash64(to_json(t.getField("_1"))).as("ids_hash"),
-      xxhash64(to_json(t.getField("_2"))).as("mask_hash"))
+      t.getField("n_tokens").cast("long").as("n_tokens"),
+      xxhash64(to_json(t.getField("input_ids"))).as("ids_hash"),
+      xxhash64(to_json(t.getField("attention_mask"))).as("mask_hash"))
   }
 
   // ---- q_pipeline_full: stages 2-6 fused, end to end (rows-only) --------

@@ -41,17 +41,24 @@ object Tokenize {
     else PreToken.findAllIn(text).filterNot(_.forall(_.isWhitespace))
       .map(tokenId).toSeq
 
-  /** UDF returning struct<input_ids, attention_mask, n_tokens>. */
+  /** UDF returning struct<input_ids, attention_mask, n_tokens>. Kept as
+    * the executable grammar spec — hot paths use [[native]], the
+    * one-pass scanner kernel ([[graft.plans.TokenizeText]]), which a
+    * parity spec holds id-identical to this form.
+    */
   val tokenize = udf { (s: String) =>
     val ids = encode(s)
     (ids, Seq.fill(ids.length)(1), ids.length)
   }
 
+  /** Native kernel form: struct<input_ids, attention_mask, n_tokens>. */
+  def native(c: Column): Column = graft.plans.TokenizeText(c)
+
   /** Column helper: adds the three reference columns. */
   def withTokens(c: Column): (Column, Column, Column) = {
-    val t = tokenize(c)
-    (t.getField("_1").as("input_ids"),
-      t.getField("_2").as("attention_mask"),
-      t.getField("_3").as("n_tokens"))
+    val t = native(c)
+    (t.getField("input_ids").as("input_ids"),
+      t.getField("attention_mask").as("attention_mask"),
+      t.getField("n_tokens").as("n_tokens"))
   }
 }
