@@ -94,4 +94,32 @@ object Orchestrator {
     Sinks.writeMetricsJson(Map("stages" -> summary), s"$outDir/run_summary.json")
     cur
   }
+
+  /** CLI parity with the reference's `python run_pipeline.py` entry:
+    *
+    *   sbt "runMain graft.Orchestrator <sfDir> <outDir> [fromVersion]"
+    *
+    * fromVersion > 1 resumes from the existing `mainpipe_v{N-1}.parquet`
+    * in outDir (the reference's rerun-from-stage-N workflow).
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2 && args.length <= 3,
+      "usage: Orchestrator <sfDir> <outDir> [fromVersion]")
+    val Array(sfDir, outDir) = args.take(2)
+    val fromVersion = if (args.length == 3) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val raw = if (fromVersion == 1)
+      Some(Pipeline.fromDocuments(Tables.documents(spark, sfDir)).select("url", "text"))
+    else None
+    val end = run(spark, outDir, raw, fromVersion)
+    println(s"[orchestrator] v$LastVersion rows: ${end.count()} -> $outDir")
+    spark.stop()
+  }
 }
