@@ -129,6 +129,44 @@ class SketchDedupSpec extends SparkTestBase {
     assert(!byDoc.contains(4L))
   }
 
+  test("cdc chunks: unicode fuzz — chunks tile by code points, hashes re-derivable") {
+    import spark.implicits._
+    val alphabet = "ab cd🎉ü日\tx.🚀é".codePoints().toArray
+    val rnd = new scala.util.Random(99)
+    val texts = (1 to 40).map { i =>
+      val cps = (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+      (i.toLong, cps.flatMap(Character.toChars(_)).mkString)
+    }.filter(_._2.nonEmpty)
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Normalize.canonExact(col("text")).as("canon"))
+      .filter(length(col("canon")) >= 1)
+      .select(col("doc_id"), col("canon"),
+        explode(graft.plans.CdcChunks(col("canon"), k = 4)).as("c"))
+      .select(col("doc_id"), col("canon"), col("c.start"), col("c.len"), col("c.hash"))
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val canon = rows.head.getString(1)
+      val nCp = canon.codePointCount(0, canon.length)
+      val cs = rows.map(r => (r.getLong(2), r.getLong(3), r.getString(4))).sortBy(_._1)
+      assert(cs.head._1 === 1L)
+      assert(cs.map(_._2).sum === nCp.toLong)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._1 + a._2 === b._1)
+        case _ =>
+      }
+      // every chunk hash is md5 of the code-point substring's UTF-8 bytes
+      cs.foreach { case (start, len, hash) =>
+        val from = canon.offsetByCodePoints(0, (start - 1).toInt)
+        val to = canon.offsetByCodePoints(from, len.toInt)
+        md.reset()
+        val d = md.digest(canon.substring(from, to).getBytes("UTF-8"))
+        assert(d.map("%02x".format(_)).mkString === hash)
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("winnow overlap pairs: shared paragraph found, ubiquitous grams pruned") {
     import spark.implicits._
     val quote = "to be or not to be that is the question whether tis nobler"
@@ -159,7 +197,8 @@ class SketchDedupSpec extends SparkTestBase {
          |    md5(substring(canon, i, $k)))))""".stripMargin)
     val docs = Seq("the quick brown fox jumps over the lazy dog",
       "abababababababab", "ünïcödé — mixed width テキスト here",
-      "exactly-eleven!", "aaaaaaaaaaaaaaaaaaaaaa").zipWithIndex
+      "exactly-eleven!", "aaaaaaaaaaaaaaaaaaaaaa",
+      "astral 🎉🚀 pairs 🎉 mixed in ascii text runs 🚀🚀 end").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     for ((k, w) <- Seq((8, 4), (5, 3), (3, 7))) {
       val df = docs.toDF("id", "text")
