@@ -72,6 +72,7 @@ object SparkEntry {
     "q_token_entropy" -> (DocQueries.tokenEntropy _),
     "q_temperature_mix" -> (DocQueries.temperatureMix _),
     "q_url_canon" -> (DocQueries.urlCanon _),
+    "q_unigram_logprob" -> (DocQueries.unigramLogprob _),
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_token_entropy" -> DocQueries.tokenEntropySql,
     "q_temperature_mix" -> DocQueries.temperatureMixSql,
     "q_url_canon" -> DocQueries.urlCanonSql,
+    "q_unigram_logprob" -> DocQueries.unigramLogprobSql,
     "q_dup_clusters" -> SimilarityQueries.dupClustersSql,
     "q_contamination" -> SimilarityQueries.contaminationSql,
     // the Bloom path is exact (prefilter + verify join), same oracle

@@ -64,7 +64,11 @@ object Decontaminate {
     try {
       val expected = math.max(benchGrams.count(), 1L)
       val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
-      val mightContain = udf((g: String) => g != null && bloom.mightContainString(g))
+      // explicit broadcast: a closure-captured filter would re-ship its
+      // bits with EVERY task; broadcast sends them once per executor
+      val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain =
+        udf((g: String) => g != null && bloomBc.value.mightContainString(g))
       val candidates = grams(corpus, idCol, textCol, n)
         .filter(mightContain(col("gram")))
         .join(benchGrams, Seq("gram")) // exact verify: no broadcast on purpose

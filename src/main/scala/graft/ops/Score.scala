@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Quality scoring + mixture assignment (SURVEY.md §2.10, Q1/Q2).
@@ -61,5 +61,35 @@ object Score {
     val uniq = s"greatest(0.0, least(1.0, coalesce($uniqueTokenRatio, 0.0)))"
     val pii = s"CASE WHEN coalesce($hasPii, false) THEN 0.0 ELSE 1.0 END"
     s"greatest(0.0, least(1.0, 0.4 * $lang + 0.3 * ($lengthScore) + 0.2 * $uniq + 0.1 * $pii))"
+  }
+
+  /** Unigram log-probability scoring — the perplexity-filter analogue
+    * (CCNet-style LM quality gates, with the corpus' own unigram model
+    * standing in for the external LM): each doc gets Σ ln p(token) under
+    * corpus-wide token frequencies. Fluent/common text scores high
+    * (close to 0); rare-token gibberish scores very negative.
+    *
+    * Float discipline: per-token log-probs are floor-quantized to 1e-4
+    * BEFORE the per-doc sum, so the aggregate is an INTEGER sum —
+    * merge-order-proof (the same trick as [[StatsAgg]]), bit-identical
+    * across partitionings and engines. Two keyed aggs + one token join;
+    * the one-row total is a broadcast. Docs with no tokens score 0/0.
+    */
+  def unigramLogprobs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val perDoc = toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp_q",
+        floor(log(col("cnt").cast("double") / col("__n")) * 10000).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"), sum("lp_q").as("lp_sum_q"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("lp_sum_q"), lit(0L)).as("lp_sum_q"))
   }
 }

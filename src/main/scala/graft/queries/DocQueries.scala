@@ -421,6 +421,28 @@ object DocQueries {
        |  CAST(floor(pw / tot * $MixBudget) AS BIGINT) AS docs_alloc
        |FROM p CROSS JOIN t""".stripMargin
 
+  // ---- q_unigram_logprob: LM-style quality scoring -----------------------
+
+  /** Corpus-unigram log-probability per doc (graft.ops.Score) — the
+    * perplexity-filter shape with integer-quantized per-token logprobs
+    * (order-proof sums, see Score.unigramLogprobs).
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Score.unigramLogprobs(Tables.documents(s, dir), "doc_id", "text")
+
+  val unigramLogprobSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+       |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+       |tot AS (SELECT count(*) AS n FROM t),
+       |sc AS (SELECT t.doc_id,
+       |         CAST(floor(ln(CAST(v.cnt AS DOUBLE) / tot.n) * 10000) AS BIGINT) AS lp_q
+       |       FROM t JOIN v USING (tok) CROSS JOIN tot)
+       |SELECT d.doc_id,
+       |  CAST(count(sc.lp_q) AS BIGINT) AS n_toks,
+       |  CAST(coalesce(sum(sc.lp_q), 0) AS BIGINT) AS lp_sum_q
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
   // ---- q_url_canon: URL canonicalization for dedup keys ------------------
 
   /** Canonicalize a deterministically-messied URL (tracking params,

@@ -152,4 +152,23 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("unigram logprobs: common text outranks rare-token text; partition-proof") {
+    import spark.implicits._
+    // "the cat" dominates the corpus; doc 3 is rare-token gibberish
+    val docs = ((1 to 8).map(i => (i.toLong, "the cat sat on the mat"))
+      ++ Seq((9L, "zyzzyva qwertyuiop"), (10L, ""))).toDF("doc_id", "text")
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Score.unigramLogprobs(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = collectScores(docs)
+    // counts
+    assert(got(1L)._1 === 6L)
+    assert(got(9L)._1 === 2L)
+    assert(got(10L) === ((0L, 0L)))
+    // mean logprob: common-token doc must beat the gibberish doc
+    assert(got(1L)._2.toDouble / got(1L)._1 > got(9L)._2.toDouble / got(9L)._1)
+    // quantized integer sums: identical under any partitioning
+    assert(collectScores(docs.repartition(7)) === got)
+  }
 }
