@@ -79,7 +79,8 @@ object Score {
     val toks = df.select(col(idCol).as("id"),
       explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("__n"))
+    // total from the (tiny) vocab, NOT a third pass over the corpus
+    val total = vocab.agg(sum("cnt").as("__n"))
     val perDoc = toks.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("lp_q",
