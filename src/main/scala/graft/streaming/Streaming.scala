@@ -183,8 +183,9 @@ object Streaming {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** End-to-end continuous pipeline: JSONL landing dir -> stages 2+3 ->
-    * watermarked exact dedup -> stage-5 scoring (stateless, the same
-    * batch code) -> parquet, with a checkpoint for exactly-once
+    * watermarked exact dedup -> stage-5 scoring -> stage-6 tokenisation
+    * (all stateless, the same batch code; the tokenizer is the native
+    * one-pass kernel) -> parquet, with a checkpoint for exactly-once
     * file-sink semantics. Returns the started query; the caller owns
     * its lifecycle. `ingest_ts` is the arrival wall clock (the
     * streaming stand-in for the batch pipeline's single driver-side
@@ -198,7 +199,7 @@ object Streaming {
     val cleaned = cleanStream(raw)
     val deduped = dedupStream(cleaned, textCol = "text_pii_masked",
       eventTimeCol = "ingest_ts", watermark = watermark)
-    Pipeline.score(deduped)
+    Pipeline.tokenise(Pipeline.score(deduped))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -203,6 +203,12 @@ class StreamingSpec extends SparkTestBase {
     assert(out.columns.contains("quality_score") && out.columns.contains("subset"))
     val scores = out.select("quality_score").collect().map(_.getDouble(0))
     assert(scores.forall(s => s >= 0.0 && s <= 1.0), scores.toSeq.toString)
+    // stage-6 tokenisation ran on the stream: native-kernel ids match the
+    // batch tokenizer, mask is all ones
+    val kept = out.filter(col("drop_reason").isNull)
+      .select("text_pii_masked", "input_ids", "n_tokens").collect()(0)
+    assert(kept.getSeq[Int](1) === graft.text.Tokenize.encode(kept.getString(0)))
+    assert(kept.getLong(2) === kept.getSeq[Int](1).length.toLong)
   }
 
   test("stateless clean stage: streaming result equals batch result") {
