@@ -68,6 +68,7 @@ object SparkEntry {
     "q_spam_exploded" -> (DocQueries.spamExploded _),
     "q_dedup_tokens" -> (DocQueries.dedupTokens _),
     "q_token_pack" -> (DocQueries.tokenPack _),
+    "q_pack_manifest" -> (DocQueries.packManifest _),
     "q_domain_cap" -> (DocQueries.domainCap _),
     "q_token_entropy" -> (DocQueries.tokenEntropy _),
     "q_temperature_mix" -> (DocQueries.temperatureMix _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q_spam_exploded" -> DocQueries.spamExplodedSql,
     "q_dedup_tokens" -> DocQueries.dedupTokensSql,
     "q_token_pack" -> DocQueries.tokenPackSql,
+    "q_pack_manifest" -> DocQueries.packManifestSql,
     "q_domain_cap" -> DocQueries.domainCapSql,
     "q_token_entropy" -> DocQueries.tokenEntropySql,
     "q_temperature_mix" -> DocQueries.temperatureMixSql,

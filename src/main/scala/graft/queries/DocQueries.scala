@@ -366,6 +366,25 @@ object DocQueries {
        |    > start_offset // $PackCapacity AS spans_packs
        |FROM s""".stripMargin
 
+  // ---- q_pack_manifest: per-context-window sizing over the pack layout ---
+
+  /** Docs-starting and tokens-contributed per pack id — the run-sizing
+    * aggregate a loader uses to plan shard files aligned to whole packs.
+    */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    tokenPack(s, dir)
+      .groupBy(col("pack_first").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(when(col("spans_packs"), 1L).otherwise(0L)).as("n_straddlers"))
+
+  val packManifestSql: String =
+    s"""WITH pack AS ($tokenPackSql)
+       |SELECT pack_first AS pack_id, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN spans_packs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |FROM pack GROUP BY pack_first""".stripMargin
+
   // ---- q_token_entropy: per-doc token-distribution entropy ---------------
 
   /** Shannon entropy of each doc's token distribution (TextMetrics),

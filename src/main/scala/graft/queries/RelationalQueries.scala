@@ -196,7 +196,10 @@ object RelationalQueries {
       |   / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg_3,
       | sum(CAST(floor(value * 10000.0) AS BIGINT))
-      |   OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      |   -- floor, not CAST: DuckDB epoch() is fractional and CAST ROUNDS,
+      |   -- while Spark unix_timestamp() floors — rounding flips window
+      |   -- membership at second boundaries (bit us at sf0.1 density)
+      |   OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 10000.0 AS hour_sum
       |FROM events""".stripMargin
 
