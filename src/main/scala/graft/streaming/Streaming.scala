@@ -141,14 +141,18 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // probe via the Spark reader, not java.io: the state table may
+        // live on any Hadoop filesystem (HDFS/S3), not just local disk
         val seen =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir)
-          else
+          try spark.read.parquet(stateDir)
+          catch { case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") ||
+                 e.getMessage.toLowerCase.contains("path does not exist") =>
             spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("exact_hash", org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("dedup_id", org.apache.spark.sql.types.StringType))))
+          }
         val flagged = graft.ops.Dedup
           .incrementalExactDedup(batch, seen, textCol = textCol, seqCol = idCol)
           .persist() // one evaluation feeds both sinks
