@@ -98,6 +98,7 @@ object SparkEntry {
     "q_winnow_fp" -> (SimilarityQueries.winnowFp _),
     "q_winnow_overlap" -> (SimilarityQueries.winnowOverlap _),
     "q_cdc_chunks" -> (SimilarityQueries.cdcChunks _),
+    "q_cdc_dedup" -> (SimilarityQueries.cdcDedup _),
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
     "q_dup_clusters" -> (SimilarityQueries.dupClusters _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_winnow_fp" -> SimilarityQueries.winnowFpSql,
     "q_winnow_overlap" -> SimilarityQueries.winnowOverlapSql,
     "q_cdc_chunks" -> SimilarityQueries.cdcChunksSql,
+    "q_cdc_dedup" -> SimilarityQueries.cdcDedupSql,
     "q_media_meta" -> MultimodalQueries.mediaMetaSql,
     "q_frame_sample" -> MultimodalQueries.frameSampleSql,
     "q_audio_chunks" -> MultimodalQueries.audioChunksSql

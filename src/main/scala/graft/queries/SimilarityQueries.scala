@@ -259,6 +259,32 @@ object SimilarityQueries {
        |       md5(substr(canon, start, nxt - start)) AS chunk_hash
        |FROM x""".stripMargin
 
+  // ---- q_cdc_dedup: cross-document shared chunks ------------------------
+
+  private val CdcMinChunk = 16
+
+  /** Chunk-hash dedup over the CDC layout: chunks of >= CdcMinChunk
+    * chars appearing in more than one document — the boilerplate/quote
+    * payload an edit-stable chunker is built to find. One keyed agg over
+    * the per-row chunk explode; tiny chunks are dropped before the
+    * shuffle (they are both noise and the hot keys).
+    */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(s, dir)
+      .filter(col("chunk_len") >= CdcMinChunk)
+      .groupBy("chunk_hash", "chunk_len")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+
+  val cdcDedupSql: String =
+    s"""WITH chunks AS ($cdcChunksSql)
+       |SELECT chunk_hash, chunk_len,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ
+       |FROM chunks WHERE chunk_len >= $CdcMinChunk
+       |GROUP BY chunk_hash, chunk_len HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
   // ---- q_winnow_overlap: partial-overlap pairs via fingerprints ---------
 
   private val WinnowMaxDf = 20
