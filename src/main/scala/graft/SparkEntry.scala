@@ -28,6 +28,9 @@ object SparkEntry {
     "q4_semi_join_orders" -> (TpchQueries.semiJoinOrders _),
     "q5_anti_join_customers" -> (TpchQueries.antiJoinCustomers _),
     "q_top_orders" -> (TpchQueries.topOrders _),
+    "q13_order_distribution" -> (TpchQueries.orderCountDistribution _),
+    "q14_promo_revenue" -> (TpchQueries.promoRevenue _),
+    "q10_returned_revenue" -> (TpchQueries.returnedItemRevenue _),
     "q_user_running_stats" -> (TpchQueries.userRunningStats _),
     "q_events_hourly" -> (TpchQueries.eventsHourly _),
     "q_sessionize" -> (TpchQueries.sessionize _),
@@ -121,6 +124,9 @@ object SparkEntry {
     "q4_semi_join_orders" -> TpchQueries.semiJoinOrdersSql,
     "q5_anti_join_customers" -> TpchQueries.antiJoinCustomersSql,
     "q_top_orders" -> TpchQueries.topOrdersSql,
+    "q13_order_distribution" -> TpchQueries.orderCountDistributionSql,
+    "q14_promo_revenue" -> TpchQueries.promoRevenueSql,
+    "q10_returned_revenue" -> TpchQueries.returnedItemRevenueSql,
     "q_user_running_stats" -> TpchQueries.userRunningStatsSql,
     "q_events_hourly" -> TpchQueries.eventsHourlySql,
     "q_sessionize" -> TpchQueries.sessionizeSql,

@@ -358,4 +358,92 @@ object TpchQueries {
     """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
       |UNION ALL BY NAME
       |SELECT event_id, user_id, props FROM events WHERE event_type = 'signup'""".stripMargin
+
+  // ---- q13_order_distribution: TPC-H Q13 shape --------------------------
+
+  /** Customer distribution by order count, INCLUDING zero-order
+    * customers — the left-join + double-aggregation shape (TPC-H Q13).
+    * First agg keys on customer (high cardinality), second on the tiny
+    * count domain; both partial-aggregate map-side.
+    */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  val orderCountDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  // ---- q14_promo_revenue: TPC-H Q14 shape -------------------------------
+
+  /** Promo-type revenue share — conditional aggregation over a
+    * dimension join (TPC-H Q14). `part` broadcasts; the ratio is
+    * assembled from two quantized sums so both engines divide the same
+    * longs.
+    */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * lit(10000.0)).cast("long")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("_p"),
+        sum(rev).as("_t"))
+      .select((lit(100.0) * col("_p") / col("_t")).as("promo_pct"),
+        (col("_p") / lit(10000.0)).as("promo_revenue"),
+        (col("_t") / lit(10000.0)).as("total_revenue"))
+  }
+
+  val promoRevenueSql: String =
+    """WITH q AS (SELECT
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT) AS rev,
+      |    p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+      |         / sum(rev) AS promo_pct,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) / 10000.0
+      |    AS promo_revenue,
+      |  CAST(sum(rev) AS BIGINT) / 10000.0 AS total_revenue
+      |FROM q""".stripMargin
+
+  // ---- q10_returned_revenue: TPC-H Q10 shape ----------------------------
+
+  /** Top customers by revenue lost to returned items (TPC-H Q10):
+    * fact⋈fact on orderkey, broadcast customer/nation dims, quantized
+    * revenue ordering with the custkey tiebreak so top-20 is total.
+    */
+  def returnedItemRevenue(s: SparkSession, dir: String): DataFrame = {
+    val revQ = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * lit(10000.0)).cast("long")
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation_name"))
+      .agg(sum(revQ).as("_rq"))
+      .select(col("c_custkey"), col("c_name"), col("nation_name"),
+        (col("_rq") / lit(10000.0)).as("revenue"), col("_rq"))
+      .orderBy(desc("_rq"), asc("c_custkey"))
+      .limit(20)
+      .drop("_rq")
+  }
+
+  val returnedItemRevenueSql: String =
+    """WITH r AS (SELECT c_custkey, c_name, n_name AS nation_name,
+      |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS rq
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY c_custkey, c_name, n_name)
+      |SELECT c_custkey, c_name, nation_name, CAST(rq AS BIGINT) / 10000.0 AS revenue
+      |FROM r ORDER BY rq DESC, c_custkey LIMIT 20""".stripMargin
 }
