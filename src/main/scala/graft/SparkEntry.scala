@@ -31,6 +31,9 @@ object SparkEntry {
     "q13_order_distribution" -> (TpchQueries.orderCountDistribution _),
     "q14_promo_revenue" -> (TpchQueries.promoRevenue _),
     "q10_returned_revenue" -> (TpchQueries.returnedItemRevenue _),
+    "q_json_extract" -> (TpchQueries.jsonExtract _),
+    "q_lead_lag" -> (TpchQueries.leadLagGaps _),
+    "q_source_percentiles" -> (TpchQueries.sourcePercentiles _),
     "q_user_running_stats" -> (TpchQueries.userRunningStats _),
     "q_events_hourly" -> (TpchQueries.eventsHourly _),
     "q_sessionize" -> (TpchQueries.sessionize _),
@@ -127,6 +130,9 @@ object SparkEntry {
     "q13_order_distribution" -> TpchQueries.orderCountDistributionSql,
     "q14_promo_revenue" -> TpchQueries.promoRevenueSql,
     "q10_returned_revenue" -> TpchQueries.returnedItemRevenueSql,
+    "q_json_extract" -> TpchQueries.jsonExtractSql,
+    "q_lead_lag" -> TpchQueries.leadLagGapsSql,
+    "q_source_percentiles" -> TpchQueries.sourcePercentilesSql,
     "q_user_running_stats" -> TpchQueries.userRunningStatsSql,
     "q_events_hourly" -> TpchQueries.eventsHourlySql,
     "q_sessionize" -> TpchQueries.sessionizeSql,

@@ -359,6 +359,70 @@ object TpchQueries {
       |UNION ALL BY NAME
       |SELECT event_id, user_id, props FROM events WHERE event_type = 'signup'""".stripMargin
 
+  // ---- q_json_extract: semi-structured props ----------------------------
+
+  /** JSON path extraction over the `props` string column + typed
+    * aggregation — the semi-structured ingestion shape (Spark
+    * `get_json_object` stays codegen'd; no UDF JSON parsing).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(k) AS n_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  // ---- q_lead_lag: inter-event gaps -------------------------------------
+
+  /** Per-user event sequencing: microsecond gap to the previous event
+    * and the next event's type (lead + lag in one window; exact integer
+    * microseconds on both engines — no float time math).
+    */
+  def leadLagGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select("event_id", "user_id", "gap_us", "next_type")
+  }
+
+  val leadLagGapsSql: String =
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+      |  lead(event_type, 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events""".stripMargin
+
+  // ---- q_source_percentiles: grouped exact percentiles ------------------
+
+  /** Per-source length percentiles — grouped exact `percentile` (the
+    * per-stratum flavor of the describe report).
+    */
+  def sourcePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"))
+
+  val sourcePercentilesSql: String =
+    """SELECT source, count(*) AS n,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.75) AS p75
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---- q13_order_distribution: TPC-H Q13 shape --------------------------
 
   /** Customer distribution by order count, INCLUDING zero-order
