@@ -32,6 +32,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (TpchQueries.promoRevenue _),
     "q10_returned_revenue" -> (TpchQueries.returnedItemRevenue _),
     "q_json_extract" -> (TpchQueries.jsonExtract _),
+    "q_grouping_sets" -> (TpchQueries.groupingSets _),
     "q_lead_lag" -> (TpchQueries.leadLagGaps _),
     "q_source_percentiles" -> (TpchQueries.sourcePercentiles _),
     "q_user_running_stats" -> (TpchQueries.userRunningStats _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q14_promo_revenue" -> TpchQueries.promoRevenueSql,
     "q10_returned_revenue" -> TpchQueries.returnedItemRevenueSql,
     "q_json_extract" -> TpchQueries.jsonExtractSql,
+    "q_grouping_sets" -> TpchQueries.groupingSetsSql,
     "q_lead_lag" -> TpchQueries.leadLagGapsSql,
     "q_source_percentiles" -> TpchQueries.sourcePercentilesSql,
     "q_user_running_stats" -> TpchQueries.userRunningStatsSql,

@@ -359,6 +359,29 @@ object TpchQueries {
       |UNION ALL BY NAME
       |SELECT event_id, user_id, props FROM events WHERE event_type = 'signup'""".stripMargin
 
+  // ---- q_grouping_sets: explicit grouping sets via SQL text -------------
+
+  /** Explicit GROUPING SETS (the general form behind rollup/cube),
+    * through the SQL-text interface — Catalyst expands it to the same
+    * Expand + partial-agg plan the DataFrame rollup gets.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT event_type, user_id % 10 AS user_bucket,
+        |  count(*) AS n, grouping(event_type) AS g_type,
+        |  grouping(user_id % 10) AS g_bucket
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT event_type, user_id % 10 AS user_bucket,
+      |  count(*) AS n, grouping(event_type) AS g_type,
+      |  grouping(user_id % 10) AS g_bucket
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin
+
   // ---- q_json_extract: semi-structured props ----------------------------
 
   /** JSON path extraction over the `props` string column + typed
