@@ -30,22 +30,35 @@ object Domains {
 
   /** URL canonicalization for dedup keys (the CCNet/RefinedWeb-style
     * pre-dedup step): lowercase, drop the fragment, strip tracking
-    * parameters (utm_*, gclid, fbclid), drop `www.` and default ports,
-    * trim a trailing slash. This is a DEDUP KEY, not a display URL —
-    * lowercasing the path is deliberate (case-variant duplicates should
-    * collide). Every step is one RE2-safe `regexp_replace` with no
-    * capture-group substitutions, so the identical pattern strings run
-    * in Spark (Java regex) and the DuckDB oracle (RE2) with identical
-    * results.
+    * parameters (utm_*, gclid, fbclid), drop `www.` and the
+    * scheme-matched default port, trim a trailing slash. This is a
+    * DEDUP KEY, not a display URL — lowercasing the path is deliberate
+    * (case-variant duplicates should collide).
+    *
+    * Anchoring matters: a tracking name must sit immediately after its
+    * `?`/`&` delimiter (`?my_gclid=1` is NOT gclid; a `utm_x=` inside a
+    * param VALUE is data), the port strip applies only to the authority
+    * and only to the scheme's own default (`http://x:443` stays — that
+    * is a different resource), and `www.` only at the host front. All
+    * patterns are RE2-safe (no lookaround/backrefs in the PATTERN) so
+    * the DuckDB oracle runs the same strings; only the replacement
+    * backreference syntax differs (`$1` Java, `\1` RE2).
     */
   def canonicalizeUrl(url: Column): Column = {
     val lowered = lower(coalesce(url, lit("")))
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, "(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&?", "")
-    val tidyQ = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
-    val noWww = regexp_replace(tidyQ, "://www\\.", "://")
-    val noPort = regexp_replace(regexp_replace(noWww, ":(80|443)/", "/"), ":(80|443)$", "")
-    regexp_replace(noPort, "/$", "")
+    // strip each delimiter-anchored tracking param, keeping the delimiter
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*", "$1")
+    // collapse delimiter runs the removals left behind, then bare tails
+    val tidy = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    val noWww = regexp_replace(tidy, "^(https?://)www\\.", "$1")
+    val noP80 = regexp_replace(noWww,
+      "^(http://(?:[^/?#]*@)?[^/:?#]+):80([/?]|$)", "$1$2")
+    val noP443 = regexp_replace(noP80,
+      "^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?]|$)", "$1$2")
+    regexp_replace(noP443, "/$", "")
   }
 
   /** Adds `domain`, `domain_rank` (1-based among kept rows, null for

@@ -487,14 +487,15 @@ object DocQueries {
       |  FROM documents),
       |c AS (SELECT doc_id,
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |  regexp_replace(regexp_replace(regexp_replace(l,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
       |    '#.*$', '', 'g'),
-      |    '(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
-      |    '\?&', '?', 'g'),
+      |    '([?&])(utm_[a-z0-9]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      |    '\?&+', '?', 'g'),
+      |    '&&+', '&', 'g'),
       |    '[?&]+$', '', 'g'),
-      |    '://www\.', '://', 'g'),
-      |    ':(80|443)/', '/', 'g'),
-      |    ':(80|443)$', '', 'g') AS nearly
+      |    '^(https?://)www\.', '\1', 'g'),
+      |    '^(http://(?:[^/?#]*@)?[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
+      |    '^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?]|$)', '\1\2', 'g') AS nearly
       | FROM u)
       |SELECT doc_id,
       |  regexp_replace(nearly, '/$', '', 'g') AS url_canon,

@@ -190,7 +190,33 @@ class TextOpsSpec extends SparkTestBase {
     // non-tracking params survive in order
     assert(canon("https://example.com/p?a=1&utm_x=9&b=2")
       === "https://example.com/p?a=1&b=2")
+    // consecutive tracking params in the middle
+    assert(canon("https://example.com/p?a=1&utm_x=9&gclid=2&b=2")
+      === "https://example.com/p?a=1&b=2")
     // idempotent on an already-canonical url
     assert(canon("https://example.com/p?a=1") === "https://example.com/p?a=1")
+  }
+
+  test("url canonicalization anchoring: lookalike names, values, non-default ports untouched") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(graft.ops.Domains.canonicalizeUrl(col("u")))
+        .collect()(0).getString(0)
+    // a param whose NAME merely ends in a tracking name is not tracking
+    assert(canon("https://example.com/p?my_gclid=1") === "https://example.com/p?my_gclid=1")
+    // a tracking-lookalike inside a VALUE is data
+    assert(canon("https://example.com/p?to=utm_x=9") === "https://example.com/p?to=utm_x=9")
+    // default-port strip is scheme-matched and authority-only
+    assert(canon("http://example.com:443/p") === "http://example.com:443/p")
+    assert(canon("https://example.com:80/p") === "https://example.com:80/p")
+    assert(canon("https://example.com:8443/p") === "https://example.com:8443/p")
+    assert(canon("http://example.com/redir?to=host:80/p")
+      === "http://example.com/redir?to=host:80/p")
+    assert(canon("http://user:p@example.com:80/q") === "http://user:p@example.com/q")
+    // port with empty path / query directly after
+    assert(canon("http://example.com:80") === "http://example.com")
+    assert(canon("https://example.com:443?a=1") === "https://example.com?a=1")
+    // www only strips at the host front, not inside a value
+    assert(canon("https://example.com/r?u=https://www.x.com")
+      === "https://example.com/r?u=https://www.x.com")
   }
 }
