@@ -56,24 +56,6 @@ object CdcChunks {
     StructField("len", LongType, nullable = false),
     StructField("hash", StringType, nullable = false))), containsNull = false)
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HexDigits = "0123456789abcdef".toCharArray
-
-  private def hex(d: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      out(2 * j) = HexDigits((d(j) >> 4) & 0xf)
-      out(2 * j + 1) = HexDigits(d(j) & 0xf)
-      j += 1
-    }
-    new String(out)
-  }
-
   /** Empty text -> empty array; text shorter than one gram -> one chunk. */
   def kernel(text: UTF8String, k: Int): ArrayData = {
     val bytes = text.getBytes
@@ -88,13 +70,12 @@ object CdcChunks {
     offs(n) = bytes.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
 
-    val digest = md5.get()
     // boundary BEFORE position i (1-based): gram [i, i+k) hashes to '0*'.
     // i starts at 2 — a boundary before the first char is meaningless.
     val starts = scala.collection.mutable.ArrayBuffer(1)
     var i = 2
     while (i <= n - k + 1) {
-      digest.reset()
+      val digest = Md5Hex.digest()
       digest.update(bytes, offs(i - 1), offs(i - 1 + k) - offs(i - 1))
       val d = digest.digest()
       if (((d(0) >> 4) & 0xf) == 0) starts += i
@@ -105,10 +86,10 @@ object CdcChunks {
     while (c < starts.length) {
       val s = starts(c)
       val e = if (c + 1 < starts.length) starts(c + 1) else n + 1
-      digest.reset()
+      val digest = Md5Hex.digest()
       digest.update(bytes, offs(s - 1), offs(e - 1) - offs(s - 1))
       out(c) = new GenericInternalRow(Array[Any](
-        s.toLong, (e - s).toLong, UTF8String.fromString(hex(digest.digest()))))
+        s.toLong, (e - s).toLong, UTF8String.fromString(Md5Hex.hex(digest.digest()))))
       c += 1
     }
     new GenericArrayData(out)

@@ -50,13 +50,6 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
 
 object WinnowSelect {
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   /** Static kernel shared by interpreted eval and generated code.
     * Fewer than one full window (< k+w-1 code points) -> empty array.
     */
@@ -76,22 +69,13 @@ object WinnowSelect {
     val windows = grams - w + 1    // full w-windows over those grams
     if (windows <= 0) return new GenericArrayData(Array.empty[Any])
 
-    val digest = md5.get()
     // hash each gram ONCE, in order; hex chars for byte-wise min compare
     val hs = new Array[Array[Char]](grams)
     var i = 0
     while (i < grams) {
-      digest.reset()
+      val digest = Md5Hex.digest()
       digest.update(bytes, offs(i), offs(i + k) - offs(i))
-      val d = digest.digest()
-      val hex = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HexDigits(d(j) & 0xf)
-        j += 1
-      }
-      hs(i) = hex
+      hs(i) = Md5Hex.hexChars(digest.digest())
       i += 1
     }
 

@@ -141,17 +141,21 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // probe via the Spark reader, not java.io: the state table may
-        // live on any Hadoop filesystem (HDFS/S3), not just local disk
+        val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("exact_hash", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dedup_id", org.apache.spark.sql.types.StringType)))
+        // probe via the Spark reader, not java.io (the state table may
+        // live on any Hadoop filesystem), WITH the explicit schema: a
+        // crash between the out-append and the state-append can leave
+        // stateDir existing but footer-less, and schema inference would
+        // then fail every replay — a known-schema read cannot
         val seen =
-          try spark.read.parquet(stateDir)
+          try spark.read.schema(stateSchema).parquet(stateDir)
           catch { case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("PATH_NOT_FOUND") ||
                  e.getMessage.toLowerCase.contains("path does not exist") =>
-            spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("exact_hash", org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("dedup_id", org.apache.spark.sql.types.StringType))))
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
           }
         val flagged = graft.ops.Dedup
           .incrementalExactDedup(batch, seen, textCol = textCol, seqCol = idCol)
