@@ -24,9 +24,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * right row, no window frames, no discarded carrier rows.
   *
   * Left rows with a null key or time get null payloads; right rows with
-  * a null key or time never match (SQL join-key semantics). On exact
-  * right-time ties the last row in sort order wins — the same row the
-  * running-`last` window form picks.
+  * a null key or time never match (SQL join-key semantics). Among right
+  * rows tied on exactly (key, time), the last one in this side's sort
+  * order wins — which specific row that is, is sort-stability-dependent
+  * here exactly as it is in the window form (equal sort keys have no
+  * defined order in either); tie-free inputs are deterministic in both.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
