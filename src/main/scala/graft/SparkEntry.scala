@@ -81,6 +81,9 @@ object SparkEntry {
     "q_temperature_mix" -> (DocQueries.temperatureMix _),
     "q_url_canon" -> (DocQueries.urlCanon _),
     "q_unigram_logprob" -> (DocQueries.unigramLogprob _),
+    // engine-defined (iterative BPE training; rows-only by design)
+    "q_bpe_vocab" -> (DocQueries.bpeVocab _),
+    "q_bpe_tokenize" -> (DocQueries.bpeTokenize _),
     // Reporting / sharding / export / end-to-end (SURVEY §2.6, 2.8, 2.12)
     "q_drop_reason_counts" -> (PipelineQueries.dropReasonCounts _),
     "q_describe_chars" -> (PipelineQueries.describeChars _),

@@ -440,6 +440,36 @@ object DocQueries {
        |  CAST(floor(pw / tot * $MixBudget) AS BIGINT) AS docs_alloc
        |FROM p CROSS JOIN t""".stripMargin
 
+  // ---- q_bpe_vocab / q_bpe_tokenize: learned subword vocabulary ----------
+
+  private val BpeMerges = 200
+
+  /** BPE merge table learned from the corpus (graft.text.Bpe) —
+    * deterministic, so rows-only checking still pins run-to-run
+    * stability. Engine-defined (iterative training has no SQL oracle).
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = graft.text.Bpe.train(Tables.documents(s, dir), "text",
+      numMerges = BpeMerges)
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Corpus re-encoded under the learned vocabulary: subword count and
+    * an order-sensitive hash per doc (harness-sortable scalars).
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val enc = graft.text.Bpe.encodeUdf(
+      graft.text.Bpe.train(docs, "text", numMerges = BpeMerges))
+    docs.withColumn("__sub", enc(col("text")))
+      .select(col("doc_id"),
+        size(col("__sub")).cast("long").as("n_subwords"),
+        xxhash64(to_json(col("__sub"))).as("subword_hash"))
+  }
+
   // ---- q_unigram_logprob: LM-style quality scoring -----------------------
 
   /** Corpus-unigram log-probability per doc (graft.ops.Score) — the
