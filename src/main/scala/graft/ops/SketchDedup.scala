@@ -192,6 +192,70 @@ object SketchDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental MinHash+LSH: flag near-duplicates of a NEW batch
+    * against a persistent corpus sketch table — the production shape of
+    * continuous corpus growth (the near-dup twin of
+    * [[Dedup.incrementalExactDedup]]). The corpus side is the
+    * already-banded state (id, hs, bands) written by earlier runs (one
+    * row per doc, [[minhashLshPairs]]'s `hashed` layout via
+    * [[sketchTable]]); history is NEVER re-sketched and never
+    * re-shuffled beyond the band-key join:
+    *
+    *  1. sketch the new batch (one compiled pass),
+    *  2. candidate pairs = new-batch band keys ⋈ corpus band keys
+    *     (hash-partitioned; corpus explodes only its band-key column),
+    *  3. exact-Jaccard verify on candidates only,
+    *  4. emit the batch with `is_dup_near_corpus` + `near_dup_of`
+    *     (lowest matching corpus id — deterministic).
+    *
+    * The batch should ALSO be deduped within itself first
+    * ([[minhashLshPairs]] on the batch) — this op only answers "is it
+    * already in the corpus". Append `sketchTable(batch)` rows for the
+    * kept docs to the state table to complete the cycle.
+    */
+  def incrementalMinhash(batch: DataFrame, corpusSketches: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7,
+                         shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val fresh = sketchTable(batch, idCol, textCol, numHashes, bands, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fresh.count() // materialize before the 3-way fan-out
+    val bandedNew = fresh.select(col("id"), explode(col("bands")).as("band_key"))
+    val bandedOld = corpusSketches
+      .select(col("id").as("corpus_id"), explode(col("bands")).as("band_key"))
+    val candidates = bandedNew.join(bandedOld, Seq("band_key"))
+      .select("id", "corpus_id").distinct()
+    val verified = candidates
+      .join(fresh.select(col("id"), col("hs").as("sh_n")), Seq("id"))
+      .join(corpusSketches.select(col("id").as("corpus_id"), col("hs").as("sh_c")),
+        Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_n")) + size(col("sh_c")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("id").agg(min("corpus_id").as("near_dup_of"))
+    batch
+      .join(verified.withColumnRenamed("id", "__m_id"),
+        col(idCol) === col("__m_id"), "left")
+      .withColumn("is_dup_near_corpus", col("__m_id").isNotNull)
+      .drop("__m_id")
+  }
+
+  /** Per-doc sketch state rows (id, hs, bands) — what
+    * [[incrementalMinhash]] reads as the corpus side and what each run
+    * appends for its kept docs.
+    */
+  def sketchTable(df: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 64, bands: Int = 16,
+                  shingleSize: Int = 3): DataFrame = {
+    val sk = minhashSketch(shingleSize, numHashes, bands)
+    df.select(col(idCol).as("id"), sk(col(textCol)).as("sk"))
+      .select(col("id"), col("sk._1").as("hs"), col("sk._2").as("bands"))
+      .filter(size(col("hs")) > 0)
+  }
+
   /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes; UDF —
     * the per-bit majority vote is a tight scalar loop, not worth 64
     * higher-order passes per row).

@@ -212,6 +212,38 @@ class SketchDedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental minhash: batch flags near-dups of corpus state, not of itself") {
+    import spark.implicits._
+    val para = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, s"$para plus some corpus-only trailing words here"),
+      (2L, "a completely different corpus document about other things entirely")
+    ).toDF("doc_id", "text")
+    val state = SketchDedup.sketchTable(corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, s"$para plus some corpus-only trailing words here"),  // near-dup of 1
+      (11L, "fresh new content that matches nothing in the corpus at all"),
+      (12L, "")                                                   // empty: no sketch
+    ).toDF("doc_id", "text")
+    val out = SketchDedup.incrementalMinhash(batch, state, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id", "is_dup_near_corpus", "near_dup_of")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(10L) === ((true, Some(1L))))
+    assert(out(11L) === ((false, None)))
+    assert(out(12L) === ((false, None)))
+    // round-trip: appending the batch's kept sketches grows the state
+    val kept = batch.filter(!col("doc_id").isin(10L))
+    val grown = state.unionByName(SketchDedup.sketchTable(kept, "doc_id", "text"))
+    val out2 = SketchDedup.incrementalMinhash(
+      Seq((20L, "fresh new content that matches nothing in the corpus at all"))
+        .toDF("doc_id", "text"),
+      grown, "doc_id", "text", threshold = 0.6)
+      .select("is_dup_near_corpus", "near_dup_of").collect()(0)
+    assert(out2.getBoolean(0) && out2.getLong(1) === 11L)
+  }
+
   test("cosine matches a plain scala computation") {
     import spark.implicits._
     val a = Array(1.0, 2.0, 3.0)
