@@ -169,6 +169,50 @@ object Streaming {
       }
       .start()
 
+  /** Near-dup twin of [[dedupAgainstCorpus]]: each micro-batch is
+    * MinHash-flagged against a persistent banded sketch table
+    * ([[graft.ops.SketchDedup.incrementalMinhash]]), then the kept
+    * (non-near-dup) docs' sketches are appended to that state. Same
+    * unbounded-horizon design: state is a parquet table, not the
+    * streaming state store — restart-safe, inspectable, compactable
+    * out-of-band; history is never re-sketched.
+    */
+  def nearDedupAgainstCorpus(df: DataFrame, textCol: String, idCol: String,
+                             stateDir: String, outDir: String,
+                             checkpointDir: String,
+                             threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hs",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+          org.apache.spark.sql.types.StructField("bands",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false))))
+        val state =
+          try spark.read.schema(stateSchema).parquet(stateDir)
+          catch { case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") ||
+                 e.getMessage.toLowerCase.contains("path does not exist") =>
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
+          }
+        val flagged = graft.ops.SketchDedup
+          .incrementalMinhash(batch, state, idCol = idCol, textCol = textCol,
+            threshold = threshold)
+          .persist()
+        try {
+          flagged.write.mode("append").parquet(outDir)
+          graft.ops.SketchDedup
+            .sketchTable(flagged.filter(!col("is_dup_near_corpus")), idCol, textCol)
+            .write.mode("append").parquet(stateDir)
+        } finally flagged.unpersist(blocking = false)
+      }
+      .start()
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

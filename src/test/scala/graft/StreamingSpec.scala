@@ -112,6 +112,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch near-dedup against a persistent sketch corpus state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("corpus_near").toString
+    val para = "the quick brown fox jumps over the lazy dog again and again today"
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.nearDedupAgainstCorpus(in.toDF().toDF("doc_id", "text"),
+      textCol = "text", idCol = "doc_id",
+      stateDir = s"$base/state", outDir = s"$base/out",
+      checkpointDir = s"$base/ckpt", threshold = 0.6)
+    try {
+      in.addData((1L, s"$para with corpus trailing words"),
+        (2L, "entirely different first-batch content about nothing shared"))
+      q.processAllAvailable()
+      // batch 2: 10 is a near-dup of 1 ACROSS the batch boundary
+      in.addData((10L, s"$para with corpus trailing words"),
+        (11L, "novel second-batch material unlike anything previous"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+      val dups = out.filter(col("is_dup_near_corpus"))
+        .select("doc_id", "near_dup_of").as[(Long, Long)].collect().toMap
+      assert(dups === Map(10L -> 1L))
+      // state holds sketches for exactly the kept docs
+      val stateIds = spark.read.parquet(s"$base/state")
+        .select("id").as[Long].collect().toSet
+      assert(stateIds === Set(1L, 2L, 11L))
+    } finally q.stop()
+  }
+
   test("gap sessionization emits a session once the watermark closes it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
