@@ -164,15 +164,12 @@ object SketchDedup {
                       threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // One compiled pass computes the whole per-doc sketch. The sketch is
-    // persisted: it feeds both sides of the candidate self-join AND both
-    // verify joins — at scale you never recompute a corpus-wide sketch
-    // four times.
-    val sk = minhashSketch(shingleSize, numHashes, bands)
-    val hashed = df
-      .select(col(idCol).as("id"), sk(col(textCol)).as("sk"))
-      .select(col("id"), col("sk._1").as("hs"), col("sk._2").as("bands"))
-      .filter(size(col("hs")) > 0)
+    // One compiled pass computes the whole per-doc sketch ([[sketchTable]]
+    // is the single definition of the (id, hs, bands) layout). The sketch
+    // is persisted: it feeds both sides of the candidate self-join AND
+    // both verify joins — at scale you never recompute a corpus-wide
+    // sketch four times.
+    val hashed = sketchTable(df, idCol, textCol, numHashes, bands, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     hashed.count() // materialize before the plan fans out four ways
     val banded = hashed.select(col("id"), explode(col("bands")).as("band_key"))
@@ -192,55 +189,78 @@ object SketchDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Incremental MinHash+LSH: flag near-duplicates of a NEW batch
-    * against a persistent corpus sketch table — the production shape of
-    * continuous corpus growth (the near-dup twin of
-    * [[Dedup.incrementalExactDedup]]). The corpus side is the
-    * already-banded state (id, hs, bands) written by earlier runs (one
-    * row per doc, [[minhashLshPairs]]'s `hashed` layout via
-    * [[sketchTable]]); history is NEVER re-sketched and never
+  /** Result of [[incrementalMinhash]]: the flagged batch, the batch's
+    * own sketch table (reusable — append the kept rows to the corpus
+    * state instead of re-sketching), and `release()` for the internal
+    * persist once both frames have been consumed. The sketch cache MUST
+    * be released by the caller — a per-micro-batch leak otherwise.
+    */
+  final case class IncrementalNearDup(flagged: DataFrame, sketches: DataFrame) {
+    def release(): Unit = sketches.unpersist(blocking = false)
+  }
+
+  /** Incremental MinHash+LSH: flag near-duplicates of a NEW batch,
+    * both within the batch and against a persistent corpus sketch
+    * table — the production shape of continuous corpus growth (the
+    * near-dup twin of [[Dedup.incrementalExactDedup]], which likewise
+    * dedups the batch internally before consulting history). The corpus
+    * side is the banded state (id, hs, bands — [[sketchTable]] layout)
+    * written by earlier runs; history is NEVER re-sketched and never
     * re-shuffled beyond the band-key join:
     *
-    *  1. sketch the new batch (one compiled pass),
-    *  2. candidate pairs = new-batch band keys ⋈ corpus band keys
-    *     (hash-partitioned; corpus explodes only its band-key column),
-    *  3. exact-Jaccard verify on candidates only,
-    *  4. emit the batch with `is_dup_near_corpus` + `near_dup_of`
-    *     (lowest matching corpus id — deterministic).
-    *
-    * The batch should ALSO be deduped within itself first
-    * ([[minhashLshPairs]] on the batch) — this op only answers "is it
-    * already in the corpus". Append `sketchTable(batch)` rows for the
-    * kept docs to the state table to complete the cycle.
+    *  1. sketch the new batch once (compiled pass, persisted, exposed),
+    *  2. intra-batch: banded self-join + exact-Jaccard verify,
+    *     keep-first by id → `is_dup_near_batch`, `batch_dup_of` (lowest
+    *     matching smaller id; chains flag every later member — run
+    *     [[DupClusters]] when full transitive clusters matter),
+    *  3. corpus: new band keys ⋈ corpus band keys, verify, →
+    *     `is_dup_near_corpus`, `near_dup_of` (lowest corpus id),
+    *  4. append `sketches` rows for docs with NEITHER flag to the state.
     */
   def incrementalMinhash(batch: DataFrame, corpusSketches: DataFrame,
                          idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.7,
-                         shingleSize: Int = 3): DataFrame = {
+                         shingleSize: Int = 3): IncrementalNearDup = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val fresh = sketchTable(batch, idCol, textCol, numHashes, bands, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    fresh.count() // materialize before the 3-way fan-out
+    fresh.count() // materialize before the multi-way fan-out
+    def verify(cands: DataFrame, otherSketches: DataFrame,
+               otherIdCol: String): DataFrame =
+      cands
+        .join(fresh.select(col("id"), col("hs").as("sh_n")), Seq("id"))
+        .join(otherSketches.select(col("id").as(otherIdCol), col("hs").as("sh_c")),
+          Seq(otherIdCol))
+        .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_n")) + size(col("sh_c")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
     val bandedNew = fresh.select(col("id"), explode(col("bands")).as("band_key"))
+    // intra-batch keep-first: a doc is a batch-dup of the smallest
+    // earlier id it collides-and-verifies with
+    val intraCands = bandedNew
+      .join(bandedNew.select(col("band_key"), col("id").as("batch_id")), Seq("band_key"))
+      .filter(col("batch_id") < col("id"))
+      .select("id", "batch_id").distinct()
+    val intra = verify(intraCands, fresh, "batch_id")
+      .groupBy("id").agg(min("batch_id").as("batch_dup_of"))
     val bandedOld = corpusSketches
       .select(col("id").as("corpus_id"), explode(col("bands")).as("band_key"))
-    val candidates = bandedNew.join(bandedOld, Seq("band_key"))
+    val corpusCands = bandedNew.join(bandedOld, Seq("band_key"))
       .select("id", "corpus_id").distinct()
-    val verified = candidates
-      .join(fresh.select(col("id"), col("hs").as("sh_n")), Seq("id"))
-      .join(corpusSketches.select(col("id").as("corpus_id"), col("hs").as("sh_c")),
-        Seq("corpus_id"))
-      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_c"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_n")) + size(col("sh_c")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
+    val corpus = verify(corpusCands, corpusSketches, "corpus_id")
       .groupBy("id").agg(min("corpus_id").as("near_dup_of"))
-    batch
-      .join(verified.withColumnRenamed("id", "__m_id"),
-        col(idCol) === col("__m_id"), "left")
-      .withColumn("is_dup_near_corpus", col("__m_id").isNotNull)
-      .drop("__m_id")
+    val flagged = batch
+      .join(intra.withColumnRenamed("id", "__b_id"),
+        col(idCol) === col("__b_id"), "left")
+      .withColumn("is_dup_near_batch", col("__b_id").isNotNull)
+      .drop("__b_id")
+      .join(corpus.withColumnRenamed("id", "__c_id"),
+        col(idCol) === col("__c_id"), "left")
+      .withColumn("is_dup_near_corpus", col("__c_id").isNotNull)
+      .drop("__c_id")
+    IncrementalNearDup(flagged, fresh)
   }
 
   /** Per-doc sketch state rows (id, hs, bands) — what

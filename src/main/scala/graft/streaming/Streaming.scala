@@ -170,9 +170,10 @@ object Streaming {
       .start()
 
   /** Near-dup twin of [[dedupAgainstCorpus]]: each micro-batch is
-    * MinHash-flagged against a persistent banded sketch table
-    * ([[graft.ops.SketchDedup.incrementalMinhash]]), then the kept
-    * (non-near-dup) docs' sketches are appended to that state. Same
+    * MinHash-flagged within itself AND against a persistent banded
+    * sketch table ([[graft.ops.SketchDedup.incrementalMinhash]]), then
+    * the sketches already computed for the kept docs (neither flag) are
+    * appended to that state — one sketch pass per batch, total. Same
     * unbounded-horizon design: state is a parquet table, not the
     * streaming state store — restart-safe, inspectable, compactable
     * out-of-band; history is never re-sketched.
@@ -200,16 +201,23 @@ object Streaming {
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
           }
-        val flagged = graft.ops.SketchDedup
+        val result = graft.ops.SketchDedup
           .incrementalMinhash(batch, state, idCol = idCol, textCol = textCol,
             threshold = threshold)
-          .persist()
+        val flagged = result.flagged.persist()
         try {
           flagged.write.mode("append").parquet(outDir)
-          graft.ops.SketchDedup
-            .sketchTable(flagged.filter(!col("is_dup_near_corpus")), idCol, textCol)
+          // append the ALREADY-COMPUTED sketches of docs kept by both
+          // checks — no re-sketching, no second pass over the text
+          val keptIds = flagged
+            .filter(!col("is_dup_near_batch") && !col("is_dup_near_corpus"))
+            .select(col(idCol).cast("long").as("id"))
+          result.sketches.join(keptIds, Seq("id"), "left_semi")
             .write.mode("append").parquet(stateDir)
-        } finally flagged.unpersist(blocking = false)
+        } finally {
+          flagged.unpersist(blocking = false)
+          result.release()
+        }
       }
       .start()
 

@@ -223,25 +223,35 @@ class SketchDedupSpec extends SparkTestBase {
     val batch = Seq(
       (10L, s"$para plus some corpus-only trailing words here"),  // near-dup of 1
       (11L, "fresh new content that matches nothing in the corpus at all"),
-      (12L, "")                                                   // empty: no sketch
+      (12L, ""),                                                  // empty: no sketch
+      (13L, "fresh new content that matches nothing in the corpus at all") // intra-dup of 11
     ).toDF("doc_id", "text")
-    val out = SketchDedup.incrementalMinhash(batch, state, "doc_id", "text",
-        threshold = 0.6)
-      .select("doc_id", "is_dup_near_corpus", "near_dup_of")
+    val res = SketchDedup.incrementalMinhash(batch, state, "doc_id", "text",
+      threshold = 0.6)
+    val out = res.flagged
+      .select("doc_id", "is_dup_near_corpus", "near_dup_of",
+        "is_dup_near_batch", "batch_dup_of")
       .collect().map(r => r.getLong(0) ->
-        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
-    assert(out(10L) === ((true, Some(1L))))
-    assert(out(11L) === ((false, None)))
-    assert(out(12L) === ((false, None)))
-    // round-trip: appending the batch's kept sketches grows the state
-    val kept = batch.filter(!col("doc_id").isin(10L))
-    val grown = state.unionByName(SketchDedup.sketchTable(kept, "doc_id", "text"))
-    val out2 = SketchDedup.incrementalMinhash(
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out(10L) === ((true, Some(1L), false, None)))
+    assert(out(11L) === ((false, None, false, None)))
+    assert(out(12L) === ((false, None, false, None)))
+    assert(out(13L) === ((false, None, true, Some(11L))))
+    // round-trip: append the ALREADY-computed sketches of kept docs
+    val keptIds = res.flagged
+      .filter(!col("is_dup_near_batch") && !col("is_dup_near_corpus"))
+      .select(col("doc_id").as("id"))
+    val grown = state.unionByName(
+      res.sketches.join(keptIds, Seq("id"), "left_semi"))
+    val res2 = SketchDedup.incrementalMinhash(
       Seq((20L, "fresh new content that matches nothing in the corpus at all"))
         .toDF("doc_id", "text"),
       grown, "doc_id", "text", threshold = 0.6)
+    val out2 = res2.flagged
       .select("is_dup_near_corpus", "near_dup_of").collect()(0)
     assert(out2.getBoolean(0) && out2.getLong(1) === 11L)
+    res2.release(); res.release()
   }
 
   test("cosine matches a plain scala computation") {

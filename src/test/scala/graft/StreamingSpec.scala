@@ -123,21 +123,27 @@ class StreamingSpec extends SparkTestBase {
       stateDir = s"$base/state", outDir = s"$base/out",
       checkpointDir = s"$base/ckpt", threshold = 0.6)
     try {
+      // batch 1: 2 is an INTRA-batch near-dup of 1
       in.addData((1L, s"$para with corpus trailing words"),
-        (2L, "entirely different first-batch content about nothing shared"))
+        (2L, s"$para with corpus trailing words"),
+        (3L, "entirely different first-batch content about nothing shared"))
       q.processAllAvailable()
       // batch 2: 10 is a near-dup of 1 ACROSS the batch boundary
       in.addData((10L, s"$para with corpus trailing words"),
         (11L, "novel second-batch material unlike anything previous"))
       q.processAllAvailable()
       val out = spark.read.parquet(s"$base/out")
-      val dups = out.filter(col("is_dup_near_corpus"))
+      val corpusDups = out.filter(col("is_dup_near_corpus"))
         .select("doc_id", "near_dup_of").as[(Long, Long)].collect().toMap
-      assert(dups === Map(10L -> 1L))
-      // state holds sketches for exactly the kept docs
+      assert(corpusDups === Map(10L -> 1L))
+      val batchDups = out.filter(col("is_dup_near_batch"))
+        .select("doc_id", "batch_dup_of").as[(Long, Long)].collect().toMap
+      assert(batchDups === Map(2L -> 1L))
+      // state holds sketches for exactly the kept docs — the intra-batch
+      // duplicate 2 never polluted it
       val stateIds = spark.read.parquet(s"$base/state")
         .select("id").as[Long].collect().toSet
-      assert(stateIds === Set(1L, 2L, 11L))
+      assert(stateIds === Set(1L, 3L, 11L))
     } finally q.stop()
   }
 
