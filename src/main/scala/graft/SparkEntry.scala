@@ -112,6 +112,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (SimilarityQueries.minhashLsh _),
     "q_simhash_pairs" -> (SimilarityQueries.simhashPairs _),
     "q_dup_clusters" -> (SimilarityQueries.dupClusters _),
+    "q_cluster_best" -> (SimilarityQueries.clusterBest _),
     "q_contamination" -> (SimilarityQueries.contamination _),
     "q_bloom_contamination" -> (SimilarityQueries.bloomContamination _),
     // Multimodal binary columns (builder brief first-class ops)
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_url_canon" -> DocQueries.urlCanonSql,
     "q_unigram_logprob" -> DocQueries.unigramLogprobSql,
     "q_dup_clusters" -> SimilarityQueries.dupClustersSql,
+    "q_cluster_best" -> SimilarityQueries.clusterBestSql,
     "q_contamination" -> SimilarityQueries.contaminationSql,
     // the Bloom path is exact (prefilter + verify join), same oracle
     "q_bloom_contamination" -> SimilarityQueries.contaminationSql,

@@ -149,6 +149,43 @@ object SimilarityQueries {
        |  SELECT e.src, reach.lab FROM e JOIN reach ON e.dst = reach.id)
        |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  // ---- q_cluster_best: keep-BEST-per-cluster dedup policy ---------------
+
+  /** Quality-aware cluster representative: for each near-dup cluster,
+    * keep the member with the highest quality score (doc_id ascending on
+    * ties) — the dedup policy production corpora actually want (the
+    * keep-FIRST windows elsewhere keep the earliest, not the best).
+    * Argmax is a `max(struct(score, -id))` aggregate — map-side partial,
+    * deterministic, no per-cluster window. Scores are quantized longs so
+    * the struct comparison is integer-exact in both engines.
+    */
+  def clusterBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(s, dir)
+    val scored = graft.queries.DocQueries.qualityScore(s, dir)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 10000).cast("long").as("qs_q"))
+    clusters.join(scored, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("qs_q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).cast("long").as("best_doc_id"),
+        col("best.qs_q").as("best_qs_q"))
+  }
+
+  val clusterBestSql: String =
+    s"""WITH clusters AS ($dupClustersSql),
+       |scored AS (SELECT doc_id,
+       |    CAST(floor(quality_score * 10000) AS BIGINT) AS qs_q
+       |  FROM (${graft.queries.DocQueries.qualityScoreSql})),
+       |r AS (SELECT c.cluster_id, c.doc_id, s.qs_q,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY s.qs_q DESC, c.doc_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+       |      FROM clusters c JOIN scored s USING (doc_id))
+       |SELECT cluster_id, n_members, doc_id AS best_doc_id, qs_q AS best_qs_q
+       |FROM r WHERE rn = 1""".stripMargin
+
   // ---- q_contamination: benchmark n-gram decontamination ----------------
 
   /** Benchmark decontamination over a deterministic split of the corpus:
