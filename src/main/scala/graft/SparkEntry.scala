@@ -81,6 +81,7 @@ object SparkEntry {
     "q_temperature_mix" -> (DocQueries.temperatureMix _),
     "q_url_canon" -> (DocQueries.urlCanon _),
     "q_unigram_logprob" -> (DocQueries.unigramLogprob _),
+    "q_quality_ensemble" -> (DocQueries.qualityEnsemble _),
     // engine-defined (iterative BPE training; rows-only by design)
     "q_bpe_vocab" -> (DocQueries.bpeVocab _),
     "q_bpe_tokenize" -> (DocQueries.bpeTokenize _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_temperature_mix" -> DocQueries.temperatureMixSql,
     "q_url_canon" -> DocQueries.urlCanonSql,
     "q_unigram_logprob" -> DocQueries.unigramLogprobSql,
+    "q_quality_ensemble" -> DocQueries.qualityEnsembleSql,
     "q_dup_clusters" -> SimilarityQueries.dupClustersSql,
     "q_cluster_best" -> SimilarityQueries.clusterBestSql,
     "q_contamination" -> SimilarityQueries.contaminationSql,

@@ -440,6 +440,70 @@ object DocQueries {
        |  CAST(floor(pw / tot * $MixBudget) AS BIGINT) AS docs_alloc
        |FROM p CROSS JOIN t""".stripMargin
 
+  // ---- q_quality_ensemble: the composite quality gate --------------------
+
+  private val GateMinQuality = 0.55
+  private val GateMinEntropyQ = 28000L
+  private val GateMinMeanLpQ = -34050L
+  private val GateMaxToxicity = 0.5
+
+  /** FineWeb-style rule ensemble over every quality signal the engine
+    * computes — heuristic score, token-distribution entropy, corpus-LM
+    * fluency, toxicity — with first-match-wins fail reasons (the same
+    * drop-reason discipline as ops.Filters). Built by joining the four
+    * oracle-validated signal queries on doc_id: at corpus scale the
+    * three per-row signals fuse into one scan (they are column
+    * expressions; see Pipeline), while the fluency signal keeps its
+    * inherent vocabulary join — this form trades two extra scans for
+    * exact reuse of the validated building blocks.
+    */
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame =
+    qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+      .join(tokenEntropy(s, dir).select("doc_id", "entropy_q"), Seq("doc_id"))
+      .join(unigramLogprob(s, dir), Seq("doc_id"))
+      .join(toxicity(s, dir).select("doc_id", "toxicity"), Seq("doc_id"))
+      .withColumn("qs_q", floor(col("quality_score") * 10000).cast("long"))
+      .withColumn("mean_lp_q",
+        when(col("n_toks") > 0,
+          floor(col("lp_sum_q").cast("double") / col("n_toks")).cast("long")))
+      .withColumn("fail_reason",
+        when(col("quality_score") < GateMinQuality, "low_quality")
+          .when(col("entropy_q") < GateMinEntropyQ, "low_entropy")
+          .when(col("mean_lp_q").isNull || col("mean_lp_q") < GateMinMeanLpQ,
+            "low_fluency")
+          .when(col("toxicity") >= GateMaxToxicity, "toxic"))
+      .withColumn("keep", col("fail_reason").isNull)
+      .select("doc_id", "qs_q", "entropy_q", "mean_lp_q", "fail_reason", "keep")
+
+  // lazy: interpolates unigramLogprobSql, declared LATER in this object —
+  // a plain val would capture null at initialization order
+  lazy val qualityEnsembleSql: String =
+    s"""WITH qs_full AS ($qualityScoreSql),
+       |qs AS (SELECT doc_id, quality_score FROM qs_full),
+       |ent_full AS ($tokenEntropySql),
+       |ent AS (SELECT doc_id, entropy_q FROM ent_full),
+       |lp AS ($unigramLogprobSql),
+       |tox_full AS ($toxicitySql),
+       |tox AS (SELECT doc_id, toxicity FROM tox_full),
+       |j AS (SELECT qs.doc_id, quality_score, entropy_q, n_toks, lp_sum_q, toxicity
+       |      FROM qs JOIN ent USING (doc_id) JOIN lp USING (doc_id)
+       |      JOIN tox USING (doc_id)),
+       |g AS (SELECT doc_id,
+       |  CAST(floor(quality_score * 10000) AS BIGINT) AS qs_q,
+       |  entropy_q,
+       |  CASE WHEN n_toks > 0 THEN
+       |    CAST(floor(CAST(lp_sum_q AS DOUBLE) / n_toks) AS BIGINT) END AS mean_lp_q,
+       |  CASE WHEN quality_score < $GateMinQuality THEN 'low_quality'
+       |       WHEN entropy_q < $GateMinEntropyQ THEN 'low_entropy'
+       |       WHEN n_toks = 0
+       |            OR CAST(floor(CAST(lp_sum_q AS DOUBLE) / n_toks) AS BIGINT)
+       |               < $GateMinMeanLpQ THEN 'low_fluency'
+       |       WHEN toxicity >= $GateMaxToxicity THEN 'toxic' END AS fail_reason
+       | FROM j)
+       |SELECT doc_id, qs_q, entropy_q, mean_lp_q, fail_reason,
+       |  fail_reason IS NULL AS keep
+       |FROM g""".stripMargin
+
   // ---- q_bpe_vocab / q_bpe_tokenize: learned subword vocabulary ----------
 
   private val BpeMerges = 200
