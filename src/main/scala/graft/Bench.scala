@@ -44,16 +44,33 @@ object Bench {
       catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 4-decimal timings keep the summary line short (the driver captures a
-    // bounded tail of stdout; a full-precision 66-query map overflowed it
-    // in round 2), and printing after spark.stop() guarantees the JSON is
-    // the final stdout line with no shutdown chatter after it.
+    // The driver captures only the LAST 2000 chars of stdout and sbt
+    // appends its own "[success] Total time" line after ours, so the
+    // final JSON line must stay well under ~1800 chars — a full 92-query
+    // map (~3 KB) gets its head truncated and parses as null (rounds 2
+    // and 3 both hit this). Final line therefore carries a fixed
+    // headline subset covering every operator family; the complete map
+    // is printed on its own earlier line for logs/humans.
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Iterable[(String, Double)], dec: String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + dec.format(v) }
+        .mkString("{", ",", "}")
+    val headline = Seq(
+      "q1_pricing_summary", "q3_revenue_by_nation", "q6_revenue_filter",
+      "q10_returned_revenue", "q13_order_distribution", "q_pipeline_full",
+      "q_dedup_exact", "q_dedup_near", "q_minhash_lsh", "q_simhash_pairs",
+      "q_ngram_jaccard", "q_dup_clusters", "q_contamination",
+      "q_bloom_contamination", "q_ann_topk", "q_ivf_topk", "q_embed_neardup",
+      "q_langid", "q_toxicity", "q_quality_score", "q_quality_ensemble",
+      "q_tokenize", "q_token_pack", "q_shard_assign", "q_winnow_overlap",
+      "q_cdc_chunks", "q_sessionize", "q_moving_window", "q_asof_native",
+      "q_media_meta", "q_histogram_chars", "q_describe_metrics",
+      "q_pii_mask", "q_domain_cap", "q_cluster_best", "q_grouping_sets")
+    val head = headline.flatMap(k => results.get(k).map(k -> _))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println("FULL_TIMINGS " + jsonMap(results, "%.4f"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(head, "%.3f")},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
