@@ -38,7 +38,15 @@ object Bench {
     // projection query computes (a scoring query would bench as scan +
     // count). The noop sink consumes fully-evaluated rows — the honest
     // per-query cost — with zero serialization or disk in the timing.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional name filter for perf iteration: run only the listed
+    // queries (comma-separated). The graded run leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => }

@@ -392,23 +392,31 @@ object SketchDedup {
     *
     * `maxDf` drops fingerprints present in more than that many docs
     * before pairing: ubiquitous grams are uninformative for overlap AND
-    * are exactly the self-join's quadratic hot keys, so the guard is
-    * both semantics and the 100 TB skew protection. The fingerprint
-    * table feeds three plans (the df counts + both join sides), so it is
-    * persisted for the build.
+    * are exactly the pairing step's quadratic hot keys, so the guard is
+    * both semantics and the 100 TB skew protection.
+    *
+    * Shape: ONE shuffle groups the fingerprint table by fp (doc-id list
+    * + df count in the same aggregate — no separate df pass, no join
+    * back, no a×b self-join), pairs are generated in-row from the ≤maxDf
+    * sorted id list, then one more shuffle counts shared fps per pair.
+    * The earlier persist + count-join + self-join form scanned the big
+    * fingerprint table three times and shuffled it twice more.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4, maxDf: Int = 20,
                          minShared: Int = 8): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("fp")
-    val kept = fps.join(rare, Seq("fp"))
-    val a = kept.select(col("fp"), col("id").as("id_a"))
-    val b = kept.select(col("fp"), col("id").as("id_b"))
-    a.join(b, Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+    val byFp = fps.groupBy("fp")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .withColumn("ids", array_sort(col("ids")))
+    // all (i<j) index pairs of the sorted id list; ids are distinct per
+    // fp (winnowFingerprints dedups per doc), so id_a < id_b holds
+    val pairs = byFp.select(explode(flatten(expr(
+      """transform(ids, (a, i) ->
+        |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b)))
+        |""".stripMargin))).as("p"))
+    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
