@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextMetrics
+
+/** Corpus-curation signals beyond the reference's own filter set — the
+  * published heuristics a production pretraining pipeline layers on top
+  * of structural cleaning (builder brief: quality scoring is a
+  * first-class engine component).
+  *
+  * - [[gopherSignals]]/[[gopherRules]]: the Gopher paper's document
+  *   quality rules (Rae et al. 2021, §A1.1 "Quality filtering") —
+  *   word-count bounds, mean word length window, symbol-to-word ratio,
+  *   alphabetic-word fraction, required-stopword presence.
+  * - [[dupNgramStats]]: the Gopher/RefinedWeb repetition signals —
+  *   fraction of characters attributable to the most frequent 2-gram
+  *   and to duplicated 3-grams.
+  * - [[dsirLogWeights]]: DSIR-style importance weights (Xie et al.
+  *   2023) — hashed unigram features, target-vs-corpus log-likelihood
+  *   ratio scoring.
+  *
+  * Everything here is per-row column arithmetic over the whitespace
+  * token array (one codegen'd pass, no shuffle) except the DSIR
+  * distribution estimate, which is one explode + keyed agg and a
+  * 256-row broadcast back — the identical scale shape at 100 TB.
+  *
+  * Float parity discipline (oracle-checked): every fractional signal is
+  * floor-quantized to 1e-4 on identical double expressions, and every
+  * sum that crosses rows is over already-quantized BIGINTs, so
+  * accumulation order can't move the result.
+  */
+object Curation {
+
+  /** Gopher's required-stopword list: a document failing to contain at
+    * least [[GopherMinStopHits]] distinct members is likely not prose.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val GopherMinWords = 25       // Gopher uses 50; halved for short-doc corpora
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLenQ = 30000L  // 3.0, quantized 1e4
+  val GopherMaxMeanWordLenQ = 100000L // 10.0
+  val GopherMaxSymbolRatioQ = 1000L   // 0.1
+  val GopherMinAlphaWordFracQ = 8000L // 0.8
+  val GopherMinStopHits = 2
+
+  /** The quality signals, appended as columns. `textCol` is tokenized
+    * once into a staged attribute (single-use computed arrays inlined
+    * into HOF lambdas re-evaluate per element — the CollapseProject
+    * trap), then every signal folds over that array in one projection.
+    */
+  def gopherSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopHits = size(filter(
+      lit(GopherStopwords.toArray),
+      w => array_contains(transform(toks, t => lower(t)), w)))
+    val symbolHits = when(col(textCol).isNull, lit(0L))
+      .otherwise(regexp_count(col(textCol), lit("#|\\.\\.\\.")))
+    def q(numer: Column, denom: Column): Column =
+      when(denom > 0, floor(numer.cast("double") * 10000.0d / denom.cast("double")))
+        .otherwise(lit(0L)).cast("long")
+    df.withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .withColumn("n_words", n.cast("long"))
+      .withColumn("mean_word_len_q", q(sumLen, n))
+      .withColumn("alpha_word_frac_q", q(alphaWords, n))
+      .withColumn("symbol_ratio_q", q(symbolHits, n))
+      .withColumn("stop_hits", stopHits.cast("long"))
+      .drop("__toks")
+  }
+
+  /** First-match-wins Gopher drop reason over [[gopherSignals]] output
+    * (same discipline as ops.Filters): null reason = document passes.
+    */
+  def gopherRules(df: DataFrame): DataFrame =
+    df.withColumn("gopher_reason",
+        when(col("n_words") < GopherMinWords, "too_few_words")
+          .when(col("n_words") > GopherMaxWords, "too_many_words")
+          .when(col("mean_word_len_q") < GopherMinMeanWordLenQ ||
+            col("mean_word_len_q") > GopherMaxMeanWordLenQ, "mean_word_len_out_of_range")
+          .when(col("symbol_ratio_q") > GopherMaxSymbolRatioQ, "high_symbol_ratio")
+          .when(col("alpha_word_frac_q") < GopherMinAlphaWordFracQ, "low_alpha_word_frac")
+          .when(col("stop_hits") < GopherMinStopHits, "insufficient_stopwords"))
+      .withColumn("gopher_keep", col("gopher_reason").isNull)
+
+  /** Repetition signals: `top2gram_frac_q` = characters of the single
+    * most frequent 2-gram (occurrences × gram characters, spaces
+    * excluded) over total token characters; `dup3gram_frac_q` = the
+    * same numerator summed over every 3-gram occurring more than once.
+    * Occurrence-weighted (overlapping spans counted per occurrence) —
+    * the cheap per-row form of Gopher's "fraction of characters within
+    * duplicate n-grams"; fractions can exceed 1 on degenerate spam,
+    * which is exactly when the filter should fire.
+    *
+    * Per-distinct-gram counting is the O(u·n) in-row fold (SURVEY §2.6
+    * A4 smalldoc form) — no explode, no shuffle; documents are already
+    * word-capped upstream.
+    */
+  def dupNgramStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    def grams(k: Int): Column = {
+      // windows of k consecutive tokens, joined with a single space
+      val slices = (0 until k).map(i => slice(toks, lit(i + 1), n - lit(k - 1)))
+      zip_with(slices(0), slices.drop(1).reduceLeft((a, b) =>
+        zip_with(a, b, (x, y) => concat(x, lit(" "), y))), (x, y) => concat(x, lit(" "), y))
+    }
+    // (occurrences * non-space chars) per distinct gram
+    def weights(gramCol: Column): Column = transform(array_distinct(gramCol),
+      g => (size(filter(gramCol, x => x === g)) *
+        (length(g) - length(regexp_replace(g, "[^ ]", "")))).cast("long"))
+    def dupWeights(gramCol: Column): Column = transform(array_distinct(gramCol),
+      g => {
+        val occ = size(filter(gramCol, x => x === g))
+        when(occ > 1, (occ * (length(g) - length(regexp_replace(g, "[^ ]", ""))))
+          .cast("long")).otherwise(lit(0L))
+      })
+    val totalChars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    def q(numer: Column): Column =
+      when(col("__total") > 0,
+        floor(numer.cast("double") * 10000.0d / col("__total").cast("double")))
+        .otherwise(lit(0L)).cast("long")
+    df.withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .withColumn("__total", totalChars)
+      .withColumn("__g2", when(n >= 2, grams(2)).otherwise(array().cast("array<string>")))
+      .withColumn("__g3", when(n >= 3, grams(3)).otherwise(array().cast("array<string>")))
+      .withColumn("n_words", n.cast("long"))
+      .withColumn("total_chars", col("__total"))
+      .withColumn("top2gram_frac_q",
+        q(coalesce(array_max(weights(col("__g2"))), lit(0L))))
+      .withColumn("dup3gram_frac_q",
+        q(coalesce(aggregate(dupWeights(col("__g3")), lit(0L), (a, x) => a + x), lit(0L))))
+      .drop("__toks", "__total", "__g2", "__g3")
+  }
+
+  val DsirBuckets = 256
+
+  /** Hashed-unigram bucket id in [0, 256): the first two hex chars of
+    * md5, parsed as base-16 — engine-portable (md5 hex is identical
+    * everywhere; no shared integer-hash seed needed, same trick as the
+    * winnowing kernel). The oracle parses the two chars by position
+    * lookup since DuckDB has no conv().
+    */
+  def dsirBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 2), 16, 10).cast("int")
+
+  /** DSIR importance weights: estimate hashed-unigram distributions for
+    * a target slice and for the rest of the corpus (add-one smoothing
+    * over [[DsirBuckets]] buckets), then score every non-target doc by
+    * the summed log-likelihood ratio of its tokens. High scores = "looks
+    * like the target domain" — the sampling weight for importance
+    * resampling.
+    *
+    * Scale shape: one explode + one 256-row aggregate builds both
+    * distributions in a single pass; the per-bucket log-ratio table
+    * broadcast-joins back to the exploded tokens (nothing large ever
+    * shuffles twice). Per-token log-ratios are floor-quantized to
+    * BIGINT before the per-doc sum — order-proof.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column): DataFrame = {
+    val toks = df
+      .withColumn("__target", isTarget)
+      .select(col(idCol), col("__target"),
+        explode(TextMetrics.tokens(col(textCol))).as("__tok"))
+      .withColumn("__bucket", dsirBucket(col("__tok")))
+    val dist = toks.groupBy("__bucket")
+      .agg(sum(when(col("__target"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__target"), 1L).otherwise(0L)).as("__cc"))
+    val totals = dist.agg(sum("__ct").as("__nt"), sum("__cc").as("__nc"))
+    val lr = dist.crossJoin(broadcast(totals))
+      .select(col("__bucket"),
+        floor(log(
+          ((col("__ct") + 1L).cast("double") * (col("__nc") + lit(DsirBuckets)).cast("double")) /
+            ((col("__cc") + 1L).cast("double") * (col("__nt") + lit(DsirBuckets)).cast("double")))
+          * 10000.0d).cast("long").as("__lr_q"))
+    val scored = toks.filter(!col("__target"))
+      .join(broadcast(lr), Seq("__bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), sum("__lr_q").as("dsir_q"))
+    // docs with zero tokens still get a (0, 0) row, like unigramLogprobs
+    df.filter(!isTarget).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Curation, KMeans}
+
+/** Published corpus-curation heuristics as standalone oracle-checked
+  * queries: Gopher quality rules, Gopher/RefinedWeb repetition signals,
+  * DSIR importance weights, and unsupervised k-means centroid training
+  * for the IVF index (graft.ops.Curation, graft.ops.KMeans).
+  */
+object CurationQueries {
+
+  // same whitespace tokenization contract as DocQueries.toksSql
+  private def toksSql(t: String) =
+    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+
+  // ---- q_gopher_rules: Gopher document-quality gate ---------------------
+
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    Curation.gopherRules(
+      Curation.gopherSignals(Tables.documents(s, dir), "text"))
+      .select("doc_id", "n_words", "mean_word_len_q", "alpha_word_frac_q",
+        "symbol_ratio_q", "stop_hits", "gopher_reason", "gopher_keep")
+
+  val gopherRulesSql: String = {
+    val stop = Curation.GopherStopwords.mkString("['", "', '", "']")
+    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       |s AS (SELECT doc_id, len(toks) AS n,
+       |  coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))), 0) AS sum_len,
+       |  len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+       |  len(list_filter($stop,
+       |    w -> list_contains(list_transform(toks, t -> lower(t)), w))) AS stop_hits,
+       |  CASE WHEN text IS NULL THEN 0
+       |       ELSE len(regexp_extract_all(text, '#|\\.\\.\\.')) END AS symbol_hits
+       | FROM t),
+       |q AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       |  CASE WHEN n > 0 THEN CAST(floor(CAST(sum_len AS DOUBLE) * 10000.0 / CAST(n AS DOUBLE)) AS BIGINT) ELSE 0 END AS mean_word_len_q,
+       |  CASE WHEN n > 0 THEN CAST(floor(CAST(alpha_words AS DOUBLE) * 10000.0 / CAST(n AS DOUBLE)) AS BIGINT) ELSE 0 END AS alpha_word_frac_q,
+       |  CASE WHEN n > 0 THEN CAST(floor(CAST(symbol_hits AS DOUBLE) * 10000.0 / CAST(n AS DOUBLE)) AS BIGINT) ELSE 0 END AS symbol_ratio_q,
+       |  CAST(stop_hits AS BIGINT) AS stop_hits
+       | FROM s),
+       |r AS (SELECT *,
+       |  CASE WHEN n_words < ${Curation.GopherMinWords} THEN 'too_few_words'
+       |       WHEN n_words > ${Curation.GopherMaxWords} THEN 'too_many_words'
+       |       WHEN mean_word_len_q < ${Curation.GopherMinMeanWordLenQ}
+       |         OR mean_word_len_q > ${Curation.GopherMaxMeanWordLenQ} THEN 'mean_word_len_out_of_range'
+       |       WHEN symbol_ratio_q > ${Curation.GopherMaxSymbolRatioQ} THEN 'high_symbol_ratio'
+       |       WHEN alpha_word_frac_q < ${Curation.GopherMinAlphaWordFracQ} THEN 'low_alpha_word_frac'
+       |       WHEN stop_hits < ${Curation.GopherMinStopHits} THEN 'insufficient_stopwords'
+       |  END AS gopher_reason FROM q)
+       |SELECT doc_id, n_words, mean_word_len_q, alpha_word_frac_q,
+       |  symbol_ratio_q, stop_hits, gopher_reason,
+       |  gopher_reason IS NULL AS gopher_keep
+       |FROM r""".stripMargin
+  }
+
+  // ---- q_dup_ngrams: repetition signals ---------------------------------
+
+  def dupNgrams(s: SparkSession, dir: String): DataFrame =
+    Curation.dupNgramStats(Tables.documents(s, dir), "text")
+      .select("doc_id", "n_words", "total_chars",
+        "top2gram_frac_q", "dup3gram_frac_q")
+
+  val dupNgramsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, len(toks) AS n,
+       |  coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))), 0) AS total_chars,
+       |  CASE WHEN len(toks) >= 2 THEN
+       |    list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+       |  ELSE CAST([] AS VARCHAR[]) END AS g2,
+       |  CASE WHEN len(toks) >= 3 THEN
+       |    list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |  ELSE CAST([] AS VARCHAR[]) END AS g3
+       | FROM t),
+       |w AS (SELECT doc_id, n, total_chars,
+       |  coalesce(list_max(list_transform(list_distinct(g2),
+       |    x -> CAST(len(list_filter(g2, y -> y = x)) * length(replace(x, ' ', '')) AS BIGINT))), 0) AS top2_num,
+       |  coalesce(list_sum(list_transform(list_distinct(g3),
+       |    x -> CASE WHEN len(list_filter(g3, y -> y = x)) > 1
+       |      THEN CAST(len(list_filter(g3, y -> y = x)) * length(replace(x, ' ', '')) AS BIGINT)
+       |      ELSE 0 END)), 0) AS dup3_num
+       | FROM g)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(total_chars AS BIGINT) AS total_chars,
+       |  CASE WHEN total_chars > 0 THEN CAST(floor(CAST(top2_num AS DOUBLE) * 10000.0 / CAST(total_chars AS DOUBLE)) AS BIGINT) ELSE 0 END AS top2gram_frac_q,
+       |  CASE WHEN total_chars > 0 THEN CAST(floor(CAST(dup3_num AS DOUBLE) * 10000.0 / CAST(total_chars AS DOUBLE)) AS BIGINT) ELSE 0 END AS dup3gram_frac_q
+       |FROM w""".stripMargin
+
+  // ---- q_dsir_weights: hashed-unigram importance weights ----------------
+
+  /** Target slice = doc_id % 10 == 0 (the same deterministic split the
+    * contamination queries use); every other doc gets a DSIR log-weight.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirLogWeights(Tables.documents(s, dir), "doc_id", "text",
+      isTarget = col("doc_id") % 10 === 0)
+
+  val dsirWeightsSql: String = {
+    val b = Curation.DsirBuckets
+    s"""WITH tk AS (SELECT doc_id, (doc_id % 10 = 0) AS tgt, unnest(${toksSql("text")}) AS tok
+       |           FROM documents),
+       |bk AS (SELECT doc_id, tgt,
+       |  (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+       |  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+       | FROM tk),
+       |dist AS (SELECT bucket,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cc
+       |  FROM bk GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cc) AS BIGINT) AS nc FROM dist),
+       |lr AS (SELECT bucket,
+       |    CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(nc + $b AS DOUBLE))
+       |      / (CAST(cc + 1 AS DOUBLE) * CAST(nt + $b AS DOUBLE))) * 10000.0) AS BIGINT) AS lr_q
+       |  FROM dist CROSS JOIN tot),
+       |sc AS (SELECT bk.doc_id, count(*) AS n_toks, sum(lr.lr_q) AS dsir_q
+       |       FROM bk JOIN lr USING (bucket) WHERE NOT bk.tgt GROUP BY bk.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks,
+       |  CAST(coalesce(sc.dsir_q, 0) AS BIGINT) AS dsir_q
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
+  // ---- q_kmeans: Lloyd centroid training over the embeddings ------------
+
+  private val KmK = 4
+  private val KmIters = 2
+
+  /** Per-cluster training report after 2 integer-quantized Lloyd rounds:
+    * member count, inertia (sum of scaled squared distances under the
+    * round-2 assignment), and the first four components of the final
+    * centroid. The oracle unrolls the same two rounds as CTEs.
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, cents) = KMeans.lloyd(Tables.embeddings(s, dir),
+      k = KmK, iters = KmIters)
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum("dist_q").as("inertia_q"))
+      .join(cents, Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster_id"), col("n_members"),
+        col("inertia_q"),
+        element_at(col("cv"), 1).as("c1_q"), element_at(col("cv"), 2).as("c2_q"),
+        element_at(col("cv"), 3).as("c3_q"), element_at(col("cv"), 4).as("c4_q"))
+  }
+
+  val kmeansTrainSql: String = {
+    val q = KMeans.Quant
+    def cent(from: String, to: String) =
+      s"""$to AS (SELECT cluster, list(c ORDER BY p) AS cv FROM (
+         |  SELECT cluster, p, CAST(floor(avg(qv[p])) AS BIGINT) AS c
+         |  FROM $from CROSS JOIN pos GROUP BY cluster, p) GROUP BY cluster)""".stripMargin
+    def assign(cents: String, to: String) =
+      s"""$to AS (SELECT vec_id, qv, cluster, dist FROM (
+         |  SELECT vec_id, qv, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM (SELECT e.vec_id, e.qv, c.cluster,
+         |          list_sum(list_transform(generate_series(1, 64),
+         |            i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS dist
+         |        FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(floor(x * $q.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+       |a0 AS (SELECT vec_id, qv, CAST(vec_id % $KmK AS INT) AS cluster FROM e),
+       |${cent("a0", "c1")},
+       |${assign("c1", "a1")},
+       |${cent("a1", "c2")},
+       |${assign("c2", "a2")},
+       |${cent("a2", "c3")},
+       |m AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |        CAST(sum(dist // $q) AS BIGINT) AS inertia_q
+       |      FROM a2 GROUP BY cluster)
+       |SELECT CAST(c3.cluster AS BIGINT) AS cluster_id, m.n_members, m.inertia_q,
+       |  c3.cv[1] AS c1_q, c3.cv[2] AS c2_q, c3.cv[3] AS c3_q, c3.cv[4] AS c4_q
+       |FROM c3 JOIN m USING (cluster)""".stripMargin
+  }
+}

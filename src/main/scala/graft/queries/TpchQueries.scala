@@ -533,4 +533,153 @@ object TpchQueries {
       |  GROUP BY c_custkey, c_name, n_name)
       |SELECT c_custkey, c_name, nation_name, CAST(rq AS BIGINT) / 10000.0 AS revenue
       |FROM r ORDER BY rq DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q7: TPC-H Q7-style bilateral shipping volume — revenue between two
+    * nations by (supplier nation, customer nation, ship year). Two fact
+    * tables join on orderkey; supplier/customer/nation are broadcast
+    * dims; the nation-pair disjunction prunes before the aggregate.
+    */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val nationVolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin
+
+  /** q12: TPC-H Q12-style late-shipment accounting (the testdata has no
+    * shipmode/receiptdate, so "late" = shipped more than 90 days after
+    * the order date) — per order priority, total lines vs late lines.
+    * Exact timestamp interval arithmetic on both engines.
+    */
+  def lateShipments(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          1L).otherwise(0L)).as("n_late"))
+
+  val lateShipmentsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      | CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q18: TPC-H Q18-style large-volume orders — orders whose summed
+    * quantity clears a threshold, with the buyer. The per-order
+    * aggregate runs BEFORE the joins so only qualifying orderkeys join
+    * (semi-join-sized probe side); quantities are integral doubles so
+    * the sum is exact.
+    */
+  private val LargeOrderQty = 300
+
+  def largeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > LargeOrderQty)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+
+  val largeOrdersSql: String =
+    s"""WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(sum(l_quantity) AS BIGINT) > $LargeOrderQty)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+       |FROM big JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** q19: TPC-H Q19-style disjunctive bracket predicates — three
+    * (brand, size range, quantity range) brackets OR'd together across
+    * the lineitem ⋈ part join. Catalyst pushes the common join key and
+    * evaluates the disjunction post-join; part broadcasts.
+    */
+  def bracketRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val bracketRevenueSql: String =
+    s"""SELECT ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       | count(*) AS n_rows
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** q22: TPC-H Q22-style dormant high-balance customers — customers
+    * with balance above the positive-balance average and NO orders in
+    * the final year, grouped by market segment. The average is computed
+    * over exact integer cents (floor-quantized once) so the threshold
+    * comparison is order-proof; the "no recent orders" side is a
+    * left-anti join against the date-filtered orders.
+    */
+  private val DormantSince = "2001-01-01"
+
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .withColumn("bal_cents", round(col("c_acctbal") * 100.0d).cast("long"))
+    val avgPos = cust.filter(col("bal_cents") > 0)
+      .agg(floor(avg("bal_cents")).cast("long").as("avg_cents"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(DormantSince).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum("bal_cents").as("bal_cents_sum"))
+  }
+
+  val dormantCustomersSql: String =
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+       |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents FROM customer),
+       |t AS (SELECT CAST(floor(avg(bal_cents)) AS BIGINT) AS avg_cents
+       |      FROM c WHERE bal_cents > 0)
+       |SELECT c_mktsegment, count(*) AS n_custs,
+       | CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+       |FROM c CROSS JOIN t
+       |WHERE bal_cents > avg_cents
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c.c_custkey
+       |      AND o.o_orderdate >= TIMESTAMP '$DormantSince 00:00:00')
+       |GROUP BY c_mktsegment""".stripMargin
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, KMeans}
+
+/** Gopher rules, repetition signals, DSIR weights, k-means training —
+  * hand-computed fixtures + determinism/separation properties.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private def docsDf(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  test("gopher signals: hand-computed fixture") {
+    val df = Curation.gopherSignals(
+      docsDf((1L, "the cat and the hat sat")), "text")
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_words") === 6L)
+    // chars 3+3+3+3+3+3=18, mean 3.0 -> 30000
+    assert(r.getAs[Long]("mean_word_len_q") === 30000L)
+    assert(r.getAs[Long]("alpha_word_frac_q") === 10000L)
+    assert(r.getAs[Long]("symbol_ratio_q") === 0L)
+    // stopword members present: the, and -> 2
+    assert(r.getAs[Long]("stop_hits") === 2L)
+  }
+
+  test("gopher rules: first-match-wins ordering and keep flag") {
+    val rules = Curation.gopherRules(Curation.gopherSignals(docsDf(
+      (1L, "short doc"),                       // few words AND few stopwords
+      (2L, ("the of and to be that have with " * 5).trim), // 40 words, all stops
+      (3L, null)), "text"))
+      .select("doc_id", "gopher_reason", "gopher_keep")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), r.getBoolean(2))).toMap
+    // word-count rule outranks the stopword rule
+    assert(rules(1L) === ((Some("too_few_words"), false)))
+    // 40 words, mean length 3.0 (boundary-inclusive), 8/8 stopwords: passes
+    assert(rules(2L) === ((None, true)))
+    assert(rules(3L)._1.contains("too_few_words"))
+  }
+
+  test("dup ngram stats: hand-computed fixture") {
+    val r = Curation.dupNgramStats(docsDf((1L, "a b a b a b")), "text")
+      .collect().head
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Long]("total_chars") === 6L)
+    // 2-grams: 'a b'x3 (2 chars) beats 'b a'x2 -> 6/6
+    assert(r.getAs[Long]("top2gram_frac_q") === 10000L)
+    // 3-grams: 'a b a'x2 + 'b a b'x2, 3 chars each -> 12/6
+    assert(r.getAs[Long]("dup3gram_frac_q") === 20000L)
+  }
+
+  test("dup ngram stats: unique text has zero dup3 fraction") {
+    val r = Curation.dupNgramStats(docsDf((1L, "one two three four five")), "text")
+      .collect().head
+    assert(r.getAs[Long]("dup3gram_frac_q") === 0L)
+    // all 2-grams occur once; the widest ('three four', 9 chars) wins
+    assert(r.getAs[Long]("top2gram_frac_q") === (9L * 10000L) / 19L)
+  }
+
+  test("dsir weights: target-like docs outscore target-unlike docs") {
+    // target vocabulary {alpha beta}, background vocabulary {x y z}
+    val rows = (0L until 10L).map { i =>
+      if (i % 3 == 0) (i, "alpha beta alpha beta")    // targets
+      else if (i % 3 == 1) (i, "alpha beta alpha")    // target-like corpus
+      else (i, "x y z x y z")                         // unlike corpus
+    }
+    val out = Curation.dsirLogWeights(docsDf(rows: _*), "doc_id", "text",
+      isTarget = col("doc_id") % 3 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(0L) && out.contains(1L))   // targets excluded
+    val like = out.collect { case (k, v) if k % 3 == 1 => v._2.toDouble / v._1 }
+    val unlike = out.collect { case (k, v) if k % 3 == 2 => v._2.toDouble / v._1 }
+    assert(like.min > unlike.max,
+      s"per-token weights should separate: $out")
+  }
+
+  test("dsir weights: empty doc gets a zero row") {
+    val out = Curation.dsirLogWeights(
+      docsDf((0L, "alpha"), (1L, ""), (2L, "beta")), "doc_id", "text",
+      isTarget = col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((0L, 0L)))
+  }
+
+  test("kmeans lloyd: separates two obvious clusters, deterministically") {
+    import spark.implicits._
+    // two tight blobs; ids interleave so modulo init starts badly mixed
+    val vecs = Seq(
+      (0L, Array(0.1f, 0.0f)), (1L, Array(10.0f, 10.1f)),
+      (2L, Array(0.0f, 0.2f)), (3L, Array(10.2f, 9.9f)),
+      (4L, Array(0.2f, 0.1f)), (5L, Array(9.9f, 10.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (a1, c1) = KMeans.lloyd(df, k = 2, iters = 3)
+    val assign = a1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(assign(0L), assign(2L), assign(4L)).size === 1)
+    assert(Set(assign(1L), assign(3L), assign(5L)).size === 1)
+    assert(assign(0L) !== assign(1L))
+    val cents = c1.collect().map(r =>
+      r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val lowCluster = assign(0L)
+    // centroid of the low blob = floor(mean of quantized (0.1,0.0,0.2)...)
+    assert(math.abs(cents(lowCluster).head) < 300000L)
+    assert(cents(1 - lowCluster).head > 9000000L)
+    // determinism: identical second run
+    val (a2, c2) = KMeans.lloyd(df, k = 2, iters = 3)
+    assert(a2.collect().map(_.toSeq).toSet === a1.collect().map(_.toSeq).toSet)
+    assert(c2.collect().map(_.toSeq).toSet === c1.collect().map(_.toSeq).toSet)
+  }
+
+  test("kmeans lloyd: inertia never increases across an extra round") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      val cx = if (i % 4 < 2) 0.0 else 5.0
+      (i, Array.fill(4)(cx.toFloat + rnd.nextFloat()))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def inertia(iters: Int): Long =
+      KMeans.lloyd(df, k = 2, iters = iters)._1
+        .agg(sum("dist_q")).collect().head.getLong(0)
+    assert(inertia(3) <= inertia(1))
+  }
+}
