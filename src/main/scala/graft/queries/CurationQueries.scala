@@ -144,36 +144,130 @@ object CurationQueries {
         element_at(col("cv"), 3).as("c3_q"), element_at(col("cv"), 4).as("c4_q"))
   }
 
-  val kmeansTrainSql: String = {
-    val q = KMeans.Quant
-    def cent(from: String, to: String) =
-      s"""$to AS (SELECT cluster, list(c ORDER BY p) AS cv FROM (
-         |  SELECT cluster, p, CAST(floor(avg(qv[p])) AS BIGINT) AS c
-         |  FROM $from CROSS JOIN pos GROUP BY cluster, p) GROUP BY cluster)""".stripMargin
-    def assign(cents: String, to: String) =
-      s"""$to AS (SELECT vec_id, qv, cluster, dist FROM (
-         |  SELECT vec_id, qv, cluster, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-         |  FROM (SELECT e.vec_id, e.qv, c.cluster,
-         |          list_sum(list_transform(generate_series(1, 64),
-         |            i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS dist
-         |        FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
-    s"""WITH e AS (SELECT vec_id,
+  private def centCte(from: String, to: String) =
+    s"""$to AS (SELECT cluster, list(c ORDER BY p) AS cv FROM (
+       |  SELECT cluster, p, CAST(floor(avg(qv[p])) AS BIGINT) AS c
+       |  FROM $from CROSS JOIN pos GROUP BY cluster, p) GROUP BY cluster)""".stripMargin
+
+  private def assignCte(cents: String, to: String) =
+    s"""$to AS (SELECT vec_id, qv, cluster, dist FROM (
+       |  SELECT vec_id, qv, cluster, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM (SELECT e.vec_id, e.qv, c.cluster,
+       |          list_sum(list_transform(generate_series(1, 64),
+       |            i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS dist
+       |        FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+
+  /** The two unrolled Lloyd rounds as CTEs ending at `a2` (the final
+    * assignment, with dist) — shared by the k-means and SemDeDup
+    * oracles.
+    */
+  private lazy val kmeansCtes: String =
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding::DOUBLE[],
-       |      x -> CAST(floor(x * $q.0) AS BIGINT)) AS qv
+       |      x -> CAST(floor(x * ${KMeans.Quant}.0) AS BIGINT)) AS qv
        |  FROM embeddings),
        |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
        |a0 AS (SELECT vec_id, qv, CAST(vec_id % $KmK AS INT) AS cluster FROM e),
-       |${cent("a0", "c1")},
-       |${assign("c1", "a1")},
-       |${cent("a1", "c2")},
-       |${assign("c2", "a2")},
-       |${cent("a2", "c3")},
+       |${centCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${centCte("a1", "c2")},
+       |${assignCte("c2", "a2")}""".stripMargin
+
+  lazy val kmeansTrainSql: String =
+    s"""WITH $kmeansCtes,
+       |${centCte("a2", "c3")},
        |m AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
-       |        CAST(sum(dist // $q) AS BIGINT) AS inertia_q
+       |        CAST(sum(dist // ${KMeans.Quant}) AS BIGINT) AS inertia_q
        |      FROM a2 GROUP BY cluster)
        |SELECT CAST(c3.cluster AS BIGINT) AS cluster_id, m.n_members, m.inertia_q,
        |  c3.cv[1] AS c1_q, c3.cv[2] AS c2_q, c3.cv[3] AS c3_q, c3.cv[4] AS c4_q
        |FROM c3 JOIN m USING (cluster)""".stripMargin
+
+  // ---- q_semdedup: within-cluster semantic dedup ------------------------
+
+  private val SemThreshold = 0.3
+
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    * mark within-cluster pairs above a cosine threshold; each close
+    * group keeps its lowest id. Clustering bounds the candidate set —
+    * cosine is only evaluated inside a cluster, never all-pairs (at
+    * production scale the within-cluster step is further capped by
+    * cluster-size limits or an ε-ball around the centroid; the paper's
+    * pairwise form is used here). Cosine runs through the codegen'd
+    * native kernel, bit-identical to the oracle's
+    * list_cosine_similarity (CosineSpec).
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (assigned, _) = KMeans.lloyd(emb, k = KmK, iters = KmIters)
+    val clustered = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
+    val other = clustered
+      .select(col("cluster"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    val close = clustered.join(other, Seq("cluster"))
+      .filter(col("b_id") < col("vec_id"))
+      .filter(graft.plans.CosineSimilarity(col("v"), col("b_v")) >= SemThreshold)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_close_lower"))
+    clustered.select("vec_id", "cluster")
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("n_close_lower"), lit(0L)).as("n_close_lower"),
+        col("n_close_lower").isNotNull.as("is_semdup"))
   }
+
+  lazy val semDedupSql: String =
+    s"""WITH $kmeansCtes,
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT a2.vec_id, a2.cluster, ev.v FROM a2 JOIN ev USING (vec_id)),
+       |p AS (SELECT a.vec_id, count(*) AS n_close_lower
+       |      FROM m a JOIN m b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |      WHERE list_cosine_similarity(a.v, b.v) >= $SemThreshold
+       |      GROUP BY a.vec_id)
+       |SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+       |  CAST(coalesce(p.n_close_lower, 0) AS BIGINT) AS n_close_lower,
+       |  p.n_close_lower IS NOT NULL AS is_semdup
+       |FROM m LEFT JOIN p USING (vec_id)""".stripMargin
+
+  // ---- q_ccnet_buckets: per-source perplexity buckets -------------------
+
+  /** CCNet-style head/middle/tail split: per-doc mean corpus-unigram
+    * log-probability (the perplexity proxy, already oracle-validated),
+    * bucketed at each source's 33rd/67th percentile. The percentile
+    * table is one tiny aggregate broadcast back — no per-source window
+    * over the corpus.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val lp = DocQueries.unigramLogprob(s, dir)
+      .filter(col("n_toks") > 0)
+      .withColumn("mean_lp_q",
+        floor(col("lp_sum_q").cast("double") / col("n_toks")).cast("long"))
+    val m = lp.join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+    val cuts = m.groupBy("source")
+      .agg(expr("percentile(mean_lp_q, 0.33)").as("p33"),
+        expr("percentile(mean_lp_q, 0.67)").as("p67"))
+    m.join(broadcast(cuts), Seq("source"))
+      .withColumn("bucket",
+        when(col("mean_lp_q") >= col("p67"), "head")
+          .when(col("mean_lp_q") >= col("p33"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("mean_lp_q").as("mean_lp_sum"))
+  }
+
+  lazy val ccnetBucketsSql: String =
+    s"""WITH lp AS (${DocQueries.unigramLogprobSql}),
+       |m AS (SELECT d.source, lp.doc_id,
+       |        CAST(floor(CAST(lp_sum_q AS DOUBLE) / n_toks) AS BIGINT) AS mean_lp_q
+       |      FROM lp JOIN documents d USING (doc_id) WHERE n_toks > 0),
+       |q AS (SELECT source, quantile_cont(mean_lp_q, 0.33) AS p33,
+       |        quantile_cont(mean_lp_q, 0.67) AS p67
+       |      FROM m GROUP BY source)
+       |SELECT m.source,
+       |  CASE WHEN mean_lp_q >= p67 THEN 'head'
+       |       WHEN mean_lp_q >= p33 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs, CAST(sum(mean_lp_q) AS BIGINT) AS mean_lp_sum
+       |FROM m JOIN q USING (source)
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -645,6 +645,38 @@ object TpchQueries {
        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q15: TPC-H Q15-style top supplier — revenue per supplier over a
+    * quarter, keep every supplier matching the maximum (the view +
+    * scalar-subquery shape). The max is one scalar aggregate broadcast
+    * back; revenue is quantized per-row so "equal to max" is an exact
+    * integer comparison, not a float one.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(10000.0)).cast("long")).as("rq"))
+    val top = rev.agg(max("rq").as("max_rq"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rq") === col("max_rq"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rq") / lit(10000.0)).as("total_revenue"))
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS rq
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rq AS BIGINT) / 10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rq = (SELECT max(rq) FROM rev)""".stripMargin
+
   /** q22: TPC-H Q22-style dormant high-balance customers — customers
     * with balance above the positive-balance average and NO orders in
     * the final year, grouped by market segment. The average is computed
