@@ -98,11 +98,33 @@ object Curation {
     * duplicate n-grams"; fractions can exceed 1 on degenerate spam,
     * which is exactly when the filter should fire.
     *
-    * Per-distinct-gram counting is the O(u·n) in-row fold (SURVEY §2.6
-    * A4 smalldoc form) — no explode, no shuffle; documents are already
-    * word-capped upstream.
+    * Counting runs through the native one-pass kernel
+    * (graft.plans.NgramRepStats, hash-map per row, codegen'd); the
+    * declarative HOF form below is kept as the executable spec and
+    * parity-pinned in CurationSpec — its O(u·n) string comparisons made
+    * it the slowest per-row query on the bench (2.6 s at sf0.1 vs
+    * ~0.3 s for the kernel).
     */
   def dupNgramStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = col("__st")
+    def q(numer: Column): Column =
+      when(st.getField("total_chars") > 0,
+        floor(numer.cast("double") * 10000.0d /
+          st.getField("total_chars").cast("double")))
+        .otherwise(lit(0L)).cast("long")
+    df.withColumn("__st", graft.plans.NgramRepStats(TextMetrics.tokens(col(textCol))))
+      .withColumn("n_words", st.getField("n_words"))
+      .withColumn("total_chars", st.getField("total_chars"))
+      .withColumn("top2gram_frac_q", q(st.getField("top2_num")))
+      .withColumn("dup3gram_frac_q", q(st.getField("dup3_num")))
+      .drop("__st")
+  }
+
+  /** The declarative HOF form of [[dupNgramStats]] — executable spec
+    * for the kernel (CurationSpec parity) and the shape the DuckDB
+    * oracle states.
+    */
+  def dupNgramStatsHof(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = col("__toks")
     val n = size(toks)
     def grams(k: Int): Column = {

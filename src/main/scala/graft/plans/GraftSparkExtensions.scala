@@ -25,6 +25,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("cdc_chunks"), CdcChunks.info, CdcChunks.builder))
     ext.injectFunction(
       (FunctionIdentifier("tokenize_text"), TokenizeText.info, TokenizeText.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -45,6 +47,8 @@ object GraftFunctions {
       FunctionIdentifier("cdc_chunks"), CdcChunks.info, CdcChunks.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("tokenize_text"), TokenizeText.info, TokenizeText.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -61,6 +61,24 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("top2gram_frac_q") === (9L * 10000L) / 19L)
   }
 
+  test("dup ngram stats: native kernel matches the HOF executable spec") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "b", "gamma", "dd", "e", "zeta")
+    val fuzz = (10L until 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val docs = docsDf(Seq(
+      (1L, "a b a b a b"), (2L, "one two three four five"), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "x"), (6L, "x y"),
+      (7L, "repeat repeat repeat repeat")) ++ fuzz: _*)
+    val cols = Seq("doc_id", "n_words", "total_chars",
+      "top2gram_frac_q", "dup3gram_frac_q")
+    val kernel = Curation.dupNgramStats(docs, "text")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val hof = Curation.dupNgramStatsHof(docs, "text")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(kernel === hof)
+  }
+
   test("dsir weights: target-like docs outscore target-unlike docs") {
     // target vocabulary {alpha beta}, background vocabulary {x y z}
     val rows = (0L until 10L).map { i =>
