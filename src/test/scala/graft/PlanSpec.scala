@@ -170,6 +170,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("gopher rules and dup ngrams: one shuffle-free single-scan pass each") {
+    // HOF lambda expressions (aggregate/filter/transform) have no codegen
+    // path in Spark, so the signal Project is interpreted — still one
+    // pipelined pass; the pin is on shuffles and scans, not codegen.
+    Seq(graft.queries.CurationQueries.gopherRules(spark, dir),
+      graft.queries.CurationQueries.dupNgrams(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row signals must not shuffle:\n$p")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    }
+    val p = plan(graft.queries.CurationQueries.dupNgrams(spark, dir))
+    assert(p.contains("ngram_rep_stats"), s"native kernel missing:\n$p")
+  }
+
+  test("dsir weights: log-ratio table joins back as a broadcast") {
+    val p = plan(graft.queries.CurationQueries.dsirWeights(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bucket table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semdedup: pairs stay inside clusters, never a cartesian corpus join") {
+    val p = plan(graft.queries.CurationQueries.semDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join leaked:\n$p")
+    assert(p.contains("cosine_sim"), s"native cosine kernel missing:\n$p")
+  }
+
   test("winnow digest: native kernel present, no shuffle, no HOF transform") {
     val p = plan(graft.queries.SimilarityQueries.winnowFp(spark, dir))
     assert(p.contains("winnow_sels"), s"WinnowSelect kernel missing:\n$p")
