@@ -214,4 +214,150 @@ object Curation {
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
   }
+
+  /** Fixed-length pseudo-line segmentation: consecutive runs of `segLen`
+    * whitespace tokens rejoined with single spaces (the final segment may
+    * be shorter). Line-oriented curation rules (CCNet line dedup, C4
+    * line filters) split on '\n' in real web scrape; the synthetic
+    * corpus is newline-free, so the segmenter is the pluggable stand-in
+    * — swap this Column for `split(text, '\n')` on real data and every
+    * operator below is unchanged.
+    */
+  def segments(toks: Column, segLen: Int): Column =
+    when(size(toks) > 0,
+      // Column./ is double division — floor+cast restores the integer
+      // quotient sequence() needs (n > 0 here, so floor = truncation)
+      transform(sequence(lit(0), floor((size(toks) - 1) / lit(segLen)).cast("int")),
+        i => array_join(slice(toks, i * segLen + 1, lit(segLen)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  val LineDedupMinDocs = 2
+  val LineDedupSegLen = 10
+
+  /** CCNet/RefinedWeb-style line-level corpus dedup: a line (segment)
+    * that appears verbatim in >= `minDocs` distinct documents is
+    * boilerplate (headers, nav bars, cookie banners in real scrape) and
+    * is removed from every document; the per-doc output reports how much
+    * was cut and the md5 of the reassembled text.
+    *
+    * Scale shape: explode lines -> one keyed agg builds the corpus
+    * line-frequency table; HAVING >= minDocs shrinks it to just the
+    * frequent lines (a sliver of the corpus by Zipf — boilerplate is
+    * few distinct strings, however many occurrences), so it broadcasts
+    * back to the exploded lines. Reassembly is one groupBy(doc) with an
+    * order-column sort inside the aggregate — collect_list order is
+    * partition-dependent, array_sort on (pos, line) pins it.
+    */
+  def lineDedup(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", segLen: Int = LineDedupSegLen,
+                minDocs: Int = LineDedupMinDocs): DataFrame = {
+    val lines = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), posexplode(segments(col("__toks"), segLen))
+        .as(Seq("pos", "line")))
+    val frequent = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("line"), lit(1).as("__dup"))
+    val perDoc = lines
+      .join(broadcast(frequent), Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("__dup")).as("n_removed"),
+        // null when dropped -> collect_list skips it; sort restores pos order
+        array_sort(collect_list(
+          when(col("__dup").isNull, struct(col("pos"), col("line")))))
+          .as("__kept"))
+      .withColumn("clean_md5",
+        md5(array_join(transform(col("__kept"), s => s.getField("line")), " ")
+          .cast("binary")))
+      .drop("__kept")
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+  }
+
+  val DupSpanN = 8
+  val DupSpanMinDocs = 2
+
+  /** Duplicated-span coverage, the streaming-friendly approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every overlapping
+    * `n`-token span is fingerprinted; a span occurring in >= `minDocs`
+    * distinct documents is "duplicated", and the per-doc signal is the
+    * fraction of span positions that are duplicated. (The exact
+    * suffix-array method finds maximal repeats of any length; fixed-n
+    * overlapping spans detect every repeat of length >= n at 1/n the
+    * index cost — the standard production trade.)
+    *
+    * Scale shape mirrors [[lineDedup]]: explode spans -> keyed
+    * doc-frequency agg -> HAVING shrinks to the duplicated sliver ->
+    * broadcast back -> one per-doc count agg. At 100 TB the span string
+    * would be fingerprinted (xxhash64) before the shuffle; the oracle
+    * form keeps the raw string so DuckDB agrees without a shared seed.
+    */
+  def dupSpans(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", n: Int = DupSpanN,
+               minDocs: Int = DupSpanMinDocs): DataFrame = {
+    val spans = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), explode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("span"))
+    val dup = spans.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("span"), lit(1).as("__dup"))
+    val perDoc = spans
+      .join(broadcast(dup), Seq("span"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"), count(col("__dup")).as("dup_spans"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .withColumn("dup_frac_q",
+        when(col("n_spans") > 0,
+          floor(col("dup_spans").cast("double") * 10000.0d /
+            col("n_spans").cast("double")))
+          .otherwise(lit(0L)).cast("long"))
+  }
+
+  val C4MinLineWords = 5
+  val C4MinKeptLines = 3
+
+  /** C4's heuristic line + document rules (Raffel et al. 2020, §2.2),
+    * over the same pluggable segmentation as [[lineDedup]]: a line
+    * survives iff it has >= 5 words, no '{', and no "javascript"; a
+    * document survives iff no "lorem ipsum", no '{' anywhere, and >= 3
+    * surviving lines. (C4 additionally requires terminal punctuation
+    * per line and drops bad-words docs — punctuation doesn't exist in
+    * this corpus, and the bad-word gate is [[graft.text.Toxicity]]'s
+    * job, so both are documented out rather than vacuously true.)
+    *
+    * Pure per-row column arithmetic over the staged segment array — one
+    * codegen'd projection pass, no shuffle.
+    */
+  def c4Rules(df: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              segLen: Int = LineDedupSegLen): DataFrame = {
+    val segs = col("__segs")
+    val keptLine = (s: Column) =>
+      size(split(s, " ")) >= C4MinLineWords &&
+        !s.contains("{") && !lower(s).contains("javascript")
+    df.withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .withColumn("__segs", segments(col("__toks"), segLen))
+      .withColumn("n_lines", size(segs).cast("long"))
+      .withColumn("n_kept_lines", size(filter(segs, keptLine)).cast("long"))
+      .withColumn("c4_reason",
+        when(lower(col(textCol)).contains("lorem ipsum"), "lorem_ipsum")
+          .when(col(textCol).contains("{"), "brace")
+          .when(col("n_kept_lines") < C4MinKeptLines, "too_few_lines"))
+      .withColumn("c4_keep", col("c4_reason").isNull)
+      .drop("__toks", "__segs")
+  }
 }

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextMetrics
+
+/** Lexical retrieval over the document corpus: BM25 ranked search and
+  * per-document TF-IDF keyterm extraction — the index-side operators a
+  * curation pipeline uses for targeted corpus probes (find documents
+  * like X, what is this document about) without an embedding model.
+  *
+  * Float parity discipline (DuckDB oracle): idf and the BM25 tf-factor
+  * are computed from integer corpus statistics with an identical
+  * expression shape on both engines, floor-quantized to 1e-4 BIGINTs
+  * per (doc, term), and only then combined with integer arithmetic —
+  * the cross-row sums never touch a double, so accumulation order
+  * cannot move a score (same discipline as Score.unigramLogprobs).
+  */
+object Retrieval {
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-k document retrieval for a small set of bag-of-words
+    * queries.
+    *
+    * Scale shape: the query term set is a literal broadcast — the
+    * corpus explode is filtered to query terms *before* its one keyed
+    * shuffle (tf per doc,term), so the shuffled volume is proportional
+    * to query-term hits, not corpus size. Document length rides along
+    * through the explode (no join back to the corpus for dl). Corpus
+    * statistics (N, avgdl, per-term df) are one global agg + a
+    * term-count-row table, both broadcast. Final ranking is the bounded
+    * per-group TopK aggregate — map-side k, no per-query mega-partition
+    * (the same shape PlanSpec pins for ANN/IVF).
+    */
+  def bm25TopK(df: DataFrame, queries: Seq[(Long, Seq[String])],
+               idCol: String = "doc_id", textCol: String = "text",
+               k: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val queryTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+
+    // (doc, dl, term) for query-term hits only — the isin filter runs
+    // inside the explode pass, ahead of any shuffle
+    val hits = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // corpus stats: N and avgdl over ALL docs (one global agg, 1 row);
+    // df(term) over the tf table (<= |terms| rows)
+    val stats = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("sum_dl"))
+      .withColumn("avgdl_q", floor(col("sum_dl").cast("double") * 10000.0d /
+        col("n_docs").cast("double")).cast("long"))
+    val dfTerm = tf.groupBy("term").agg(countDistinct(col(idCol)).as("df_t"))
+
+    // idf_q = floor(1e4 * ln(1 + (N - df + 0.5)/(df + 0.5))) — the
+    // Robertson/Lucene non-negative form, from integer inputs
+    val idf = dfTerm.crossJoin(broadcast(stats))
+      .select(col("term"), floor(log(lit(1.0d) +
+        ((col("n_docs").cast("double") - col("df_t").cast("double") + 0.5d) /
+          (col("df_t").cast("double") + 0.5d))) * 10000.0d)
+        .cast("long").as("idf_q"))
+
+    // tffac_q = floor(1e4 * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)))
+    val tffac = col("tf").cast("double") * (Bm25K1 + 1.0d) /
+      (col("tf").cast("double") + lit(Bm25K1) *
+        (lit(1.0d) - Bm25B + lit(Bm25B) * col("dl").cast("double") /
+          (col("avgdl_q").cast("double") / 10000.0d)))
+    val scored = tf
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select("avgdl_q")))
+      .withColumn("tffac_q", floor(tffac * 10000.0d).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("idf_q") * col("tffac_q")).as("score_q"))
+
+    // bounded top-k per query; score_q < 2^53 so the double view is exact
+    TopK.perQuery(
+      scored.select(col("query_id"),
+        col("score_q").cast("double").as("cosine"),
+        col(idCol).cast("long").as("vec_id")), k)
+      .select(col("query_id"), col("rank"), col("vec_id").as(idCol),
+        col("cosine").cast("long").as("score_q"))
+  }
+
+  val TfidfTopN = 3
+
+  /** Top-N TF-IDF terms per document: tf·ln(N/df), integer-quantized.
+    *
+    * Scale shape: one explode + (doc, term) count agg; the per-term df
+    * table is bounded by vocabulary size (Heaps' law — millions of
+    * terms, not corpus-sized) and after the count agg it joins back by
+    * term. Per-doc ranking uses a row_number window partitioned by
+    * doc_id — safe here, unlike per-query ANN ranking: doc_id is the
+    * table's primary key, so partitions stay tiny and their count
+    * scales with the data (no mega-partition to pin).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    topN: Int = TfidfTopN): DataFrame = {
+    val toks = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("term").agg(countDistinct(col(idCol)).as("df_t"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        floor(log(col("n_docs").cast("double") / col("df_t").cast("double")) *
+          10000.0d).cast("long").as("idf_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf_q").desc, col("term"))
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("tfidf_q", col("tf") * col("idf_q"))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= topN)
+      .select(col(idCol), col("term_rank"), col("term"), col("tf"),
+        col("tfidf_q"))
+  }
+
+  /** Deterministic train/val/test assignment: bucket 0-99 from the
+    * first 4 hex chars of md5(id) — content-addressed, so the split is
+    * stable under repartitioning, re-ingestion, and engine choice
+    * (md5 agrees everywhere; no RNG stream, no shared hash seed).
+    * Pure per-row projection — no shuffle, no state.
+    */
+  def splitAssign(df: DataFrame, idCol: String = "doc_id",
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    df.withColumn("bucket",
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+}

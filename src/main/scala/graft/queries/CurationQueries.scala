@@ -270,4 +270,87 @@ object CurationQueries {
        |  count(*) AS n_docs, CAST(sum(mean_lp_q) AS BIGINT) AS mean_lp_sum
        |FROM m JOIN q USING (source)
        |GROUP BY 1, 2""".stripMargin
+
+  // ---- shared pseudo-line segmentation (CCNet/C4 line ops) --------------
+
+  /** DuckDB mirror of Curation.segments: fixed 10-token pseudo-lines.
+    * Real scrape splits on '\n' (see the operator doc); list slices are
+    * 1-based inclusive, matching Spark's slice(arr, start, len).
+    */
+  private def segsSql(toks: String, segLen: Int): String =
+    s"""CASE WHEN len($toks) > 0 THEN
+       |  list_transform(generate_series(0, CAST(floor((len($toks) - 1) / $segLen.0) AS INT)),
+       |    i -> array_to_string(($toks)[i * $segLen + 1 : i * $segLen + $segLen], ' '))
+       |ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  // ---- q_line_dedup: corpus-frequency boilerplate line removal ----------
+
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.lineDedup(Tables.documents(s, dir))
+
+  val lineDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |sl AS (SELECT doc_id, ${segsSql("toks", Curation.LineDedupSegLen)} AS segs FROM t),
+       |lines AS (SELECT doc_id, unnest(segs) AS line,
+       |            unnest(generate_series(0, len(segs) - 1)) AS pos FROM sl),
+       |freq AS (SELECT line FROM lines GROUP BY line
+       |         HAVING count(DISTINCT doc_id) >= ${Curation.LineDedupMinDocs}),
+       |agg AS (SELECT l.doc_id, count(*) AS n_lines, count(f.line) AS n_removed,
+       |          md5(coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END,
+       |            ' ' ORDER BY l.pos), '')) AS clean_md5
+       |        FROM lines l LEFT JOIN freq f ON l.line = f.line
+       |        GROUP BY l.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.clean_md5, md5('')) AS clean_md5
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  // ---- q_dup_spans: duplicated n-gram span coverage ---------------------
+
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Curation.dupSpans(Tables.documents(s, dir))
+
+  val dupSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |sp AS (SELECT doc_id, CASE WHEN len(toks) >= ${Curation.DupSpanN} THEN
+       |    list_transform(generate_series(1, len(toks) - ${Curation.DupSpanN - 1}),
+       |      i -> array_to_string(toks[i : i + ${Curation.DupSpanN - 1}], ' '))
+       |  ELSE CAST([] AS VARCHAR[]) END AS spans FROM t),
+       |s AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+       |dup AS (SELECT span FROM s GROUP BY span
+       |        HAVING count(DISTINCT doc_id) >= ${Curation.DupSpanMinDocs}),
+       |agg AS (SELECT s.doc_id, count(*) AS n_spans, count(d2.span) AS dup_spans
+       |        FROM s LEFT JOIN dup d2 ON s.span = d2.span GROUP BY s.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+       |  CASE WHEN coalesce(a.n_spans, 0) > 0
+       |    THEN CAST(floor(CAST(a.dup_spans AS DOUBLE) * 10000.0 / CAST(a.n_spans AS DOUBLE)) AS BIGINT)
+       |    ELSE 0 END AS dup_frac_q
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  // ---- q_c4_filters: C4 line + document heuristics ----------------------
+
+  def c4Filters(s: SparkSession, dir: String): DataFrame =
+    Curation.c4Rules(Tables.documents(s, dir))
+      .select("doc_id", "n_lines", "n_kept_lines", "c4_reason", "c4_keep")
+
+  val c4FiltersSql: String =
+    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       |sl AS (SELECT doc_id, text, ${segsSql("toks", Curation.LineDedupSegLen)} AS segs FROM t),
+       |k AS (SELECT doc_id, text, CAST(len(segs) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(segs, s ->
+       |    len(string_split(s, ' ')) >= ${Curation.C4MinLineWords}
+       |    AND NOT contains(s, '{')
+       |    AND NOT contains(lower(s), 'javascript'))) AS BIGINT) AS n_kept_lines
+       | FROM sl)
+       |SELECT doc_id, n_lines, n_kept_lines,
+       |  CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       |       WHEN contains(text, '{') THEN 'brace'
+       |       WHEN n_kept_lines < ${Curation.C4MinKeptLines} THEN 'too_few_lines'
+       |  END AS c4_reason,
+       |  (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       |        WHEN contains(text, '{') THEN 'brace'
+       |        WHEN n_kept_lines < ${Curation.C4MinKeptLines} THEN 'too_few_lines'
+       |   END) IS NULL AS c4_keep
+       |FROM k""".stripMargin
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Retrieval
+
+/** Lexical retrieval + deterministic split assignment as oracle-checked
+  * queries (graft.ops.Retrieval): BM25 ranked search, per-doc TF-IDF
+  * keyterms, and the content-addressed train/val/test split.
+  */
+object RetrievalQueries {
+
+  // same whitespace tokenization contract as DocQueries.toksSql
+  private def toksSql(t: String) =
+    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+
+  // ---- q_bm25_topk: BM25 ranked retrieval -------------------------------
+
+  /** Fixed query set spanning common terms (df ≈ 0.77·N) and the one
+    * rare term in the corpus ('dup', df ≈ 0.05·N, idf ≈ 3.0) so idf
+    * actually orders results.
+    */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "merge"),
+    1L -> Seq("dup", "key"),
+    2L -> Seq("window", "sort", "vector"))
+
+  val Bm25K = 5
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Queries, k = Bm25K)
+
+  val bm25TopKSql: String = {
+    val terms = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val qtRows = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    // expression shapes mirror ops.Retrieval exactly (literal-for-literal:
+    // (1.2 + 1.0), not 2.2 — fp constant folding must match Spark's)
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+       |qt(query_id, term) AS (VALUES $qtRows),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM d
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |st AS (SELECT count(*) AS n_docs,
+       |         CAST(floor(CAST(sum(len(toks)) AS DOUBLE) * 10000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avgdl_q
+       |       FROM t),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+       |idf AS (SELECT term, CAST(floor(ln(1.0 +
+       |          (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) /
+       |          (CAST(df_t AS DOUBLE) + 0.5)) * 10000.0) AS BIGINT) AS idf_q
+       |        FROM dfq CROSS JOIN st),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         sum(idf.idf_q * CAST(floor(
+       |           CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+       |           (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+       |             CAST(tf.dl AS DOUBLE) / (CAST(st.avgdl_q AS DOUBLE) / 10000.0)))
+       |           * 10000.0) AS BIGINT)) AS score_q
+       |       FROM tf JOIN qt USING (term) JOIN idf USING (term) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_q,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_q DESC, doc_id) AS rank
+       |      FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, CAST(score_q AS BIGINT) AS score_q
+       |FROM r WHERE rank <= $Bm25K""".stripMargin
+  }
+
+  // ---- q_tfidf_terms: per-doc top TF-IDF keyterms -----------------------
+
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame =
+    Retrieval.tfidfTopTerms(Tables.documents(s, dir))
+
+  val tfidfTermsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |d AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM d GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |idf AS (SELECT term, CAST(floor(ln(CAST(n_docs AS DOUBLE) /
+       |          CAST(count(DISTINCT doc_id) AS DOUBLE)) * 10000.0) AS BIGINT) AS idf_q
+       |        FROM tf CROSS JOIN nd GROUP BY term, n_docs),
+       |j AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_q AS tfidf_q
+       |      FROM tf JOIN idf USING (term)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY tfidf_q DESC, term) AS term_rank FROM j)
+       |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term,
+       |  CAST(tf AS BIGINT) AS tf, CAST(tfidf_q AS BIGINT) AS tfidf_q
+       |FROM r WHERE term_rank <= ${Retrieval.TfidfTopN}""".stripMargin
+
+  // ---- q_split_assign: content-addressed train/val/test split -----------
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Retrieval.splitAssign(Tables.documents(s, dir))
+      .select("doc_id", "bucket", "split")
+
+  val splitAssignSql: String =
+    """SELECT doc_id,
+      |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+}

@@ -714,4 +714,110 @@ object TpchQueries {
        |    WHERE o.o_custkey = c.c_custkey
        |      AND o.o_orderdate >= TIMESTAMP '$DormantSince 00:00:00')
        |GROUP BY c_mktsegment""".stripMargin
+
+  /** q8: TPC-H Q8-style market share — one nation's slice of a region's
+    * revenue for one part type, per order year. Planner shape: a 6-way
+    * star join where every dimension (filtered part, supplier, customer,
+    * both nation roles, region) broadcasts, so the lineitem⋈orders
+    * equi-join is the only big shuffle; the share is a conditional-sum /
+    * total-sum ratio computed in one aggregation pass (no second scan,
+    * no self-join on the year).
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("c_rk") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(decSum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0d))
+          .as("nation_rev"),
+        decSum(vol).as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("mkt_share_q",
+        floor(col("nation_rev") / col("total_rev") * 10000.0d).cast("long"))
+  }
+
+  val marketShareSql: String =
+    s"""WITH v AS (
+       |  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+       |    l_extendedprice * (1.0 - l_discount) AS vol
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'),
+       |a AS (SELECT CAST(o_year AS BIGINT) AS o_year,
+       |  ${DecSumSql("CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END")} AS nation_rev,
+       |  ${DecSumSql("vol")} AS total_rev,
+       |  count(*) AS n_lines
+       | FROM v GROUP BY 1)
+       |SELECT o_year, nation_rev, total_rev, n_lines,
+       |  CAST(floor(nation_rev / total_rev * 10000.0) AS BIGINT) AS mkt_share_q
+       |FROM a""".stripMargin
+
+  /** q21: TPC-H Q21-style blame isolation — suppliers who returned goods
+    * ('R') in multi-supplier orders where NO other supplier returned.
+    * Planner shape: the same fact table joined back to itself twice with
+    * correlated inequality conditions — once as a left-semi (EXISTS:
+    * another supplier in the order) and once as a left-anti (NOT EXISTS:
+    * another supplier also returned). Both self-joins are equi-joins on
+    * l_orderkey, so all three legs co-partition on one key and the
+    * inequality is evaluated post-match — no cartesian anywhere.
+    */
+  def returnIsolation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val returnIsolationSql: String =
+    """WITH w AS (
+      |  SELECT l1.l_suppkey
+      |  FROM lineitem l1
+      |  WHERE l1.l_returnflag = 'R'
+      |    AND EXISTS (SELECT 1 FROM lineitem l2
+      |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |        AND l3.l_returnflag = 'R'))
+      |SELECT s_name, n_name AS nation_name, count(*) AS numwait
+      |FROM w JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
 }

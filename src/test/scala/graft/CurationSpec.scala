@@ -142,4 +142,71 @@ class CurationSpec extends SparkTestBase {
         .agg(sum("dist_q")).collect().head.getLong(0)
     assert(inertia(3) <= inertia(1))
   }
+
+  // ---- line dedup / dup spans / C4 rules --------------------------------
+
+  // 12 tokens -> two 10-token segments (second has 2 tokens); the first
+  // segment is byte-identical across docs 1 and 2, so it is boilerplate
+  private val sharedSeg = "a b c d e f g h i j"
+
+  test("line dedup: corpus-frequent segment removed, remainder md5 stable") {
+    val df = Curation.lineDedup(docsDf(
+      (1L, s"$sharedSeg tail1 x"),
+      (2L, s"$sharedSeg tail2 y"),
+      (3L, "entirely unique words only here")), "doc_id", "text")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_md5"))).toMap
+    assert(rows(1L)._1 === 2L && rows(1L)._2 === 1L)
+    assert(rows(2L)._1 === 2L && rows(2L)._2 === 1L)
+    assert(rows(3L)._1 === 1L && rows(3L)._2 === 0L)
+    // kept text of doc 1 is exactly its second segment
+    val md5Tail1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("tail1 x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L)._3 === md5Tail1)
+  }
+
+  test("line dedup: doc with every segment removed hashes empty string") {
+    val df = Curation.lineDedup(docsDf(
+      (1L, sharedSeg), (2L, sharedSeg), (3L, "padding so corpus is ragged")),
+      "doc_id", "text")
+    val r1 = df.filter(col("doc_id") === 1L).collect().head
+    assert(r1.getAs[Long]("n_removed") === 1L)
+    assert(r1.getAs[String]("clean_md5") === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("dup spans: planted cross-doc 8-gram flagged, within-doc repeat not") {
+    val span = "one two three four five six seven eight"
+    val df = Curation.dupSpans(docsDf(
+      (1L, s"$span alpha"),     // 9 toks -> spans at pos 0,1; pos-0 span shared
+      (2L, s"beta $span"),      // shared span at pos 1
+      (3L, s"rep rep rep rep rep rep rep rep rep"), // self-repeat, single doc
+      (4L, "short")), "doc_id", "text")     // < 8 tokens -> no spans
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"),
+        r.getAs[Long]("dup_frac_q"))).toMap
+    assert(rows(1L) === ((2L, 1L, 5000L)))
+    assert(rows(2L) === ((2L, 1L, 5000L)))
+    // 9 identical tokens: both spans identical but only ONE distinct doc
+    assert(rows(3L) === ((2L, 0L, 0L)))
+    assert(rows(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("c4 rules: line word-count gate and doc-level reasons") {
+    val longDoc = (1 to 35).map(i => s"w$i").mkString(" ") // 4 lines: 10/10/10/5
+    val df = Curation.c4Rules(docsDf(
+      (1L, longDoc),                         // all 4 lines >= 5 words: keep
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")), // tail line 2 words: 3 kept, keep
+      (3L, (1 to 22).map(i => s"w$i").mkString(" ")), // 10/10/2 -> 2 kept: drop
+      (4L, s"$longDoc lorem ipsum extra"),   // lorem ipsum outranks line count
+      (5L, longDoc + " {")), "doc_id", "text")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"),
+        Option(r.getAs[String]("c4_reason")), r.getAs[Boolean]("c4_keep"))).toMap
+    assert(rows(1L) === ((4L, 4L, None, true)))
+    assert(rows(2L) === ((4L, 3L, None, true)))
+    assert(rows(3L) === ((3L, 2L, Some("too_few_lines"), false)))
+    assert(rows(4L)._3 === Some("lorem_ipsum") && !rows(4L)._4)
+    assert(rows(5L)._3 === Some("brace") && !rows(5L)._4)
+  }
 }

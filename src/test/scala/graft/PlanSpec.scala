@@ -190,6 +190,56 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("line dedup / dup spans: frequent-set joins back as a broadcast") {
+    // The corpus-frequency table after HAVING >= minDocs is a sliver
+    // (boilerplate is few distinct strings); if it ever planned as a
+    // shuffle join the whole exploded corpus would re-shuffle on raw
+    // line/span text — the broadcast is the 100 TB shape.
+    Seq(graft.queries.CurationQueries.lineDedup(spark, dir),
+      graft.queries.CurationQueries.dupSpans(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"frequent set must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("c4 filters / split assign: one shuffle-free single-scan pass each") {
+    Seq(graft.queries.CurationQueries.c4Filters(spark, dir),
+      graft.queries.RetrievalQueries.splitAssign(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row pass must not shuffle:\n$p")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    }
+  }
+
+  test("bm25: bounded top-k aggregate, term filter ahead of the tf shuffle") {
+    val p = plan(graft.queries.RetrievalQueries.bm25TopK(spark, dir))
+    assert(!p.contains(") Window"), s"per-query window in bm25 ranking:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkscored"),
+      s"top-k must partial-aggregate map-side:\n$p")
+    // the isin(query terms) filter must run in the explode pass, before
+    // any exchange — shuffled volume scales with hits, not corpus size.
+    // Formatted-plan node ids are post-order (children first), so
+    // "filter ahead of the shuffle" = some Filter id between the
+    // explode's Generate id and the smallest Exchange id.
+    def ids(name: String): Seq[Int] =
+      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(!p.contains("CartesianProduct"), p)
+    val gen = ids("Generate").min
+    val firstExchange = ids("Exchange").min
+    assert(ids("Filter").exists(f => f > gen && f < firstExchange),
+      s"query-term filter not ahead of the shuffle:\n$p")
+  }
+
+  test("q8/q21: dims broadcast; self-semi/anti co-partition on one key") {
+    val p8 = plan(TpchQueries.marketShare(spark, dir))
+    assert(p8.contains("BroadcastHashJoin"), p8)
+    assert(!p8.contains("CartesianProduct"), p8)
+    val p21 = plan(TpchQueries.returnIsolation(spark, dir))
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct"), p21)
+  }
+
   test("semdedup: pairs stay inside clusters, never a cartesian corpus join") {
     val p = plan(graft.queries.CurationQueries.semDedup(spark, dir))
     assert(!p.contains("CartesianProduct"), s"all-pairs join leaked:\n$p")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+/** BM25 ranking, TF-IDF keyterms, and the content-addressed split —
+  * hand-computed fixtures + ranking/determinism properties.
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  private def docsDf(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  test("bm25: rarer term dominates, tf breaks ties, ranks are dense") {
+    val df = docsDf(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common common common filler filler filler"),
+      (3L, "rare rare common filler filler filler"),
+      (4L, "filler filler filler filler filler filler"))
+    val out = Retrieval.bm25TopK(df, Seq(0L -> Seq("rare", "common")), k = 3)
+      .orderBy("rank").collect()
+    assert(out.length === 3) // doc 4 matches nothing
+    // docs with 'rare' (idf ln(1+(4-2+.5)/2.5)=ln 2) outrank the
+    // common-only doc; doc 3 has tf(rare)=2 > doc 1's 1
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(3L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    val scores = out.map(_.getAs[Long]("score_q"))
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val df = docsDf(
+      (1L, "term " + ("pad " * 4).trim),
+      (2L, "term " + ("pad " * 40).trim))
+    val out = Retrieval.bm25TopK(df, Seq(0L -> Seq("term")), k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(out(1L) === 1L && out(2L) === 2L)
+  }
+
+  test("tfidf: corpus-wide terms get zero weight, doc-specific terms rank") {
+    val df = docsDf(
+      (1L, "shared shared unique1 unique1 unique1"),
+      (2L, "shared unique2"),
+      (3L, "shared shared shared"))
+    val out = Retrieval.tfidfTopTerms(df, topN = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("term"),
+        r.getAs[Long]("tfidf_q"))).toMap
+    // 'shared' df=3/3 -> idf 0; the unique terms (idf ln 3) win
+    assert(out(1L)._1 === "unique1" && out(1L)._2 > 0)
+    assert(out(2L)._1 === "unique2")
+    // doc 3 has only zero-weight terms; tie-break by term name still emits
+    assert(out(3L)._1 === "shared" && out(3L)._2 === 0L)
+  }
+
+  test("split assign: deterministic, partition-independent, ~90/5/5") {
+    val df = docsDf((0L until 1000L).map(i => (i, s"doc $i")): _*)
+    val a = Retrieval.splitAssign(df)
+    val b = Retrieval.splitAssign(df.repartition(13))
+    assert(a.select("doc_id", "bucket", "split").collect().map(_.toSeq).toSet ===
+      b.select("doc_id", "bucket", "split").collect().map(_.toSeq).toSet)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 850 && counts("train") < 950)
+    assert(counts("val") + counts("test") === 1000 - counts("train"))
+    val buckets = a.agg(min("bucket"), max("bucket")).collect().head
+    assert(buckets.getLong(0) >= 0L && buckets.getLong(1) <= 99L)
+  }
+}
