@@ -130,6 +130,33 @@ object Retrieval {
         col("tfidf_q"))
   }
 
+  /** Inverted-index materialization: one row per term with document
+    * frequency, collection frequency, and an order-pinned digest of the
+    * posting list (md5 of the comma-joined ascending doc ids — the
+    * harness-sortable stand-in for the raw array; a real index sink
+    * would write the sorted postings themselves, partitioned by term).
+    *
+    * Scale shape: explode -> (term, doc) count agg -> per-term agg.
+    * Both shuffles key on term; posting lists are built inside the
+    * aggregate with an explicit sort, so partition order can't leak
+    * into the digest. Degenerate hot terms (stopwords) make one big
+    * group each — a production index shards those postings by range;
+    * here they stay single-group, bounded by corpus doc count.
+    */
+  def invertedIndex(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val perDoc = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy("term", idCol)
+      .agg(count(lit(1)).as("cf"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df_t"), sum("cf").as("cf_t"),
+        md5(array_join(
+          transform(array_sort(collect_list(col(idCol).cast("long"))),
+            i => i.cast("string")), ",").cast("binary")).as("postings_md5"))
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-99 from the
     * first 4 hex chars of md5(id) — content-addressed, so the split is
     * stable under repartitioning, re-ingestion, and engine choice

@@ -360,6 +360,58 @@ object SketchDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs by LOSSLESS prefix filtering (the
+    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08),
+    * upgrading [[ngramJaccardPairs]]'s first-k-token blocking: that
+    * block key misses near-dups whose edit falls in the first k tokens;
+    * the prefix filter provably cannot. Order every document's shingle
+    * set by ascending global document frequency (rarest first, ties by
+    * shingle text — any total order works); two sets with Jaccard >= t
+    * MUST share a shingle within their first n - ceil(t*n) + 1 ordered
+    * shingles, so equi-joining on prefix shingles generates a candidate
+    * superset, and exact verification makes the output the true
+    * all-pairs result.
+    *
+    * Scale shape: the df table is one keyed count agg (the same
+    * inverted-index build as Retrieval); candidates equi-join on
+    * *rare* shingles — the frequency ordering steers the join away
+    * from common shingles, which is exactly what bounds fan-out (a
+    * boilerplate shingle shared by a million docs never lands in a
+    * prefix unless a doc is nearly all boilerplate). Verification
+    * touches candidate pairs only.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3,
+                         threshold: Double = 0.8): DataFrame = {
+    val base = df
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"),
+        shinglesFromTokens(TextMetrics.tokens(col(textCol)), shingleSize).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("id"), explode(col("sh")).as("s"))
+    // sh is distinct within a doc, so count(*) = document frequency
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+    val ordered = ex.join(dfTab, Seq("s"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df_s"), col("s")))).as("ord"))
+    val n = size(col("ord"))
+    val p = (n - ceil(n.cast("double") * lit(threshold)) + 1).cast("int")
+    val prefix = slice(transform(col("ord"), x => x.getField("s")), lit(1), p)
+    val cands = ordered.select(col("id"), explode(prefix).as("s"))
+    val pairs = cands.select(col("s"), col("id").as("id_a"))
+      .join(cands.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the standard rolling-hash fingerprint): hash every character
     * k-gram of the canonical text, slide a window of `w` hashes, keep

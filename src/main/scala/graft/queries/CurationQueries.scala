@@ -271,6 +271,35 @@ object CurationQueries {
        |FROM m JOIN q USING (source)
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- q_dsir_select: DSIR top-quantile importance selection ------------
+
+  val DsirSelectQuantile = 0.8
+
+  /** The selection step DSIR weights exist for: keep the top 20% of
+    * non-target docs by importance weight. The cutoff is one exact
+    * percentile over the weight table, broadcast back — per-source
+    * counts show how selection tilts the mixture toward target-like
+    * sources. (Xie et al. resample with probability ∝ weight; a
+    * deterministic top-quantile gate is the oracle-checkable variant.)
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val w = dsirWeights(s, dir)
+    val thr = w.agg(expr(s"percentile(dsir_q, $DsirSelectQuantile)").as("thr"))
+    w.join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dsir_q") >= col("thr"), 1L).otherwise(0L)).as("n_selected"))
+  }
+
+  lazy val dsirSelectSql: String =
+    s"""WITH w AS ($dsirWeightsSql),
+       |thr AS (SELECT quantile_cont(dsir_q, $DsirSelectQuantile) AS thr FROM w)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN w.dsir_q >= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM w JOIN documents d USING (doc_id) CROSS JOIN thr
+       |GROUP BY d.source""".stripMargin
+
   // ---- shared pseudo-line segmentation (CCNet/C4 line ops) --------------
 
   /** DuckDB mirror of Curation.segments: fixed 10-token pseudo-lines.

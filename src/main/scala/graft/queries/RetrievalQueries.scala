@@ -90,6 +90,20 @@ object RetrievalQueries {
        |  CAST(tf AS BIGINT) AS tf, CAST(tfidf_q AS BIGINT) AS tfidf_q
        |FROM r WHERE term_rank <= ${Retrieval.TfidfTopN}""".stripMargin
 
+  // ---- q_inverted_index: postings materialization -----------------------
+
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(Tables.documents(s, dir))
+
+  val invertedIndexSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |d AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |pd AS (SELECT term, doc_id, count(*) AS cf FROM d GROUP BY 1, 2)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df_t,
+       |  CAST(sum(cf) AS BIGINT) AS cf_t,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+       |FROM pd GROUP BY term""".stripMargin
+
   // ---- q_split_assign: content-addressed train/val/test split -----------
 
   def splitAssign(s: SparkSession, dir: String): DataFrame =

@@ -127,6 +127,48 @@ object SimilarityQueries {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin
 
+  // ---- q_prefix_jaccard: lossless prefix-filtered Jaccard join ----------
+
+  /** PPJoin-style prefix filtering (SketchDedup.prefixJaccardPairs):
+    * the lossless upgrade of q_ngram_jaccard's first-8-token blocking —
+    * output IS the exact all-pairs Jaccard >= 0.8 result. The oracle
+    * mirrors the prefix pipeline (df table, frequency-ordered prefix,
+    * candidate join, exact verify), which is semantically all-pairs by
+    * the prefix-filter guarantee while staying cheap at oracle scale.
+    */
+  def prefixJaccard(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.prefixJaccardPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", shingleSize = 3, threshold = 0.8)
+
+  val prefixJaccardSql: String =
+    """WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh
+      | FROM c),
+      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |d AS (SELECT sg, count(*) AS df_s FROM e GROUP BY sg),
+      |o AS (SELECT e.doc_id,
+      |        list_sort(list(struct_pack(df_s := d.df_s, s := e.sg))) AS ord
+      |      FROM e JOIN d USING (sg) GROUP BY e.doc_id),
+      |pz AS (SELECT doc_id, list_transform(ord, x -> x.s) AS osh,
+      |         CAST(len(ord) - ceil(CAST(len(ord) AS DOUBLE) * 0.8) + 1 AS INT) AS p
+      |       FROM o),
+      |pr AS (SELECT doc_id, unnest(osh[1:p]) AS sg FROM pz),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM pr a JOIN pr b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+      |v AS (SELECT cand.id_a, cand.id_b,
+      |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+      |        CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS szsum
+      |      FROM cand
+      |      JOIN s sa ON cand.id_a = sa.doc_id
+      |      JOIN s sb ON cand.id_b = sb.doc_id)
+      |SELECT id_a, id_b, inter / (szsum - inter) AS jaccard
+      |FROM v WHERE inter / (szsum - inter) >= 0.8""".stripMargin
+
   // ---- q_dup_clusters: connected components over near-dup pairs ---------
 
   /** Duplicate clusters from the Jaccard pair list: min-label-propagation

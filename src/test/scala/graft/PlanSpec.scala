@@ -240,6 +240,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p21.contains("CartesianProduct"), p21)
   }
 
+  test("prefix jaccard: candidate generation is an equi-join, no cartesian") {
+    val p = plan(graft.queries.SimilarityQueries.prefixJaccard(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join leaked:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"),
+      s"candidate join must be hash-keyed on the prefix shingle:\n$p")
+  }
+
   test("semdedup: pairs stay inside clusters, never a cartesian corpus join") {
     val p = plan(graft.queries.CurationQueries.semDedup(spark, dir))
     assert(!p.contains("CartesianProduct"), s"all-pairs join leaked:\n$p")

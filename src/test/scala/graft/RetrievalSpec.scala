@@ -55,6 +55,24 @@ class RetrievalSpec extends SparkTestBase {
     assert(out(3L)._1 === "shared" && out(3L)._2 === 0L)
   }
 
+  test("inverted index: df/cf and order-pinned postings digest") {
+    val df = docsDf(
+      (3L, "x y x"),
+      (1L, "x z"),
+      (2L, "z z z"))
+    val out = Retrieval.invertedIndex(df).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df_t"), r.getAs[Long]("cf_t"),
+          r.getAs[String]("postings_md5"))).toMap
+    assert(out("x") === ((2L, 3L, md5Hex("1,3"))))
+    assert(out("y") === ((1L, 1L, md5Hex("3"))))
+    assert(out("z") === ((2L, 4L, md5Hex("1,2"))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("split assign: deterministic, partition-independent, ~90/5/5") {
     val df = docsDf((0L until 1000L).map(i => (i, s"doc $i")): _*)
     val a = Retrieval.splitAssign(df)

@@ -254,6 +254,50 @@ class SketchDedupSpec extends SparkTestBase {
     res2.release(); res.release()
   }
 
+  test("prefix jaccard: finds the first-token edit the block key misses") {
+    import spark.implicits._
+    // 40 identical tokens except token ONE differs -> jaccard on 3-gram
+    // shingles ~ 35/41 ≈ 0.85. The edit sits inside the first-8-token
+    // block key, so ngramJaccardPairs (blocking) misses the pair; the
+    // lossless prefix filter must not.
+    val body = (1 to 39).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, s"aaa $body"), (2L, s"bbb $body"),
+      (3L, "completely different words entirely unrelated")).toDF("doc_id", "text")
+    val blocked = SketchDedup.ngramJaccardPairs(df, "doc_id", "text", 3, 8, 0.8)
+    val prefix = SketchDedup.prefixJaccardPairs(df, "doc_id", "text", 3, 0.8)
+    assert(blocked.count() === 0L)
+    val rows = prefix.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 2L)
+    assert(rows.head.getDouble(2) >= 0.8)
+  }
+
+  test("prefix jaccard: equals brute-force all-pairs on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    // near-dup pairs: doc 2i+1 is doc 2i with one token changed
+    val docs = (0L until 30L by 2L).flatMap { i =>
+      val base = Vector.fill(20)(vocab(rnd.nextInt(vocab.size)))
+      val edited = base.updated(rnd.nextInt(20), vocab(rnd.nextInt(vocab.size)))
+      Seq((i, base.mkString(" ")), (i + 1, edited.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = SketchDedup.prefixJaccardPairs(df, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs with the same shingle sets
+    val sh = df.select(col("doc_id"),
+      SketchDedup.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty) // the fixture must actually exercise pairs
+  }
+
   test("cosine matches a plain scala computation") {
     import spark.implicits._
     val a = Array(1.0, 2.0, 3.0)
