@@ -250,17 +250,38 @@ object Curation {
     */
   def lineDedup(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", segLen: Int = LineDedupSegLen,
-                minDocs: Int = LineDedupMinDocs): DataFrame = {
+                minDocs: Int = LineDedupMinDocs): DataFrame =
+    scrubLines(df, frequentLines(df, idCol, textCol, segLen, minDocs),
+      idCol, textCol, segLen)
+
+  /** The corpus boilerplate-line table: lines occurring in >= `minDocs`
+    * distinct documents. Computed once over the corpus and reusable —
+    * the streaming scrub joins new batches against this table without
+    * ever recounting history (graft.streaming.Streaming.scrubBoilerplate).
+    */
+  def frequentLines(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", segLen: Int = LineDedupSegLen,
+                    minDocs: Int = LineDedupMinDocs): DataFrame =
+    df.withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), explode(segments(col("__toks"), segLen)).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("line"))
+
+  /** Remove every line in `frequent` from every document; see
+    * [[lineDedup]] for the combined build+scrub form.
+    */
+  def scrubLines(df: DataFrame, frequent: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 segLen: Int = LineDedupSegLen): DataFrame = {
     val lines = df
       .withColumn("__toks", TextMetrics.tokens(col(textCol)))
       .select(col(idCol), posexplode(segments(col("__toks"), segLen))
         .as(Seq("pos", "line")))
-    val frequent = lines.groupBy("line")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("line"), lit(1).as("__dup"))
     val perDoc = lines
-      .join(broadcast(frequent), Seq("line"), "left")
+      .join(broadcast(frequent.select(col("line"), lit(1).as("__dup"))),
+        Seq("line"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_lines"),
         count(col("__dup")).as("n_removed"),

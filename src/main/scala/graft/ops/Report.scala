@@ -18,6 +18,34 @@ object Report {
     df.groupBy("drop_reason").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc_nulls_first("drop_reason"))
 
+  /** Grouped Pearson correlation from integer moment sums (beyond ref):
+    * all six aggregates (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT
+    * sums — partition-order-proof — and the formula
+    * (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)) is evaluated
+    * once from those integers in double (products stay < 2^53 at the
+    * tested scales; IEEE sqrt/division are exactly rounded, so any
+    * engine computes the identical bits), floor-quantized to 1e-4.
+    * Spark's native `corr` is a streaming moment aggregate whose low
+    * bits depend on partition order — unusable for oracle parity.
+    * Requires integer-valued x/y columns.
+    */
+  def corrGrouped(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .withColumn("corr_q",
+        when(vx > 0.0d && vy > 0.0d,
+          floor(num / sqrt(vx * vy) * 10000.0d).cast("long")))
+      .select(col(groupCol), col("n"), col("corr_q"))
+  }
+
   /** A2: numeric describe of a column — count/min/max/mean/std/quartiles,
     * the full pandas `.describe()` surface (text_clean_and_filter.py:662-682).
     * Exact percentiles (not approx) for oracle parity. Sample stddev is

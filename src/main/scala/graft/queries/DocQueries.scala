@@ -612,6 +612,40 @@ object DocQueries {
         urlCol = "url", idCol = "doc_id", cap = DomainCap)
       .select("doc_id", "domain", "domain_rank", "kept")
 
+  // ---- q_corr_chars_words: grouped Pearson correlation ------------------
+
+  /** Per-source correlation between character and word counts
+    * (ops.Report.corrGrouped — exact integer moments, not Spark's
+    * partition-order-sensitive `corr`).
+    */
+  def corrCharsWords(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Report.corrGrouped(
+      Tables.documents(s, dir).withColumn("n_words",
+        size(graft.text.TextMetrics.tokens(col("text"))).cast("long")),
+      "source", "n_chars", "n_words")
+
+  val corrCharsWordsSql: String =
+    s"""WITH t AS (SELECT source, n_chars,
+       |             CAST(len(${toksSql("text")}) AS BIGINT) AS n_words
+       |           FROM documents),
+       |a AS (SELECT source, count(*) AS n,
+       |        CAST(sum(n_chars) AS BIGINT) AS sx,
+       |        CAST(sum(n_words) AS BIGINT) AS sy,
+       |        CAST(sum(n_chars * n_words) AS BIGINT) AS sxy,
+       |        CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+       |        CAST(sum(n_words * n_words) AS BIGINT) AS syy
+       |      FROM t GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+       |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+       |  THEN CAST(floor(
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    * 10000.0) AS BIGINT)
+       |  END AS corr_q
+       |FROM a""".stripMargin
+
   val domainCapSql: String =
     s"""WITH u AS (SELECT doc_id,
        |             'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url

@@ -221,6 +221,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming boilerplate scrub: each micro-batch of documents is
+    * cleansed against a PRECOMPUTED frequent-line table
+    * ([[graft.ops.Curation.frequentLines]], built offline over the
+    * corpus and refreshed out-of-band). foreachBatch, not a streaming
+    * aggregation: the per-doc reassembly groups by doc_id — an
+    * unbounded key — so the state-store form would grow without a
+    * watermark to bound it; batch semantics per micro-batch keep the
+    * operator stateless (the frequent table is the only state, and it
+    * lives in a table, not the store).
+    */
+  def scrubBoilerplate(df: DataFrame, frequent: DataFrame, textCol: String,
+                       idCol: String, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Curation.scrubLines(batch, frequent, idCol, textCol)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

@@ -246,6 +246,34 @@ class StreamingSpec extends SparkTestBase {
     assert(kept.getLong(2) === kept.getSeq[Int](1).length.toLong)
   }
 
+  test("streaming boilerplate scrub equals the batch scrub per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("scrub").toString
+    val shared = "a b c d e f g h i j" // one 10-token boilerplate line
+    val corpus = Seq((100L, s"$shared corpus1"), (101L, s"$shared corpus2"))
+      .toDF("doc_id", "text")
+    val frequent = graft.ops.Curation.frequentLines(corpus)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.scrubBoilerplate(in.toDF().toDF("doc_id", "text"),
+      frequent, textCol = "text", idCol = "doc_id",
+      outDir = s"$base/out", checkpointDir = s"$base/ckpt")
+    try {
+      in.addData((1L, s"$shared fresh tail"), (2L, "nothing shared here"))
+      q.processAllAvailable()
+      in.addData((3L, shared)) // scrubbed to empty
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select("doc_id", "n_lines", "n_removed", "clean_md5").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(out(1L) === ((2L, 1L, md5("fresh tail"))))
+      assert(out(2L) === ((1L, 0L, md5("nothing shared here"))))
+      assert(out(3L) === ((1L, 1L, md5(""))))
+    } finally q.stop()
+  }
+
   test("stateless clean stage: streaming result equals batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
