@@ -389,11 +389,20 @@ object SketchDedup {
         shinglesFromTokens(TextMetrics.tokens(col(textCol)), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
-    // sh is distinct within a doc, so count(*) = document frequency
-    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
-    val ordered = ex.join(dfTab, Seq("s"))
+    // sh is distinct within a doc, so count(*) = document frequency.
+    // Only shingles with df > 1 matter for the ordering — every df=1
+    // shingle ties at (1, text) regardless — and that repeated sliver
+    // is boilerplate-vocabulary-sized, so it broadcasts: the dominant
+    // df=1 mass never shuffles for its own frequency. (If the repeated
+    // set outgrew the broadcast budget on a pathological corpus, drop
+    // the hint and this becomes the plain shuffle join — same result.)
+    val rep = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") > 1)
+    val ordered = ex.join(broadcast(rep), Seq("s"), "left")
+      .select(col("id"), struct(
+        coalesce(col("df_s"), lit(1L)).as("df_s"), col("s")).as("__ds"))
       .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df_s"), col("s")))).as("ord"))
+      .agg(array_sort(collect_list(col("__ds"))).as("ord"))
     val n = size(col("ord"))
     val p = (n - ceil(n.cast("double") * lit(threshold)) + 1).cast("int")
     val prefix = slice(transform(col("ord"), x => x.getField("s")), lit(1), p)

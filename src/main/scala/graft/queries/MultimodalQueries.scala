@@ -55,6 +55,36 @@ object MultimodalQueries {
       |FROM v, LATERAL (
       |  SELECT unnest(generate_series(0, (n_frames - 1) // stride)) AS p)""".stripMargin
 
+  // ---- q_media_dedup: binary content-hash dedup --------------------------
+
+  /** Exact dedup over the opaque binary column: md5 the payload bytes
+    * (never decode), keep-first by media_id, report per-kind totals.
+    * The same shape dedups raw image/audio blobs at 100 TB — the hash
+    * is computed in the scan pass and only (hash, id) ever shuffles,
+    * not the payload.
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("kind"), col("media_id"), md5(col("content")).as("content_md5"))
+      .groupBy("kind", "content_md5")
+      .agg(count(lit(1)).as("n_copies"), min("media_id").as("kept_id"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_unique"),
+        sum("n_copies").as("n_media"),
+        sum(col("n_copies") - 1).as("n_dropped"))
+
+  val mediaDedupSql: String =
+    """WITH m AS (
+      |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |         doc_id AS media_id, md5(text) AS content_md5
+      |  FROM documents),
+      |g AS (SELECT kind, content_md5, count(*) AS n_copies
+      |      FROM m GROUP BY 1, 2)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_unique,
+      |  CAST(sum(n_copies) AS BIGINT) AS n_media,
+      |  CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped
+      |FROM g GROUP BY kind""".stripMargin
+
   // ---- q_audio_chunks: byte-window boundaries per audio clip -------------
 
   def audioChunks(s: SparkSession, dir: String): DataFrame =

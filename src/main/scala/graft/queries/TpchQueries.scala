@@ -774,6 +774,35 @@ object TpchQueries {
        |  CAST(floor(nation_rev / total_rev * 10000.0) AS BIGINT) AS mkt_share_q
        |FROM a""".stripMargin
 
+  /** q9: TPC-H Q9-style product-line profit by supplier nation and order
+    * year (adapted: the reduced schema has no partsupp, so profit is
+    * discounted revenue rather than revenue minus supply cost — the
+    * planner shape is unchanged). LIKE-filtered part dim broadcasts;
+    * lineitem⋈orders stays the one big shuffle.
+    */
+  def profitByNation(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("bolt"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation_name"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"),
+        count(lit(1)).as("n_lines"))
+
+  val profitByNationSql: String =
+    s"""SELECT n_name AS nation_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS profit,
+       | count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND contains(p_name, 'bolt')
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
   /** q21: TPC-H Q21-style blame isolation — suppliers who returned goods
     * ('R') in multi-supplier orders where NO other supplier returned.
     * Planner shape: the same fact table joined back to itself twice with
