@@ -233,6 +233,33 @@ object DocQueries {
        |FROM documents""".stripMargin
   }
 
+  // ---- q_pii_extended: beyond-ref PII types (ip, ssn) -------------------
+
+  def piiExtended(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Pii.piiIpHits(t).cast("long").as("pii_ip_hits"),
+      Pii.piiSsnHits(t).cast("long").as("pii_ssn_hits"),
+      Pii.maskPiiExtended(t).as("text_pii_masked_ext"))
+  }
+
+  val piiExtendedSql: String = {
+    def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+    s"""SELECT doc_id,
+       | ${cnt(Pii.IpRe)} AS pii_ip_hits,
+       | ${cnt(Pii.SsnRe)} AS pii_ssn_hits,
+       | regexp_replace(regexp_replace(regexp_replace(
+       |   regexp_replace(regexp_replace(regexp_replace(text,
+       |     '${Pii.EmailRe}', '<EMAIL>', 'g'),
+       |     '${Pii.IpRe}', '<IP>', 'g'),
+       |     '${Pii.SsnRe}', '<SSN>', 'g'),
+       |   '${Pii.PhoneRe}', '<PHONE>', 'g'),
+       |   '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'),
+       |   '${Pii.IbanRe}', '<IBAN>', 'g') AS text_pii_masked_ext
+       |FROM documents""".stripMargin
+  }
+
   // ---- q_toxicity: M9 ---------------------------------------------------
 
   def toxicity(s: SparkSession, dir: String): DataFrame =

@@ -51,4 +51,32 @@ object Pii {
   /** has_pii = any of the four counters > 0. */
   def hasPii(email: Column, phone: Column, cc: Column, iban: Column): Column =
     (email + phone + cc + iban) > 0
+
+  // ---- extended types (beyond ref: production pipelines also mask
+  // network identifiers and national-id formats). RE2-safe (no
+  // backrefs), so the DuckDB oracle runs the identical pattern.
+
+  val IpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def piiIpHits(c: Column): Column  = hits(c, IpRe)
+  def piiSsnHits(c: Column): Column = hits(c, SsnRe)
+
+  /** Extended mask chain: email, then the SPECIFIC digit shapes (ip,
+    * ssn), then the reference's general ones (phone, cc, iban).
+    * Specific-before-general is load-bearing: PhoneRe accepts '.'
+    * separators, so run after it an IP like 192.168.0.1 becomes
+    * "<PHONE>.0.1" — masked placeholders contain no digits, so the
+    * later general patterns can't re-match them (TextOpsSpec pins
+    * these interactions). [[maskPii]] keeps the reference's exact
+    * 4-type order; this chain is the beyond-ref superset.
+    */
+  def maskPiiExtended(c: Column): Column = {
+    val e = regexp_replace(c, EmailRe, "<EMAIL>")
+    val ip = regexp_replace(e, IpRe, "<IP>")
+    val ssn = regexp_replace(ip, SsnRe, "<SSN>")
+    val p = regexp_replace(ssn, PhoneRe, "<PHONE>")
+    val cc = regexp_replace(p, CreditCardRe, "<CREDIT_CARD>")
+    regexp_replace(cc, IbanRe, "<IBAN>")
+  }
 }

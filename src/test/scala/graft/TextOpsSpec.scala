@@ -98,6 +98,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(!masked.contains("a.b@x.co"))
   }
 
+  test("extended PII: ip and ssn masked after the reference chain") {
+    def ext(s: String): (Int, Int, String) = {
+      val r = Seq(s).toDF("t").select(
+        Pii.piiIpHits(col("t")), Pii.piiSsnHits(col("t")),
+        Pii.maskPiiExtended(col("t"))).collect()(0)
+      (r.getInt(0), r.getInt(1), r.getString(2))
+    }
+    val (ip, ssn, m) = ext("host 10.0.255.1 owner 123-45-6789 end")
+    assert(ip === 1 && ssn === 1)
+    assert(m === "host <IP> owner <SSN> end")
+    assert(ext("123-45-6789")._3 === "<SSN>")
+    // dotted quads inside version strings still need all four octets
+    assert(ext("v1.2.3 release")._1 === 0)
+    // specific-before-general: PhoneRe accepts '.' separators, so run
+    // first it would turn this into "<PHONE>.0.1" — the ip mask must win
+    assert(ext("ping 192.168.0.1 now")._3 === "ping <IP> now")
+    // the general types still mask after the specific ones
+    assert(ext("mail a@b.co ip 10.0.0.1")._3 === "mail <EMAIL> ip <IP>")
+  }
+
   private def ccHits(s: String): Int =
     Seq(s).toDF("t").select(Pii.piiCcHits(col("t")).as("n"))
       .collect()(0).getInt(0)
