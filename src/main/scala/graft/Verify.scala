@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several sketch/retrieval queries persist intermediates they
+      // cannot safely unpersist themselves (lazy result frames);
+      // releasing per query keeps the 119-query run's cache bounded
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

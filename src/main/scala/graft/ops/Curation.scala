@@ -58,9 +58,14 @@ object Curation {
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
       lit(0L), (acc, x) => acc + x)
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
-    val stopHits = size(filter(
-      lit(GopherStopwords.toArray),
-      w => array_contains(transform(toks, t => lower(t)), w)))
+    // array_intersect evaluates both operands ONCE; the filter/contains
+    // formulation re-materializes the lowered token array per stopword
+    // (8n lower() calls per row — the CollapseProject inlining trap,
+    // and a staged column wouldn't help because single-use projections
+    // are collapsed back in). Members are distinct on both sides, so
+    // the intersection size equals the contained-stopword count.
+    val stopHits = size(array_intersect(
+      transform(toks, t => lower(t)), lit(GopherStopwords.toArray)))
     val symbolHits = when(col(textCol).isNull, lit(0L))
       .otherwise(regexp_count(col(textCol), lit("#|\\.\\.\\.")))
     def q(numer: Column, denom: Column): Column =

@@ -81,9 +81,14 @@ object KMeans {
       assigned = assign(cents)
     }
     cents = centroidsOf(assigned)
-    val out = (assigned.select(col("id").as(idCol), col("cluster"),
-      col("dist_q")), cents)
+    // materialize the final assignment BEFORE releasing the cached
+    // input: the returned frame is lazy, and without this every caller
+    // evaluation would recompute the whole assignment subtree uncached
+    // (semDedup references it three times). localCheckpoint also pins
+    // plan depth, like the connected-components loop.
+    val out = assigned.select(col("id").as(idCol), col("cluster"),
+      col("dist_q")).localCheckpoint()
     base.unpersist(blocking = false)
-    out
+    (out, cents)
   }
 }

@@ -27,17 +27,21 @@ object Report {
     * engine computes the identical bits), floor-quantized to 1e-4.
     * Spark's native `corr` is a streaming moment aggregate whose low
     * bits depend on partition order — unusable for oracle parity.
-    * Requires integer-valued x/y columns.
+    * Requires integer-valued x/y columns. Rows where either side is
+    * NULL are excluded from ALL moments including n — counting them in
+    * n but not the sums (count(*) + sum-skips-null) silently corrupts
+    * the covariance, the standard pairwise-deletion bug.
     */
   def corrGrouped(df: DataFrame, groupCol: String, xCol: String,
                   yCol: String): DataFrame = {
+    val pair = col(xCol).isNotNull && col(yCol).isNotNull
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
     def d(c: Column): Column = c.cast("double")
     val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
     val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
     val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
-    df.groupBy(groupCol)
+    df.filter(pair).groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .withColumn("corr_q",

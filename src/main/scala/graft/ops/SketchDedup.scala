@@ -383,6 +383,11 @@ object SketchDedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3,
                          threshold: Double = 0.8): DataFrame = {
+    // Cache lifecycle: the shingled base feeds four subtrees of the
+    // returned LAZY frame, so it cannot be unpersisted here (same
+    // contract as ngramJaccardPairs) — the caller releases it via
+    // spark.catalog.clearCache() / unpersisting after evaluation
+    // (Verify clears per query).
     val base = df
       .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
       .select(col(idCol).as("id"),

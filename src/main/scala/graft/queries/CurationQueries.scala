@@ -244,13 +244,17 @@ object CurationQueries {
       .withColumn("mean_lp_q",
         floor(col("lp_sum_q").cast("double") / col("n_toks")).cast("long"))
     val m = lp.join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+    // interpolated percentiles are the one cross-engine comparison that
+    // must be quantized: Spark and DuckDB lerp with different fp shapes,
+    // so an exact-boundary doc could flip buckets on a 1-ulp cut
+    // difference. floor(p*1e4) vs value*1e4 keeps the comparison integral.
     val cuts = m.groupBy("source")
-      .agg(expr("percentile(mean_lp_q, 0.33)").as("p33"),
-        expr("percentile(mean_lp_q, 0.67)").as("p67"))
+      .agg(floor(expr("percentile(mean_lp_q, 0.33)") * 10000.0d).cast("long").as("p33_q"),
+        floor(expr("percentile(mean_lp_q, 0.67)") * 10000.0d).cast("long").as("p67_q"))
     m.join(broadcast(cuts), Seq("source"))
       .withColumn("bucket",
-        when(col("mean_lp_q") >= col("p67"), "head")
-          .when(col("mean_lp_q") >= col("p33"), "middle")
+        when(col("mean_lp_q") * 10000L >= col("p67_q"), "head")
+          .when(col("mean_lp_q") * 10000L >= col("p33_q"), "middle")
           .otherwise("tail"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"), sum("mean_lp_q").as("mean_lp_sum"))
@@ -261,12 +265,13 @@ object CurationQueries {
        |m AS (SELECT d.source, lp.doc_id,
        |        CAST(floor(CAST(lp_sum_q AS DOUBLE) / n_toks) AS BIGINT) AS mean_lp_q
        |      FROM lp JOIN documents d USING (doc_id) WHERE n_toks > 0),
-       |q AS (SELECT source, quantile_cont(mean_lp_q, 0.33) AS p33,
-       |        quantile_cont(mean_lp_q, 0.67) AS p67
+       |q AS (SELECT source,
+       |        CAST(floor(quantile_cont(mean_lp_q, 0.33) * 10000.0) AS BIGINT) AS p33_q,
+       |        CAST(floor(quantile_cont(mean_lp_q, 0.67) * 10000.0) AS BIGINT) AS p67_q
        |      FROM m GROUP BY source)
        |SELECT m.source,
-       |  CASE WHEN mean_lp_q >= p67 THEN 'head'
-       |       WHEN mean_lp_q >= p33 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CASE WHEN mean_lp_q * 10000 >= p67_q THEN 'head'
+       |       WHEN mean_lp_q * 10000 >= p33_q THEN 'middle' ELSE 'tail' END AS bucket,
        |  count(*) AS n_docs, CAST(sum(mean_lp_q) AS BIGINT) AS mean_lp_sum
        |FROM m JOIN q USING (source)
        |GROUP BY 1, 2""".stripMargin
@@ -284,19 +289,24 @@ object CurationQueries {
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val w = dsirWeights(s, dir)
-    val thr = w.agg(expr(s"percentile(dsir_q, $DsirSelectQuantile)").as("thr"))
+    // quantized cut, same reason as ccnetBuckets: the interpolated
+    // percentile is the only value the two engines compute with
+    // different fp shapes
+    val thr = w.agg(floor(expr(s"percentile(dsir_q, $DsirSelectQuantile)") *
+      10000.0d).cast("long").as("thr_q"))
     w.join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
       .crossJoin(broadcast(thr))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("dsir_q") >= col("thr"), 1L).otherwise(0L)).as("n_selected"))
+        sum(when(col("dsir_q") * 10000L >= col("thr_q"), 1L).otherwise(0L))
+          .as("n_selected"))
   }
 
   lazy val dsirSelectSql: String =
     s"""WITH w AS ($dsirWeightsSql),
-       |thr AS (SELECT quantile_cont(dsir_q, $DsirSelectQuantile) AS thr FROM w)
+       |thr AS (SELECT CAST(floor(quantile_cont(dsir_q, $DsirSelectQuantile) * 10000.0) AS BIGINT) AS thr_q FROM w)
        |SELECT d.source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN w.dsir_q >= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |  CAST(sum(CASE WHEN w.dsir_q * 10000 >= thr.thr_q THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
        |FROM w JOIN documents d USING (doc_id) CROSS JOIN thr
        |GROUP BY d.source""".stripMargin
 

@@ -661,7 +661,9 @@ object DocQueries {
        |        CAST(sum(n_chars * n_words) AS BIGINT) AS sxy,
        |        CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
        |        CAST(sum(n_words * n_words) AS BIGINT) AS syy
-       |      FROM t GROUP BY source)
+       |      FROM t
+       |      WHERE n_chars IS NOT NULL AND n_words IS NOT NULL
+       |      GROUP BY source)
        |SELECT source, CAST(n AS BIGINT) AS n,
        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
