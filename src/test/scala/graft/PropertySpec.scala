@@ -171,4 +171,45 @@ class PropertySpec extends SparkTestBase {
     // quantized integer sums: identical under any partitioning
     assert(collectScores(docs.repartition(7)) === got)
   }
+
+  test("line dedup invariants on arbitrary corpora") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(6, textGen), trials = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Curation.lineDedup(df).collect()
+      assert(out.length === texts.length) // every doc gets a row
+      out.foreach { r =>
+        val (n, rem) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"))
+        assert(rem >= 0 && rem <= n)
+        assert(r.getAs[String]("clean_md5").length === 32)
+      }
+      // nothing removed for a doc => clean text is the original segments
+      // re-joined, i.e. the md5 of the whitespace-retokenized text
+      val untouched = out.filter(_.getAs[Long]("n_removed") == 0L)
+      val md5Of = texts.zipWithIndex.map { case (t, i) =>
+        val toks = Option(t).map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+        i.toLong -> java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toMap
+      untouched.foreach { r =>
+        assert(r.getAs[String]("clean_md5") === md5Of(r.getAs[Long]("doc_id")))
+      }
+    }
+  }
+
+  test("split assign partitions exactly and exhaustively") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.splitAssign(df)
+    // every doc in exactly one split; bucket determines split
+    assert(out.count() === 500L)
+    val bad = out.filter(
+      (col("bucket") < 90 && col("split") =!= "train") ||
+      (col("bucket") >= 90 && col("bucket") < 95 && col("split") =!= "val") ||
+      (col("bucket") >= 95 && col("split") =!= "test")).count()
+    assert(bad === 0L)
+  }
 }
