@@ -220,6 +220,53 @@ object Curation {
         coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
   }
 
+  /** Per-source token-distribution drift: KL(source ‖ corpus) over the
+    * hashed-unigram buckets (same 256-bucket md5 feature space as
+    * [[dsirLogWeights]], add-one smoothing). High divergence = the
+    * source's token mix differs from the corpus at large — the standard
+    * mixture-health diagnostic next to temperature weighting.
+    *
+    * Scale shape: one explode feeds one (source, bucket) count agg —
+    * at most |sources|·256 rows — and the corpus marginal folds from
+    * that table; every fractional term is floor-quantized to 1e-4
+    * before the per-source sum, so the divergence is order-proof.
+    * KL terms use p·(ln p − ln q) with both logs on ratios of exact
+    * integers — the identical expression shape the oracle states.
+    * Terms are summed over the source's OBSERVED buckets; absent
+    * buckets would each contribute only their smoothed floor mass
+    * (~1/(ns+256)·ln-ratio) and omitting them keeps the aggregation
+    * row-driven — a defined (truncated-support) KL variant, mirrored
+    * by the oracle.
+    */
+  def sourceKl(df: DataFrame, sourceCol: String = "source",
+               textCol: String = "text"): DataFrame = {
+    // the count table is at most |sources|·256 rows but feeds three
+    // marginal branches — cached so the corpus explode runs once, not
+    // once per branch (released by the caller's clearCache, like the
+    // sketch persists)
+    val counts = df
+      .select(col(sourceCol), explode(TextMetrics.tokens(col(textCol))).as("__tok"))
+      .withColumn("__bucket", dsirBucket(col("__tok")))
+      .groupBy(sourceCol, "__bucket")
+      .agg(count(lit(1)).as("__cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = counts.groupBy(sourceCol).agg(sum("__cs").as("__ns"))
+    val corpus = counts.groupBy("__bucket").agg(sum("__cs").as("__cc"))
+    val corpusTot = corpus.agg(sum("__cc").as("__nc"))
+    // p = (cs+1)/(ns+256), q = (cc+1)/(nc+256); term = p*(ln p - ln q)
+    val p = (col("__cs") + 1L).cast("double") /
+      (col("__ns") + lit(DsirBuckets)).cast("double")
+    val qq = (col("__cc") + 1L).cast("double") /
+      (col("__nc") + lit(DsirBuckets)).cast("double")
+    counts
+      .join(broadcast(srcTot), Seq(sourceCol))
+      .join(broadcast(corpus), Seq("__bucket"))
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("__term_q", floor(p * (log(p) - log(qq)) * 10000.0d).cast("long"))
+      .groupBy(sourceCol)
+      .agg(max(col("__ns")).as("n_toks"), sum("__term_q").as("kl_q"))
+  }
+
   /** Fixed-length pseudo-line segmentation: consecutive runs of `segLen`
     * whitespace tokens rejoined with single spaces (the final segment may
     * be shorter). Line-oriented curation rules (CCNet line dedup, C4

@@ -310,6 +310,32 @@ object CurationQueries {
        |FROM w JOIN documents d USING (doc_id) CROSS JOIN thr
        |GROUP BY d.source""".stripMargin
 
+  // ---- q_source_kl: per-source token-distribution drift -----------------
+
+  def sourceKl(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceKl(Tables.documents(s, dir))
+
+  val sourceKlSql: String = {
+    val b = Curation.DsirBuckets
+    s"""WITH tk AS (SELECT source, unnest(${toksSql("text")}) AS tok FROM documents),
+       |bk AS (SELECT source,
+       |  (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+       |  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+       | FROM tk),
+       |c AS (SELECT source, bucket, count(*) AS cs FROM bk GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM c GROUP BY source),
+       |co AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS cc FROM c GROUP BY bucket),
+       |ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM co)
+       |SELECT c.source, max(st.ns) AS n_toks,
+       |  CAST(sum(CAST(floor(
+       |    (CAST(cs + 1 AS DOUBLE) / CAST(ns + $b AS DOUBLE)) *
+       |    (ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + $b AS DOUBLE)) -
+       |     ln(CAST(cc + 1 AS DOUBLE) / CAST(nc + $b AS DOUBLE)))
+       |    * 10000.0) AS BIGINT)) AS BIGINT) AS kl_q
+       |FROM c JOIN st USING (source) JOIN co USING (bucket) CROSS JOIN ct
+       |GROUP BY c.source""".stripMargin
+  }
+
   // ---- shared pseudo-line segmentation (CCNet/C4 line ops) --------------
 
   /** DuckDB mirror of Curation.segments: fixed 10-token pseudo-lines.

@@ -231,6 +231,24 @@ class PlanSpec extends SparkTestBase {
       s"query-term filter not ahead of the shuffle:\n$p")
   }
 
+  test("corr / media dedup / source KL: aggregation-only plans, dims broadcast") {
+    // corrGrouped: one scan, one partial-agg shuffle — the moment sums
+    // are ordinary hash aggregates, no window, no join
+    val pc = plan(graft.queries.DocQueries.corrCharsWords(spark, dir))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(pc).size === 1, pc)
+    assert(!pc.contains(") Window") && !pc.contains("Join"), pc)
+    // mediaDedup: hash computed in the scan-side projection; two keyed aggs
+    val pm = plan(graft.queries.MultimodalQueries.mediaDedup(spark, dir))
+    assert(!pm.contains("Join"), pm)
+    // sourceKl: the marginals (per-source totals, corpus distribution)
+    // come back as broadcasts — the token explode shuffles exactly once
+    // (into the (source,bucket) count agg), never for the joins
+    val pk = plan(graft.queries.CurationQueries.sourceKl(spark, dir))
+    assert(pk.contains("BroadcastHashJoin"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(pk).size === 1, pk)
+  }
+
   test("q8/q21: dims broadcast; self-semi/anti co-partition on one key") {
     val p8 = plan(TpchQueries.marketShare(spark, dir))
     assert(p8.contains("BroadcastHashJoin"), p8)
