@@ -127,6 +127,42 @@ object SimilarityQueries {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin
 
+  // ---- q_dedup_funnel: survivor counts through every dedup tier ---------
+
+  /** The whole dedup stack as one report: reference stage-4 flags
+    * (exact then near, chained first-match-wins) plus the sketch tier
+    * (Jaccard pair graph → connected components). One row — the
+    * numbers an operator watches when tuning thresholds. Each tier is
+    * the already-oracle-checked operator; this composes them, so the
+    * funnel doubles as an integration check across the family.
+    */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flags = graft.ops.Dedup.dedupStage(
+      graft.Tables.documents(s, dir), textCol = "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup_exact"), 1L).otherwise(0L)).as("n_dup_exact"),
+        sum(when(!col("is_dup_exact") && col("is_dup_near"), 1L)
+          .otherwise(0L)).as("n_dup_near"),
+        sum(when(!col("is_dup_exact") && !col("is_dup_near"), 1L)
+          .otherwise(0L)).as("n_kept"))
+    val clusters = dupClusters(s, dir)
+      .agg(count(lit(1)).as("n_clustered_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    flags.crossJoin(clusters)
+  }
+
+  lazy val dedupFunnelSql: String =
+    s"""WITH n AS (${DocQueries.dedupNearSql}),
+       |f AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact,
+       |  CAST(sum(CASE WHEN NOT is_dup_exact AND is_dup_near THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_near,
+       |  CAST(sum(CASE WHEN NOT is_dup_exact AND NOT is_dup_near THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       | FROM n),
+       |cl AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered_docs,
+       |         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       |       FROM ($dupClustersSql))
+       |SELECT * FROM f CROSS JOIN cl""".stripMargin
+
   // ---- q_prefix_jaccard: lossless prefix-filtered Jaccard join ----------
 
   /** PPJoin-style prefix filtering (SketchDedup.prefixJaccardPairs):
