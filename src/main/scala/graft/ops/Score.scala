@@ -93,4 +93,46 @@ object Score {
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         coalesce(col("lp_sum_q"), lit(0L)).as("lp_sum_q"))
   }
+
+  /** Bigram conditional log-probability — the fluency signal one order
+    * up from [[unigramLogprobs]]: Σ ln P(w2|w1) with
+    * P(w2|w1) = c(w1 w2) / c(w1 ·), both counts from the corpus itself
+    * (c(w1 ·) = bigram-START count, so the conditional sums to exactly
+    * 1 per context — no end-of-doc edge case). Token-soup scores near
+    * n·ln(1/V); repeated phrasing scores higher — the same axis CCNet's
+    * LM perplexity measures, estimable in two aggregates.
+    *
+    * Scale shape mirrors the unigram op: one explode into (doc, w1, w2),
+    * one keyed agg for bigram counts; the bigram-start marginal folds
+    * from that table (vocab-bounded) and broadcast-joins back; the
+    * big join (doc bigrams ⋈ bigram counts) keys on the pair once.
+    * Per-pair quantization before the per-doc BIGINT sum — order-proof.
+    */
+  def bigramLogprobs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = df
+      .withColumn("__toks", graft.text.TextMetrics.tokens(col(textCol)))
+      .select(col(idCol).as("id"), explode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cs = cb.groupBy("w1").agg(sum("cb").as("cs"))
+    val scored = bi
+      .join(cb, Seq("w1", "w2"))
+      .join(broadcast(cs), Seq("w1"))
+      .withColumn("blp_q",
+        floor(log(col("cb").cast("double") / col("cs").cast("double")) * 10000)
+          .cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("blp_q").as("blp_sum_q"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("blp_sum_q"), lit(0L)).as("blp_sum_q"))
+  }
 }

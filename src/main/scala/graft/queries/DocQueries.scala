@@ -639,6 +639,30 @@ object DocQueries {
         urlCol = "url", idCol = "doc_id", cap = DomainCap)
       .select("doc_id", "domain", "domain_rank", "kept")
 
+  // ---- q_bigram_logprob: bigram conditional fluency ---------------------
+
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Score.bigramLogprobs(Tables.documents(s, dir), "doc_id", "text")
+
+  val bigramLogprobSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest(toks[1 : len(toks) - 1]) AS w1,
+       |        unnest(toks[2 : len(toks)]) AS w2
+       |      FROM t WHERE len(toks) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+       |cs AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cs FROM cb GROUP BY w1),
+       |sc AS (SELECT b.doc_id,
+       |         CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(cs.cs AS DOUBLE)) * 10000) AS BIGINT) AS blp_q
+       |       FROM b JOIN cb USING (w1, w2) JOIN cs USING (w1)),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |          CAST(sum(blp_q) AS BIGINT) AS blp_sum_q
+       |        FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(a.blp_sum_q, 0) AS BIGINT) AS blp_sum_q
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   // ---- q_corr_chars_words: grouped Pearson correlation ------------------
 
   /** Per-source correlation between character and word counts
