@@ -104,9 +104,11 @@ object Score {
     *
     * Scale shape mirrors the unigram op: one explode into (doc, w1, w2),
     * one keyed agg for bigram counts; the bigram-start marginal folds
-    * from that table (vocab-bounded) and broadcast-joins back; the
-    * big join (doc bigrams ⋈ bigram counts) keys on the pair once.
-    * Per-pair quantization before the per-doc BIGINT sum — order-proof.
+    * from that table and joins back into it keyed on w1 (counts-table
+    * sized — never broadcast: web-scale vocabularies outgrow any
+    * budget); the big join (doc bigrams ⋈ enriched counts) keys on the
+    * pair once. Per-pair quantization before the per-doc BIGINT sum —
+    * order-proof.
     */
   def bigramLogprobs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = df
@@ -119,11 +121,18 @@ object Score {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // cb is vocab²-bounded but feeds two branches (the marginal and the
+    // scoring join) — persist so the corpus-wide explode aggregates once
+    // (released by the caller's clearCache, like sourceKl's counts).
+    // The start-marginal joins into cb on w1 — a cheap shuffle of the
+    // counts table, NOT a broadcast: distinct first tokens are
+    // vocab-sized, and web-scale vocabularies (urls, numbers, typos)
+    // outgrow any broadcast budget.
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cs = cb.groupBy("w1").agg(sum("cb").as("cs"))
     val scored = bi
-      .join(cb, Seq("w1", "w2"))
-      .join(broadcast(cs), Seq("w1"))
+      .join(cb.join(cs, Seq("w1")), Seq("w1", "w2"))
       .withColumn("blp_q",
         floor(log(col("cb").cast("double") / col("cs").cast("double")) * 10000)
           .cast("long"))

@@ -17,6 +17,14 @@ object CurationQueries {
   private def toksSql(t: String) =
     s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
 
+  /** DuckDB mirror of Curation.dsirBucket — ONE definition so the
+    * md5-bucket formula cannot drift between the queries that share
+    * the feature space (dsir weights/selection, source KL).
+    */
+  private def bucketSql(tok: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($tok), 1, 1)) - 1) * 16
+       |  + (instr('0123456789abcdef', substr(md5($tok), 2, 1)) - 1)""".stripMargin
+
   // ---- q_gopher_rules: Gopher document-quality gate ---------------------
 
   def gopherRules(s: SparkSession, dir: String): DataFrame =
@@ -102,8 +110,7 @@ object CurationQueries {
     s"""WITH tk AS (SELECT doc_id, (doc_id % 10 = 0) AS tgt, unnest(${toksSql("text")}) AS tok
        |           FROM documents),
        |bk AS (SELECT doc_id, tgt,
-       |  (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
-       |  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+       |  ${bucketSql("tok")} AS bucket
        | FROM tk),
        |dist AS (SELECT bucket,
        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
@@ -319,8 +326,7 @@ object CurationQueries {
     val b = Curation.DsirBuckets
     s"""WITH tk AS (SELECT source, unnest(${toksSql("text")}) AS tok FROM documents),
        |bk AS (SELECT source,
-       |  (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
-       |  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+       |  ${bucketSql("tok")} AS bucket
        | FROM tk),
        |c AS (SELECT source, bucket, count(*) AS cs FROM bk GROUP BY 1, 2),
        |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM c GROUP BY source),

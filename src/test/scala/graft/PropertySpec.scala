@@ -184,18 +184,18 @@ class PropertySpec extends SparkTestBase {
         assert(rem >= 0 && rem <= n)
         assert(r.getAs[String]("clean_md5").length === 32)
       }
-      // nothing removed for a doc => clean text is the original segments
-      // re-joined, i.e. the md5 of the whitespace-retokenized text
-      val untouched = out.filter(_.getAs[Long]("n_removed") == 0L)
-      val md5Of = texts.zipWithIndex.map { case (t, i) =>
-        val toks = Option(t).map(_.trim).filter(_.nonEmpty)
-          .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
-        i.toLong -> java.security.MessageDigest.getInstance("MD5")
-          .digest(toks.mkString(" ").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-      }.toMap
-      untouched.foreach { r =>
-        assert(r.getAs[String]("clean_md5") === md5Of(r.getAs[Long]("doc_id")))
+      // nothing removed for a doc => the posexplode/groupBy/array_sort
+      // reassembly must reproduce the direct single-pass tokenization.
+      // The expectation is computed with Spark's own tokens() — NOT a
+      // JVM-string model: Spark SQL trim strips only 0x20 spaces and
+      // split keeps boundary empties, so String.trim/split diverges on
+      // leading tabs / trailing newlines inside the generator's domain.
+      val direct = df.select(col("doc_id"),
+        md5(concat_ws(" ",
+          graft.text.TextMetrics.tokens(col("text"))).cast("binary")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.filter(_.getAs[Long]("n_removed") == 0L).foreach { r =>
+        assert(r.getAs[String]("clean_md5") === direct(r.getAs[Long]("doc_id")))
       }
     }
   }
