@@ -79,6 +79,30 @@ object Sinks {
                               partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
 
+  /** ORC sink/scan pair (beyond ref: second columnar interchange format
+    * — some warehouse stacks are ORC-native). Same writer contract as
+    * the parquet sink; predicate pushdown and column pruning work the
+    * same way through the ORC reader.
+    */
+  def writeOrc(df: DataFrame, outDir: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(outDir)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Split-partitioned training export: the content-addressed
+    * train/val/test assignment (ops.Retrieval.splitAssign) written as a
+    * partition column, so downstream loaders read one split by path
+    * without scanning the others (partition pruning).
+    */
+  def writeSplitParquet(df: DataFrame, outDir: String): Unit =
+    writePartitionedParquet(graft.ops.Retrieval.splitAssign(df)
+      .drop("bucket"), outDir, Seq("split"))
+
   /** S6: small aggregate to a single headered CSV (reports are tiny —
     * one row per reason/shard — so coalesce(1) is deliberate).
     */

@@ -242,6 +242,23 @@ object Streaming {
       }
       .start()
 
+  /** Trending terms: sliding-window token counts over a document
+    * stream — the monitoring view a curation pipeline keeps on its
+    * intake (vocabulary drift, spam bursts). Watermark bounds the
+    * window state; the explode runs map-side before the windowed agg's
+    * one keyed shuffle, exactly like the batch word-count shape.
+    */
+  def trendingTerms(docs: DataFrame, tsCol: String = "ts",
+                    textCol: String = "text", window_ : String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "20 minutes"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.text.TextMetrics.tokens(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), window_, slide), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

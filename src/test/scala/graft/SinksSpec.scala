@@ -104,4 +104,36 @@ class SinksSpec extends SparkTestBase {
       .forall(r => r.getString(0).nonEmpty))
     df.unpersist()
   }
+
+  test("ORC sink round-trips with pushdown-capable scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc_rt").toString
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+      .toDF("id", "k", "v")
+    Sinks.writeOrc(df, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+    // filters reach the ORC reader like the parquet path
+    val p = back.filter(col("v") > 15L).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(v"), p)
+  }
+
+  test("split-partitioned export prunes to one split by path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("split_export").toString
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Sinks.writeSplitParquet(docs, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200L)
+    assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // reading one split scans only its partition directory
+    val pruned = back.filter(col("split") === "train")
+    val n = pruned.count()
+    assert(n > 150L && n < 200L)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(!p.contains("split=val") && !p.contains("split=test") ||
+      p.contains("PartitionFilters"), p)
+  }
 }

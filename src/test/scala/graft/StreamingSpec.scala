@@ -274,6 +274,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trending terms: sliding windows count tokens per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = Streaming.trendingTerms(
+      in.toDF().toDF("ts", "text"),
+      window_ = "10 minutes", slide = "5 minutes")
+    val q = stream.writeStream.format("memory").queryName("trending")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      in.addData((ts(1), "spark spark merge"), (ts(6), "spark sort"))
+      q.processAllAvailable()
+      val rows = spark.table("trending")
+        .collect().map(r => (r.getTimestamp(0).toString.substring(11, 16),
+          r.getString(1)) -> r.getLong(2)).toMap
+      // 10:01 lands in windows [09:55,10:05) and [10:00,10:10);
+      // 10:06 in [10:00,10:10) and [10:05,10:15)
+      assert(rows(("09:55", "spark")) === 2L)
+      assert(rows(("10:00", "spark")) === 3L)
+      assert(rows(("10:05", "spark")) === 1L)
+      assert(rows(("10:05", "sort")) === 1L)
+      assert(!rows.contains(("09:55", "sort")))
+    } finally q.stop()
+  }
+
   test("stateless clean stage: streaming result equals batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
