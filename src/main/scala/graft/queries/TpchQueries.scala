@@ -774,6 +774,38 @@ object TpchQueries {
        |  CAST(floor(nation_rev / total_rev * 10000.0) AS BIGINT) AS mkt_share_q
        |FROM a""".stripMargin
 
+  /** q_retention_cohorts: classic cohort retention — users grouped by
+    * first-seen week, counted per week offset since their cohort.
+    * Shape: one distinct (user, week) projection feeds both the
+    * per-user min (cohort assignment) and the activity join — two
+    * keyed shuffles on user_id, a count-distinct rollup, no windows.
+    * Weekly truncation (ISO Monday in both engines) erases the
+    * nanos-vs-micros timestamp difference.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    wk.join(cohort, Seq("user_id"))
+      // offsets are exact multiples of 7 days, so the double division
+      // is integer-valued and truncation-safe in both engines
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      |            FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, wk.week) / 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT wk.user_id) AS n_users
+      |FROM wk JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   /** q9: TPC-H Q9-style product-line profit by supplier nation and order
     * year (adapted: the reduced schema has no partsupp, so profit is
     * discounted revenue rather than revenue minus supply cost — the
