@@ -774,6 +774,47 @@ object TpchQueries {
        |  CAST(floor(nation_rev / total_rev * 10000.0) AS BIGINT) AS mkt_share_q
        |FROM a""".stripMargin
 
+  /** q_event_funnel: sequential conversion funnel — users who signed
+    * up, then clicked AFTER the signup, then purchased AFTER that
+    * click. Each step is a filtered min-aggregate joined to the
+    * previous step (user-keyed shuffles, no windows, no self-join
+    * explosion); the three step counts cross-join into one row.
+    * Timestamps compare as integer MICROSECONDS on both engines
+    * (unix_micros / epoch_us) — the parquet column is nanos, Spark
+    * truncates to micros on load, and a strict '>' at a sub-micro
+    * boundary would otherwise disagree.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    t1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  val eventFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev
+      |       JOIN t1 USING (user_id)
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+      |t3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev
+      |       JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+      |SELECT (SELECT count(*) FROM t1) AS n_signup,
+      |       (SELECT count(*) FROM t2) AS n_click_after,
+      |       (SELECT count(*) FROM t3) AS n_purchase_after""".stripMargin
+
   /** q_retention_cohorts: classic cohort retention — users grouped by
     * first-seen week, counted per week offset since their cohort.
     * Shape: one distinct (user, week) projection feeds both the
