@@ -316,6 +316,62 @@ object RelationalQueries {
       |WHERE length(word) > 0
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin
 
+  // same whitespace tokenization contract as DocQueries.toksSql
+  private def toksSql(t: String) =
+    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+
+  // ---- q_zipf_slope: vocabulary power-law fit ---------------------------
+
+  /** Least-squares slope of ln(freq) on ln(rank) over the vocabulary —
+    * the Zipf fit (healthy natural text ≈ -1; token soup flattens, spam
+    * steepens). Log points are floor-quantized to BIGINTs and the slope
+    * comes from six exact integer moment sums (the corrGrouped
+    * discipline), so partitioning cannot move it. Ranking uses a global
+    * row_number over the VOCABULARY (Heaps-bounded, not corpus-sized);
+    * at extreme vocab sizes swap in the two-pass Shard.withGlobalSeq
+    * over a composite sort key.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(graft.text.TextMetrics.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    val pts = vocab
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(log(col("rank").cast("double")) * 10000.0d).cast("long").as("x"),
+        floor(log(col("n").cast("double")) * 10000.0d).cast("long").as("y"))
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("nt")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = d(col("nt")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    pts.agg(count(lit(1)).as("nt"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("nt").as("n_terms"),
+        when(den > 0.0d, floor(num / den * 10000.0d).cast("long")).as("slope_q"))
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH v AS (SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(${toksSql("text")}) AS word FROM documents)
+       |  GROUP BY word),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM v),
+       |p AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 10000.0) AS BIGINT) AS x,
+       |             CAST(floor(ln(CAST(n AS DOUBLE)) * 10000.0) AS BIGINT) AS y
+       |      FROM r),
+       |m AS (SELECT count(*) AS nt, CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM p)
+       |SELECT CAST(nt AS BIGINT) AS n_terms,
+       |  CASE WHEN (CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+       |  THEN CAST(floor(
+       |    (CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    * 10000.0) AS BIGINT)
+       |  END AS slope_q
+       |FROM m""".stripMargin
+
   // ---- q_typed_stats: typed Aggregator (UDAF surface) ------------------
 
   /** Per-event-type count/mean/variance through a typed
