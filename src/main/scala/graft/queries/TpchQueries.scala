@@ -784,22 +784,14 @@ object TpchQueries {
     * truncates to micros on load, and a strict '>' at a sub-micro
     * boundary would otherwise disagree.
     */
-  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-    val t1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("us").as("t1"))
-    val t2 = ev.filter(col("event_type") === "click")
-      .join(t1, Seq("user_id")).filter(col("us") > col("t1"))
-      .groupBy("user_id").agg(min("us").as("t2"))
-    val t3 = ev.filter(col("event_type") === "purchase")
-      .join(t2, Seq("user_id")).filter(col("us") > col("t2"))
-      .groupBy("user_id").agg(min("us").as("t3"))
-    t1.agg(count(lit(1)).as("n_signup"))
-      .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
-      .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
-  }
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.sequentialFunnel(
+      Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")),
+      steps = Seq("signup", "click", "purchase"))
+      .select(col("n_step_1").as("n_signup"),
+        col("n_step_2").as("n_click_after"),
+        col("n_step_3").as("n_purchase_after"))
 
   val eventFunnelSql: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
@@ -823,19 +815,14 @@ object TpchQueries {
     * Weekly truncation (ISO Monday in both engines) erases the
     * nanos-vs-micros timestamp difference.
     */
-  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val wk = Tables.events(s, dir)
-      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-      .distinct()
-    val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
-    wk.join(cohort, Seq("user_id"))
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cohortRetention(
+      Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week")),
+      userCol = "user_id", periodCol = "week",
       // offsets are exact multiples of 7 days, so the double division
       // is integer-valued and truncation-safe in both engines
-      .withColumn("week_offset",
-        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
-      .groupBy("cohort_week", "week_offset")
-      .agg(countDistinct("user_id").as("n_users"))
-  }
+      offsetOf = (w, c) => (datediff(w, c) / 7).cast("long"))
 
   val retentionCohortsSql: String =
     """WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
