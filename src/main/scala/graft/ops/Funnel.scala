@@ -43,15 +43,20 @@ object Funnel {
   /** First-seen-period cohorts counted per period offset. `periodCol`
     * is any truncated period column (e.g. `date_trunc("week", ts)`);
     * `offsetOf(period, cohort)` maps the pair to an integer offset.
+    * Output columns are period-agnostic: (cohort_period, period_offset,
+    * n_users).
     */
   def cohortRetention(activity: DataFrame, userCol: String,
                       periodCol: String,
                       offsetOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
     val wk = activity.select(col(userCol), col(periodCol)).distinct()
-    val cohort = wk.groupBy(userCol).agg(min(periodCol).as("cohort_week"))
+    val cohort = wk.groupBy(userCol).agg(min(periodCol).as("cohort_period"))
     wk.join(cohort, Seq(userCol))
-      .withColumn("week_offset", offsetOf(col(periodCol), col("cohort_week")))
-      .groupBy("cohort_week", "week_offset")
+      .withColumn("period_offset", offsetOf(col(periodCol), col("cohort_period")))
+      .groupBy("cohort_period", "period_offset")
+      // countDistinct, not count: offsetOf may legally COLLAPSE periods
+      // (e.g. monthly offsets over weekly activity), putting one user in
+      // a group several times — n_users must stay a user count
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 }

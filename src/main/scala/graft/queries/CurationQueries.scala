@@ -14,8 +14,7 @@ import graft.ops.{Curation, KMeans}
 object CurationQueries {
 
   // same whitespace tokenization contract as DocQueries.toksSql
-  private def toksSql(t: String) =
-    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+  private def toksSql(t: String) = OracleSql.toks(t)
 
   /** DuckDB mirror of Curation.dsirBucket — ONE definition so the
     * md5-bucket formula cannot drift between the queries that share

@@ -26,8 +26,7 @@ object DocQueries {
   private val NormSql =
     """nullif(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')), '')"""
 
-  private def toksSql(t: String) =
-    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+  private def toksSql(t: String) = OracleSql.toks(t)
 
   private def sqlStrList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
 

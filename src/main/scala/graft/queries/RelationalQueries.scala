@@ -317,8 +317,7 @@ object RelationalQueries {
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 30""".stripMargin
 
   // same whitespace tokenization contract as DocQueries.toksSql
-  private def toksSql(t: String) =
-    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+  private def toksSql(t: String) = OracleSql.toks(t)
 
   // ---- q_zipf_slope: vocabulary power-law fit ---------------------------
 

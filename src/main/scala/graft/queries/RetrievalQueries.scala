@@ -13,8 +13,7 @@ import graft.ops.Retrieval
 object RetrievalQueries {
 
   // same whitespace tokenization contract as DocQueries.toksSql
-  private def toksSql(t: String) =
-    s"CASE WHEN $t IS NULL OR trim($t) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim($t), '\\s+') END"
+  private def toksSql(t: String) = OracleSql.toks(t)
 
   // ---- q_bm25_topk: BM25 ranked retrieval -------------------------------
 

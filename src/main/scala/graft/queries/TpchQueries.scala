@@ -823,6 +823,8 @@ object TpchQueries {
       // offsets are exact multiples of 7 days, so the double division
       // is integer-valued and truncation-safe in both engines
       offsetOf = (w, c) => (datediff(w, c) / 7).cast("long"))
+      .select(col("cohort_period").as("cohort_week"),
+        col("period_offset").as("week_offset"), col("n_users"))
 
   val retentionCohortsSql: String =
     """WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week

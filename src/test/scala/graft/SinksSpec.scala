@@ -132,8 +132,12 @@ class SinksSpec extends SparkTestBase {
     val pruned = back.filter(col("split") === "train")
     val n = pruned.count()
     assert(n > 150L && n < 200L)
+    // the split predicate must appear INSIDE the PartitionFilters list
+    // (a partitioned scan always prints "PartitionFilters: [...]", even
+    // empty — asserting on the label alone would be vacuous)
     val p = pruned.queryExecution.executedPlan.toString
-    assert(!p.contains("split=val") && !p.contains("split=test") ||
-      p.contains("PartitionFilters"), p)
+    val pf = """PartitionFilters: \[[^\]]*\]""".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("split") && pf.contains("train"),
+      s"split=train not pruned at the partition level:\n$p")
   }
 }
