@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (north-star capability for a training-data
@@ -121,41 +120,73 @@ object Similarity {
         expr("transform(pairs, p -> p.cx)").as("cv"))
   }
 
+  /** Centroid table collected into one literal `array<struct<label,cv>>`
+    * column (tiny by construction: one row per label). Folding over a
+    * literal keeps nearest-centroid assignment a pure projection — the
+    * broadcast-join + per-vec_id `row_number` window it replaces
+    * shuffled corpus×k rows keyed on vec_id, a full-corpus exchange
+    * that buys nothing a map-side argmax doesn't.
+    */
+  private def centroidLiteral(centDf: DataFrame): Column = {
+    val rows = centDf.collect().sortBy(_.getInt(0))
+    array(rows.map { r =>
+      struct(lit(r.getInt(0)).as("label"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"))
+    }: _*)
+  }
+
+  /** Map-side argmax over the centroid literal: max of
+    * struct(cosine, -label) ranks exactly like the oracle's
+    * `ORDER BY cosine DESC, label ASC` window (struct comparison is
+    * field-order lexicographic; Spark orders NaN above all values in
+    * both struct max and window sort, and an all-null tie falls through
+    * to the label field — edge semantics match the window form).
+    */
+  private def bestCentroid(v: Column, centsLit: Column): Column =
+    array_max(transform(centsLit, c =>
+      struct(cosine(v, c.getField("cv")).as("cosine"),
+        (-c.getField("label")).as("neg_label"),
+        c.getField("label").as("label"))))
+
   /** IVF probe-limited top-k search: assign the corpus to its nearest
     * centroid, rank centroids per query, search ONLY the top-`probes`
-    * centroid partitions. The scale path for ANN: the corpus-side work
-    * is one assignment pass + a candidate join keyed on centroid —
+    * centroid partitions. The scale path for ANN: centroids collect to
+    * a literal (one row per label), corpus assignment is a shuffle-free
+    * projection, and the only corpus-sized exchanges left are the
+    * candidate join keyed on centroid and the bounded-heap ranking —
     * query cost scales with probed partitions, not corpus size.
-    * Centroids are computed once, collected (tiny: one row per label)
-    * and broadcast into both uses.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
               probes: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
-    val centDf = labelCentroids(emb)
-    val cents = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema))
+    val cents = centroidLiteral(labelCentroids(emb))
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("centroid_label"))
-    val assigned = e.crossJoin(cents)
-      .withColumn("cosine", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_label").as("assigned_centroid"))
-    val q = e.filter(col("vec_id") < nQueries)
+    val assigned = e
+      .select(col("vec_id"), col("v"),
+        bestCentroid(col("v"), cents).getField("label").as("assigned_centroid"))
+    // Probe list per query: sort the k centroid scores in-row (desc
+    // cosine, asc label — comparator mirrors bestCentroid) and take the
+    // head. Rows = |Q|·probes, joined broadcast against the assignment.
+    val probeSorted = array_sort(
+      transform(cents, c =>
+        struct(cosine(col("qv"), c.getField("cv")).as("cosine"),
+          c.getField("label").as("label"))),
+      (l, r) => when(l.getField("cosine") > r.getField("cosine"), -1)
+        .when(l.getField("cosine") < r.getField("cosine"), 1)
+        .when(l.getField("label") < r.getField("label"), -1)
+        .when(l.getField("label") > r.getField("label"), 1)
+        .otherwise(0))
+    val queryProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(desc("c_cosine"), asc("centroid_label"))
-    val queryProbes = q.crossJoin(cents)
-      .withColumn("c_cosine", cosine(col("qv"), col("cv")))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= probes)
-      .select(col("query_id"), col("qv"), col("centroid_label").as("probe_centroid"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(slice(probeSorted, 1, probes),
+          p => p.getField("label"))).as("probe_centroid"))
     // Final ranking via the bounded-heap aggregate — the probed-candidate
     // set still scales with corpus size, so it must never collapse into
     // one partition per query (see TopK scaladoc).
-    val scored = queryProbes
-      .join(assigned, col("probe_centroid") === col("assigned_centroid")
-        && col("vec_id") =!= col("query_id"))
+    val scored = assigned
+      .join(broadcast(queryProbes),
+        col("probe_centroid") === col("assigned_centroid")
+          && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
       .select("query_id", "vec_id", "cosine")
     TopK.perQuery(scored, k)
@@ -163,22 +194,14 @@ object Similarity {
 
   /** IVF-style centroid assignment: nearest of k label-centroids (computed
     * from the labeled sample), the classic coarse quantizer for ANN at
-    * scale — search only the probe-list's partitions.
+    * scale — search only the probe-list's partitions. Assignment itself
+    * is a pure projection against the centroid literal: no shuffle, no
+    * window, stays inside whole-stage codegen.
     */
   def ivfAssign(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val cents = e
-      .select(col("label"), posexplode(col("v")))
-      .toDF("label", "pos", "x")
-      .groupBy("label", "pos").agg(avg("x").as("cx"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").as("centroid_label"),
-        expr("transform(pairs, p -> p.cx)").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("centroid_label"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("cosine", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("centroid_label").as("assigned_centroid"))
+    val cents = centroidLiteral(labelCentroids(emb))
+    emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"),
+        bestCentroid(col("v"), cents).getField("label").as("assigned_centroid"))
   }
 }

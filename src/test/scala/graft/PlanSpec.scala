@@ -113,14 +113,13 @@ class PlanSpec extends SparkTestBase {
     // for a query into ONE partition — the 100 TB killer TopK.perQuery
     // exists to avoid. The final ranking must plan as hash aggregation
     // with a map-side partial pass (each task pre-reduces to ≤k rows per
-    // query before the exchange). IVF keeps two legitimate small
-    // windows (per-vector argmax: |centroids| rows per high-cardinality
-    // key; probe ranking: |Q|·|centroids| rows total) — only brute-force
-    // ANN must be window-free outright.
+    // query before the exchange). IVF's nearest-centroid assignment and
+    // probe ranking are in-row folds over the centroid literal, so both
+    // plans are window-free outright.
     val ann = plan(graft.queries.SimilarityQueries.annTopK(spark, dir))
-    assert(!ann.contains(") Window"),
-      s"per-query window back in the brute-force top-k path:\n$ann")
     Seq(ann, plan(graft.queries.SimilarityQueries.ivfTopK(spark, dir))).foreach { p =>
+      assert(!p.contains(") Window"),
+        s"per-query window back in a top-k path:\n$p")
       assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkscored"),
         s"top-k must partial-aggregate map-side:\n$p")
     }
