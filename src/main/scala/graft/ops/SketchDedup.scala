@@ -511,4 +511,50 @@ object SketchDedup {
       // kernel hashes each gram once + monotonic-deque window minima.
       .withColumn("sels", graft.plans.WinnowSelect(col("canon"), k, w))
   }
+
+  /** Asymmetric containment near-dup pairs: containment(A→B) =
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| — Broder '97's
+    * companion measure to Jaccard (there "resemblance"). Catches the
+    * case Jaccard structurally misses: a short document embedded
+    * verbatim in a much longer one, where the union is dominated by
+    * the long side and resemblance stays near zero however complete
+    * the overlap.
+    *
+    * Candidates come from a shared-shingle self-join gated by a
+    * document-frequency band [2, maxDf] (skew guard + boilerplate
+    * suppressor in one, the [[winnowOverlapPairs]] trade): a shingle in
+    * thousands of docs identifies boilerplate, not containment, and
+    * would fan out quadratically. The df gate runs BEFORE the self-join
+    * as its own aggregate — per-group state stays O(1) (a count), never
+    * an unbounded id list — so each surviving shingle fans out ≤ maxDf²
+    * pairs. The intersection size falls out of the join itself (shingle
+    * sets are distinct per doc: one row per shared in-band shingle per
+    * ordered pair); no second verification pass is needed.
+    *
+    * Output is directional: (id_a, id_b), a ≠ b, containment of A's
+    * shingles in B — both directions appear when both clear `threshold`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, maxDf: Int = 20,
+                       threshold: Double = 0.9): DataFrame = {
+    val grams = df
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"), TextMetrics.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds df gate, both join sides, sizes
+    val inBand = grams.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select("sh")
+    val keyed = grams.join(inBand, Seq("sh"))
+    val pairs = keyed.select(col("sh"), col("id").as("id_a"))
+      .join(keyed.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_sh")), Seq("id_a"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_sh").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "containment")
+  }
 }

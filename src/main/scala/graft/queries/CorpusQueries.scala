@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{SnapshotDiff, Vocab}
+
+/** Corpus lifecycle + vocabulary-statistics queries: snapshot diffing
+  * for incremental builds, tokenizer-vocabulary coverage, and
+  * collocation mining.
+  */
+object CorpusQueries {
+
+  // ---- q_snapshot_diff: added/removed/changed between two snapshots ----
+
+  /** Two deterministic snapshots derived from the documents table via
+    * the content-addressed md5 bucket (the splitAssign convention):
+    * prev = buckets 0-89, cur = buckets 10-99 with a simulated edit in
+    * buckets 80-89 — so the diff exercises all four statuses.
+    */
+  private def bucketOf(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), bucketOf(col("doc_id")).as("bucket"),
+        coalesce(col("text"), lit("")).as("txt"))
+    val prev = d.filter(col("bucket") < 90)
+      .select(col("doc_id"), md5(col("txt")).as("fingerprint"))
+    val cur = d.filter(col("bucket") >= 10)
+      .select(col("doc_id"),
+        md5(when(col("bucket") >= 80, concat(col("txt"), lit(" [rev2]")))
+          .otherwise(col("txt"))).as("fingerprint"))
+    SnapshotDiff.diff(prev, cur)
+  }
+
+  val snapshotDiffSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket,
+      |    coalesce(text, '') AS txt FROM documents),
+      |prev AS (SELECT doc_id, md5(txt) AS fp_prev FROM d WHERE bucket < 90),
+      |cur AS (SELECT doc_id,
+      |    md5(CASE WHEN bucket >= 80 THEN txt || ' [rev2]' ELSE txt END) AS fp_cur
+      |  FROM d WHERE bucket >= 10)
+      |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id, p.fp_prev, c.fp_cur,
+      |  CASE WHEN p.fp_prev IS NULL THEN 'added'
+      |       WHEN c.fp_cur IS NULL THEN 'removed'
+      |       WHEN p.fp_prev <> c.fp_cur THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin
+
+  // ---- q_oov_rate: per-doc coverage of the top-V corpus vocabulary -----
+
+  private val VocabSize = 500
+
+  def oovRate(s: SparkSession, dir: String): DataFrame =
+    Vocab.oovRate(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text", v = VocabSize)
+
+  val oovRateSql: String = {
+    val toks = OracleSql.toks("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tk AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok
+       |       FROM t WHERE len(toks) > 0),
+       |v AS (SELECT tok, 1 AS in_vocab FROM (
+       |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+       |  ORDER BY c DESC, tok LIMIT $VocabSize))
+       |SELECT tk.doc_id, CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(tk.n_tokens AS DOUBLE) AS oov_rate
+       |FROM tk LEFT JOIN v ON tk.tok = v.tok
+       |GROUP BY tk.doc_id, tk.n_tokens""".stripMargin
+  }
+
+  // ---- q_bigram_lift: top collocations by lift -------------------------
+
+  private val LiftMinCount = 5L
+  private val LiftTopN = 20
+
+  def bigramLift(s: SparkSession, dir: String): DataFrame =
+    Vocab.bigramLift(Tables.documents(s, dir), textCol = "text",
+      minCount = LiftMinCount, topN = LiftTopN)
+
+  /** The oracle derives unigram counts and totals from the same
+    * (w, next-w-or-null) pair relation the engine aggregates, so both
+    * sides share one counting semantics; lift's division order is
+    * mirrored exactly (the pure ratio is IEEE-identical cross-engine,
+    * unlike ln-based PMI).
+    */
+  val bigramLiftSql: String = {
+    val toks = OracleSql.toks("text")
+    s"""WITH t AS (SELECT $toks AS toks FROM documents),
+       |t2 AS (SELECT toks FROM t WHERE len(toks) > 0),
+       |pe AS (SELECT unnest(toks) AS w1, unnest(toks[2:] || [NULL]) AS w2 FROM t2),
+       |b AS (SELECT w1, w2, count(*) AS cnt FROM pe GROUP BY 1, 2),
+       |u AS (SELECT w1 AS w, CAST(sum(cnt) AS BIGINT) AS cw FROM b GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nu,
+       |  CAST(sum(CASE WHEN w2 IS NOT NULL THEN cnt ELSE 0 END) AS DOUBLE) AS nb
+       |  FROM b)
+       |SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS pair_count,
+       |  (CAST(b.cnt AS DOUBLE) / tot.nb) /
+       |    ((CAST(ua.cw AS DOUBLE) / tot.nu) * (CAST(ub.cw AS DOUBLE) / tot.nu)) AS lift
+       |FROM b CROSS JOIN tot
+       |JOIN u ua ON ua.w = b.w1
+       |JOIN u ub ON ub.w = b.w2
+       |WHERE b.w2 IS NOT NULL AND b.cnt >= $LiftMinCount
+       |ORDER BY lift DESC, b.w1, b.w2 LIMIT $LiftTopN""".stripMargin
+  }
+}

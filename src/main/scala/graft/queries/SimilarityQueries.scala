@@ -103,6 +103,38 @@ object SimilarityQueries {
       |        ORDER BY cosine DESC, vec_id) AS rank FROM cand)
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  // ---- q_containment: asymmetric shingle-containment pairs --------------
+
+  private val ContainMaxDf = 20
+  private val ContainThreshold = 0.9
+
+  def containment(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.containmentPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 3, maxDf = ContainMaxDf, threshold = ContainThreshold)
+
+  val containmentSql: String =
+    s"""WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh
+       | FROM c),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |f AS (SELECT g FROM e GROUP BY g
+       |      HAVING count(*) BETWEEN 2 AND $ContainMaxDf),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |      FROM e a JOIN f ON f.g = a.g
+       |      JOIN e b ON b.g = a.g AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2),
+       |z AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM s)
+       |SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       |  CAST(p.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS containment
+       |FROM p JOIN z ON z.doc_id = p.id_a
+       |WHERE CAST(p.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) >= $ContainThreshold""".stripMargin
+
   // ---- q_ngram_jaccard: blocked exact Jaccard near-dup pairs ------------
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =

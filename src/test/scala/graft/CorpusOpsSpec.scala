@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SketchDedup, SnapshotDiff, Vocab}
+
+/** Snapshot diffing, vocabulary coverage, collocation lift, and
+  * containment pairs — hand-computed fixtures.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("snapshot diff classifies all four statuses") {
+    val prev = Seq(("a", "h1"), ("b", "h2"), ("c", "h3"))
+      .toDF("doc_id", "fingerprint")
+    val cur = Seq(("b", "h2"), ("c", "h3x"), ("d", "h4"))
+      .toDF("doc_id", "fingerprint")
+    val got = SnapshotDiff.diff(prev, cur)
+      .select("doc_id", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "removed", "b" -> "unchanged",
+      "c" -> "changed", "d" -> "added"))
+  }
+
+  test("topVocab ranks by count then word; oovRate counts misses per doc") {
+    val docs = Seq(
+      ("d1", "x x x y y z"),
+      ("d2", "x y q"),
+      ("d3", "")).toDF("doc_id", "text")
+    // counts: x=4, y=3, z=1, q=1 — v=3 keeps x, y and the tie-break
+    // winner q (alphabetical before z)
+    val vocab = Vocab.topVocab(docs, "text", v = 3)
+      .collect().map(_.getString(0))
+    assert(vocab.toSeq === Seq("x", "y", "q"))
+    val rates = Vocab.oovRate(docs, "doc_id", "text", v = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rates("d1") === ((6L, 1L, 1.0 / 6.0))) // z is OOV
+    assert(rates("d2") === ((3L, 0L, 0.0)))
+    assert(!rates.contains("d3")) // zero-token docs have no rate
+  }
+
+  test("bigramLift surfaces the planted collocation above frequent-but-independent pairs") {
+    // "aa bb" always co-occur; per-doc-unique filler keeps every other
+    // bigram under minCount
+    val docs = (1 to 5).map(i => (s"d$i", s"aa bb x$i y$i aa bb"))
+      .toDF("doc_id", "text")
+    val top = Vocab.bigramLift(docs, "text", minCount = 5, topN = 5)
+      .collect()
+    assert(top.length === 1)
+    val first = top.head
+    assert((first.getString(0), first.getString(1)) === (("aa", "bb")))
+    // lift sanity: c(aa bb)=10, Nb=25, c(aa)=c(bb)=10, Nu=30 →
+    // (10/25) / ((10/30)·(10/30)) = 3.6
+    assert(math.abs(first.getDouble(3) - 3.6) < 1e-12)
+  }
+
+  test("containment catches a short doc embedded in a long one that Jaccard misses") {
+    val short = "p1 p2 p3 p4 p5"
+    val long = (short +: (1 to 40).map(i => s"f$i")).mkString(" ")
+    val docs = Seq(("S", short), ("L", long)).toDF("doc_id", "text")
+    val pairs = SketchDedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, maxDf = 20, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    // S has 3 shingles, all inside L → containment(S→L) = 1.0
+    assert(pairs.exists { case (a, b, c) => a == "S" && b == "L" && c == 1.0 })
+    // the reverse direction is far below threshold (L has 41 shingles)
+    assert(!pairs.exists { case (a, b, _) => a == "L" && b == "S" })
+    // and symmetric Jaccard on the same pair would never flag it
+    val jac = SketchDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, blockTokens = 8, threshold = 0.25)
+    assert(jac.count() === 0)
+  }
+
+  test("containment df band suppresses boilerplate shingles") {
+    // the same 3 tokens open 30 docs: that shingle's df=30 > maxDf=20,
+    // so it can't generate candidates on its own
+    val docs = (1 to 30).map(i => (s"d$i", s"same old intro unique$i body$i tail$i"))
+      .toDF("doc_id", "text")
+    val pairs = SketchDedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, maxDf = 20, threshold = 0.5)
+    assert(pairs.count() === 0)
+  }
+}
