@@ -433,4 +433,41 @@ object Curation {
       .withColumn("c4_keep", col("c4_reason").isNull)
       .drop("__toks", "__segs")
   }
+
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct k-shingles they share, normalized by the smaller
+    * side's shingle vocabulary (the overlap coefficient). The
+    * intake-audit companion to [[sourceKl]]: KL says two sources *talk
+    * differently*, overlap says they *carry the same text* — a high
+    * cell flags a mirror/re-crawl feeding the corpus twice under two
+    * names, before doc-level dedup spends a corpus shuffle on it.
+    *
+    * Scale shape: the corpus explodes once into distinct
+    * (source, shingle) rows — the per-source shingle *vocabulary*,
+    * Zipf-small relative to token mass. The self-join keys on shingle,
+    * whose fan-out is bounded by sources-per-shingle ≤ |sources|
+    * (sources number thousands at most, never corpus-scale), and the
+    * per-source sizes re-join as a broadcast.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text",
+                    shingleSize: Int = 3): DataFrame = {
+    val sv = df
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(sourceCol).as("src"),
+        TextMetrics.tokens(col(textCol)).as("toks"))
+      .select(col("src"),
+        explode(SketchDedup.shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
+      .distinct()
+    val sizes = sv.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    sv.select(col("sh"), col("src").as("src_a"))
+      .join(sv.select(col("sh"), col("src").as("src_b")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+  }
 }

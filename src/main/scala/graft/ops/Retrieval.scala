@@ -172,4 +172,35 @@ object Retrieval {
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
+
+  /** Overlapping passage extraction — the chunking step in front of any
+    * passage-level index (BM25 shards, embedding stores): fixed
+    * `window`-token passages every `stride` tokens, plus one final
+    * window snapped to the end of the document so the tail is always
+    * covered (the standard retrieval-chunking convention). Documents
+    * shorter than `window` yield themselves as one passage.
+    *
+    * Entirely per-row (one explode, no shuffle): each doc emits
+    * ~n/stride rows regardless of corpus size, so the op scales as a
+    * pure map over the scan.
+    */
+  def passages(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               window: Int = 32, stride: Int = 16): DataFrame = {
+    val n = size(col("__toks"))
+    val starts = array_union(
+      when(n - window >= lit(1), sequence(lit(1), n - window, lit(stride)))
+        .otherwise(array().cast("array<int>")),
+      array(greatest(lit(1), n - window + 1)))
+    df.filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"), TextMetrics.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"), explode(starts).as("start"))
+      .select(col("id").as(idCol),
+        concat(col("id").cast("string"), lit(":"), col("start")).as("passage_id"),
+        col("start").cast("long").as("start"),
+        least(lit(window), size(col("__toks")) - col("start") + 1)
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("__toks"), col("start"), lit(window)))
+          .as("passage"))
+  }
 }

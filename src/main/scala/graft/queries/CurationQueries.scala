@@ -423,4 +423,28 @@ object CurationQueries {
        |        WHEN n_kept_lines < ${Curation.C4MinKeptLines} THEN 'too_few_lines'
        |   END) IS NULL AS c4_keep
        |FROM k""".stripMargin
+
+  // ---- q_source_overlap: cross-source shared-shingle matrix ------------
+
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceOverlap(Tables.documents(s, dir),
+      sourceCol = "source", textCol = "text", shingleSize = 3)
+
+  val sourceOverlapSql: String =
+    s"""WITH c AS (SELECT source, ${toksSql("text")} AS toks FROM documents
+       |           WHERE trim(coalesce(text, '')) <> ''),
+       |sgl AS (SELECT source,
+       |  CASE WHEN len(toks) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [array_to_string(toks, ' ')] END AS sh
+       | FROM c),
+       |sv AS (SELECT DISTINCT source AS src, unnest(sh) AS g FROM sgl),
+       |z AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sv GROUP BY src),
+       |p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+       |      FROM sv a JOIN sv b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       |  CAST(p.n_shared AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS overlap
+       |FROM p JOIN z za ON za.src = p.src_a
+       |       JOIN z zb ON zb.src = p.src_b""".stripMargin
 }

@@ -116,4 +116,31 @@ object RetrievalQueries {
       |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 95 THEN 'val'
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
+
+  // ---- q_passages: overlapping passage extraction -----------------------
+
+  private val PassageWindow = 32
+  private val PassageStride = 16
+
+  def passages(s: SparkSession, dir: String): DataFrame =
+    Retrieval.passages(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text", window = PassageWindow, stride = PassageStride)
+
+  val passagesSql: String = {
+    val w = PassageWindow
+    val st = PassageStride
+    s"""WITH c AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+       |           WHERE trim(coalesce(text, '')) <> ''),
+       |sp AS (SELECT doc_id, toks, unnest(list_distinct(
+       |    (CASE WHEN len(toks) - $w >= 1
+       |          THEN generate_series(1, len(toks) - $w, $st)
+       |          ELSE CAST([] AS BIGINT[]) END)
+       |    || [greatest(1, len(toks) - $w + 1)])) AS start FROM c)
+       |SELECT doc_id,
+       |  CAST(doc_id AS VARCHAR) || ':' || start AS passage_id,
+       |  CAST(start AS BIGINT) AS start,
+       |  CAST(least($w, len(toks) - start + 1) AS BIGINT) AS n_tok,
+       |  array_to_string(toks[start : start + ${w - 1}], ' ') AS passage
+       |FROM sp""".stripMargin
+  }
 }

@@ -72,6 +72,36 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(jac.count() === 0)
   }
 
+  test("sourceOverlap: mirror sources share everything, disjoint sources nothing") {
+    val docs = Seq(
+      ("1", "srcA", "t1 t2 t3 t4 t5"),
+      ("2", "srcB", "t1 t2 t3 t4 t5"), // exact mirror of srcA
+      ("3", "srcC", "u1 u2 u3 u4 u5")) // disjoint vocabulary
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Curation.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // 5 tokens → 3 distinct shingles per doc
+    assert(got === Map(("srcA", "srcB") -> ((3L, 1.0))))
+  }
+
+  test("passages: stride windows plus the end-snapped tail, short docs whole") {
+    val docs = Seq(
+      ("10", (1 to 70).map(i => s"w$i").mkString(" ")), // 70 tokens
+      ("11", "a b c")) // shorter than the window
+      .toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.passages(docs, window = 32, stride = 16)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val longDoc = got.filter(_._1 == "10").sortBy(_._2)
+    // starts 1,17,33 from the stride walk + 39 snapped to the end
+    assert(longDoc.map(_._2) === Seq(1L, 17L, 33L, 39L))
+    assert(longDoc.forall(_._3 == 32L))
+    assert(longDoc.last._4.endsWith("w70"))
+    val short = got.filter(_._1 == "11")
+    assert(short === Seq(("11", 1L, 3L, "a b c")))
+  }
+
   test("containment df band suppresses boilerplate shingles") {
     // the same 3 tokens open 30 docs: that shingle's df=30 > maxDf=20,
     // so it can't generate candidates on its own
