@@ -103,6 +103,84 @@ object SimilarityQueries {
       |        ORDER BY cosine DESC, vec_id) AS rank FROM cand)
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  // ---- q_pq_encode / q_pq_search: product quantization ------------------
+
+  private val PqM = 16
+  private val PqSub = 64 / PqM
+  private val PqShortlist = 100
+
+  /** Shared oracle fragments: L2-normalized vectors, per-subspace
+    * label-mean codebooks, the mirrored left-to-right squared-L2 fold
+    * (m=16 subspaces × 4 dims), and the per-subspace argmin encoding.
+    */
+  private val pqCbSql: String =
+    s"""e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |e AS (SELECT vec_id, label,
+       |  CASE WHEN sqrt(list_reduce(list_transform(v0, y -> y * y), (a, b) -> a + b)) > 0
+       |    THEN list_transform(v0,
+       |      x -> x / sqrt(list_reduce(list_transform(v0, y -> y * y), (a, b) -> a + b)))
+       |    ELSE v0 END AS v
+       | FROM e0),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+       |cb AS (SELECT CAST((p - 1) // $PqSub AS INT) AS m_idx, label AS code,
+       |         list(cx ORDER BY p) AS cv
+       |       FROM (SELECT label, p, avg(v[p]) AS cx
+       |             FROM e CROSS JOIN pos GROUP BY label, p)
+       |       GROUP BY 1, 2)""".stripMargin
+
+  private def pqL2Sql(vec: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $PqSub),
+       |      i -> ($vec[cb.m_idx * $PqSub + i] - cv[i]) * ($vec[cb.m_idx * $PqSub + i] - cv[i])),
+       |      (a, b) -> a + b)""".stripMargin
+
+  private val pqEncSql: String =
+    s"""d AS (SELECT e.vec_id, cb.m_idx, cb.code, ${pqL2Sql("v")} AS dist
+       |      FROM e CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m_idx, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m_idx
+       |    ORDER BY dist, code) AS rn FROM d) WHERE rn = 1)""".stripMargin
+
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val enc = graft.ops.Pq.encode(Tables.embeddings(s, dir), m = PqM, dim = 64)
+    enc.select(col("vec_id"),
+      concat_ws("-", (0 until PqM).map(i => col(s"code_$i")): _*).as("pq_code"))
+  }
+
+  val pqEncodeSql: String =
+    s"""WITH $pqCbSql,
+       |$pqEncSql
+       |SELECT vec_id,
+       |  string_agg(CAST(code AS VARCHAR), '-' ORDER BY m_idx) AS pq_code
+       |FROM enc GROUP BY vec_id""".stripMargin
+
+  def pqSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.adcRerankTopK(Tables.embeddings(s, dir),
+      nQueries = 10, k = 5, shortlist = PqShortlist, m = PqM, dim = 64)
+
+  val pqSearchSql: String =
+    s"""WITH $pqCbSql,
+       |$pqEncSql,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |tab AS (SELECT q.query_id, cb.m_idx, cb.code,
+       |    CAST(floor(${pqL2Sql("qv")} * 10000) AS BIGINT) AS dq
+       |  FROM q CROSS JOIN cb),
+       |cand AS (SELECT t.query_id, enc.vec_id, CAST(sum(t.dq) AS BIGINT) AS dist_q
+       |  FROM enc JOIN tab t ON t.m_idx = enc.m_idx AND t.code = enc.code
+       |    AND enc.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist_q, vec_id) AS srank FROM cand) WHERE srank <= $PqShortlist),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |    list_cosine_similarity(q.qv0, ev.v0) AS cosine
+       |  FROM short s
+       |  JOIN e0 ev ON ev.vec_id = s.vec_id
+       |  JOIN (SELECT vec_id AS query_id, v0 AS qv0 FROM e0 WHERE vec_id < 10) q
+       |    ON q.query_id = s.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM rr)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
   // ---- q_containment: asymmetric shingle-containment pairs --------------
 
   private val ContainMaxDf = 20

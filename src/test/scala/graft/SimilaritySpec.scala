@@ -27,6 +27,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(r4 >= r2, "more probes must not lose recall")
   }
 
+  test("PQ: rerank recovers exact top-k through the compressed shortlist; encode is shuffle-free") {
+    import graft.ops.Pq
+    val exact = Similarity.annTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pure ADC at k=5 is a coarse ranking (10-code reconstructions);
+    // the two-stage shape is the product: shortlist=100 → exact rerank
+    val reranked = Pq.adcRerankTopK(emb, nQueries = 10, k = 5, shortlist = 100)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    println(s"SIM pq rerank recall = $recall")
+    assert(recall >= 0.9, s"PQ rerank recall degraded to $recall")
+    // encode must be a pure projection: no exchange anywhere
+    val plan = Pq.encode(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PQ encode shuffles:\n$plan")
+    // codes are confined to the codebook's label range
+    val codes = Pq.encode(emb).collect()
+    assert(codes.forall(r => (1 to 16).forall { i =>
+      val c = r.getInt(i); c >= 0 && c <= 9
+    }))
+  }
+
   test("multi-table LSH near-dup: exact precision, usable recall") {
     val threshold = 0.25
     val exact = Similarity.nearDupPairsBrute(emb, threshold)
