@@ -91,17 +91,26 @@ object Pq {
     * one row in, one row out, nothing shuffles. One int column per
     * subspace (`code_0..code_{m-1}`).
     */
-  def encode(emb: DataFrame, m: Int = 16, dim: Int = 64): DataFrame = {
+  def encode(emb: DataFrame, m: Int = 16, dim: Int = 64): DataFrame =
+    encodeWith(emb, codebookLiteral(codebooks(emb, m, dim), m), m, dim)
+
+  private def encodeWith(emb: DataFrame, cbl: Column, m: Int,
+                         dim: Int): DataFrame = {
     val sub = dim / m
-    val cbl = codebookLiteral(codebooks(emb, m, dim), m)
-    val v = normalized(asDouble(col("embedding")))
+    // ⚠ the normalized vector MUST be staged as a bound attribute: an
+    // inline normalize subtree gets copied into every (subspace, code)
+    // argmin lambda and re-folds the full 64-dim norm m·k times per row
+    // (measured 90 s for 2 000 vectors; 0.5 s staged). Multi-use +
+    // non-cheap keeps CollapseProject from re-inlining it.
+    val staged = emb.select(col("vec_id"),
+      normalized(asDouble(col("embedding"))).as("__vn"))
     val codeCols = (0 until m).map { mi =>
       array_min(transform(element_at(cbl, mi + 1), c =>
-        struct(l2sq(subVec(v, lit(mi), sub), c.getField("cv")).as("dist"),
+        struct(l2sq(subVec(col("__vn"), lit(mi), sub), c.getField("cv")).as("dist"),
           c.getField("code").as("code"))))
         .getField("code").as(s"code_$mi")
     }
-    emb.select(col("vec_id") +: codeCols: _*)
+    staged.select(col("vec_id") +: codeCols: _*)
   }
 
   /** ADC shortlist: per query, per subspace, a distance table over the
@@ -113,15 +122,19 @@ object Pq {
   def adcTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 100,
               m: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / m
+    // one codebook collect job feeds both the query tables and encode
     val cbl = codebookLiteral(codebooks(emb, m, dim), m)
-    val qv = normalized(asDouble(col("embedding")))
+    // same staging rule as encode (|Q| rows, but the blowup is m·k per
+    // row either way)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
+        normalized(asDouble(col("embedding"))).as("__qn"))
+      .select(col("query_id"),
         transform(sequence(lit(0), lit(m - 1)), mi =>
           transform(element_at(cbl, mi + 1), c =>
-            floor(l2sq(subVec(qv, mi, sub), c.getField("cv")) * 1e4)
+            floor(l2sq(subVec(col("__qn"), mi, sub), c.getField("cv")) * 1e4)
               .cast("long"))).as("qtab"))
-    val enc = encode(emb, m, dim)
+    val enc = encodeWith(emb, cbl, m, dim)
     val scored = enc
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("dist_q",
