@@ -167,4 +167,39 @@ object Report {
   def topValues(df: DataFrame, c: String, n: Int = 30): DataFrame =
     df.groupBy(c).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc(c)).limit(n)
+
+  /** One-row corpus data card — the intake summary a dataset release
+    * ships (docs, sources, languages, token/char mass, blank share,
+    * exact-dup rate via content hash). One scan, one aggregate;
+    * the three distinct-aggregates expand into one grouped pass each —
+    * a report query, run once per corpus build, not per stage. At
+    * extreme cardinalities swap `countDistinct` for
+    * `approx_count_distinct` (HLL++, bounded state) — the same trade
+    * [[describeColApprox]] documents for percentiles.
+    */
+  def dataCard(df: DataFrame, textCol: String = "text",
+               sourceCol: String = "source",
+               langCol: String = "lang"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    df.select(col(sourceCol).as("src"), col(langCol).as("lng"),
+        size(graft.text.TextMetrics.tokens(col(textCol))).cast("long").as("n_tok"),
+        length(txt).cast("long").as("n_chars"),
+        (trim(txt) === "").as("is_empty"),
+        md5(txt).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("src")).as("n_sources"),
+        countDistinct(col("lng")).as("n_langs"),
+        sum("n_tok").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        sum(when(col("is_empty"), 1L).otherwise(0L)).as("n_empty"),
+        countDistinct(col("h")).as("n_distinct_texts"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("total_chars"), col("n_empty"),
+        col("n_distinct_texts"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        (lit(1.0) - col("n_distinct_texts").cast("double")
+          / col("n_docs").cast("double")).as("dup_rate"))
+  }
 }

@@ -234,4 +234,28 @@ object PipelineQueries {
       "token_count", "unique_token_ratio", "has_pii", "is_dup_exact",
       "is_dup_near", "quality_score", "subset", "n_tokens")
   }
+
+  // ---- q_data_card: one-row corpus intake summary ------------------------
+
+  def dataCard(s: SparkSession, dir: String): DataFrame =
+    Report.dataCard(Tables.documents(s, dir))
+
+  val dataCardSql: String =
+    """WITH b AS (SELECT source, lang,
+      |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+      |  length(coalesce(text, '')) AS n_chars,
+      |  trim(coalesce(text, '')) = '' AS is_empty,
+      |  md5(coalesce(text, '')) AS h
+      | FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+      |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+      |  1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+      |FROM b""".stripMargin
 }

@@ -102,6 +102,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(short === Seq(("11", 1L, 3L, "a b c")))
   }
 
+  test("dataCard: one-row intake summary with exact dup and empty accounting") {
+    val docs = Seq(
+      ("1", "a b c", "s1", "en"),
+      ("2", "a b c", "s1", "en"), // exact dup of 1
+      ("3", "d e", "s2", "de"),
+      ("4", "  ", "s2", null)) // blank text, null lang
+      .toDF("doc_id", "text", "source", "lang")
+    val r = graft.ops.Report.dataCard(docs).collect().head
+    assert(r.getLong(0) === 4L) // n_docs
+    assert(r.getLong(1) === 2L) // n_sources
+    assert(r.getLong(2) === 2L) // n_langs (null ignored)
+    assert(r.getLong(3) === 8L) // total_tokens 3+3+2+0
+    assert(r.getLong(5) === 1L) // n_empty
+    assert(r.getLong(6) === 3L) // distinct texts: "a b c", "d e", "  "
+    assert(r.getDouble(7) === 2.0) // mean_tokens
+    assert(r.getDouble(8) === 0.25) // dup_rate
+  }
+
   test("containment df band suppresses boilerplate shingles") {
     // the same 3 tokens open 30 docs: that shingle's df=30 > maxDf=20,
     // so it can't generate candidates on its own
