@@ -100,6 +100,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("new corpus ops keep their scale shapes: broadcasts, no cartesians, no windows") {
+    // containment: df-gated self-join is an equi-join on the shingle
+    val cont = plan(graft.queries.SimilarityQueries.containment(spark, dir))
+    assert(!cont.contains("CartesianProduct"), cont)
+    // oov: the top-V vocab joins back as a broadcast, ranking is TakeOrdered
+    val oov = plan(graft.queries.CorpusQueries.oovRate(spark, dir))
+    assert(oov.contains("BroadcastHashJoin"), oov)
+    assert(oov.contains("TakeOrderedAndProject"), oov)
+    // bigram lift: unigram/total tables broadcast back, top-N is TakeOrdered
+    val lift = plan(graft.queries.CorpusQueries.bigramLift(spark, dir))
+    assert(lift.contains("TakeOrderedAndProject"), lift)
+    assert(!lift.contains(") Window"), lift)
+    // passages: pure generate over the scan — no exchange at all
+    val pass = plan(graft.queries.RetrievalQueries.passages(spark, dir))
+    assert(!pass.contains("Exchange"), pass)
+    // snapshot diff: one co-keyed shuffle join, no broadcast of a corpus side
+    val diff = plan(graft.queries.CorpusQueries.snapshotDiff(spark, dir))
+    assert(diff.contains("SortMergeJoin") || diff.contains("ShuffledHashJoin")
+      || diff.contains("BroadcastHashJoin"), diff)
+    // pq: encode is window-free and the search ranks via the bounded heap
+    val pq = plan(graft.queries.SimilarityQueries.pqSearch(spark, dir))
+    assert(!pq.contains(") Window"), pq)
+    assert(pq.contains("partial_topkscored"), pq)
+  }
+
   test("IVF search never cross-joins the corpus with itself") {
     val p = plan(graft.queries.SimilarityQueries.ivfTopK(spark, dir))
     assert(!p.contains("CartesianProduct"),

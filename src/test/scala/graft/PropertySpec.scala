@@ -212,4 +212,45 @@ class PropertySpec extends SparkTestBase {
       (col("bucket") >= 95 && col("split") =!= "test")).count()
     assert(bad === 0L)
   }
+
+  test("passages tile every token and never exceed the window") {
+    import spark.implicits._
+    // doc i has i tokens, sweeping all window/stride boundary cases
+    val docs = (1 to 80).map(n => (n.toLong, (1 to n).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.passages(docs, window = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (n, rows) =>
+      // every passage stays inside the doc and inside the window
+      rows.foreach { case (_, start, len) =>
+        assert(len >= 1 && len <= 32 && start >= 1 && start + len - 1 <= n)
+      }
+      // the union of [start, start+len) covers [1, n] with no gap
+      val covered = rows.flatMap { case (_, s, l) => s until (s + l) }.toSet
+      assert(covered === (1L to n).toSet, s"doc of $n tokens not tiled")
+    }
+  }
+
+  test("snapshot diff statuses partition the id universe") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(60, Gen.chooseNum(0L, 30L)), trials = 4) { ids =>
+      val prevIds = ids.distinct.filter(_ % 3 != 0)
+      val curIds = ids.distinct.filter(_ % 4 != 0)
+      val prev = prevIds.map(i => (i, s"h$i")).toDF("doc_id", "fingerprint")
+      val cur = curIds.map(i => (i, if (i % 5 == 0) "hX" else s"h$i"))
+        .toDF("doc_id", "fingerprint")
+      val out = graft.ops.SnapshotDiff.diff(prev, cur)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      // exactly the union of both id sets, each id exactly once
+      assert(out.keySet === (prevIds ++ curIds).toSet)
+      out.foreach { case (id, status) =>
+        val expected =
+          if (!prevIds.contains(id)) "added"
+          else if (!curIds.contains(id)) "removed"
+          else if (id % 5 == 0) "changed"
+          else "unchanged"
+        assert(status === expected, s"id $id")
+      }
+    }
+  }
 }
