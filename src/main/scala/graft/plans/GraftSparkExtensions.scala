@@ -27,6 +27,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("tokenize_text"), TokenizeText.info, TokenizeText.builder))
     ext.injectFunction(
       (FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -49,6 +51,8 @@ object GraftFunctions {
       FunctionIdentifier("tokenize_text"), TokenizeText.info, TokenizeText.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -411,6 +411,22 @@ object DocQueries {
        |  CAST(sum(CASE WHEN spans_packs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
        |FROM pack GROUP BY pack_first""".stripMargin
 
+  // ---- q_compress_ratio: DEFLATE compressibility signal ------------------
+
+  /** Rows-only by design (no DEFLATE in DuckDB — engine-defined, like
+    * the tokenizer); DeflateSpec pins the kernel against a reference
+    * java.util.zip computation and the repetitive≪natural ordering.
+    */
+  def compressRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("octet_length(coalesce(text, ''))").cast("long").as("n_bytes"),
+        graft.plans.DeflateLength(coalesce(col("text"), lit("")))
+          .cast("long").as("deflate_len"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          col("deflate_len").cast("double") / col("n_bytes").cast("double")))
+
   // ---- q_token_entropy: per-doc token-distribution entropy ---------------
 
   /** Shannon entropy of each doc's token distribution (TextMetrics),
