@@ -140,4 +140,43 @@ object Multimodal {
         least(col("chunk_bytes"), col("n_bytes") - col("byte_offset"))
           .cast("long").as("chunk_len"))
   }
+
+  /** The SDXL-style bucket grid: ~1MP targets spanning portrait to
+    * landscape. Part of the op's definition (a model trains against a
+    * fixed grid), not a tuning knob.
+    */
+  val AspectBuckets: Seq[(Int, Int)] = Seq(
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536))
+
+  /** Aspect-ratio bucketing — the batching prerequisite for image
+    * training (NovelAI/SDXL): group images by nearest target aspect so
+    * every batch resizes to one resolution without destructive crops.
+    * Nearest = smallest symmetric multiplicative distance
+    * `max(ar/bar, bar/ar)` (ties → lowest bucket index); multiplicative
+    * rather than `|ln ar − ln bar|` on purpose — same argmin, but pure
+    * division survives cross-engine float comparison where `ln` drifts
+    * in the last ulp.
+    *
+    * In-row argmin over the bucket literal — a pure projection over the
+    * metadata columns; the image bytes are never touched, so the scan
+    * prunes the binary column entirely.
+    */
+  def aspectBucket(media: DataFrame): DataFrame = {
+    val blit = array(AspectBuckets.zipWithIndex.map { case ((w, h), i) =>
+      struct(lit(i).as("idx"), lit(w).as("bw"), lit(h).as("bh"))
+    }: _*)
+    val ar = col("width").cast("double") / col("height").cast("double")
+    val best = array_min(transform(blit, b => {
+      val bar = b.getField("bw").cast("double") / b.getField("bh").cast("double")
+      struct(greatest(ar / bar, bar / ar).as("dist"), b.getField("idx").as("idx"),
+        b.getField("bw").as("bw"), b.getField("bh").as("bh"))
+    }))
+    // images without decodable dims can't bucket (and null distances
+    // would sort differently across engines — excluded by definition)
+    media.filter(col("kind") === "image"
+        && col("width").isNotNull && col("height").isNotNull)
+      .select(col("media_id"), col("width"), col("height"),
+        best.getField("bw").as("bucket_w"), best.getField("bh").as("bucket_h"))
+  }
 }

@@ -38,6 +38,36 @@ object MultimodalQueries {
       |       CAST(max(width) AS INT) AS max_width
       |FROM k GROUP BY kind""".stripMargin
 
+  // ---- q_aspect_bucket: SDXL-style aspect-ratio bucketing ----------------
+
+  def aspectBucket(s: SparkSession, dir: String): DataFrame =
+    Multimodal.aspectBucket(media(s, dir))
+
+  val aspectBucketSql: String = {
+    val buckets = Multimodal.AspectBuckets.zipWithIndex
+      .map { case ((w, h), i) => s"($i,$w,$h)" }.mkString(",")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |         octet_length(encode(text)) AS blen
+       |  FROM documents),
+       |i AS (SELECT media_id, blen % 640 + 1 AS width, blen % 480 + 1 AS height
+       |      FROM m WHERE kind = 'image' AND blen IS NOT NULL),
+       |b AS (SELECT * FROM (VALUES $buckets) AS t(idx, bw, bh)),
+       |d AS (SELECT i.media_id, i.width, i.height, b.idx, b.bw, b.bh,
+       |    greatest(
+       |      (CAST(i.width AS DOUBLE) / CAST(i.height AS DOUBLE))
+       |        / (CAST(b.bw AS DOUBLE) / CAST(b.bh AS DOUBLE)),
+       |      (CAST(b.bw AS DOUBLE) / CAST(b.bh AS DOUBLE))
+       |        / (CAST(i.width AS DOUBLE) / CAST(i.height AS DOUBLE))) AS dist
+       |  FROM i CROSS JOIN b),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY media_id
+       |        ORDER BY dist, idx) AS rn FROM d)
+       |SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |  CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
   // ---- q_frame_sample: strided frame indices per video -------------------
 
   def frameSample(s: SparkSession, dir: String): DataFrame =

@@ -73,4 +73,22 @@ class MultimodalSpec extends SparkTestBase {
     assert((w, h) === (64, 48))
     assert(c1 === c2)
   }
+
+  test("aspectBucket: nearest target aspect, square/portrait/landscape, no bytes read") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", 1000, 1000), // square -> (1024, 1024)
+      (2L, "image", 500, 1000), // strong portrait ar=0.5 -> (640, 1536) ar 0.417 vs (768,1344) 0.571: dist 0.5/0.417=1.2 vs 0.571/0.5=1.14 -> (768, 1344)
+      (3L, "image", 2000, 800), // strong landscape ar=2.5 -> (1536, 640) ar=2.4
+      (4L, "video", 100, 100), // not an image: excluded
+      (5L, "image", 1100, 900)) // ar 1.222 -> (1152, 896) ar 1.286 vs (1024,1024): 1.222 vs 1.286/1.222=1.052 -> (1152,896)? dist sq=1.222, rect=1.052 -> rect
+      .toDF("media_id", "kind", "width", "height")
+    val got = Multimodal.aspectBucket(media)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(got === Map(
+      1L -> ((1024, 1024)),
+      2L -> ((768, 1344)),
+      3L -> ((1536, 640)),
+      5L -> ((1152, 896))))
+  }
 }
