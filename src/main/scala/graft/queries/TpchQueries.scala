@@ -104,6 +104,161 @@ object TpchQueries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  // ---- q2/q11/q16/q20: the remaining TPC-H shapes (adapted: no partsupp
+  // table in the fixture, so "supply cost" derives from lineitem history
+  // and the Q16/Q20 supplier screens use the columns that exist) -------
+
+  /** Q2 shape: per-part argmin supplier. Unit cost = exact integer sums
+    * (price ticks / quantity ticks) divided once — identical IEEE double
+    * in any engine; argmin via min(struct(cost, suppkey)), never a
+    * per-part window. Dims (EU suppliers, SMALL parts) broadcast.
+    */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey", "s_name")
+    val smallParts = Tables.part(s, dir).filter(col("p_type") === "SMALL")
+      .select("p_partkey", "p_name")
+    val cost = Tables.lineitem(s, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_extendedprice") * 10000.0).cast("long")).as("pq"),
+        sum(floor(col("l_quantity") * 10000.0).cast("long")).as("qq"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("unit_cost", col("pq").cast("double") / col("qq").cast("double"))
+    cost.groupBy("p_partkey")
+      .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("b"),
+        first("p_name").as("p_name"))
+      .select(col("p_partkey"), col("p_name"),
+        col("b.l_suppkey").as("s_suppkey"), col("b.unit_cost").as("unit_cost"))
+      .join(broadcast(sup), Seq("s_suppkey"))
+      .select("p_partkey", "p_name", "s_name", "unit_cost")
+  }
+
+  val minCostSupplierSql: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey, s_name FROM supplier s
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |c AS (SELECT l_partkey, l_suppkey,
+      |    sum(CAST(floor(l_extendedprice * 10000.0) AS BIGINT)) AS pq,
+      |    sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) AS qq
+      |  FROM lineitem GROUP BY 1, 2),
+      |e AS (SELECT c.l_partkey, c.l_suppkey, sup.s_name,
+      |    CAST(pq AS DOUBLE) / CAST(qq AS DOUBLE) AS unit_cost
+      |  FROM c JOIN sup ON sup.s_suppkey = c.l_suppkey
+      |  JOIN part p ON p.p_partkey = c.l_partkey AND p.p_type = 'SMALL'),
+      |r AS (SELECT e.*, p.p_name,
+      |    row_number() OVER (PARTITION BY e.l_partkey
+      |      ORDER BY unit_cost, l_suppkey) AS rn
+      |  FROM e JOIN part p ON p.p_partkey = e.l_partkey)
+      |SELECT l_partkey AS p_partkey, p_name, s_name, unit_cost
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** Q11 shape: groups kept only when their aggregate clears a fraction
+    * of the global aggregate — the scalar-subquery HAVING. Integer tick
+    * sums both levels; the 0.001 threshold compares in doubles the same
+    * way in both engines.
+    */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select("s_suppkey")
+    val byPart = Tables.lineitem(s, dir)
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000.0).cast("long")).as("vq"))
+    val total = byPart.agg(sum("vq").as("tq"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("vq").cast("double") > col("tq").cast("double") * 0.001)
+      .select(col("l_partkey").as("p_partkey"),
+        (col("vq") / 10000.0).as("part_value"))
+  }
+
+  val importantPartsSql: String =
+    """WITH ns AS (
+      |  SELECT s_suppkey FROM supplier s
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_7'),
+      |bp AS (SELECT l_partkey,
+      |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS vq
+      |  FROM lineitem JOIN ns ON ns.s_suppkey = lineitem.l_suppkey
+      |  GROUP BY 1),
+      |t AS (SELECT sum(vq) AS tq FROM bp)
+      |SELECT l_partkey AS p_partkey, vq / 10000.0 AS part_value
+      |FROM bp CROSS JOIN t
+      |WHERE CAST(vq AS DOUBLE) > CAST(tq AS DOUBLE) * 0.001""".stripMargin
+
+  /** Q16 shape: distinct-count per group behind an anti-join supplier
+    * screen (no s_comment in the fixture → negative balance is the
+    * excluded-supplier set).
+    */
+  def supplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(bad), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val supplierVarietySql: String =
+    """SELECT p_brand, p_type,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q20 shape: nested semi-join chain — suppliers who shipped, for some
+    * part, more than half that part's total 1996 quantity (the year's
+    * dominant source of the part). The half test is pure integer
+    * arithmetic (2·q96 > total ticks): no float enters the predicate,
+    * and the per-part total re-aggregates the already-reduced
+    * (part, supplier) table — no second pass over lineitem.
+    */
+  def halfStockShippers(s: SparkSession, dir: String): DataFrame = {
+    val q96 = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_quantity") * 10000.0).cast("long")).as("q96"))
+    val tot = q96.groupBy(col("l_partkey"))
+      .agg(sum(col("q96")).as("qtot"))
+    val dominant = q96.join(tot, Seq("l_partkey"))
+      .filter(col("q96") * 2 > col("qtot"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+  }
+
+  val halfStockShippersSql: String =
+    """WITH q96 AS (SELECT l_partkey, l_suppkey,
+      |    sum(CAST(floor(l_quantity * 10000.0) AS BIGINT)) AS q96
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, sum(q96) AS qtot FROM q96 GROUP BY 1),
+      |dom AS (SELECT DISTINCT l_suppkey FROM q96
+      |  JOIN tot USING (l_partkey) WHERE q96 * 2 > qtot)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier s
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin
+
   val revenueByNationSql: String =
     s"""SELECT r_name AS region_name, n_name AS nation_name,
        | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -100,6 +100,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q2/q11/q16/q20: dims broadcast, argmin/HAVING/semi shapes stay window-free") {
+    val q2 = plan(TpchQueries.minCostSupplier(spark, dir))
+    assert(q2.contains("BroadcastHashJoin"), q2)
+    assert(!q2.contains(") Window"), s"per-part window in the Q2 argmin:\n$q2")
+    val q11 = plan(TpchQueries.importantParts(spark, dir))
+    assert(q11.contains("BroadcastNestedLoopJoin") || q11.contains("BroadcastHashJoin"), q11)
+    val q16 = plan(TpchQueries.supplierVariety(spark, dir))
+    assert(q16.contains("BroadcastHashJoin"), q16)
+    val q20 = plan(TpchQueries.halfStockShippers(spark, dir))
+    assert(q20.contains("LeftSemi"), q20)
+    assert(!q20.contains("CartesianProduct"), q20)
+  }
+
   test("new corpus ops keep their scale shapes: broadcasts, no cartesians, no windows") {
     // containment: df-gated self-join is an equi-join on the shingle
     val cont = plan(graft.queries.SimilarityQueries.containment(spark, dir))
