@@ -259,6 +259,37 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("term"), col("n"))
 
+  /** Streaming intake monitor — the data-card as a watermarked tumbling
+    * window: per window, document count, token/byte mass, blank share,
+    * and within-window approximate duplicate mass (docs minus HLL++
+    * distinct content hashes — the live mirror-feed alarm). Every
+    * aggregate is partial-merging with bounded state (count/sum/HLL
+    * sketch; an exact distinct would hold the window's whole hash set
+    * in the state store), and windows expire at the watermark.
+    */
+  def intakeMonitor(docs: DataFrame, tsCol: String = "ts",
+                    textCol: String = "text", window_ : String = "10 minutes",
+                    watermark: String = "20 minutes"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        size(graft.text.TextMetrics.tokens(col(textCol))).cast("long").as("n_tok"),
+        length(txt).cast("long").as("n_chars"),
+        (trim(txt) === "").cast("long").as("blank"),
+        md5(txt).as("h"))
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        sum("blank").as("n_blank"),
+        approx_count_distinct(col("h")).as("approx_distinct"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("total_tokens"), col("total_chars"),
+        col("n_blank"),
+        (col("n_docs") - col("approx_distinct")).as("approx_dup_mass"))
+  }
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

@@ -274,6 +274,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intake monitor: per-window doc/token/blank/dup accounting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = Streaming.intakeMonitor(
+      in.toDF().toDF("ts", "text"), window_ = "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("intake")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      in.addData(
+        (ts(1), "a b c"), (ts(2), "a b c"), // dup pair in window 10:00
+        (ts(3), "  "), // blank
+        (ts(12), "x y")) // next window
+      q.processAllAvailable()
+      val rows = spark.table("intake").collect()
+        .map(r => r.getTimestamp(0).toString.substring(11, 16) ->
+          (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))).toMap
+      // window 10:00: 3 docs, 6 tokens, 1 blank, dup mass 1 (two "a b c")
+      assert(rows("10:00") === ((3L, 6L, 1L, 1L)))
+      assert(rows("10:10") === ((1L, 2L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("trending terms: sliding windows count tokens per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
