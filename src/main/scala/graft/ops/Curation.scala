@@ -459,6 +459,10 @@ object Curation {
       .select(col("src"),
         explode(SketchDedup.shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
       .distinct()
+      // feeds both self-join sides plus the sizes aggregate — persist so
+      // the corpus tokenize/explode/distinct runs once, not per branch
+      // (released by the caller's clearCache, like the sketch persists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sv.groupBy("src").agg(count(lit(1)).as("n_sh"))
     sv.select(col("sh"), col("src").as("src_a"))
       .join(sv.select(col("sh"), col("src").as("src_b")), Seq("sh"))

@@ -63,11 +63,22 @@ object Pq {
 
   /** Codebooks collected to a nested literal:
     * element_at(lit, m_idx+1) = array<struct<code, cv>> sorted by code.
+    *
+    * Codes MUST be dense 0..k-1 in every subspace: the ADC table lookup
+    * is positional (`element_at(tab, code + 1)`), so a sparse code set
+    * would silently read the wrong distances. True for label codebooks
+    * over a dense label column and for [[KMeans.lloyd]] cluster ids;
+    * enforced loudly here rather than assumed.
     */
   private def codebookLiteral(cb: DataFrame, m: Int): Column = {
     val rows = cb.collect()
     array((0 until m).map { mi =>
-      array(rows.filter(_.getInt(0) == mi).sortBy(_.getInt(1)).map { r =>
+      val sub = rows.filter(_.getInt(0) == mi).sortBy(_.getInt(1))
+      val codes = sub.map(_.getInt(1)).toSeq
+      require(codes == (0 until sub.length),
+        s"PQ codebook codes must be dense 0..k-1 per subspace " +
+          s"(subspace $mi has $codes); remap labels before building codebooks")
+      array(sub.map { r =>
         struct(lit(r.getInt(1)).as("code"),
           array(r.getSeq[Double](2).map(lit(_)): _*).as("cv"))
       }: _*)

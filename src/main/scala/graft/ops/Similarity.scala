@@ -166,15 +166,24 @@ object Similarity {
     // Probe list per query: sort the k centroid scores in-row (desc
     // cosine, asc label — comparator mirrors bestCentroid) and take the
     // head. Rows = |Q|·probes, joined broadcast against the assignment.
+    // NaN handled explicitly: Spark's >/< are false for NaN operands, so
+    // without the isnan arms a NaN cosine (zero-vector centroid) would
+    // tie with everything — an intransitive comparator and a different
+    // probe set than the oracle's NaN-first DESC window sort.
     val probeSorted = array_sort(
       transform(cents, c =>
         struct(cosine(col("qv"), c.getField("cv")).as("cosine"),
           c.getField("label").as("label"))),
-      (l, r) => when(l.getField("cosine") > r.getField("cosine"), -1)
-        .when(l.getField("cosine") < r.getField("cosine"), 1)
-        .when(l.getField("label") < r.getField("label"), -1)
-        .when(l.getField("label") > r.getField("label"), 1)
-        .otherwise(0))
+      (l, r) => {
+        val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
+        when(isnan(lc) && !isnan(rc), -1)
+          .when(!isnan(lc) && isnan(rc), 1)
+          .when(lc > rc, -1)
+          .when(lc < rc, 1)
+          .when(l.getField("label") < r.getField("label"), -1)
+          .when(l.getField("label") > r.getField("label"), 1)
+          .otherwise(0)
+      })
     val queryProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .select(col("query_id"), col("qv"),

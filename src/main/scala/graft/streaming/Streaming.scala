@@ -287,7 +287,10 @@ object Streaming {
         col("window.end").as("window_end"),
         col("n_docs"), col("total_tokens"), col("total_chars"),
         col("n_blank"),
-        (col("n_docs") - col("approx_distinct")).as("approx_dup_mass"))
+        // HLL++ can overestimate distinct past n_docs on all-unique
+        // windows — clamp so noise never reads as negative dup mass
+        greatest(lit(0L), col("n_docs") - col("approx_distinct"))
+          .as("approx_dup_mass"))
   }
 
   /** Watermarked tumbling-window counts/sums per event type. */

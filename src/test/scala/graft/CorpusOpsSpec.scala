@@ -64,7 +64,7 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
     // S has 3 shingles, all inside L → containment(S→L) = 1.0
     assert(pairs.exists { case (a, b, c) => a == "S" && b == "L" && c == 1.0 })
-    // the reverse direction is far below threshold (L has 41 shingles)
+    // the reverse direction is far below threshold (L has 43 shingles)
     assert(!pairs.exists { case (a, b, _) => a == "L" && b == "S" })
     // and symmetric Jaccard on the same pair would never flag it
     val jac = SketchDedup.ngramJaccardPairs(docs, "doc_id", "text",

@@ -128,10 +128,16 @@ class PlanSpec extends SparkTestBase {
     // passages: pure generate over the scan — no exchange at all
     val pass = plan(graft.queries.RetrievalQueries.passages(spark, dir))
     assert(!pass.contains("Exchange"), pass)
-    // snapshot diff: one co-keyed shuffle join, no broadcast of a corpus side
-    val diff = plan(graft.queries.CorpusQueries.snapshotDiff(spark, dir))
-    assert(diff.contains("SortMergeJoin") || diff.contains("ShuffledHashJoin")
-      || diff.contains("BroadcastHashJoin"), diff)
+    // snapshot diff: one co-keyed shuffle join — at corpus scale neither
+    // side may broadcast, so pin with auto-broadcast disabled (the tiny
+    // fixture would otherwise legitimately broadcast and mask a regression)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = plan(graft.queries.CorpusQueries.snapshotDiff(spark, dir))
+      assert(diff.contains("SortMergeJoin") || diff.contains("ShuffledHashJoin"), diff)
+      assert(!diff.contains("BroadcastHashJoin"), diff)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     // pq: encode is window-free and the search ranks via the bounded heap
     val pq = plan(graft.queries.SimilarityQueries.pqSearch(spark, dir))
     assert(!pq.contains(") Window"), pq)
