@@ -29,6 +29,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder))
     ext.injectFunction(
       (FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -53,6 +55,8 @@ object GraftFunctions {
       FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -411,6 +411,34 @@ object DocQueries {
        |  CAST(sum(CASE WHEN spans_packs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
        |FROM pack GROUP BY pack_first""".stripMargin
 
+  // ---- q_phrase_hits: Aho-Corasick boilerplate-phrase counts -------------
+
+  def phraseHits(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.plans.PhraseHits(lower(coalesce(col("text"), lit(""))),
+          "boilerplate").as("__h"))
+      .select(col("doc_id"),
+        element_at(col("__h"), 1).cast("long").as("nav_hits"),
+        element_at(col("__h"), 2).cast("long").as("legal_hits"))
+
+  /** Oracle generated from the SAME profile object: per phrase,
+    * non-overlapping occurrences via replace-length arithmetic — equal
+    * to the kernel's match-end counts because every profile phrase is
+    * border-free (PhraseHitsSpec enforces that precondition).
+    */
+  val phraseHitsSql: String = {
+    def listSql(phrases: Seq[String]): String = phrases
+      .map(p => s"CAST((length(t) - length(replace(t, '$p', ''))) // ${p.length} AS BIGINT)")
+      .mkString("(", " + ", ")")
+    val lists = graft.plans.PhraseHits.Profiles("boilerplate")
+    s"""WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents)
+       |SELECT doc_id,
+       |  ${listSql(lists(0))} AS nav_hits,
+       |  ${listSql(lists(1))} AS legal_hits
+       |FROM d""".stripMargin
+  }
+
   // ---- q_compress_ratio: DEFLATE compressibility signal ------------------
 
   /** Rows-only by design (no DEFLATE in DuckDB — engine-defined, like
