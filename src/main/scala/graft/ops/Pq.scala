@@ -85,13 +85,14 @@ object Pq {
     }: _*)
   }
 
-  /** Left-to-right squared-L2 fold — mirrored exactly by the oracle's
-    * `list_reduce(list_transform(...), (a,b) -> a+b)` (the 0.0 seed is
-    * IEEE-exact: 0+x = x).
+  /** Native codegen'd left-to-right squared-L2 fold
+    * ([[graft.plans.L2SqDistance]]) — bit-identical to the oracle's
+    * `list_reduce(list_transform(...), (a,b) -> a+b)` and to the
+    * interpreted `aggregate(zip_with(...))` form it replaced (which
+    * allocated a boxed pair array per call, m·k times per vector).
     */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.L2SqDistance(a, b)
 
   private def subVec(v: Column, mi: Column, sub: Int): Column =
     slice(v, mi * sub + 1, lit(sub))

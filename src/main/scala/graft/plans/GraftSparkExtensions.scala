@@ -31,6 +31,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder))
     ext.injectFunction(
       (FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -57,6 +59,8 @@ object GraftFunctions {
       FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

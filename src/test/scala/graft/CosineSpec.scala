@@ -32,6 +32,23 @@ class CosineSpec extends SparkTestBase {
     }
   }
 
+  test("L2SqDistance equals the zip_with/aggregate fold bit for bit, SQL-callable") {
+    import spark.implicits._
+    import graft.plans.L2SqDistance
+    val df = vecs.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(L2SqDistance(col("a"), col("b")).as("native"), hof.as("fold"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+      }
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT l2sq(array(1.0d, 2.0d), array(4.0d, 6.0d))").collect().head.getDouble(0)
+    assert(viaSql === 25.0)
+  }
+
   test("interpreted path (no codegen) matches codegen path") {
     import spark.implicits._
     val df = vecs.toDF("a", "b")
