@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus processing over [[SnapshotDiff]] — the
+  * operational answer to "the crawl grew 1%, don't reprocess 100 TB":
+  * recompute the per-document pipeline only for added + changed
+  * documents, carry the previous run's rows forward for unchanged ones,
+  * and let removed documents fall out.
+  *
+  * Soundness contract: `process` must be row-local (metrics, scoring,
+  * masking, tokenisation — any per-doc projection), so a document's
+  * output depends only on its own content; then carry-forward equals
+  * recompute by construction (IncrementalSpec asserts the equality).
+  * Corpus-global operators — dedup windows, document-frequency stats,
+  * vocabulary builds — must re-run through the Orchestrator instead;
+  * composing them here would silently serve stale global state.
+  *
+  * Scale shape: one co-keyed full-outer join for the diff, two
+  * semi-joins keyed on the id to split work. The unchanged majority
+  * never re-reads its text and never enters `process`'s plan; the
+  * recompute side is delta-sized. With both snapshot tables bucketed on
+  * the id every exchange disappears.
+  */
+object Incremental {
+
+  /** Per-doc output for the current snapshot, recomputing only the
+    * delta. `prev` is the previous corpus snapshot (id + textCol),
+    * `prevOut` the previous run's `process` output keyed by the same
+    * id. Content identity is md5(textCol) — the same fingerprint
+    * convention as the snapshot-diff query surface.
+    */
+  def processDelta(cur: DataFrame, prev: DataFrame, prevOut: DataFrame,
+                   process: DataFrame => DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    def fps(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        md5(coalesce(col(textCol), lit(""))).as("fingerprint"))
+    val d = SnapshotDiff.diff(fps(prev), fps(cur), idCol)
+    val todo = d.filter(col("status").isin("added", "changed"))
+      .select(idCol)
+    val keep = d.filter(col("status") === "unchanged").select(idCol)
+    process(cur.join(todo, Seq(idCol), "left_semi"))
+      .unionByName(prevOut.join(keep, Seq(idCol), "left_semi"))
+  }
+}
