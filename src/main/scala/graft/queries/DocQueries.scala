@@ -411,6 +411,44 @@ object DocQueries {
        |  CAST(sum(CASE WHEN spans_packs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
        |FROM pack GROUP BY pack_first""".stripMargin
 
+  // ---- q_invisible_scrub: zero-width / format-char hygiene ---------------
+
+  /** Half the docs (content-addressed bucket) get a ZWSP planted at the
+    * front — the fixture is synthetic ASCII, so the query seeds its own
+    * invisibles, then proves detection (count) and exact restoration
+    * (clean md5 == original md5).
+    */
+  def invisibleScrub(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"),
+        bucket.as("bucket"))
+      .withColumn("dt",
+        when(col("bucket") < 50, concat(lit("\u200B"), col("t")))
+          .otherwise(col("t")))
+      .withColumn("ct", Normalize.stripInvisible(col("dt")))
+      .select(col("doc_id"),
+        (length(col("dt")) - length(col("ct"))).cast("long").as("n_invisible"),
+        md5(col("ct")).as("clean_md5"),
+        (md5(col("ct")) === md5(col("t"))).as("roundtrip_ok"))
+  }
+
+  val invisibleScrubSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket,
+      |    coalesce(text, '') AS t FROM documents),
+      |x AS (SELECT doc_id, t,
+      |    CASE WHEN bucket < 50 THEN chr(8203) || t ELSE t END AS dt FROM d),
+      |s AS (SELECT doc_id, t, dt,
+      |    regexp_replace(dt,
+      |      '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}]',
+      |      '', 'g') AS ct
+      |  FROM x)
+      |SELECT doc_id, CAST(length(dt) - length(ct) AS BIGINT) AS n_invisible,
+      |  md5(ct) AS clean_md5, md5(ct) = md5(t) AS roundtrip_ok
+      |FROM s""".stripMargin
+
   // ---- q_phrase_hits: Aho-Corasick boilerplate-phrase counts -------------
 
   def phraseHits(s: SparkSession, dir: String): DataFrame =

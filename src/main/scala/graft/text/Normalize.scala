@@ -46,6 +46,24 @@ object Normalize {
   /** P2: drop anything that looks like an HTML tag. Null passes through. */
   def stripHtml(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
 
+  /** Invisible characters scraped text smuggles past every other
+    * filter: zero-widths (ZWSP/ZWNJ/ZWJ/word-joiner), the BOM, soft
+    * hyphens, and directional marks. They split tokens invisibly,
+    * perturb hashes (two visually-identical docs stop being exact
+    * dups), and leak into training tokens. NFKC does NOT remove them —
+    * they are format characters, not compatibility forms.
+    */
+  val InvisibleChars: String =
+    "[\\u200B\\u200C\\u200D\\u2060\\uFEFF\\u00AD\\u200E\\u200F]"
+
+  /** Strip invisibles entirely (deletion, not space — they occupy no
+    * visual width, so replacement with space would CREATE token breaks
+    * that never existed visually). RE2-safe class, shared verbatim with
+    * the oracle.
+    */
+  def stripInvisible(c: Column): Column =
+    regexp_replace(c, InvisibleChars, "")
+
   /** P3 boilerplate line patterns (behavioral data from the reference,
     * deep_clean_and_pii.py:78-87; matched against the lowercased line).
     */

@@ -239,4 +239,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(canon("https://example.com/r?u=https://www.x.com")
       === "https://example.com/r?u=https://www.x.com")
   }
+
+  test("stripInvisible deletes format chars without creating token breaks") {
+    import spark.implicits._
+    val cases = Seq(
+      "he​llo" -> "hello", // ZWSP inside a word: deletion, not space
+      "﻿bom first" -> "bom first",
+      "a­b‎‏c⁠d" -> "abcd",
+      "plain text" -> "plain text",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.text.Normalize.stripInvisible(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+    // the hygiene payoff: two visually-identical strings hash equal again
+    val a = "same text"
+    val b = "same‌ text"
+    assert(a != b)
+    val scrubbed = Seq(a, b).toDF("t")
+      .select(graft.text.Normalize.stripInvisible(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    assert(scrubbed(0) === scrubbed(1))
+  }
 }
