@@ -259,6 +259,59 @@ object TpchQueries {
       |JOIN nation n ON n.n_nationkey = s.s_nationkey
       |WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin
 
+  /** Weighted PageRank over the nation trade graph (supplier nation →
+    * customer nation, weight = whole-unit revenue): the host-authority
+    * shape a corpus build runs over its URL graph, exercised on the
+    * relational fixture. Two quantized rounds, oracle fully unrolled.
+    */
+  def pagerankNations(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(
+        col("n_nationkey").as("ck"), col("n_name").as("dst"))),
+        col("c_nationkey") === col("ck"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select(
+        col("n_nationkey").as("sk"), col("n_name").as("src"))),
+        col("s_nationkey") === col("sk"))
+      .groupBy("src", "dst")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("long")).as("weight"))
+    graft.ops.PageRank.ranks(edges, iters = 2)
+      .select(col("node").as("nation"), col("rank_q"))
+  }
+
+  val pagerankNationsSql: String =
+    """WITH e0 AS (SELECT ns.n_name AS src, nc.n_name AS dst,
+      |    sum(CAST(floor(l_extendedprice * (1.0 - l_discount)) AS BIGINT)) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |ow AS (SELECT src, sum(w) AS ww FROM e0 GROUP BY 1),
+      |sh AS (SELECT e0.src, e0.dst, (w * 1000000) // ww AS share_q
+      |       FROM e0 JOIN ow USING (src)),
+      |r0 AS (SELECT node, 1000000 // n AS rank_q FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT sh.dst AS node,
+      |    sum((r0.rank_q * sh.share_q) // 1000000) AS cq
+      |  FROM sh JOIN r0 ON r0.node = sh.src GROUP BY 1),
+      |r1 AS (SELECT nodes.node,
+      |    150000 // n + (850000 * coalesce(c1.cq, 0)) // 1000000 AS rank_q
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+      |c2 AS (SELECT sh.dst AS node,
+      |    sum((r1.rank_q * sh.share_q) // 1000000) AS cq
+      |  FROM sh JOIN r1 ON r1.node = sh.src GROUP BY 1),
+      |r2 AS (SELECT nodes.node,
+      |    150000 // n + (850000 * coalesce(c2.cq, 0)) // 1000000 AS rank_q
+      |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node)
+      |SELECT node AS nation, CAST(rank_q AS BIGINT) AS rank_q FROM r2""".stripMargin
+
   val revenueByNationSql: String =
     s"""SELECT r_name AS region_name, n_name AS nation_name,
        | ${DecSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -101,4 +101,21 @@ class DupClustersSpec extends SparkTestBase {
     assert(back.count() ==
       docs.filter(col("lang") === langs.head).count())
   }
+
+  test("pagerank: hand-computed two-node ticks, authority ordering on a star") {
+    import spark.implicits._
+    // A -> B, one edge. N=2: r0 = 500000 each, tele = 75000.
+    // round1: B = 75000 + (850000·500000)//1e6 = 500000; A = 75000.
+    // round2: contrib(B) = 75000 -> B = 75000 + 63750 = 138750.
+    val tiny = Seq(("A", "B", 10L)).toDF("src", "dst", "weight")
+    val got = graft.ops.PageRank.ranks(tiny, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 75000L, "B" -> 138750L))
+    // star: every spoke points at the hub — hub must outrank all spokes
+    val star = (1 to 6).map(i => (s"s$i", "hub", i.toLong))
+      .toDF("src", "dst", "weight")
+    val ranks = graft.ops.PageRank.ranks(star, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((1 to 6).forall(i => ranks("hub") > ranks(s"s$i")))
+  }
 }
