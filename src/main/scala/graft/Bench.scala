@@ -50,7 +50,13 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // sketch/overlap queries persist intermediates they cannot safely
+      // release themselves (Verify does the same); dropping them AFTER
+      // the clock stops keeps each query's timing honest (it pays its
+      // own persist) without cached frames accumulating across the run
+      spark.catalog.clearCache()
+      name -> dt
     }
     // The driver captures only the LAST 2000 chars of stdout and sbt
     // appends its own "[success] Total time" line after ours, so the
