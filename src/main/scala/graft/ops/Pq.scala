@@ -61,6 +61,62 @@ object Pq {
         expr("transform(pairs, p -> p.cx)").as("cv"))
   }
 
+  /** Trained codebooks — the production path the label-mean stand-in
+    * stands in for: [[KMeans.lloyd]] per subspace over the normalized
+    * subvectors. Cluster ids are dense 0..k-1 by construction (modulo
+    * init), satisfying the positional-lookup contract; quantized
+    * centroid ticks divide back to doubles once (deterministic — no
+    * accumulation). Centroid frames are driver-built and tiny, so the
+    * m training runs collect immediately and the staged input releases
+    * before returning.
+    */
+  def codebooksLloyd(emb: DataFrame, m: Int = 16, dim: Int = 64,
+                     k: Int = 10, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val staged = emb.select(col("vec_id"),
+      normalized(asDouble(col("embedding"))).as("__vn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = (0 until m).flatMap { mi =>
+      val (_, cents) = KMeans.lloyd(
+        staged.select(col("vec_id"),
+          slice(col("__vn"), lit(mi * sub + 1), lit(sub)).as("embedding")),
+        k, iters)
+      cents.collect().map(r => (mi, r.getInt(0),
+        r.getSeq[Long](1).map(_.toDouble / KMeans.Quant)))
+    }
+    staged.unpersist(blocking = false)
+    rows.toDF("m_idx", "code", "cv")
+  }
+
+  /** Total quantized reconstruction error of a codebook over the corpus
+    * (Σ per vector per subspace of the best squared distance, in 1e-4
+    * ticks summed as integers — order-proof). The PQ quality report:
+    * lower is a strictly better quantizer; SimilaritySpec uses it to
+    * prove trained codebooks beat the label-mean stand-in.
+    */
+  def reconstructionErrorQ(emb: DataFrame, cb: DataFrame,
+                           m: Int = 16, dim: Int = 64): Long = {
+    val sub = dim / m
+    val cbl = codebookLiteral(cb, m)
+    val perVec = (0 until m).map { mi =>
+      floor(array_min(transform(element_at(cbl, mi + 1), c =>
+        struct(l2sq(subVec(col("__vn"), lit(mi), sub), c.getField("cv")).as("dist"),
+          c.getField("code").as("code"))))
+        .getField("dist") * 1e4).cast("long")
+    }.reduce(_ + _)
+    emb.select(normalized(asDouble(col("embedding"))).as("__vn"))
+      .select(perVec.as("e"))
+      .agg(sum("e")).collect()(0).getLong(0)
+  }
+
+  /** Encode against an explicit codebook table (label-mean or
+    * [[codebooksLloyd]] — same (m_idx, code, cv) schema).
+    */
+  def encode(emb: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame =
+    encodeWith(emb, codebookLiteral(cb, m), m, dim)
+
   /** Codebooks collected to a nested literal:
     * element_at(lit, m_idx+1) = array<struct<code, cv>> sorted by code.
     *

@@ -50,6 +50,21 @@ class SimilaritySpec extends SparkTestBase {
     }))
   }
 
+  test("Lloyd-trained PQ codebooks cut reconstruction error vs label means") {
+    import graft.ops.Pq
+    val label = Pq.codebooks(emb, m = 4, dim = 64)
+    val trained = Pq.codebooksLloyd(emb, m = 4, dim = 64, k = 10, iters = 3)
+    val eLabel = Pq.reconstructionErrorQ(emb, label, m = 4, dim = 64)
+    val eTrained = Pq.reconstructionErrorQ(emb, trained, m = 4, dim = 64)
+    println(s"SIM pq recon error: label=$eLabel trained=$eTrained")
+    // Lloyd optimizes exactly this objective; label means are arbitrary
+    // partitions of weak clusters
+    assert(eTrained < eLabel,
+      s"training did not improve the quantizer: $eTrained vs $eLabel")
+    // trained codebooks satisfy the dense-code contract end to end
+    assert(Pq.encode(emb, trained, m = 4, dim = 64).count() === emb.count())
+  }
+
   test("multi-table LSH near-dup: exact precision, usable recall") {
     val threshold = 0.25
     val exact = Similarity.nearDupPairsBrute(emb, threshold)
