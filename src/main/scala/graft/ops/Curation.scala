@@ -381,6 +381,10 @@ object Curation {
           transform(sequence(lit(0), size(col("__toks")) - n),
             i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("span"))
+      // feeds the span-frequency aggregate AND the per-doc join: persist
+      // or the tokenize+explode+span-string build runs twice (released
+      // by the caller's clearCache, like the sketch persists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = spans.groupBy("span")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
