@@ -52,17 +52,24 @@ object Retrieval {
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
       .filter(col("term").isin(allTerms: _*))
+    // tiny (≤ docs × |query terms| rows) but fed by the corpus explode,
+    // and consumed by BOTH the df(term) aggregate and the scoring join —
+    // persist so the corpus pass behind it runs once (released by the
+    // caller's clearCache, like the sketch persists)
     val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus stats: N and avgdl over ALL docs (one global agg, 1 row);
-    // df(term) over the tf table (<= |terms| rows)
+    // df(term) over the tf table (<= |terms| rows). One row, two
+    // consumers (idf + scoring), one tokenize pass behind it: persist.
     val stats = df
       .withColumn("__toks", TextMetrics.tokens(col(textCol)))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("__toks")).cast("long")).as("sum_dl"))
       .withColumn("avgdl_q", floor(col("sum_dl").cast("double") * 10000.0d /
         col("n_docs").cast("double")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTerm = tf.groupBy("term").agg(countDistinct(col(idCol)).as("df_t"))
 
     // idf_q = floor(1e4 * ln(1 + (N - df + 0.5)/(df + 0.5))) — the
