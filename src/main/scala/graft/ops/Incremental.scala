@@ -38,7 +38,13 @@ object Incremental {
     def fps(df: DataFrame): DataFrame =
       df.select(col(idCol),
         md5(coalesce(col(textCol), lit(""))).as("fingerprint"))
+    // the diff feeds BOTH union branches: persist the (id, status)
+    // sliver — ids only, never text — or each branch re-scans and
+    // re-fingerprints both snapshots (released by the caller's
+    // clearCache, like every multi-consumer frame in the engine)
     val d = SnapshotDiff.diff(fps(prev), fps(cur), idCol)
+      .select(col(idCol), col("status"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val todo = d.filter(col("status").isin("added", "changed"))
       .select(idCol)
     val keep = d.filter(col("status") === "unchanged").select(idCol)

@@ -43,6 +43,11 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    if (n == 0) {
+      // empty graph: empty result, not a driver-side division by zero
+      nodes.unpersist(blocking = false)
+      return nodes.withColumn("rank_q", lit(0L))
+    }
     val outW = e.groupBy("src").agg(sum("w").as("ww"))
     val share = e.join(outW, Seq("src"))
       .select(col("src"), col("dst"),

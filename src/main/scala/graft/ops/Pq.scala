@@ -83,8 +83,12 @@ object Pq {
         staged.select(col("vec_id"),
           slice(col("__vn"), lit(mi * sub + 1), lit(sub)).as("embedding")),
         k, iters)
-      cents.collect().map(r => (mi, r.getInt(0),
-        r.getSeq[Long](1).map(_.toDouble / KMeans.Quant)))
+      // a cluster can empty out during iteration (data-dependent, not
+      // just init): re-index the surviving centroids densely 0..len-1
+      // so the positional ADC contract always holds
+      cents.collect().sortBy(_.getInt(0)).zipWithIndex.map { case (r, code) =>
+        (mi, code, r.getSeq[Long](1).map(_.toDouble / KMeans.Quant))
+      }
     }
     staged.unpersist(blocking = false)
     rows.toDF("m_idx", "code", "cv")
@@ -108,7 +112,8 @@ object Pq {
     }.reduce(_ + _)
     emb.select(normalized(asDouble(col("embedding"))).as("__vn"))
       .select(perVec.as("e"))
-      .agg(sum("e")).collect()(0).getLong(0)
+      .agg(coalesce(sum("e"), lit(0L))) // empty corpus → 0, not a null NPE
+      .collect()(0).getLong(0)
   }
 
   /** Encode against an explicit codebook table (label-mean or

@@ -466,8 +466,15 @@ object DocQueries {
     * border-free (PhraseHitsSpec enforces that precondition).
     */
   val phraseHitsSql: String = {
+    // SQL-escape quotes; divide by CODEPOINT count (DuckDB length()),
+    // not UTF-16 units — an astral-plane phrase would otherwise divide
+    // by the wrong length and miscount silently
     def listSql(phrases: Seq[String]): String = phrases
-      .map(p => s"CAST((length(t) - length(replace(t, '$p', ''))) // ${p.length} AS BIGINT)")
+      .map { p =>
+        val esc = p.replace("'", "''")
+        val cp = p.codePointCount(0, p.length)
+        s"CAST((length(t) - length(replace(t, '$esc', ''))) // $cp AS BIGINT)"
+      }
       .mkString("(", " + ", ")")
     val lists = graft.plans.PhraseHits.Profiles("boilerplate")
     s"""WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents)
