@@ -140,4 +140,24 @@ class SinksSpec extends SparkTestBase {
     assert(pf.contains("split") && pf.contains("train"),
       s"split=train not pruned at the partition level:\n$p")
   }
+
+  test("upsertPartitions overwrites only the incoming partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val full = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1))
+      .toDF("id", "v", "shard")
+    Sinks.writePartitionedParquet(full, dir, Seq("shard"))
+    // upsert shard 1 only: new content, one extra row
+    val delta = Seq((3L, "c2", 1), (4L, "d2", 1), (5L, "e", 1))
+      .toDF("id", "v", "shard")
+    Sinks.upsertPartitions(delta, dir, Seq("shard"))
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // shard 0 untouched, shard 1 fully replaced
+    assert(back === Set((1L, "a", 0), (2L, "b", 0),
+      (3L, "c2", 1), (4L, "d2", 1), (5L, "e", 1)))
+    // the conf is restored afterwards (session-global setting)
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+  }
 }
