@@ -49,6 +49,27 @@ class PhraseHitsSpec extends SparkTestBase {
     assert(got.toSeq === texts.map(t => bruteCounts(t, lists)))
   }
 
+  test("seeded fuzz: kernel matches brute force on phrase-fragment soup") {
+    val lists = PhraseHits.Profiles("boilerplate")
+    val phrases = lists.flatten
+    // pieces chosen to stress fail links: full phrases, proper prefixes
+    // (walk deep then fail), suffixes, overlapping glue, unicode noise
+    val pieces: Vector[String] =
+      (phrases ++ phrases.map(p => p.take(p.length / 2)) ++
+        phrases.map(p => p.drop(p.length / 2)) ++
+        Seq(" ", "", "x", "click", "policy", "©", "中", "\n")).toVector
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => pieces(rnd.nextInt(pieces.size))).mkString
+    }
+    val got = texts.toDF("t")
+      .select(PhraseHits(col("t"), "boilerplate").as("h"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    texts.zip(got).foreach { case (t, counts) =>
+      assert(counts === bruteCounts(t, lists), s"mismatch on: $t")
+    }
+  }
+
   test("SQL surface, null propagation, and non-literal profile rejection") {
     GraftFunctions.register(spark)
     val viaSql = spark
