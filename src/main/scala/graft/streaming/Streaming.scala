@@ -293,6 +293,26 @@ object Streaming {
           .as("approx_dup_mass"))
   }
 
+  /** Stream-static ANN scoring: cosine of each arriving embedding
+    * against a broadcast query/probe set, keeping matches above
+    * `threshold` — the live duplicate/contamination probe for an
+    * embedding ingest stream (score new vectors against known
+    * benchmarks or canonical docs as they land). Stateless — a pure
+    * projection + filter per micro-batch; the probe set is the static
+    * side, so no state store and no watermark are needed.
+    */
+  def scoreAgainstProbes(emb: DataFrame, probes: DataFrame,
+                         threshold: Double = 0.9): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").cast("array<double>").as("pv")))
+    e.join(p, col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", graft.plans.CosineSimilarity(col("v"), col("pv")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id", "probe_id", "cosine")
+  }
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def eventsTumbling(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

@@ -117,5 +117,14 @@ class DupClustersSpec extends SparkTestBase {
     val ranks = graft.ops.PageRank.ranks(star, iters = 3)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert((1 to 6).forall(i => ranks("hub") > ranks(s"s$i")))
+    // mass: floor-only arithmetic never creates rank — total stays at or
+    // under the Quant budget on a dangling-free cycle, within n ticks of
+    // it (one floor per node per term)
+    val cycle = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight")
+    val total = graft.ops.PageRank.ranks(cycle, iters = 4)
+      .collect().map(_.getLong(1)).sum
+    assert(total <= graft.ops.PageRank.Quant)
+    assert(total >= graft.ops.PageRank.Quant - 3 * 4) // ≤ n ticks lost/round
   }
 }

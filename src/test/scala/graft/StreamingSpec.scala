@@ -274,6 +274,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static ANN probe scoring flags only above-threshold arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = Seq((100L, Array(1.0, 0.0)), (101L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Array[Double])]
+    val stream = Streaming.scoreAgainstProbes(
+      in.toDF().toDF("vec_id", "embedding"), probes, threshold = 0.9)
+    val q = stream.writeStream.format("memory").queryName("probescore")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, Array(0.99, 0.1)), // near probe 100
+        (2L, Array(0.7, 0.7)), // ~45° from both: below threshold
+        (3L, Array(0.05, -0.9))) // near -probe101: cosine negative
+      q.processAllAvailable()
+      val rows = spark.table("probescore").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("intake monitor: per-window doc/token/blank/dup accounting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
