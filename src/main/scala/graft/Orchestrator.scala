@@ -95,6 +95,56 @@ object Orchestrator {
     cur
   }
 
+  /** Incremental run over a previous completed run's outputs — the
+    * reference's cost profile makes the split obvious: text processing
+    * (stages 2–3) dominated its wall clock ~40:1 over dedup, and those
+    * stages are row-local, so they run through
+    * [[graft.ops.Incremental.processDelta]] against the previous v1/v3
+    * parquets (unchanged docs carry forward, only the crawl delta pays
+    * the scalar pipeline), while the genuinely corpus-global stages
+    * (dedup → shard) re-run in full over the merged v3 — cheap by that
+    * same profile.
+    *
+    * Provenance semantics: carried-forward rows keep their ORIGINAL
+    * ingest_seq, so established documents keep winning keep-first dedup
+    * against newly-arrived duplicates; order-derived artifacts
+    * (shard_id) therefore follow this run's seq interleaving, not a
+    * from-scratch run's. v2 and the per-stage dropped audits of the
+    * delta prefix are not materialized in this mode (the trade for not
+    * rescanning the corpus); run the full mode when audits are needed.
+    */
+  def incrementalRun(spark: SparkSession, prevDir: String, outDir: String,
+                     rawCur: DataFrame, dropPii: Boolean = false): DataFrame = {
+    val prevV1 = spark.read.parquet(versionPath(prevDir, 1))
+    val prevV3 = spark.read.parquet(versionPath(prevDir, 3))
+    Pipeline.ingest(rawCur).write.mode("overwrite")
+      .parquet(versionPath(outDir, 1))
+    val curV1 = spark.read.parquet(versionPath(outDir, 1))
+    val rowLocal: DataFrame => DataFrame = df =>
+      Filters.kept(Pipeline.deepCleanAndPii(
+        Filters.kept(Pipeline.cleanAndFilter(df)), dropPii))
+    graft.ops.Incremental.processDelta(curV1, prevV1, prevV3, rowLocal)
+      .write.mode("overwrite").parquet(versionPath(outDir, 3))
+    var cur = spark.read.parquet(versionPath(outDir, 3))
+    val counts = Seq.newBuilder[(String, Long, Long)]
+    counts += (("v3:incremental_prefix", cur.count(), -1L))
+    stages(dropPii).dropWhile(_._1 < 4).foreach { case (v, name, fn) =>
+      val out = fn(cur)
+      Filters.kept(out).write.mode("overwrite").parquet(versionPath(outDir, v))
+      Filters.dropped(out).write.mode("overwrite").parquet(droppedPath(outDir, v))
+      cur = spark.read.parquet(versionPath(outDir, v))
+      counts += ((s"v$v:$name", cur.count(),
+        spark.read.parquet(droppedPath(outDir, v)).count()))
+    }
+    val summary = {
+      import spark.implicits._
+      counts.result().toDF("stage", "kept", "dropped")
+    }
+    Sinks.writeMetricsJson(Map("stages" -> summary),
+      s"$outDir/run_summary.json")
+    cur
+  }
+
   /** CLI parity with the reference's `python run_pipeline.py` entry:
     *
     *   sbt "runMain graft.Orchestrator <sfDir> <outDir> [fromVersion]"

@@ -98,4 +98,34 @@ class OrchestratorSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(resumed === original)
   }
+
+  test("incremental run matches a from-scratch run on content columns") {
+    // snapshot B = A with the tail third dropped and fresh docs added
+    // (doc_id is content-addressed, so an edited doc IS a remove+add)
+    val rawA = Pipeline.fromDocuments(Tables.documents(spark, sfDir))
+      .select("url", "text")
+    val keepIds = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    val rawB = Pipeline.fromDocuments(
+      Tables.documents(spark, sfDir).join(keepIds, Seq("doc_id"), "left_semi")
+        .unionByName(Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 3 === 0).limit(30)
+          .withColumn("text", concat(lit("fresh revision: "), coalesce(col("text"), lit(""))))
+          .withColumn("doc_id", col("doc_id") + 1000000L)))
+      .select("url", "text")
+    val prevDir = Files.createTempDirectory("graft-inc-prev").toString
+    Orchestrator.run(spark, prevDir, raw = Some(rawA))
+    val incDir = Files.createTempDirectory("graft-inc-out").toString
+    val incr = Orchestrator.incrementalRun(spark, prevDir, incDir, rawB)
+    val fullDir = Files.createTempDirectory("graft-inc-full").toString
+    Orchestrator.run(spark, fullDir, raw = Some(rawB))
+    // content columns must agree; seq-derived artifacts (shard_id,
+    // global_seq) legitimately follow each run's ingest interleaving
+    val cols = Seq("doc_id", "lang_pred", "token_count", "has_pii",
+      "quality_score", "subset", "n_tokens")
+    val a = incr.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(Orchestrator.versionPath(fullDir, 7))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
