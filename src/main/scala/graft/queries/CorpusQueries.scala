@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{SnapshotDiff, Vocab}
+import graft.ops.{Retrieval, SnapshotDiff, Vocab}
+import graft.text.LangId
 
 /** Corpus lifecycle + vocabulary-statistics queries: snapshot diffing
   * for incremental builds, tokenizer-vocabulary coverage, and
@@ -72,6 +73,43 @@ object CorpusQueries {
        |    / CAST(tk.n_tokens AS DOUBLE) AS oov_rate
        |FROM tk LEFT JOIN v ON tk.tok = v.tok
        |GROUP BY tk.doc_id, tk.n_tokens""".stripMargin
+  }
+
+  // ---- q_lang_segments: code-switching detection -----------------------
+
+  /** Segment-level language mix: language-ID over the q_passages
+    * chunking (32-token windows, stride 16 — the oracle reuses that
+    * query's SQL verbatim, so window geometry is shared by
+    * construction), aggregated per document. Doc-level lang-ID
+    * averages a mixed document into one label, while monolingual
+    * training data needs the mix FLAGGED. Composes two oracle-checked
+    * operators (passages × langid); the only corpus shuffle is the
+    * per-doc aggregate.
+    */
+  def langSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = Retrieval.passages(Tables.documents(s, dir),
+      window = RetrievalQueries.PassageWindow,
+      stride = RetrievalQueries.PassageStride)
+    LangId.withLangColumns(segs, col("passage"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_english"),
+        countDistinct(col("lang_pred")).as("n_langs"))
+      .withColumn("mixed", col("n_langs") > 1)
+  }
+
+  val langSegmentsSql: String = {
+    val (pred, _) = LangId.duckdbExprs("passage")
+    // passagesSql interpolates AFTER stripMargin: its `|| [...]` line
+    // would otherwise lose a pipe to the outer margin stripper
+    val tail =
+      s"""l AS (SELECT doc_id, $pred AS lang_pred FROM p)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+         |  CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+         |  count(DISTINCT lang_pred) > 1 AS mixed
+         |FROM l GROUP BY doc_id""".stripMargin
+    s"WITH p AS (\n${RetrievalQueries.passagesSql}\n),\n$tail"
   }
 
   // ---- q_bigram_lift: top collocations by lift -------------------------

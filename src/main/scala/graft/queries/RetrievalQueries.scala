@@ -119,8 +119,8 @@ object RetrievalQueries {
 
   // ---- q_passages: overlapping passage extraction -----------------------
 
-  private val PassageWindow = 32
-  private val PassageStride = 16
+  val PassageWindow = 32
+  val PassageStride = 16
 
   def passages(s: SparkSession, dir: String): DataFrame =
     Retrieval.passages(Tables.documents(s, dir), idCol = "doc_id",

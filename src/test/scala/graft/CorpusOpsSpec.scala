@@ -102,6 +102,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(short === Seq(("11", 1L, 3L, "a b c")))
   }
 
+  test("langSegments flags the code-switched doc, not the monolingual one") {
+    val en = ("the quick brown fox and the lazy dog that was not there " * 4).trim
+    val de = ("der schnelle braune fuchs und der faule hund der nicht da war " * 4).trim
+    val docs = Seq(
+      ("1", s"$en $de"), // ~48 EN tokens then ~48 DE tokens -> mixed
+      ("2", s"$en $en")) // monolingual, same length
+      .toDF("doc_id", "text")
+    val segs = graft.ops.Retrieval.passages(docs, window = 32, stride = 32)
+    val out = graft.text.LangId.withLangColumns(segs, col("passage"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("lang_pred")).as("n_langs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("1") > 1L, s"code-switched doc not flagged: $out")
+    assert(out("2") === 1L, s"monolingual doc flagged: $out")
+  }
+
   test("dataCard: one-row intake summary with exact dup and empty accounting") {
     val docs = Seq(
       ("1", "a b c", "s1", "en"),
