@@ -112,6 +112,50 @@ object CorpusQueries {
     s"WITH p AS (\n${RetrievalQueries.passagesSql}\n),\n$tail"
   }
 
+  // ---- q_toxic_segments: span-level toxicity localization --------------
+
+  /** Toxicity per q_passages segment, aggregated per document: where a
+    * doc-level score can only DROP a long document over one bad
+    * paragraph, segment scores localize it — keep the doc, excise the
+    * span (the redaction-not-rejection curation move). Shares the
+    * passages geometry with the oracle verbatim, like langSegments.
+    */
+  def toxicSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = Retrieval.passages(Tables.documents(s, dir),
+      window = RetrievalQueries.PassageWindow,
+      stride = RetrievalQueries.PassageStride)
+    graft.text.Toxicity.withToxicityColumns(segs, col("passage"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("toxicity") >= 0.5, 1L).otherwise(0L)).as("n_toxic"),
+        max(col("toxicity")).as("max_toxicity"))
+      .withColumn("redactable",
+        col("n_toxic") > 0 && col("n_toxic") * 4 <= col("n_segments"))
+  }
+
+  val toxicSegmentsSql: String = {
+    def strList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+    val toks = "regexp_extract_all(lower(coalesce(passage, '')), '\\w+')"
+    def hits(ws: Seq[String]) =
+      s"CAST(len(list_filter($toks, x -> list_contains(${strList(ws)}, x))) AS DOUBLE)"
+    val n = s"CAST(greatest(1, len($toks)) AS DOUBLE)"
+    val tox = s"""least(1.0, (${hits(graft.text.Toxicity.BadWords)}
+      | + ${hits(graft.text.Toxicity.InsultWords)}
+      | + ${hits(graft.text.Toxicity.ThreatWords)}
+      | + ${hits(graft.text.Toxicity.SexualWords)}
+      | + ${hits(graft.text.Toxicity.SlurWords)}) / $n * 5.0)"""
+      .stripMargin.replace("\n", " ")
+    val tail =
+      s"""l AS (SELECT doc_id, $tox AS toxicity FROM p)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN toxicity >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_toxic,
+         |  max(toxicity) AS max_toxicity,
+         |  sum(CASE WHEN toxicity >= 0.5 THEN 1 ELSE 0 END) > 0 AND
+         |    sum(CASE WHEN toxicity >= 0.5 THEN 1 ELSE 0 END) * 4 <= count(*) AS redactable
+         |FROM l GROUP BY doc_id""".stripMargin
+    s"WITH p AS (\n${RetrievalQueries.passagesSql}\n),\n$tail"
+  }
+
   // ---- q_bigram_lift: top collocations by lift -------------------------
 
   private val LiftMinCount = 5L

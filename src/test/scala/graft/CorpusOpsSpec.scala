@@ -118,6 +118,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out("2") === 1L, s"monolingual doc flagged: $out")
   }
 
+  test("toxicSegments localizes one bad span inside a long clean doc") {
+    val bad = graft.text.Toxicity.BadWords.take(8).mkString(" ")
+    val cleanSeg = (1 to 32).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // 4+ clean segments then one toxic one: redactable
+      ("1", s"$cleanSeg $cleanSeg $cleanSeg $cleanSeg $bad $bad $bad $bad"),
+      ("2", cleanSeg)) // fully clean
+      .toDF("doc_id", "text")
+    val segs = graft.ops.Retrieval.passages(docs, window = 32, stride = 32)
+    val out = graft.text.Toxicity.withToxicityColumns(segs, col("passage"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("toxicity") >= 0.5, 1L).otherwise(0L)).as("n_toxic"),
+        count(lit(1)).as("n_segments"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nToxic1, nSeg1) = out("1")
+    assert(nToxic1 >= 1L && nToxic1 * 4 <= nSeg1,
+      s"bad span not localized/redactable: $out")
+    assert(out("2")._1 === 0L)
+  }
+
   test("dataCard: one-row intake summary with exact dup and empty accounting") {
     val docs = Seq(
       ("1", "a b c", "s1", "en"),
