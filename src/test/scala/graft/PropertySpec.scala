@@ -213,6 +213,27 @@ class PropertySpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("TopK.perQuery is partition-order-proof under ties") {
+    import spark.implicits._
+    // heavy ties: scores drawn from 3 distinct values across 60 rows
+    // per query — exactly the case where a merge-order bug shows
+    val rows = for {
+      q <- 0L until 4L
+      i <- 0L until 60L
+    } yield (q, i, (i % 3).toDouble / 10.0)
+    val base = rows.toDF("query_id", "vec_id", "cosine")
+    def run(parts: Int, seed: Long) = graft.ops.TopK.perQuery(
+      base.orderBy(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.lit(seed), col("vec_id")))
+        .repartition(parts), k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val ref = run(1, 0L)
+    Seq((3, 1L), (16, 2L), (2, 3L)).foreach { case (p, s) =>
+      assert(run(p, s) === ref, s"TopK diverged at $p partitions seed $s")
+    }
+  }
+
   test("passages tile every token and never exceed the window") {
     import spark.implicits._
     // doc i has i tokens, sweeping all window/stride boundary cases
