@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time" banner would otherwise follow our
+// final JSON line inside the driver's tail-capture window, and sbt's
+// logger would decorate every forked-stdout line with an "[info] "
+// prefix that breaks a strict JSON parse of that line.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
