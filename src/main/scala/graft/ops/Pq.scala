@@ -132,18 +132,27 @@ object Pq {
     * enforced loudly here rather than assumed.
     */
   private def codebookLiteral(cb: DataFrame, m: Int): Column = {
+    import org.apache.spark.sql.types._
     val rows = cb.collect()
-    array((0 until m).map { mi =>
+    // One Literal node for the whole m×k×(d/m) table. The
+    // array(struct(lit..)) tree form this replaces put ~m·k·(d/m)
+    // expression nodes into EVERY use site — encode references the
+    // codebook once per subspace column, so the analyzed plan carried
+    // m× that tree and Janino compiled all of it (~2 s of the measured
+    // q_pq_encode time at m=16, k=10, d=64).
+    val value: Seq[Seq[org.apache.spark.sql.Row]] = (0 until m).map { mi =>
       val sub = rows.filter(_.getInt(0) == mi).sortBy(_.getInt(1))
       val codes = sub.map(_.getInt(1)).toSeq
       require(codes == (0 until sub.length),
         s"PQ codebook codes must be dense 0..k-1 per subspace " +
           s"(subspace $mi has $codes); remap labels before building codebooks")
-      array(sub.map { r =>
-        struct(lit(r.getInt(1)).as("code"),
-          array(r.getSeq[Double](2).map(lit(_)): _*).as("cv"))
-      }: _*)
-    }: _*)
+      sub.toSeq.map(r => org.apache.spark.sql.Row(r.getInt(1), r.getSeq[Double](2)))
+    }
+    val dt = ArrayType(ArrayType(StructType(Seq(
+      StructField("code", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false), containsNull = false)
+    org.apache.spark.sql.GraftSqlBridge.literal(value, dt)
   }
 
   /** Native codegen'd left-to-right squared-L2 fold

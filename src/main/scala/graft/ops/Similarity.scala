@@ -128,11 +128,18 @@ object Similarity {
     * that buys nothing a map-side argmax doesn't.
     */
   private def centroidLiteral(centDf: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    // One Literal node for the whole k×d table (vs a CreateArray/
+    // CreateStruct tree with one node per double — see
+    // GraftSqlBridge.literal).
     val rows = centDf.collect().sortBy(_.getInt(0))
-    array(rows.map { r =>
-      struct(lit(r.getInt(0)).as("label"),
-        array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"))
-    }: _*)
+    val value = rows.toSeq.map(r =>
+      org.apache.spark.sql.Row(r.getInt(0), r.getSeq[Double](1)))
+    val dt = ArrayType(StructType(Seq(
+      StructField("label", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false)
+    org.apache.spark.sql.GraftSqlBridge.literal(value, dt)
   }
 
   /** Map-side argmax over the centroid literal: max of

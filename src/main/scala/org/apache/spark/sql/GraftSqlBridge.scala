@@ -11,6 +11,19 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A complex-typed value (nested Seq/Row) as ONE literal node.
+    * `functions.array(functions.struct(lit(..)))` builds a
+    * CreateArray/CreateStruct tree with one node per leaf — a k×d
+    * centroid table becomes thousands of expression nodes, and any
+    * operator folding over it per row drags that whole tree through
+    * analysis and codegen (and Janino pays per node, per use site).
+    * `Literal.create` converts the value up front; downstream
+    * `element_at`/`transform` read the converted ArrayData directly.
+    */
+  def literal(value: Any, dataType: org.apache.spark.sql.types.DataType): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(value, dataType))
+
   /** Wrap a custom logical plan as a DataFrame (runs the analyzer — the
     * standard entry point extension libraries use for custom operators).
     */
