@@ -478,4 +478,47 @@ object Curation {
         (col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
   }
+
+  /** Keyword-list topic bucketing (WebOrganizer-style domain
+    * classification, reduced to its deterministic keyword core): per
+    * topic, count token occurrences from the topic's keyword list;
+    * assign the argmax topic, declared order breaking ties, `unlabeled`
+    * when no list hits at all. The per-topic mixture table this feeds
+    * (group by topic) is how curation recipes rebalance a crawl toward
+    * target domains.
+    *
+    * Scale shape: the token array is staged once as a real column
+    * (inline HOF lambdas block subexpression elimination — the
+    * Toxicity lesson), then every topic count plus the argmax is one
+    * shuffle-free codegen'd pass. The argmax is the same
+    * array_max-over-structs fold as IVF's bestCentroid: max of
+    * (hits, -declared_idx, topic) ranks exactly like a first-match-wins
+    * CASE over `hits >= all later hits`.
+    */
+  val Topics: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Seq("join", "scan", "filter", "table"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "vector" -> Seq("vector", "hash", "key"),
+    "queries" -> Seq("query", "sort", "group", "agg"))
+
+  def topicAssign(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  topics: Seq[(String, Seq[String])] = Topics): DataFrame = {
+    val staged = df.select(col(idCol),
+      TextMetrics.tokens(col(textCol)).as("__toks"))
+    val withHits = topics.foldLeft(staged) { case (d, (name, words)) =>
+      d.withColumn(s"hits_$name",
+        size(filter(col("__toks"), t => array_contains(typedlit(words), t))).cast("long"))
+    }
+    val packed = array(topics.zipWithIndex.map { case ((name, _), i) =>
+      struct(col(s"hits_$name").as("hits"), lit(-i).as("neg_idx"),
+        lit(name).as("topic"))
+    }: _*)
+    val best = array_max(packed)
+    withHits
+      .withColumn("topic", when(best.getField("hits") === 0, lit("unlabeled"))
+        .otherwise(best.getField("topic")))
+      .withColumn("topic_hits", best.getField("hits"))
+      .drop("__toks")
+  }
 }

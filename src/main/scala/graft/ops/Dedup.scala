@@ -132,4 +132,69 @@ object Dedup {
           "exact_duplicate").otherwise(col("drop_reason")))
       .drop("__seen_hash", "__seen_id")
   }
+
+  /** Within-document repeated-segment removal, keeping each segment's
+    * first occurrence in reading order (the intra-doc counterpart of
+    * [[Curation.lineDedup]]'s corpus-frequency removal — C4 applies
+    * both: a nav bar repeated inside one page is noise even if no other
+    * document shares it).
+    *
+    * Pure per-row array work: keep-first is
+    * `filter(segs, (s, i) -> array_position(segs, s) == i+1)` — the
+    * first occurrence is the only index where position-of-first-match
+    * equals own index. O(n²) comparisons per row on segment counts
+    * (tens, not thousands — segments, not tokens), zero shuffles, stays
+    * in whole-stage codegen; at 100 TB this costs exactly one pass like
+    * every other scalar stage.
+    */
+  def intraDedup(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 segLen: Int = Curation.LineDedupSegLen): DataFrame = {
+    val staged = df.select(col(idCol),
+      Curation.segments(graft.text.TextMetrics.tokens(col(textCol)), segLen).as("__segs"))
+    val kept = filter(col("__segs"),
+      (s, i) => array_position(col("__segs"), s) === (i + lit(1)))
+    staged
+      .withColumn("n_segs", size(col("__segs")).cast("long"))
+      .withColumn("__kept", kept)
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("clean_md5", md5(array_join(col("__kept"), " ")))
+      .drop("__segs", "__kept")
+  }
+
+  /** Corpus novelty curve — the "is new data still new?" report that
+    * decides when a crawl source is mined out: bucket the corpus into
+    * ingest batches, credit each distinct content hash to the batch
+    * where it FIRST appears, and report per batch how many of its rows
+    * are first sightings. A falling novelty rate is the signal to
+    * retire a source (or raise its dedup aggressiveness) before paying
+    * to process another 10 TB of it.
+    *
+    * Scale shape: ONE corpus scan and ONE corpus-keyed shuffle — the
+    * (hash, batch) count aggregate (map-side partial combine) — whose
+    * persisted output is at most rows-sized and feeds both downstream
+    * aggregates: per-batch totals directly, and min-batch-per-hash →
+    * per-batch first-sighting counts. The final join touches two
+    * batch-keyed slivers (rows = number of batches). Nothing
+    * corpus-sized is ever joined or broadcast. (The persist is released
+    * by the caller's clearCache, like the sketch caches.)
+    */
+  def noveltyCurve(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   batchSize: Int = 100): DataFrame = {
+    val counts = df.select(
+        floor(col(idCol) / batchSize).cast("long").as("batch"),
+        md5(coalesce(col(textCol), lit(""))).as("__h"))
+      .groupBy("__h", "batch").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy("batch").agg(sum("n").as("n_docs"))
+    val novel = counts.groupBy("__h").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_q",
+        floor(col("n_novel").cast("double") * 10000.0 /
+          col("n_docs").cast("double")).cast("long"))
+  }
 }

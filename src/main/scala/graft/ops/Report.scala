@@ -202,4 +202,39 @@ object Report {
         (lit(1.0) - col("n_distinct_texts").cast("double")
           / col("n_docs").cast("double")).as("dup_rate"))
   }
+
+  /** Per-shard HLL sketches + a merged corpus estimate — the
+    * pre-aggregation pattern for distinct counts at 100 TB: each shard
+    * (here: source) reduces to a few-KB Datasketches HLL blob once, and
+    * every later corpus-wide distinct question is answered by merging
+    * blobs (`hll_union_agg`) WITHOUT rescanning the shard — mergeability
+    * is the property `approx_count_distinct`'s opaque internal sketch
+    * doesn't expose. Output: one row per group plus a `__all__` row
+    * whose estimate comes from the union of the per-group sketches —
+    * within standard HLL relative error of the exact count (the union
+    * gadget promotes exact list-mode sketches to estimating HLL mode,
+    * so it is NOT bit-identical to one global sketch; accuracy is
+    * spec-pinned instead).
+    *
+    * Scale shape: one keyed aggregate (partial sketches merge
+    * map-side); the union agg folds rows = number of groups. In a
+    * production layout the `sk` blob column itself is what you persist
+    * alongside each shard's parquet.
+    */
+  def sketchDistinct(df: DataFrame, keyCol: String,
+                     groupCol: String): DataFrame = {
+    val perGroup = df
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"),
+        count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = perGroup.select(col("group"), col("n_rows"),
+      hll_sketch_estimate(col("sk")).as("n_distinct_est"))
+    val all = perGroup
+      .agg(sum("n_rows").as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_distinct_est"))
+      .select(lit("__all__").as("group"), col("n_rows"),
+        col("n_distinct_est"))
+    per.unionByName(all)
+  }
 }

@@ -210,4 +210,52 @@ object Retrieval {
         concat_ws(" ", slice(col("__toks"), col("start"), lit(window)))
           .as("passage"))
   }
+
+  val RrfK = 60
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * rankings — the standard hybrid-retrieval combiner (lexical BM25 ⊕
+    * embedding ANN) for retrieval-based curation: rank-only fusion
+    * needs no score normalization across incommensurable scorers.
+    * Score = Σ floor(1e6 / (rrfK + rank)) over the rankings listing the
+    * doc, an integer so cross-engine float drift can't reorder ties;
+    * absent rankings contribute 0 (and report rank 0).
+    *
+    * Scale shape: both inputs are already top-k bounded (|Q|·k rows —
+    * the expensive corpus work happened inside their own scale-safe
+    * plans), so the fusion is a full-outer join and a bounded-heap
+    * re-rank over sliver-sized frames; the rank-detail join-back is a
+    * broadcast of the fused top-k itself.
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+              rrfK: Int = RrfK): DataFrame = {
+    def contrib(rank: Column): Column =
+      floor(lit(1000000.0) / (lit(rrfK) + rank.cast("double"))).cast("long")
+    val l = lex.select(col("query_id"), col("id").as("doc_id"),
+      col("rank").as("lex_rank"))
+    val v = vec.select(col("query_id").as("vq"), col("id").as("vd"),
+      col("rank").as("vec_rank"))
+    val fused = l.join(v,
+        l("query_id") === v("vq") && l("doc_id") === v("vd"), "full_outer")
+      .select(
+        coalesce(col("query_id"), col("vq")).as("query_id"),
+        coalesce(col("doc_id"), col("vd")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).cast("long").as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).cast("long").as("vec_rank"))
+      .withColumn("rrf_q",
+        when(col("lex_rank") > 0, contrib(col("lex_rank"))).otherwise(lit(0L)) +
+          when(col("vec_rank") > 0, contrib(col("vec_rank"))).otherwise(lit(0L)))
+    val ranked = TopK.perQuery(
+      fused.select(col("query_id"), col("doc_id").as("vec_id"),
+        col("rrf_q").cast("double").as("cosine")), k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("cosine").cast("long").as("rrf_q"), col("rank"))
+    // explicit renames: ranked's lineage passes through fused, so a
+    // USING-join on the shared names could resolve ambiguously
+    val detail = fused.select(col("query_id").as("dq"), col("doc_id").as("dd"),
+      col("lex_rank"), col("vec_rank"))
+    ranked.join(broadcast(detail),
+        col("query_id") === col("dq") && col("doc_id") === col("dd"))
+      .select("query_id", "rank", "doc_id", "rrf_q", "lex_rank", "vec_rank")
+  }
 }

@@ -447,4 +447,72 @@ object CurationQueries {
        |  CAST(p.n_shared AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS overlap
        |FROM p JOIN z za ON za.src = p.src_a
        |       JOIN z zb ON zb.src = p.src_b""".stripMargin
+
+  // ---- q_topic_assign: keyword-list topic bucketing ---------------------
+
+  def topicAssign(s: SparkSession, dir: String): DataFrame =
+    Curation.topicAssign(Tables.documents(s, dir))
+
+  val topicAssignSql: String = {
+    val names = Curation.Topics.map(_._1)
+    val hitCols = Curation.Topics.map { case (name, words) =>
+      val lst = words.mkString("['", "', '", "']")
+      s"len(list_filter(toks, x -> list_contains($lst, x))) AS hits_$name"
+    }.mkString(",\n|  ")
+    // First-match-wins over "≥ every LATER topic" = argmax with
+    // declared-order tie-break: if arm i fires, hits_i dominates all
+    // later topics, and every earlier arm failed only because some
+    // later topic (≤ hits_i) beat it — so hits_i is the global max.
+    val caseArms = names.zipWithIndex.map { case (n, i) =>
+      val laters = names.drop(i + 1)
+      if (laters.isEmpty) s"ELSE '$n'"
+      else s"WHEN ${laters.map(m => s"hits_$n >= hits_$m").mkString(" AND ")} THEN '$n'"
+    }.mkString("\n|       ")
+    val top = names.map(n => s"hits_$n").mkString("greatest(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  $hitCols
+       | FROM t)
+       |SELECT doc_id,
+       |  ${names.map(n => s"CAST(hits_$n AS BIGINT) AS hits_$n").mkString(", ")},
+       |  CASE WHEN $top = 0 THEN 'unlabeled'
+       |       $caseArms END AS topic,
+       |  CAST($top AS BIGINT) AS topic_hits
+       |FROM h""".stripMargin
+  }
+
+  // ---- q_intra_dedup: within-doc repeated-segment removal ---------------
+
+  def intraDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.intraDedup(Tables.documents(s, dir))
+
+  val intraDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |sl AS (SELECT doc_id, ${segsSql("toks", Curation.LineDedupSegLen)} AS segs FROM t),
+       |k AS (SELECT doc_id, segs,
+       |  list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept FROM sl)
+       |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  md5(array_to_string(kept, ' ')) AS clean_md5
+       |FROM k""".stripMargin
+
+  // ---- q_novelty_curve: per-batch first-sighting rate -------------------
+
+  val NoveltyBatchSize = 100
+
+  def noveltyCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.noveltyCurve(Tables.documents(s, dir),
+      batchSize = NoveltyBatchSize)
+
+  val noveltyCurveSql: String =
+    s"""WITH b AS (SELECT CAST(floor(doc_id / $NoveltyBatchSize) AS BIGINT) AS batch,
+       |             md5(coalesce(text, '')) AS h FROM documents),
+       |fs AS (SELECT h, min(batch) AS batch FROM b GROUP BY h),
+       |nv AS (SELECT batch, count(*) AS n_novel FROM fs GROUP BY batch),
+       |tt AS (SELECT batch, count(*) AS n_docs FROM b GROUP BY batch)
+       |SELECT tt.batch, CAST(tt.n_docs AS BIGINT) AS n_docs,
+       |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST(floor(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) * 10000.0 /
+       |    CAST(tt.n_docs AS DOUBLE)) AS BIGINT) AS novelty_q
+       |FROM tt LEFT JOIN nv USING (batch)""".stripMargin
 }

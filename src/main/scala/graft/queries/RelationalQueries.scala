@@ -462,4 +462,16 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median_value"),
         count(lit(1)).as("n_events"))
+
+  // ---- q_hll_shards: mergeable per-shard HLL sketches (rows-only) ------
+
+  /** Per-source Datasketches HLL blobs + a `__all__` row whose estimate
+    * merges them (graft.ops.Report.sketchDistinct). Sketch internals are
+    * engine-defined → rows-only driver check; RelationalSpec pins
+    * estimate accuracy and the union-equals-global-sketch mergeability
+    * property.
+    */
+  def hllShards(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Report.sketchDistinct(Tables.documents(s, dir),
+      keyCol = "doc_id", groupCol = "source")
 }

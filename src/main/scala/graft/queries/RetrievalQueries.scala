@@ -31,14 +31,18 @@ object RetrievalQueries {
   def bm25TopK(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Queries, k = Bm25K)
 
-  val bm25TopKSql: String = {
+  /** The BM25 scoring CTE chain (ends at `r`: query_id, doc_id, score_q,
+    * rank) — shared verbatim between q_bm25_topk and q_hybrid_rrf so the
+    * two oracles cannot drift.
+    */
+  private val bm25CtesSql: String = {
     val terms = Bm25Queries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
     val qtRows = Bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
     // expression shapes mirror ops.Retrieval exactly (literal-for-literal:
     // (1.2 + 1.0), not 2.2 — fp constant folding must match Spark's)
-    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
        |d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
        |qt(query_id, term) AS (VALUES $qtRows),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM d
@@ -62,11 +66,67 @@ object RetrievalQueries {
        |r AS (SELECT query_id, doc_id, score_q,
        |        row_number() OVER (PARTITION BY query_id
        |          ORDER BY score_q DESC, doc_id) AS rank
-       |      FROM sc)
+       |      FROM sc)""".stripMargin
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH $bm25CtesSql
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        |  doc_id, CAST(score_q AS BIGINT) AS score_q
        |FROM r WHERE rank <= $Bm25K""".stripMargin
+
+  // ---- q_hybrid_rrf: lexical ⊕ vector reciprocal-rank fusion ------------
+
+  /** Query ids 0..2 exist in BOTH modalities: BM25 over the term lists,
+    * exact cosine over the query doc's embedding (vec_id = doc_id in the
+    * fixture). Each side contributes its top-`HybridPoolK`; RRF fuses to
+    * the final `HybridK`.
+    */
+  val HybridK = 5
+  val HybridPoolK = 10
+  val HybridNQ = 3
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Queries,
+        k = HybridPoolK)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val vec = graft.ops.Similarity.annTopK(Tables.embeddings(s, dir),
+        nQueries = HybridNQ, k = HybridPoolK)
+      .select(col("query_id"), col("vec_id").as("id"), col("rank"))
+    Retrieval.rrfFuse(lex, vec, k = HybridK)
   }
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25CtesSql,
+       |lx AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank
+       |       FROM r WHERE rank <= $HybridPoolK),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $HybridNQ),
+       |vs AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cosine
+       |       FROM qe JOIN e ON vec_id <> query_id),
+       |vrr AS (SELECT query_id, vec_id AS doc_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, vec_id) AS BIGINT) AS vec_rank FROM vs),
+       |vr AS (SELECT * FROM vrr WHERE vec_rank <= $HybridPoolK),
+       |f AS (SELECT coalesce(lx.query_id, vr.query_id) AS query_id,
+       |        coalesce(lx.doc_id, vr.doc_id) AS doc_id,
+       |        coalesce(lx.lex_rank, 0) AS lex_rank,
+       |        coalesce(vr.vec_rank, 0) AS vec_rank
+       |      FROM lx FULL OUTER JOIN vr
+       |        ON lx.query_id = vr.query_id AND lx.doc_id = vr.doc_id),
+       |g AS (SELECT *,
+       |        (CASE WHEN lex_rank > 0
+       |           THEN CAST(floor(1000000.0 / (${Retrieval.RrfK} + lex_rank)) AS BIGINT)
+       |           ELSE 0 END
+       |       + CASE WHEN vec_rank > 0
+       |           THEN CAST(floor(1000000.0 / (${Retrieval.RrfK} + vec_rank)) AS BIGINT)
+       |           ELSE 0 END) AS rrf_q FROM f),
+       |res AS (SELECT query_id,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rank,
+       |          doc_id, rrf_q, lex_rank, vec_rank FROM g)
+       |SELECT query_id, rank, doc_id, rrf_q, lex_rank, vec_rank
+       |FROM res WHERE rank <= $HybridK""".stripMargin
 
   // ---- q_tfidf_terms: per-doc top TF-IDF keyterms -----------------------
 

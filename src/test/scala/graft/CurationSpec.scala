@@ -209,4 +209,53 @@ class CurationSpec extends SparkTestBase {
     assert(rows(4L)._3 === Some("lorem_ipsum") && !rows(4L)._4)
     assert(rows(5L)._3 === Some("brace") && !rows(5L)._4)
   }
+
+  test("topic assign: argmax, declared-order tie-break, unlabeled floor") {
+    val rows = Curation.topicAssign(docsDf(
+      (1L, "join join scan stream"),   // relational 3 > streaming 1
+      (2L, "join stream"),             // 1-1 tie -> declared order: relational
+      (3L, "vector vector sort"),      // vector 2 > queries 1
+      (4L, "foo bar baz"),             // no list hits anywhere
+      (5L, "")))                       // empty text
+      .select("doc_id", "topic", "topic_hits")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) === (("relational", 3L)))
+    assert(rows(2L) === (("relational", 1L)))
+    assert(rows(3L) === (("vector", 2L)))
+    assert(rows(4L) === (("unlabeled", 0L)))
+    assert(rows(5L) === (("unlabeled", 0L)))
+  }
+
+  test("intra dedup: repeated segment dropped, first occurrence kept") {
+    // segLen=10: segs = [s, s, "x y z"] — the verbatim repeat goes, the
+    // first occurrence and the distinct tail stay, in reading order
+    val s10 = "a b c d e f g h i j"
+    val rows = graft.ops.Dedup.intraDedup(docsDf(
+      (1L, s"$s10 $s10 x y z"),
+      (2L, "just a few words")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_md5")))).toMap
+    assert(rows(1L) === ((3L, 2L, md5Hex(s"$s10 x y z"))))
+    assert(rows(2L) === ((1L, 1L, md5Hex("just a few words"))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("novelty curve: first sightings credited to the earliest batch") {
+    val rows = graft.ops.Dedup.noveltyCurve(docsDf(
+      (0L, "A"), (1L, "B"),   // batch 0: both novel
+      (2L, "A"), (3L, "C"),   // batch 1: A is a repeat, C novel
+      (4L, "B"), (5L, "B")),  // batch 2: nothing new
+      batchSize = 2)
+      .collect().map(r => r.getAs[Long]("batch") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_q")))).toMap
+    assert(rows(0L) === ((2L, 2L, 10000L)))
+    assert(rows(1L) === ((2L, 1L, 5000L)))
+    assert(rows(2L) === ((2L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
 }

@@ -321,4 +321,38 @@ class PlanSpec extends SparkTestBase {
     // the O(n²) trap this kernel replaces would show as nested transform()
     assert(!p.contains("transform("), s"HOF gram hashing resurfaced:\n$p")
   }
+
+  test("topic assign / intra dedup: one shuffle-free single-scan pass each") {
+    Seq(graft.queries.CurationQueries.topicAssign(spark, dir),
+      graft.queries.CurationQueries.intraDedup(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row op must not shuffle:\n$p")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    }
+  }
+
+  test("novelty curve: one corpus scan feeds both batch aggregates") {
+    val df = graft.queries.CurationQueries.noveltyCurve(spark, dir)
+    val p = plan(df)
+    // the persisted (hash, batch) count table is the only corpus-keyed
+    // work; both batch-keyed aggregates read it, not the parquet
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("hybrid rrf: ranks via bounded aggregate; detail join broadcasts") {
+    val p = plan(graft.queries.RetrievalQueries.hybridRrf(spark, dir))
+    assert(!p.contains(") Window"),
+      s"per-query window back in a fused ranking:\n$p")
+    assert(p.contains("partial_topkscored"),
+      s"fusion must rank through the bounded heap:\n$p")
+  }
+
+  test("hll shards: sketches partial-aggregate map-side") {
+    val p = plan(graft.queries.RelationalQueries.hllShards(spark, dir))
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"per-shard sketches must combine map-side:\n$p")
+    spark.catalog.clearCache()
+  }
 }

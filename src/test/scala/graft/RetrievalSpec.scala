@@ -86,4 +86,32 @@ class RetrievalSpec extends SparkTestBase {
     val buckets = a.agg(min("bucket"), max("bucket")).collect().head
     assert(buckets.getLong(0) >= 0L && buckets.getLong(1) <= 99L)
   }
+
+  test("rrf fusion: hand-computed scores, absent side contributes zero") {
+    import spark.implicits._
+    // floor(1e6/61)=16393, /62=16129, /63=15873
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 40L, 2L))
+      .toDF("query_id", "id", "rank")
+    val rows = Retrieval.rrfFuse(lex, vec, k = 4)
+      .collect().map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_q"),
+          r.getAs[Long]("lex_rank"), r.getAs[Long]("vec_rank")))).toMap
+    assert(rows(1L) === ((20L, 16129L + 16393L, 2L, 1L))) // both rankings
+    assert(rows(2L) === ((10L, 16393L, 1L, 0L)))          // lex only
+    assert(rows(3L) === ((40L, 16129L, 0L, 2L)))
+    assert(rows(4L) === ((30L, 15873L, 3L, 0L)))
+  }
+
+  test("rrf fusion: score ties break on doc_id, k truncates per query") {
+    import spark.implicits._
+    // q2: two singletons at identical rank-1 scores -> id order decides
+    val lex = Seq((2L, 7L, 1L)).toDF("query_id", "id", "rank")
+    val vec = Seq((2L, 3L, 1L)).toDF("query_id", "id", "rank")
+    val fused = Retrieval.rrfFuse(lex, vec, k = 1).collect()
+    assert(fused.length === 1)
+    assert(fused.head.getAs[Long]("doc_id") === 3L)
+    assert(fused.head.getAs[Long]("rank") === 1L)
+  }
 }
