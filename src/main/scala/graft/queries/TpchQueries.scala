@@ -442,6 +442,43 @@ object TpchQueries {
        | ${DecSumSql("value")} AS session_value
        |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** q_session_window: the same 30-minute gap sessions as [[sessionize]],
+    * through Spark's native `session_window` aggregate instead of the
+    * lag/cumsum window pair — the operator the streaming path uses
+    * unchanged (merge condition: an event within gapDuration of the
+    * session's last event extends it; window end = last event + gap).
+    * Bounds emitted as epoch MICROS bigints: both engines truncate the
+    * nano source to µs identically, and integer output sidesteps any
+    * timestamp rendering drift.
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+
+  val sessionWindowsSql: String =
+    s"""WITH l AS (
+       | SELECT user_id, event_id, ts, value,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       | FROM events),
+       |m AS (
+       | SELECT *, (prev_ts IS NULL
+       |   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000) AS st FROM l),
+       |sess AS (
+       | SELECT *, CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
+       |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid
+       | FROM m)
+       |SELECT user_id,
+       | CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       | CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       | count(*) AS n_events,
+       | ${DecSumSql("value")} AS session_value
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+
   /** q_brand: lineitem ⋈ broadcast(part) revenue per brand. */
   def revenueByBrand(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

@@ -172,6 +172,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session_window aggregate closes the same gap session") {
+    // the built-in operator form of the sessionizer above (and of batch
+    // q_session_window) — same 10-min gap, same session once the
+    // watermark passes end+gap
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val sw = in.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+    val q = sw.writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((7L, ts(0), 1.0), (7L, ts(4), 2.0))
+      q.processAllAvailable()
+      in.addData((9L, ts(45), 9.0))
+      q.processAllAvailable()
+      in.addData((9L, ts(59), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_sessions")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((7L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join: events enriched from a static dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
