@@ -82,4 +82,27 @@ object Domains {
       .withColumn("kept", col("__kept_id").isNotNull)
       .drop("__kept_id")
   }
+
+  /** RefinedWeb-style domain-level quality gating: aggregate a per-doc
+    * boolean quality verdict (e.g. the Gopher gate) to its domain and
+    * block domains whose pass RATE falls below the threshold — the
+    * step that removes a spam farm wholesale where per-doc rules only
+    * trim it. Emitting the decision as a (domain, blocked) table is
+    * deliberate: it broadcast-joins back to the corpus as a filter, and
+    * it IS the artifact curation teams review and version.
+    *
+    * One keyed aggregate (map-side partial: count + sum of 0/1), output
+    * rows = |domains| — a sliver at any corpus size.
+    */
+  def domainQualityBlocklist(df: DataFrame, urlCol: String,
+                             keepCol: String,
+                             minKeepRateQ: Long = 5000L): DataFrame =
+    df.select(domainOf(col(urlCol)).as("domain"),
+        when(col(keepCol), 1L).otherwise(0L).as("__k"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__k").as("n_keep"))
+      .withColumn("keep_rate_q",
+        floor(col("n_keep").cast("double") * 10000.0 /
+          col("n_docs").cast("double")).cast("long"))
+      .withColumn("blocked", col("keep_rate_q") < minKeepRateQ)
 }

@@ -32,9 +32,13 @@ object CurationQueries {
       .select("doc_id", "n_words", "mean_word_len_q", "alpha_word_frac_q",
         "symbol_ratio_q", "stop_hits", "gopher_reason", "gopher_keep")
 
-  val gopherRulesSql: String = {
+  /** The Gopher gate CTE chain (ends at `r`: doc_id, signals,
+    * gopher_reason), kept as a reusable chain like the BM25/quality
+    * ones.
+    */
+  private val gopherCtesSql: String = {
     val stop = Curation.GopherStopwords.mkString("['", "', '", "']")
-    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
        |s AS (SELECT doc_id, len(toks) AS n,
        |  coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))), 0) AS sum_len,
        |  len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
@@ -57,12 +61,15 @@ object CurationQueries {
        |       WHEN symbol_ratio_q > ${Curation.GopherMaxSymbolRatioQ} THEN 'high_symbol_ratio'
        |       WHEN alpha_word_frac_q < ${Curation.GopherMinAlphaWordFracQ} THEN 'low_alpha_word_frac'
        |       WHEN stop_hits < ${Curation.GopherMinStopHits} THEN 'insufficient_stopwords'
-       |  END AS gopher_reason FROM q)
+       |  END AS gopher_reason FROM q)""".stripMargin
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH $gopherCtesSql
        |SELECT doc_id, n_words, mean_word_len_q, alpha_word_frac_q,
        |  symbol_ratio_q, stop_hits, gopher_reason,
        |  gopher_reason IS NULL AS gopher_keep
        |FROM r""".stripMargin
-  }
 
   // ---- q_dup_ngrams: repetition signals ---------------------------------
 
@@ -447,6 +454,49 @@ object CurationQueries {
        |  CAST(p.n_shared AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS overlap
        |FROM p JOIN z za ON za.src = p.src_a
        |       JOIN z zb ON zb.src = p.src_b""".stripMargin
+
+  // ---- q_domain_quality: domain-level quality blocklist -----------------
+
+  val DomainMinKeepRateQ = 5000L
+
+  /** Per-doc verdict for the domain gate: the engine's own Q1 quality
+    * score against a mid-distribution cut (the Gopher gate is all-fail
+    * on the synthetic corpus — its stopword list barely intersects the
+    * fixture vocabulary — so it cannot discriminate domains here).
+    */
+  val DomainKeepScore = 0.6
+
+  /** Per-domain quality-score pass rates → blocklist (RefinedWeb domain
+    * filtering: a spam farm is removed wholesale where per-doc rules
+    * only trim it). One fused pass: url synthesis + quality scoring +
+    * the verdict stay in the scan projection; the only shuffle is the
+    * per-domain aggregate, and the (domain, blocked) output is the
+    * broadcast-sized artifact that filters the corpus.
+    */
+  def domainQuality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Domains.domainQualityBlocklist(
+      DocQueries.qualityScored(
+          graft.Pipeline.fromDocuments(Tables.documents(s, dir)))
+        .withColumn("__keep", col("quality_score") >= DomainKeepScore),
+      urlCol = "url", keepCol = "__keep",
+      minKeepRateQ = DomainMinKeepRateQ)
+
+  val domainQualitySql: String =
+    s"""WITH ${DocQueries.qualityCtesSql},
+       |k AS (SELECT doc_id, quality_score >= $DomainKeepScore AS keep FROM q),
+       |u AS (SELECT doc_id, lower(regexp_extract(
+       |        'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR),
+       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain
+       |      FROM documents),
+       |a AS (SELECT domain, count(*) AS n_docs,
+       |        sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS n_keep
+       |      FROM u JOIN k USING (doc_id) GROUP BY domain)
+       |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_keep AS BIGINT) AS n_keep,
+       |  CAST(floor(CAST(n_keep AS DOUBLE) * 10000.0 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS keep_rate_q,
+       |  CAST(floor(CAST(n_keep AS DOUBLE) * 10000.0 / CAST(n_docs AS DOUBLE)) AS BIGINT)
+       |    < $DomainMinKeepRateQ AS blocked
+       |FROM a""".stripMargin
 
   // ---- q_topic_assign: keyword-list topic bucketing ---------------------
 

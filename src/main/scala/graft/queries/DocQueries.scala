@@ -289,43 +289,56 @@ object DocQueries {
 
   // ---- q_quality_score: Q1/Q2 end-to-end over documents ----------------
 
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** Adds `token_count` and `quality_score` to a documents-shaped frame
+    * (existing columns kept — q_domain_quality rides its url column
+    * through in the same single pass).
+    */
+  private[queries] def qualityScored(docs: DataFrame): DataFrame = {
     val t = col("text")
     val hasPii = Pii.hasPii(Pii.piiEmailHits(t), Pii.piiPhoneHits(t),
       Pii.piiCcHits(t), Pii.piiIbanHits(t))
-    val df = LangId.withLangColumns(Tables.documents(s, dir), t,
-      predName = "__lang_pred_unused")
+    LangId.withLangColumns(docs, t, predName = "__lang_pred_unused")
       .drop("__lang_pred_unused")
       .withColumn("token_count", TextMetrics.tokenCount(t).cast("long"))
       .withColumn("unique_token_ratio", TextMetrics.uniqueTokenRatio(t))
       .withColumn("has_pii", hasPii)
       .withColumn("quality_score", Score.qualityScore(
         col("lang_score"), col("token_count"), col("unique_token_ratio"), col("has_pii")))
-    df.select(col("doc_id"), col("token_count"), col("quality_score"),
-      Score.subset(col("quality_score")).as("subset"),
-      lit("web_sample").as("mixture_name"))
   }
 
-  val qualityScoreSql: String = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScored(Tables.documents(s, dir))
+      .select(col("doc_id"), col("token_count"), col("quality_score"),
+        Score.subset(col("quality_score")).as("subset"),
+        lit("web_sample").as("mixture_name"))
+
+  /** The quality-score CTE chain (ends at `q`: doc_id, token_count,
+    * quality_score) — shared verbatim between q_quality_score and
+    * q_domain_quality so the two oracles cannot drift.
+    */
+  private[queries] val qualityCtesSql: String = {
     val (_, langScoreSql) = LangId.duckdbExprs("text")
     def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
     val hasPiiSql =
       s"(${cnt(Pii.EmailRe)} + ${cnt(Pii.PhoneRe)} + ${cnt(Pii.CreditCardRe)} + ${cnt(Pii.IbanRe)}) > 0"
     val scoreExpr = Score.duckdbExpr("lang_score", "token_count",
       "unique_token_ratio", "has_pii")
-    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
        |m AS (SELECT doc_id,
        |  $langScoreSql AS lang_score,
        |  len(toks) AS token_count,
        |  CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS unique_token_ratio,
        |  $hasPiiSql AS has_pii
        | FROM t),
-       |q AS (SELECT doc_id, token_count, $scoreExpr AS quality_score FROM m)
+       |q AS (SELECT doc_id, token_count, $scoreExpr AS quality_score FROM m)""".stripMargin
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH $qualityCtesSql
        |SELECT doc_id, token_count, quality_score,
        | CASE WHEN quality_score >= ${Score.HighQualityThreshold} THEN 'high_quality' ELSE 'rest' END AS subset,
        | 'web_sample' AS mixture_name
        |FROM q""".stripMargin
-  }
 
   // ---- q_dedup_tokens: order-preserving intra-doc token dedup -----------
 
@@ -448,6 +461,48 @@ object DocQueries {
       |SELECT doc_id, CAST(length(dt) - length(ct) AS BIGINT) AS n_invisible,
       |  md5(ct) AS clean_md5, md5(ct) = md5(t) AS roundtrip_ok
       |FROM s""".stripMargin
+
+  // ---- q_confusable_scrub: homoglyph folding (self-seeded) ---------------
+
+  /** Self-seeded like q_invisible_scrub: half the docs (md5 bucket) get a
+    * Cyrillic homoglyph attack (a→а, e→е, o→о — every hash changes,
+    * nothing a reader sees does), then [[Normalize.foldConfusables]]
+    * folds back; roundtrip_ok proves exact-dup identity is restored for
+    * every row. Both sides are a single `translate` — the from/to maps
+    * are generated from ONE Scala constant so they cannot drift.
+    */
+  def confusableScrub(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"),
+        bucket.as("bucket"))
+      .withColumn("dt",
+        when(col("bucket") < 50, translate(col("t"), "aeo", "аео"))
+          .otherwise(col("t")))
+      .withColumn("ct", Normalize.foldConfusables(col("dt")))
+      .select(col("doc_id"),
+        (length(col("dt")) -
+          length(translate(col("dt"), Normalize.ConfusablesFrom, "")))
+          .cast("long").as("n_confusable"),
+        md5(col("ct")).as("folded_md5"),
+        (md5(col("ct")) === md5(col("t"))).as("roundtrip_ok"))
+  }
+
+  val confusableScrubSql: String = {
+    val cf = Normalize.ConfusablesFrom
+    val ct = Normalize.ConfusablesTo
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket,
+       |    coalesce(text, '') AS t FROM documents),
+       |x AS (SELECT doc_id, t,
+       |    CASE WHEN bucket < 50 THEN translate(t, 'aeo', 'аео') ELSE t END AS dt FROM d),
+       |f AS (SELECT doc_id, t, dt, translate(dt, '$cf', '$ct') AS ctx FROM x)
+       |SELECT doc_id,
+       |  CAST(length(dt) - length(translate(dt, '$cf', '')) AS BIGINT) AS n_confusable,
+       |  md5(ctx) AS folded_md5, md5(ctx) = md5(t) AS roundtrip_ok
+       |FROM f""".stripMargin
+  }
 
   // ---- q_phrase_hits: Aho-Corasick boilerplate-phrase counts -------------
 

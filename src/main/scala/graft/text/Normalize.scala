@@ -64,6 +64,26 @@ object Normalize {
   def stripInvisible(c: Column): Column =
     regexp_replace(c, InvisibleChars, "")
 
+  /** Homoglyph confusables (UTS #39-style subset): Cyrillic and Greek
+    * letters visually identical to Latin, mapped back to the Latin
+    * form. The other dedup-evasion channel next to invisibles —
+    * swapping а for a changes every hash while changing nothing a
+    * reader sees; folding BEFORE canon restores exact-dup identity
+    * (and keeps wordlist/stopword token lookups honest). Single-char
+    * map → one codegen'd `translate`, no regex, no shuffle. NFKC does
+    * NOT fold these (they are distinct letters, not compatibility
+    * forms), so this is a separate pass, like [[stripInvisible]].
+    */
+  val ConfusablesFrom: String =
+    "аеорсхуіѕј" + // а е о р с х у і ѕ ј
+      "АВЕКМНОРСТХ" + // А В Е К М Н О Р С Т Х
+      "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" // ο Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ
+  val ConfusablesTo: String =
+    "aeopcxyisj" + "ABEKMHOPCTX" + "oABEZHIKMNOPTYX"
+
+  def foldConfusables(c: Column): Column =
+    translate(c, ConfusablesFrom, ConfusablesTo)
+
   /** P3 boilerplate line patterns (behavioral data from the reference,
     * deep_clean_and_pii.py:78-87; matched against the lowercased line).
     */

@@ -261,4 +261,49 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(scrubbed(0) === scrubbed(1))
   }
+
+  test("foldConfusables maps homoglyphs to Latin, idempotent, ASCII-safe") {
+    import spark.implicits._
+    val N = graft.text.Normalize
+    // from/to maps must stay aligned codepoint-for-codepoint
+    assert(N.ConfusablesFrom.length === N.ConfusablesTo.length)
+    val cases = Seq(
+      "раураl" -> "paypal",     // Cyrillic р/а/у homoglyph attack
+      "sеcurе.com" -> "secure.com",
+      "ΑΒΓ" -> "ABΓ",           // Greek Α/Β fold; Γ has no Latin twin
+      "plain ascii" -> "plain ascii",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(N.foldConfusables(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+    // idempotence: folding folded text is a no-op
+    val twice = cases.map(_._2).toDF("t")
+      .select(N.foldConfusables(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq === cases.map(_._2))
+    // the dedup payoff: homoglyph variant hashes equal after folding
+    val folded = Seq("соde", "code").toDF("t")
+      .select(N.foldConfusables(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    assert(folded(0) === folded(1))
+  }
+
+  test("domain quality blocklist: rates and threshold on a hand fixture") {
+    import spark.implicits._
+    // good.com: 2/2 keep; mixed.com: 1/2; spam.com: 0/3
+    val df = Seq(
+      ("https://good.com/a", true), ("https://good.com/b", true),
+      ("https://mixed.com/a", true), ("https://mixed.com/b", false),
+      ("https://spam.com/a", false), ("https://spam.com/b", false),
+      ("https://spam.com/c", false)).toDF("url", "keep")
+    val rows = graft.ops.Domains
+      .domainQualityBlocklist(df, "url", "keep", minKeepRateQ = 5000L)
+      .collect().map(r => r.getAs[String]("domain") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+          r.getAs[Long]("keep_rate_q"), r.getAs[Boolean]("blocked")))).toMap
+    assert(rows("good.com") === ((2L, 2L, 10000L, false)))
+    assert(rows("mixed.com") === ((2L, 1L, 5000L, false))) // boundary keeps
+    assert(rows("spam.com") === ((3L, 0L, 0L, true)))
+  }
 }
