@@ -355,4 +355,24 @@ class PlanSpec extends SparkTestBase {
       s"per-shard sketches must combine map-side:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("confusable scrub: one shuffle-free codegen pass (translate, no regex)") {
+    val p = plan(graft.queries.DocQueries.confusableScrub(spark, dir))
+    assert(!p.contains("Exchange"), s"per-row fold must not shuffle:\n$p")
+    assert(p.contains("translate"), s"expected the translate kernel:\n$p")
+  }
+
+  test("domain quality: scoring fused into the scan, one domain-keyed shuffle") {
+    val p = plan(graft.queries.CurationQueries.domainQuality(spark, dir))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"url+score+verdict must ride one scan:\n$p")
+    assert("""\) Exchange""".r.findAllIn(p).size === 1,
+      s"only the per-domain aggregate may shuffle:\n$p")
+  }
+
+  test("session_window plans the native session aggregate, not a window") {
+    val p = plan(graft.queries.TpchQueries.sessionWindows(spark, dir))
+    assert(p.contains("session_window"), s"native session op missing:\n$p")
+    assert(!p.contains(") Window"), s"lag-window form resurfaced:\n$p")
+  }
 }
