@@ -274,4 +274,75 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("topicAssign is partition-invariant and hits are bounded by tokens") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(15, textGen), trials = 4) { ss =>
+      val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val a = graft.ops.Curation.topicAssign(df).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val b = graft.ops.Curation.topicAssign(df.repartition(7)).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(a === b)
+      val nToks = df.select(col("doc_id"),
+        size(graft.text.TextMetrics.tokens(col("text"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.ops.Curation.topicAssign(df).collect().foreach { r =>
+        val hits = r.getAs[Long]("topic_hits")
+        assert(hits >= 0L && hits <= nToks(r.getAs[Long]("doc_id")))
+        if (hits == 0L) assert(r.getAs[String]("topic") === "unlabeled")
+      }
+    }
+  }
+
+  test("intraDedup keeps exactly one occurrence per distinct segment") {
+    import spark.implicits._
+    val wordG = Gen.oneOf("a", "b", "c", "dd")
+    val docG = Gen.listOf(wordG).map(_.mkString(" "))
+    forAllSeeded(Gen.listOfN(12, docG), trials = 4) { ss =>
+      val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // tiny segLen so repeats actually occur in short random docs
+      val got = graft.ops.Dedup.intraDedup(df, segLen = 2).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept")))).toMap
+      ss.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val segs = toks.grouped(2).map(_.mkString(" ")).toSeq
+        val (n, k) = got(i.toLong)
+        assert(n === segs.length.toLong, s"doc $i")
+        assert(k === segs.distinct.length.toLong, s"doc $i")
+      }
+    }
+  }
+
+  test("rrfFuse: contiguous ranks, non-increasing scores, bounded by k") {
+    import spark.implicits._
+    val entryG = for {
+      q <- Gen.chooseNum(0L, 2L); d <- Gen.chooseNum(0L, 30L)
+    } yield (q, d)
+    forAllSeeded(Gen.zip(Gen.listOfN(20, entryG), Gen.listOfN(20, entryG)),
+      trials = 4) { case (l, v) =>
+      // distinct docs per query, ranks assigned 1..n in doc order
+      def rank(xs: List[(Long, Long)]) = xs.distinct.groupBy(_._1).toSeq
+        .flatMap { case (q, ds) =>
+          ds.map(_._2).distinct.zipWithIndex.map { case (d, i) =>
+            (q, d, (i + 1).toLong) }
+        }
+      val lex = rank(l).toDF("query_id", "id", "rank")
+      val vec = rank(v).toDF("query_id", "id", "rank")
+      if (!lex.isEmpty || !vec.isEmpty) {
+        val out = graft.ops.Retrieval.rrfFuse(lex, vec, k = 5).collect()
+        out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+          val sorted = rows.sortBy(_.getAs[Long]("rank"))
+          assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+            (1L to sorted.length.toLong))
+          assert(sorted.length <= 5)
+          val scores = sorted.map(_.getAs[Long]("rrf_q")).toSeq
+          assert(scores === scores.sorted.reverse, s"not non-increasing: $scores")
+        }
+      }
+    }
+  }
 }
