@@ -245,6 +245,12 @@ object Retrieval {
       .withColumn("rrf_q",
         when(col("lex_rank") > 0, contrib(col("lex_rank"))).otherwise(lit(0L)) +
           when(col("vec_rank") > 0, contrib(col("vec_rank"))).otherwise(lit(0L)))
+      // two consumers (TopK ranking + the rank-detail join-back) — persist
+      // so the input ranking pipelines (incl. annTopK's corpus-wide cosine
+      // scan, which has no internal persist) run once, not per branch.
+      // Released by the caller's clearCache, like every multi-consumer
+      // frame in the engine.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = TopK.perQuery(
       fused.select(col("query_id"), col("doc_id").as("vec_id"),
         col("rrf_q").cast("double").as("cosine")), k)

@@ -445,11 +445,13 @@ object TpchQueries {
   /** q_session_window: the same 30-minute gap sessions as [[sessionize]],
     * through Spark's native `session_window` aggregate instead of the
     * lag/cumsum window pair — the operator the streaming path uses
-    * unchanged (merge condition: an event within gapDuration of the
-    * session's last event extends it; window end = last event + gap).
-    * Bounds emitted as epoch MICROS bigints: both engines truncate the
-    * nano source to µs identically, and integer output sidesteps any
-    * timestamp rendering drift.
+    * unchanged (merge condition: an event at or within gapDuration of
+    * the session's last event extends it — the exact-gap event MERGES,
+    * verified against the operator, so the oracle's island break is
+    * strict `>`; window end = last event + gap). Bounds emitted as
+    * epoch MICROS bigints: both engines truncate the nano source to µs
+    * identically, and integer output sidesteps any timestamp rendering
+    * drift.
     */
   def sessionWindows(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -467,7 +469,7 @@ object TpchQueries {
        | FROM events),
        |m AS (
        | SELECT *, (prev_ts IS NULL
-       |   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000) AS st FROM l),
+       |   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000) AS st FROM l),
        |sess AS (
        | SELECT *, CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid

@@ -258,6 +258,23 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("session_window merges the exact-gap event (inclusive boundary)") {
+    // pins the semantics q_session_window's oracle mirrors: an event
+    // exactly gapDuration after the session's last event MERGES, so the
+    // oracle's island break is strict `>` — `>=` would split here and
+    // diverge from the native operator
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), 2.0), // == gap
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 11:00:01"), 3.0)) // > gap
+      .toDF("user_id", "ts", "value")
+    val n = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(n.sorted.toSeq === Seq(1L, 2L), n.toSeq.toString)
+  }
+
   test("hll shard sketches: accurate estimates, union == global sketch") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
