@@ -48,6 +48,63 @@ object SimilarityQueries {
        |            JOIN e eb ON eb.vec_id = c.id_b
        |WHERE list_cosine_similarity(ea.v, eb.v) >= $NearDupThreshold""".stripMargin
 
+  // ---- q_hashed_embed / q_text_ann: feature-hashed text vectors ---------
+
+  /** Shared oracle fragment: the signed-count hashed vector per doc
+    * (graft.ops.HashedEmbed) — bucket from md5 hex chars 1-2 mod dim,
+    * ±1 sign from hex char 3 parity, integer-valued components so all
+    * downstream dot products are exact.
+    */
+  private val hashedVecCtesSql: String = {
+    val dim = graft.ops.HashedEmbed.Dim
+    def hx(n: Int) = s"(instr('0123456789abcdef', substr(md5(tk), $n, 1)) - 1)"
+    val bucket = s"CAST((${hx(1)} * 16 + ${hx(2)}) % $dim AS INT)"
+    // CAST ... AS DOUBLE throughout: bare 1.0 literals are DECIMAL(2,1)
+    // in DuckDB and the reduce's running sum overflows that type
+    val sgn = s"CASE WHEN ${hx(3)} % 2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    s"""ht AS (SELECT doc_id, ${OracleSql.toks("text")} AS toks FROM documents),
+       |hv AS (SELECT doc_id, toks,
+       |  list_transform(generate_series(0, ${dim - 1}), i ->
+       |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+       |      list_reduce(list_transform(toks, tk ->
+       |        CASE WHEN $bucket = i THEN $sgn ELSE CAST(0.0 AS DOUBLE) END), (a, b) -> a + b)
+       |    END) AS vec
+       | FROM ht)""".stripMargin
+  }
+
+  def hashedEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.HashedEmbed.embedDocs(Tables.documents(s, dir))
+
+  val hashedEmbedSql: String =
+    s"""WITH $hashedVecCtesSql
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(vec, x -> x <> 0.0)) AS BIGINT) AS nnz,
+       |  CAST(list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS BIGINT) AS norm_sq,
+       |  md5(array_to_string(list_transform(vec,
+       |    x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',')) AS emb_md5
+       |FROM hv""".stripMargin
+
+  val TextAnnQueries = 5
+  val TextAnnK = 5
+
+  def textAnn(s: SparkSession, dir: String): DataFrame =
+    graft.ops.HashedEmbed.textAnnTopK(Tables.documents(s, dir),
+      nQueries = TextAnnQueries, k = TextAnnK)
+
+  val textAnnSql: String =
+    s"""WITH $hashedVecCtesSql,
+       |hn AS (SELECT doc_id, vec,
+       |        list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS n2
+       |       FROM hv),
+       |he AS (SELECT doc_id AS vec_id, vec FROM hn WHERE n2 > 0),
+       |hq AS (SELECT vec_id AS query_id, vec AS qv FROM he WHERE vec_id < $TextAnnQueries),
+       |hs AS (SELECT query_id, vec_id, list_cosine_similarity(qv, vec) AS cosine
+       |       FROM hq JOIN he ON vec_id <> query_id),
+       |hr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, vec_id) AS rank FROM hs)
+       |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+       |FROM hr WHERE rank <= $TextAnnK""".stripMargin
+
   // ---- q_ivf_assign: IVF coarse-quantizer assignment --------------------
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame =

@@ -370,6 +370,16 @@ class PlanSpec extends SparkTestBase {
       s"only the per-domain aggregate may shuffle:\n$p")
   }
 
+  test("hashed embed: shuffle-free single scan; text ANN window-free") {
+    val p = plan(graft.queries.SimilarityQueries.hashedEmbed(spark, dir))
+    assert(!p.contains("Exchange"), s"embedder must not shuffle:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    val pa = plan(graft.queries.SimilarityQueries.textAnn(spark, dir))
+    assert(!pa.contains(") Window"), s"per-query window in text ANN:\n$pa")
+    assert(pa.contains("partial_topkscored"),
+      s"text ANN must rank through the bounded heap:\n$pa")
+  }
+
   test("session_window plans the native session aggregate, not a window") {
     val p = plan(graft.queries.TpchQueries.sessionWindows(spark, dir))
     assert(p.contains("session_window"), s"native session op missing:\n$p")

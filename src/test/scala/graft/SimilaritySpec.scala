@@ -84,4 +84,39 @@ class SimilaritySpec extends SparkTestBase {
       assert(recall >= 0.05, s"LSH recall degraded to $recall")
     }
   }
+
+  test("hashed embed: hand-computed vector, duplicates collide, empty is zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "spark spark merge"), (2L, "spark spark merge"),
+      (3L, ""), (4L, "merge spark spark")).toDF("doc_id", "text")
+    val rows = graft.ops.HashedEmbed.embedDocs(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("nnz"),
+          r.getAs[Long]("norm_sq"), r.getAs[String]("emb_md5")))).toMap
+    // 'spark' twice → ±2 in its bucket, 'merge' once → ±1 (distinct
+    // buckets or a collision — either way norm_sq is 4+1 or 9 or 1)
+    assert(rows(1L)._1 === 3L)
+    assert(Set(5L, 9L, 1L).contains(rows(1L)._3), rows(1L).toString)
+    // exact duplicates and bag-equal reorderings embed identically
+    assert(rows(1L)._4 === rows(2L)._4)
+    assert(rows(1L)._4 === rows(4L)._4)
+    // empty doc: zero vector, zero norm
+    assert(rows(3L) === ((0L, 0L, 0L, rows(3L)._4)))
+  }
+
+  test("text ANN: planted near-duplicate text is its query's top hit") {
+    import spark.implicits._
+    val base = "spark merge join scan filter table row column batch stream"
+    val docs = Seq(
+      (0L, base),                           // query doc
+      (1L, base + " extra"),                // near-dup of the query
+      (2L, "completely different words entirely unrelated tokens here"),
+      (3L, "orthogonal vocabulary again nothing shared with queries"))
+      .toDF("doc_id", "text")
+    val top = graft.ops.HashedEmbed.textAnnTopK(docs, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("vec_id") === 1L, top.mkString(";"))
+    assert(top.head.getAs[Double]("cosine") > 0.9)
+  }
 }
