@@ -25,11 +25,21 @@ object Shard {
     * result. O(1) driver memory (one long per partition).
     */
   def withGlobalSeq(df: DataFrame, orderCol: String,
-                    seqName: String = "global_seq"): DataFrame = {
+                    seqName: String = "global_seq"): DataFrame =
+    withGlobalSeq(df, Seq(orderCol), seqName)
+
+  /** Multi-column variant: the global order is the lexicographic order
+    * of `orderCols` (the combination must be unique — e.g. a non-unique
+    * measure tie-broken by a key column — for a deterministic result).
+    * Range partitioning uses the same tuple ordering, so ties split
+    * across partition boundaries still number correctly.
+    */
+  def withGlobalSeq(df: DataFrame, orderCols: Seq[String],
+                    seqName: String): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(df.rdd.getNumPartitions, 1)
-    val sorted = df.repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }

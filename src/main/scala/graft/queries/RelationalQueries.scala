@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Shard
 
 /** Second relational batch (SURVEY.md §7 step 7, round 2): subquery
   * decorrelation, CUBE grouping sets, pivot/unpivot reshaping, set
@@ -237,18 +238,35 @@ object RelationalQueries {
 
   // ---- q_order_quartiles: ntile + percent_rank -------------------------
 
-  /** Orders ranked into price quartiles (ntile over a deterministic
-    * total order), summarized per tile with the exact percent_rank
-    * boundary. The global window is a single-partition sort — fine for
-    * a 4-row summary; at 100 TB the same result comes from
-    * approx-percentile cutpoints + conditional aggregation (no global
-    * sort), which q_histogram_chars already demonstrates.
+  /** Orders ranked into price quartiles, summarized per tile with the
+    * exact percent_rank boundary — WITHOUT the single-partition
+    * `Window.orderBy` that ntile/percent_rank would plan (WindowExec
+    * moves the whole table through one task). Instead the global rank
+    * comes from the two-pass range-partition + partition-offset scheme
+    * ([[graft.ops.Shard.withGlobalSeq]]), and ntile/percent_rank are
+    * recovered in closed form from (rank, n): the order is tie-free
+    * (o_orderkey is unique), so rank == row_number and SQL ntile's
+    * "first n%k buckets get one extra row" rule and
+    * percent_rank = (rank-1)/(n-1) are pure per-row arithmetic. Every
+    * stage stays data-parallel at any scale; the count() is one
+    * column-pruned pre-pass, like zipWithIndex's own size job.
     */
   def orderQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pr", percent_rank().over(w))
+    val base = Tables.orders(s, dir).select("o_totalprice", "o_orderkey")
+    val n = base.count()
+    val ranked = Shard.withGlobalSeq(
+      base, Seq("o_totalprice", "o_orderkey"), "__rk")
+    val k = col("__rk") + lit(1L)            // 1-based, tie-free rank
+    val lo = n / 4L                          // small-bucket size
+    val cut = (n % 4L) * (lo + 1L)           // rows in the big buckets
+    val quartile = when(k <= cut, ceil(k.cast("double") / (lo + 1L)))
+      .otherwise(lit(n % 4L) + ceil((k - cut).cast("double") / math.max(lo, 1L)))
+      .cast("int")
+    val pr =
+      if (n > 1L) col("__rk").cast("double") / (n - 1L).toDouble else lit(0.0)
+    ranked
+      .withColumn("quartile", quartile)
+      .withColumn("pr", pr)
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_orders"),
         min("o_totalprice").as("min_price"),

@@ -380,6 +380,14 @@ class PlanSpec extends SparkTestBase {
       s"text ANN must rank through the bounded heap:\n$pa")
   }
 
+  test("order quartiles: no single-partition window anywhere in the plan") {
+    val p = plan(graft.queries.RelationalQueries.orderQuartiles(spark, dir))
+    // ntile/percent_rank over a global ORDER BY would plan a WindowExec
+    // with an empty partition spec (all rows through one task); the
+    // two-pass rank keeps every stage data-parallel
+    assert(!p.contains(") Window"), s"global window leaked back in:\n$p")
+  }
+
   test("session_window plans the native session aggregate, not a window") {
     val p = plan(graft.queries.TpchQueries.sessionWindows(spark, dir))
     assert(p.contains("session_window"), s"native session op missing:\n$p")
