@@ -105,6 +105,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(3L) === ((0L, 0L, 0L, rows(3L)._4)))
   }
 
+  test("hashed embed: compiled kernel is value-identical to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.text.TextMetrics.tokens(col("text"))
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(
+        graft.ops.HashedEmbed.hashedVector(toks).as("native"),
+        graft.ops.HashedEmbed.hashedVectorHof(toks).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1), r.toString)
+    }
+  }
+
   test("text ANN: planted near-duplicate text is its query's top hit") {
     import spark.implicits._
     val base = "spark merge join scan filter table row column batch stream"
