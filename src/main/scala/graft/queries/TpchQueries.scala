@@ -782,21 +782,35 @@ object TpchQueries {
       |FROM r ORDER BY rq DESC, c_custkey LIMIT 20""".stripMargin
 
   /** q7: TPC-H Q7-style bilateral shipping volume — revenue between two
-    * nations by (supplier nation, customer nation, ship year). Two fact
-    * tables join on orderkey; supplier/customer/nation are broadcast
-    * dims; the nation-pair disjunction prunes before the aggregate.
+    * nations by (supplier nation, customer nation, ship year).
+    *
+    * The nation restriction is applied BEFORE the fact joins, not
+    * after: suppliers and customers are each pre-joined to the
+    * two-nation sliver (tiny broadcasts), so the lineitem scan is
+    * immediately cut to the ~2/|nations| of lines with a qualifying
+    * supplier before the only real shuffle (lineitem ⋈ orders on
+    * orderkey), and the order side is pair-filtered right after its
+    * customer broadcast. The original filter-after-five-joins shape
+    * dragged every lineitem row through the orderkey shuffle —
+    * measured 2.9s vs 1.0s for the same-shape q3/q8 at sf0.1, and at
+    * 100 TB the difference is the whole fact table. The residual
+    * nation-pair disjunction prunes before the aggregate.
     */
   def nationVolume(s: SparkSession, dir: String): DataFrame = {
-    val n1 = Tables.nation(s, dir)
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(s, dir)
-      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
     Tables.lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
