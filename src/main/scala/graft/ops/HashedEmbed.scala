@@ -94,6 +94,31 @@ object HashedEmbed {
         ",")).as("emb_md5"))
   }
 
+  /** Semantic near-duplicate TEXT pairs with no model anywhere:
+    * hashed vectors (compiled kernel) + the engine's multi-table
+    * sign-bit LSH ([[Similarity.nearDupPairsLsh]]) + exact-cosine
+    * verification on candidates only. Catches paraphrase-level
+    * near-dups (token-bag overlap under reordering/insertion) that
+    * shingle-based dedup misses, at the same banded-LSH scale shape —
+    * candidates join per (table, bucket), never all-pairs. Zero-norm
+    * docs are excluded (cosine undefined). Fully oracle-checkable:
+    * vectors are deterministic integers, banding is pure arithmetic,
+    * and cosine keeps DuckDB's fold order.
+    */
+  def textNearDup(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", threshold: Double = 0.9,
+                  nbits: Int = 8, tables: Int = 8, dim: Int = Dim): DataFrame = {
+    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+        hashedVector(TextMetrics.tokens(col(textCol)), dim).as("embedding"))
+      .filter(aggregate(transform(col("embedding"), x => x * x),
+        lit(0.0), (a, x) => a + x) > 0.0)
+      // banding reads the vectors twice (both join sides) and the
+      // verify joins twice more: persist so the text is hashed once
+      // per doc (released by the caller's clearCache)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Similarity.nearDupPairsLsh(vecs, threshold, nbits, tables)
+  }
+
   /** Brute-force cosine top-k over the hashed document vectors —
     * the full text→vector→ANN path with no model anywhere. Zero-norm
     * docs (no tokens, or signs fully cancelled) are excluded on both

@@ -105,6 +105,34 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
        |FROM hr WHERE rank <= $TextAnnK""".stripMargin
 
+  // ---- q_text_neardup: model-free semantic near-dup on raw text ---------
+
+  val TextNearDupThreshold = 0.9
+
+  def textNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.HashedEmbed.textNearDup(Tables.documents(s, dir),
+      threshold = TextNearDupThreshold, nbits = LshBits, tables = LshTables)
+
+  /** Composes the hashed-vector CTE with the q_embed_neardup banding
+    * oracle verbatim — same LSH arithmetic, vectors from text instead
+    * of the embeddings table.
+    */
+  val textNearDupSql: String =
+    s"""WITH $hashedVecCtesSql,
+       |hn AS (SELECT doc_id AS vec_id, vec AS v FROM hv
+       |       WHERE list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) > 0),
+       |b AS (SELECT vec_id, v, t,
+       |  list_reduce(list_transform(generate_series(t * $LshBits + 1, t * $LshBits + $LshBits),
+       |    i -> CASE WHEN v[i] > 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b) AS bucket
+       | FROM hn CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       | FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       |   AND a.vec_id < b2.vec_id)
+       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cosine
+       |FROM cand c JOIN hn ea ON ea.vec_id = c.id_a
+       |            JOIN hn eb ON eb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= $TextNearDupThreshold""".stripMargin
+
   // ---- q_ivf_assign: IVF coarse-quantizer assignment --------------------
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame =

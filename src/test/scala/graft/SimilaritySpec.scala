@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("text near-dup: planted paraphrase pair found, unrelated docs not") {
+    import spark.implicits._
+    val base = "spark merge join scan filter table row column batch stream " +
+      "shuffle partition broadcast executor driver stage task codegen plan"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " appended"),                 // token-bag near-dup of 10
+      (12L, "completely different words entirely unrelated tokens here " +
+        "nothing shared with the first pair at all in any position"),
+      (13L, ""))                                 // zero vector: excluded
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.HashedEmbed.textNearDup(docs, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((10L, 11L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L || p._1 == 13L || p._2 == 13L))
+  }
+
   test("text ANN: planted near-duplicate text is its query's top hit") {
     import spark.implicits._
     val base = "spark merge join scan filter table row column batch stream"
