@@ -108,8 +108,10 @@ object HashedEmbed {
   def textNearDup(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", threshold: Double = 0.9,
                   nbits: Int = 8, tables: Int = 8, dim: Int = Dim): DataFrame = {
-    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
-        hashedVector(TextMetrics.tokens(col(textCol)), dim).as("embedding"))
+    val vecs = Skew.ensureParallelism(
+        df.select(col(idCol).cast("long").as("vec_id"), col(textCol).as("__t")))
+      .select(col("vec_id"),
+        hashedVector(TextMetrics.tokens(col("__t")), dim).as("embedding"))
       .filter(aggregate(transform(col("embedding"), x => x * x),
         lit(0.0), (a, x) => a + x) > 0.0)
       // banding reads the vectors twice (both join sides) and the

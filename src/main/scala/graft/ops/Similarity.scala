@@ -73,15 +73,35 @@ object Similarity {
     * MinHash LSH bands.
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-                      nbits: Int = 8, tables: Int = 8): DataFrame = {
+                      nbits: Int = 8, tables: Int = 8,
+                      maxBucket: Long = Long.MaxValue): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val banded = e
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(tables - 1))).as("t"))
       .select(col("vec_id"), col("t"),
         lshBucketAt(col("v"), col("t") * nbits + 1, nbits).as("bucket"))
-    val pairs = banded.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-      .join(banded.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+    // Optional bucket-population gate [2, maxBucket] ahead of the
+    // self-join — the same idea as containmentPairs' document-
+    // frequency band: a bucket with thousands of members is a
+    // boilerplate/template CLUSTER, not near-dup evidence, and pairing
+    // inside one is quadratic (a 4k-member bucket is 7.6M candidate
+    // pairs). The bucket table is bounded by construction
+    // (≤ tables·2^nbits rows) so the gate broadcasts at any corpus
+    // size. OFF by default: it costs one extra evaluation of the
+    // banded table (measured +1.4s at sf0.1) and a fixed cap cannot
+    // track corpus growth — set it per corpus from the observed bucket
+    // histogram, not a priori.
+    val kept =
+      if (maxBucket == Long.MaxValue) banded
+      else {
+        val keep = banded.groupBy("t", "bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+          .select("t", "bucket")
+        banded.join(broadcast(keep), Seq("t", "bucket"))
+      }
+    val pairs = kept.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(kept.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
         Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -271,7 +271,10 @@ object SketchDedup {
                   numHashes: Int = 64, bands: Int = 16,
                   shingleSize: Int = 3): DataFrame = {
     val sk = minhashSketch(shingleSize, numHashes, bands)
-    df.select(col(idCol).as("id"), sk(col(textCol)).as("sk"))
+    // sketch cost is per-row CPU: spread a low-split source (e.g. a
+    // single-row-group parquet file) before the kernel, not after
+    Skew.ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), sk(col("__t")).as("sk"))
       .select(col("id"), col("sk._1").as("hs"), col("sk._2").as("bands"))
       .filter(size(col("hs")) > 0)
   }
@@ -388,10 +391,11 @@ object SketchDedup {
     // contract as ngramJaccardPairs) — the caller releases it via
     // spark.catalog.clearCache() / unpersisting after evaluation
     // (Verify clears per query).
-    val base = df
+    val base = Skew.ensureParallelism(df
       .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
-      .select(col(idCol).as("id"),
-        shinglesFromTokens(TextMetrics.tokens(col(textCol)), shingleSize).as("sh"))
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        shinglesFromTokens(TextMetrics.tokens(col("__t")), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("id"), explode(col("sh")).as("s"))
     // sh is distinct within a doc, so count(*) = document frequency.
@@ -512,6 +516,65 @@ object SketchDedup {
       .withColumn("sels", graft.plans.WinnowSelect(col("canon"), k, w))
   }
 
+  /** Oracle-checkable MinHash+LSH near-dup pairs: slot hashes are md5
+    * hex STRINGS minimized lexicographically (byte-wise ASCII — the
+    * same total order in every engine), seeded by a slot-index prefix
+    * (`md5(j || ':' || shingle)`). The production sketch above keys on
+    * XXH64 with engine-defined integer seeds — fast, but no other
+    * engine can replay it, so its driver check is rows-only; this
+    * variant trades hash throughput for a full DuckDB replica of
+    * signatures, banding AND verification (hash-equality checked end
+    * to end).
+    *
+    * Same scale shape as [[minhashLshPairs]]: banded signatures join
+    * per (band, band-signature) bucket — never all-pairs — and exact
+    * Jaccard runs on candidates only. numHashes=16 in 4 bands of 4
+    * centers the S-curve near J ≈ (1/4)^(1/4) ≈ 0.71.
+    */
+  /** Declarative reference form of the [[graft.plans.MinhashMd5]]
+    * signature (the kernel's parity oracle — same numHashes·|sh| md5
+    * calls, interpreted).
+    */
+  def minhashMd5SignatureHof(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      array_min(transform(sh, s0 =>
+        md5(concat(j.cast("string"), lit(":"), s0)))))
+
+  def minhashMd5Pairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val base = Skew.ensureParallelism(df
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        shinglesFromTokens(TextMetrics.tokens(col("__t")), shingleSize).as("sh"))
+      .withColumn("sig", graft.plans.MinhashMd5(col("sh"), numHashes))
+      // feeds the banding explode and both verify joins: persist so
+      // the 16-slot signature is computed once per doc (released by
+      // the caller's clearCache, like the sketch persists)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("id"), col("b"),
+        concat_ws("", slice(col("sig"), col("b") * rows + 1, lit(rows))).as("band"))
+    val cands = banded.select(col("b"), col("band"), col("id").as("id_a"))
+      .join(banded.select(col("b"), col("band"), col("id").as("id_b")),
+        Seq("b", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Asymmetric containment near-dup pairs: containment(A→B) =
     * |shingles(A) ∩ shingles(B)| / |shingles(A)| — Broder '97's
     * companion measure to Jaccard (there "resemblance"). Catches the
@@ -537,9 +600,10 @@ object SketchDedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, maxDf: Int = 20,
                        threshold: Double = 0.9): DataFrame = {
-    val grams = df
+    val grams = Skew.ensureParallelism(df
       .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
-      .select(col(idCol).as("id"), TextMetrics.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), TextMetrics.tokens(col("__t")).as("toks"))
       .select(col("id"), explode(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds df gate, both join sides, sizes
     val inBand = grams.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -55,8 +55,7 @@ object SimilarityQueries {
     * ±1 sign from hex char 3 parity, integer-valued components so all
     * downstream dot products are exact.
     */
-  private val hashedVecCtesSql: String = {
-    val dim = graft.ops.HashedEmbed.Dim
+  private def hashedVecCtesSql(dim: Int): String = {
     def hx(n: Int) = s"(instr('0123456789abcdef', substr(md5(tk), $n, 1)) - 1)"
     val bucket = s"CAST((${hx(1)} * 16 + ${hx(2)}) % $dim AS INT)"
     // CAST ... AS DOUBLE throughout: bare 1.0 literals are DECIMAL(2,1)
@@ -76,7 +75,7 @@ object SimilarityQueries {
     graft.ops.HashedEmbed.embedDocs(Tables.documents(s, dir))
 
   val hashedEmbedSql: String =
-    s"""WITH $hashedVecCtesSql
+    s"""WITH ${hashedVecCtesSql(graft.ops.HashedEmbed.Dim)}
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST(len(list_filter(vec, x -> x <> 0.0)) AS BIGINT) AS nnz,
        |  CAST(list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS BIGINT) AS norm_sq,
@@ -92,7 +91,7 @@ object SimilarityQueries {
       nQueries = TextAnnQueries, k = TextAnnK)
 
   val textAnnSql: String =
-    s"""WITH $hashedVecCtesSql,
+    s"""WITH ${hashedVecCtesSql(graft.ops.HashedEmbed.Dim)},
        |hn AS (SELECT doc_id, vec,
        |        list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS n2
        |       FROM hv),
@@ -109,20 +108,35 @@ object SimilarityQueries {
 
   val TextNearDupThreshold = 0.9
 
+  /** 128-dim vectors and 16-bit tables here, vs the embeddings table's
+    * 8-bit banding: the synthetic corpus is template-generated, so its
+    * BACKGROUND cosine is high (~0.6 ⇒ per-bit sign agreement ~0.70)
+    * and 8-bit buckets over it degenerate — 0.70⁸ ≈ 6% of the whole
+    * corpus collides per table, candidates go quadratic (measured 20s
+    * at sf0.1). 16 selective bits cut background collisions to
+    * 0.70¹⁶ ≈ 0.3% while true near-dups (cos ≥ 0.97 ⇒ p ≥ 0.93,
+    * p¹⁶ ≈ 0.31/table) still surface through the 8-table OR with
+    * P ≈ 0.95. Eight disjoint 16-bit tables need 128 dims; the
+    * hashing kernel's per-token cost is dim-independent.
+    */
+  val TextNearDupDim = 128
+  val TextNearDupBits = 16
+
   def textNearDup(s: SparkSession, dir: String): DataFrame =
     graft.ops.HashedEmbed.textNearDup(Tables.documents(s, dir),
-      threshold = TextNearDupThreshold, nbits = LshBits, tables = LshTables)
+      threshold = TextNearDupThreshold, nbits = TextNearDupBits,
+      tables = LshTables, dim = TextNearDupDim)
 
   /** Composes the hashed-vector CTE with the q_embed_neardup banding
     * oracle verbatim — same LSH arithmetic, vectors from text instead
     * of the embeddings table.
     */
   val textNearDupSql: String =
-    s"""WITH $hashedVecCtesSql,
+    s"""WITH ${hashedVecCtesSql(TextNearDupDim)},
        |hn AS (SELECT doc_id AS vec_id, vec AS v FROM hv
        |       WHERE list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) > 0),
        |b AS (SELECT vec_id, v, t,
-       |  list_reduce(list_transform(generate_series(t * $LshBits + 1, t * $LshBits + $LshBits),
+       |  list_reduce(list_transform(generate_series(t * $TextNearDupBits + 1, t * $TextNearDupBits + $TextNearDupBits),
        |    i -> CASE WHEN v[i] > 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b) AS bucket
        | FROM hn CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
@@ -321,6 +335,43 @@ object SimilarityQueries {
       |FROM s a JOIN s b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin
+
+  // ---- q_minhash_md5: fully oracle-checked MinHash+LSH ------------------
+
+  def minhashMd5(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.minhashMd5Pairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.7)
+
+  /** Replays the engine's md5 MinHash byte-for-byte: per-slot min over
+    * md5(j:shingle) hex (memcmp order on both engines), 4-band
+    * signature concat, bucket self-join, exact-Jaccard verify.
+    */
+  val minhashMd5Sql: String =
+    """WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh
+      | FROM c),
+      |g AS (SELECT doc_id, sh,
+      |  list_transform(generate_series(0, 15), j ->
+      |    list_aggregate(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)), 'min')) AS sig
+      | FROM s),
+      |bd AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], '') AS band
+      |       FROM g CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      |         FROM bd a JOIN bd b2 ON a.b = b2.b AND a.band = b2.band
+      |           AND a.doc_id < b2.doc_id)
+      |SELECT cd.id_a, cd.id_b,
+      |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |    / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+      |FROM cand cd JOIN s x ON x.doc_id = cd.id_a
+      |             JOIN s y ON y.doc_id = cd.id_b
+      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |    / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.7""".stripMargin
 
   // ---- q_dedup_funnel: survivor counts through every dedup tier ---------
 

@@ -130,7 +130,10 @@ class SimilaritySpec extends SparkTestBase {
         "nothing shared with the first pair at all in any position"),
       (13L, ""))                                 // zero vector: excluded
       .toDF("doc_id", "text")
-    val pairs = graft.ops.HashedEmbed.textNearDup(docs, threshold = 0.9)
+    // the deployed q_text_neardup config: 128-dim, 8 tables x 16 bits
+    val pairs = graft.ops.HashedEmbed.textNearDup(docs, threshold = 0.9,
+        nbits = graft.queries.SimilarityQueries.TextNearDupBits,
+        dim = graft.queries.SimilarityQueries.TextNearDupDim)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((10L, 11L)), pairs.toString)
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L || p._1 == 13L || p._2 == 13L))

@@ -298,6 +298,36 @@ class SketchDedupSpec extends SparkTestBase {
     assert(expected.nonEmpty) // the fixture must actually exercise pairs
   }
 
+  test("minhash_md5 kernel is value-identical to the HOF fold") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("doc_id"),
+        SketchDedup.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(
+        graft.plans.MinhashMd5(col("sh"), 16).as("native"),
+        SketchDedup.minhashMd5SignatureHof(col("sh"), 16).as("hof"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString)
+    }
+  }
+
+  test("md5 minhash pairs: planted near-dup found, outputs meet the threshold") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                  // J well above 0.7
+      (3L, (100 to 140).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = SketchDedup.minhashMd5Pairs(docs, "doc_id", "text").collect()
+    val pairs = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((1L, 2L)), rows.mkString(";"))
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.7))
+  }
+
   test("cosine matches a plain scala computation") {
     import spark.implicits._
     val a = Array(1.0, 2.0, 3.0)
