@@ -20,22 +20,32 @@ import graft.text.TextMetrics
   */
 object SketchDedup {
 
-  /** Distinct word k-shingles from a *materialized* token-array column.
+  /** Distinct word k-shingles — the compiled one-pass kernel
+    * [[graft.plans.WordShinglesK]] (evaluates its child exactly once,
+    * so inline tokenizer subtrees are safe here, unlike the HOF form
+    * below). This single expression feeds the whole sketch family;
+    * compiling it moved every shingle-based query (MinHash,
+    * prefix-Jaccard, containment, n-gram Jaccard, decontamination).
+    */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
+    graft.plans.WordShinglesK(toks, k)
+
+  /** Declarative reference form (the kernel's parity oracle).
     * ⚠ `toks` MUST be a bound attribute (a column produced by a previous
     * select), not an inline expression: an inline tokenizer subtree gets
     * copied into the `slice` lambda and re-evaluated per shingle index —
     * O(n²) per document (measured 3× the whole query's budget at sf0.1).
+    * Interpreted: HOFs are CodegenFallback, one boxed lambda frame and
+    * k-slice array per window.
     */
-  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
+  def shinglesFromTokensHof(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
         .otherwise(array().cast("array<string>")))
 
-  /** Convenience single-expression form (tests / tiny inputs only — see
-    * the quadratic-inlining warning on [[shinglesFromTokens]]).
-    */
+  /** Convenience single-expression form. */
   def wordShingles(c: Column, k: Int = 3): Column =
     shinglesFromTokens(TextMetrics.tokens(c), k)
 

@@ -298,6 +298,26 @@ class SketchDedupSpec extends SparkTestBase {
     assert(expected.nonEmpty) // the fixture must actually exercise pairs
   }
 
+  test("word_shingles kernel is value-identical to the HOF fold") {
+    import spark.implicits._
+    val toksCol = graft.text.TextMetrics.tokens(col("text"))
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("text"))
+    val edges = Seq("", "one", "one two", "a b c", "a b c d",
+      "x x x x x", "  padded   spacing  ").toDF("text")
+    Seq(real, edges).foreach { df =>
+      val rows = df.select(col("text"), toksCol.as("toks"))
+        .select(
+          SketchDedup.shinglesFromTokens(col("toks"), 3).as("native"),
+          SketchDedup.shinglesFromTokensHof(col("toks"), 3).as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString)
+      }
+    }
+  }
+
   test("minhash_md5 kernel is value-identical to the HOF fold") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
