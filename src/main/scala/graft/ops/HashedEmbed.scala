@@ -95,15 +95,21 @@ object HashedEmbed {
   }
 
   /** Semantic near-duplicate TEXT pairs with no model anywhere:
-    * hashed vectors (compiled kernel) + the engine's multi-table
-    * sign-bit LSH ([[Similarity.nearDupPairsLsh]]) + exact-cosine
+    * hashed vectors (compiled kernel) + multi-table random-hyperplane
+    * LSH ([[Similarity.nearDupPairsRpLsh]]) + exact-cosine
     * verification on candidates only. Catches paraphrase-level
     * near-dups (token-bag overlap under reordering/insertion) that
     * shingle-based dedup misses, at the same banded-LSH scale shape —
-    * candidates join per (table, bucket), never all-pairs. Zero-norm
-    * docs are excluded (cosine undefined). Fully oracle-checkable:
-    * vectors are deterministic integers, banding is pure arithmetic,
-    * and cosine keeps DuckDB's fold order.
+    * candidates join per (table, bucket), never all-pairs.
+    *
+    * Random hyperplanes, NOT axis-aligned sign bits: hashed count
+    * vectors share their common-token dims corpus-wide, so raw signs
+    * barely vary between documents and axis-aligned buckets degenerate
+    * to candidates ≈ all-pairs (measured at sf0.1 — see
+    * [[graft.plans.RpLshBuckets]]). Zero-norm docs are excluded
+    * (cosine undefined). Fully oracle-checkable: vectors and
+    * hyperplanes are deterministic integers/±1, dots are exact integer
+    * arithmetic, and cosine keeps DuckDB's fold order.
     */
   def textNearDup(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", threshold: Double = 0.9,
@@ -118,7 +124,7 @@ object HashedEmbed {
       // verify joins twice more: persist so the text is hashed once
       // per doc (released by the caller's clearCache)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Similarity.nearDupPairsLsh(vecs, threshold, nbits, tables)
+    Similarity.nearDupPairsRpLsh(vecs, threshold, nbits, tables)
   }
 
   /** Brute-force cosine top-k over the hashed document vectors —

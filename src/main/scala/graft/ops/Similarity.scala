@@ -113,6 +113,38 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Multi-table RANDOM-HYPERPLANE LSH near-dup pairs
+    * ([[graft.plans.RpLshBuckets]]): same candidate shape as
+    * [[nearDupPairsLsh]] (pairs share any table's bucket, exact-cosine
+    * verify on candidates only), but each bit is the sign of a dot
+    * with a fixed ±1 hyperplane instead of one raw component. Use this
+    * for feature-hashed TEXT vectors: their per-dim signs are nearly
+    * constant across a corpus (common-token counts dominate), which
+    * collapses axis-aligned buckets to candidates ≈ all-pairs; the
+    * hyperplane mix restores the 1 − θ/π per-bit collision law, which
+    * holds for any data distribution. Axis-aligned banding remains for
+    * centered embedding columns where the components are already
+    * balanced and the per-bit arithmetic is one array read.
+    */
+  def nearDupPairsRpLsh(emb: DataFrame, threshold: Double,
+                        nbits: Int = 16, tables: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val banded = e.select(col("vec_id"),
+      posexplode(graft.plans.RpLshBuckets(col("v"), tables, nbits)))
+      .toDF("vec_id", "t", "bucket")
+    val pairs = banded.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(banded.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Exact all-pairs baseline (tests + recall measurement only — the
     * cross join is quadratic; never the scale path).
     */

@@ -343,19 +343,20 @@ object RelationalQueries {
     * the Zipf fit (healthy natural text ≈ -1; token soup flattens, spam
     * steepens). Log points are floor-quantized to BIGINTs and the slope
     * comes from six exact integer moment sums (the corrGrouped
-    * discipline), so partitioning cannot move it. Ranking uses a global
-    * row_number over the VOCABULARY (Heaps-bounded, not corpus-sized);
-    * at extreme vocab sizes swap in the two-pass Shard.withGlobalSeq
-    * over a composite sort key.
+    * discipline), so partitioning cannot move it. Ranking uses the
+    * two-pass Shard.withGlobalSeq (range-partition on (-n, word), then
+    * partition-offset numbering) — never a single-partition window, so
+    * the rank assignment stays distributed even if the vocabulary runs
+    * to hundreds of millions of terms.
     */
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(s, dir)
       .select(explode(graft.text.TextMetrics.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("word"))
-    val pts = vocab
-      .withColumn("rank", row_number().over(w))
+    val pts = graft.ops.Shard
+      .withGlobalSeq(vocab.withColumn("__negn", -col("n")),
+        Seq("__negn", "word"), "__seq")
+      .withColumn("rank", col("__seq") + 1L)
       .select(
         floor(log(col("rank").cast("double")) * 10000.0d).cast("long").as("x"),
         floor(log(col("n").cast("double")) * 10000.0d).cast("long").as("y"))

@@ -108,16 +108,20 @@ object SimilarityQueries {
 
   val TextNearDupThreshold = 0.9
 
-  /** 128-dim vectors and 16-bit tables here, vs the embeddings table's
-    * 8-bit banding: the synthetic corpus is template-generated, so its
-    * BACKGROUND cosine is high (~0.6 ⇒ per-bit sign agreement ~0.70)
-    * and 8-bit buckets over it degenerate — 0.70⁸ ≈ 6% of the whole
-    * corpus collides per table, candidates go quadratic (measured 20s
-    * at sf0.1). 16 selective bits cut background collisions to
-    * 0.70¹⁶ ≈ 0.3% while true near-dups (cos ≥ 0.97 ⇒ p ≥ 0.93,
-    * p¹⁶ ≈ 0.31/table) still surface through the 8-table OR with
-    * P ≈ 0.95. Eight disjoint 16-bit tables need 128 dims; the
-    * hashing kernel's per-token cost is dim-independent.
+  /** Random-hyperplane banding (RpLshBuckets), 8 tables × 16 bits over
+    * 128-dim hashed vectors. Axis-aligned sign bits are structurally
+    * wrong here: hashed count vectors share their common-token dims
+    * corpus-wide, the raw signs barely vary between documents, and the
+    * nominal 2¹⁶ bucket space collapsed to 46 occupied buckets at
+    * sf0.1 — candidates were ALL 12.5M pairs, the banding did nothing.
+    * With random ±1 hyperplanes the per-bit collision law is
+    * 1 − θ/π regardless of the data distribution: background pairs
+    * (cos ≈ 0.6 ⇒ p ≈ 0.70) collide per table with p¹⁶ ≈ 0.4%, while
+    * planted near-dups (cos ≥ 0.97 ⇒ p ≥ 0.94) surface through the
+    * 8-table OR with P ≈ 0.98. Recall at exactly the 0.9 threshold is
+    * ≈ 0.5 — the S-curve midpoint sits there by choice, so borderline
+    * pairs are traded for the ~400× candidate cut; the pinned
+    * paraphrase fixtures (cos > 0.97) are found deterministically.
     */
   val TextNearDupDim = 128
   val TextNearDupBits = 16
@@ -127,20 +131,31 @@ object SimilarityQueries {
       threshold = TextNearDupThreshold, nbits = TextNearDupBits,
       tables = LshTables, dim = TextNearDupDim)
 
-  /** Composes the hashed-vector CTE with the q_embed_neardup banding
-    * oracle verbatim — same LSH arithmetic, vectors from text instead
-    * of the embeddings table.
+  /** Rebuilds the kernel's hyperplane matrix from the same
+    * md5("rp_t:b:d")-parity strings, dots each vector against it, and
+    * assembles MSB-first buckets — byte-for-byte the RpLshBuckets
+    * arithmetic (dots are exact integers, so engine sum order is
+    * irrelevant).
     */
   val textNearDupSql: String =
     s"""WITH ${hashedVecCtesSql(TextNearDupDim)},
        |hn AS (SELECT doc_id AS vec_id, vec AS v FROM hv
        |       WHERE list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) > 0),
-       |b AS (SELECT vec_id, v, t,
-       |  list_reduce(list_transform(generate_series(t * $TextNearDupBits + 1, t * $TextNearDupBits + $TextNearDupBits),
-       |    i -> CASE WHEN v[i] > 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b) AS bucket
-       | FROM hn CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+       |rp AS (SELECT tt.t, bb.b, dd.d,
+       |    CASE WHEN (instr('0123456789abcdef',
+       |        substr(md5('rp_' || tt.t || ':' || bb.b || ':' || dd.d), 1, 1)) - 1) % 2 = 0
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS r
+       |  FROM (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t) tt
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${TextNearDupBits - 1})) AS b) bb
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $TextNearDupDim)) AS d) dd),
+       |dots AS (SELECT vec_id, t, b, sum(v[d] * r) AS dot
+       |         FROM hn CROSS JOIN rp GROUP BY vec_id, t, b),
+       |bkt AS (SELECT vec_id, t,
+       |          sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << (${TextNearDupBits - 1} - b)
+       |                   ELSE CAST(0 AS BIGINT) END) AS bucket
+       |        FROM dots GROUP BY vec_id, t),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-       | FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       | FROM bkt a JOIN bkt b2 ON a.t = b2.t AND a.bucket = b2.bucket
        |   AND a.vec_id < b2.vec_id)
        |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cosine
        |FROM cand c JOIN hn ea ON ea.vec_id = c.id_a

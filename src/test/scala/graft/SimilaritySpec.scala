@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Similarity
 
 /** Approximation quality of the scale paths, measured against their
@@ -116,6 +118,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getSeq[Double](0) === r.getSeq[Double](1), r.toString)
+    }
+  }
+
+  test("rp-lsh buckets: kernel matches an independent md5-parity rebuild") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val dim = 16
+    val (tables, nbits) = (4, 8)
+    val rows = docs.select(col("doc_id"),
+        graft.ops.HashedEmbed.hashedVector(
+          graft.text.TextMetrics.tokens(col("text")), dim).as("v"))
+      .select(col("doc_id"), col("v"),
+        graft.plans.RpLshBuckets(col("v"), tables, nbits).as("buckets"))
+      .collect()
+    assert(rows.nonEmpty)
+    // independent reference: java MessageDigest + BigInt hex parse,
+    // no shared code with the kernel's plane cache
+    def sign(t: Int, b: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp_$t:$b:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val got = r.getSeq[Long](2)
+      val want = (0 until tables).map { t =>
+        (0 until nbits).foldLeft(0L) { (acc, b) =>
+          val dot = v.indices.map(i => v(i) * sign(t, b, i + 1)).sum
+          acc * 2 + (if (dot > 0) 1L else 0L)
+        }
+      }
+      assert(got === want, s"doc ${r.get(0)}")
     }
   }
 
