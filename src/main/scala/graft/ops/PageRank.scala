@@ -37,14 +37,21 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int,
             dampingQ: Long = 850000L): DataFrame = {
+    // The edge list is often the output of an expensive upstream join
+    // (q_pagerank_nations builds it from lineitem ⋈ orders ⋈ 4 dims):
+    // pin it, because its subtree would otherwise be re-evaluated for
+    // the node census AND once per appearance of `share` in the final
+    // unrolled plan.
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     if (n == 0) {
       // empty graph: empty result, not a driver-side division by zero
+      e.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       return nodes.withColumn("rank_q", lit(0L))
     }
@@ -53,6 +60,8 @@ object PageRank {
       .select(col("src"), col("dst"),
         expr(s"(w * ${Quant}L) div ww").as("share_q"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    share.count() // materialize before the per-round fan-out …
+    e.unpersist(blocking = false) // … after which the raw edges are dead
     val teleQ = (Quant - dampingQ) / n
     var ranks = nodes.withColumn("rank_q", lit(Quant / n))
     for (_ <- 1 to iters) {

@@ -475,19 +475,25 @@ object SketchDedup {
     * are exactly the pairing step's quadratic hot keys, so the guard is
     * both semantics and the 100 TB skew protection.
     *
-    * Shape: ONE shuffle groups the fingerprint table by fp (doc-id list
-    * + df count in the same aggregate — no separate df pass, no join
-    * back, no a×b self-join), pairs are generated in-row from the ≤maxDf
-    * sorted id list, then one more shuffle counts shared fps per pair.
-    * The earlier persist + count-join + self-join form scanned the big
-    * fingerprint table three times and shuffled it twice more.
+    * Shape: ONE shuffle groups the fingerprint table by fp (the
+    * bounded-state id collector [[BoundedCollect]] — per-buffer state
+    * is O(maxDf) even on a fingerprint shared by millions of docs, so
+    * the df gate cannot OOM the aggregate it feeds), pairs are
+    * generated in-row from the ≤maxDf sorted id list, then one more
+    * shuffle counts shared fps per pair. The earlier persist +
+    * count-join + self-join form scanned the big fingerprint table
+    * three times and shuffled it twice more.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4, maxDf: Int = 20,
                          minShared: Int = 8): DataFrame = {
+    val (idCast, collector) =
+      BoundedCollect.forIdType(df.schema(idCol).dataType, maxDf)
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(idCast(col("id")).as("id"), col("fp"))
     val byFp = fps.groupBy("fp")
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(collector(col("id")).as("c"))
+      .select(col("c.ids").as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
       .withColumn("ids", array_sort(col("ids")))
     // all (i<j) index pairs of the sorted id list; ids are distinct per
@@ -593,16 +599,19 @@ object SketchDedup {
     * the long side and resemblance stays near zero however complete
     * the overlap.
     *
-    * Candidates come from a shared-shingle self-join gated by a
-    * document-frequency band [2, maxDf] (skew guard + boilerplate
-    * suppressor in one, the [[winnowOverlapPairs]] trade): a shingle in
-    * thousands of docs identifies boilerplate, not containment, and
-    * would fan out quadratically. The df gate runs BEFORE the self-join
-    * as its own aggregate — per-group state stays O(1) (a count), never
-    * an unbounded id list — so each surviving shingle fans out ≤ maxDf²
-    * pairs. The intersection size falls out of the join itself (shingle
-    * sets are distinct per doc: one row per shared in-band shingle per
-    * ordered pair); no second verification pass is needed.
+    * Candidates come from shared shingles gated by a document-frequency
+    * band [2, maxDf] (skew guard + boilerplate suppressor in one, the
+    * [[winnowOverlapPairs]] trade): a shingle in thousands of docs
+    * identifies boilerplate, not containment, and would fan out
+    * quadratically. ONE shuffle groups the posting table by shingle
+    * with the bounded-state id collector ([[BoundedCollect]] — per-group
+    * state is O(maxDf) even on a million-doc boilerplate shingle), pairs
+    * are emitted in-row from each kept group (≤ maxDf² per shingle), and
+    * one more shuffle counts shared shingles per ordered pair. Per-doc
+    * shingle-set sizes come straight from the shingle ARRAY length —
+    * no aggregation pass. (The earlier count-gate + join-back +
+    * self-join form scanned the posting table three times and shuffled
+    * it twice more.)
     *
     * Output is directional: (id_a, id_b), a ≠ b, containment of A's
     * shingles in B — both directions appear when both clear `threshold`.
@@ -610,22 +619,31 @@ object SketchDedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, maxDf: Int = 20,
                        threshold: Double = 0.9): DataFrame = {
-    val grams = Skew.ensureParallelism(df
+    val (idCast, collector) =
+      BoundedCollect.forIdType(df.schema(idCol).dataType, maxDf)
+    val base = Skew.ensureParallelism(df
       .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
-      .select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), TextMetrics.tokens(col("__t")).as("toks"))
-      .select(col("id"), explode(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds df gate, both join sides, sizes
-    val inBand = grams.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf)).select("sh")
-    val keyed = grams.join(inBand, Seq("sh"))
-    val pairs = keyed.select(col("sh"), col("id").as("id_a"))
-      .join(keyed.select(col("sh"), col("id").as("id_b")), Seq("sh"))
-      .filter(col("id_a") =!= col("id_b"))
+      .select(idCast(col(idCol)).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        shinglesFromTokens(TextMetrics.tokens(col("__t")), shingleSize).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the posting explode + sizes
+    val bySh = base.select(col("id"), explode(col("sh")).as("g"))
+      .groupBy("g")
+      .agg(collector(col("id")).as("c"))
+      .select(col("c.ids").as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    // all ordered pairs (a ≠ b) of each kept group, in-row; ids are
+    // distinct per shingle (shingle sets are distinct per doc)
+    val pairs = bySh.select(explode(expr(
+      """flatten(transform(ids, a ->
+        |  transform(filter(ids, b -> b != a), b -> struct(a AS id_a, b AS id_b))))
+        |""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val sizes = base.select(col("id").as("id_a"),
+      size(col("sh")).cast("long").as("n_sh"))
     pairs
-      .join(sizes.select(col("id").as("id_a"), col("n_sh")), Seq("id_a"))
+      .join(sizes, Seq("id_a"))
       .withColumn("containment",
         col("n_shared").cast("double") / col("n_sh").cast("double"))
       .filter(col("containment") >= threshold)

@@ -298,6 +298,30 @@ class SketchDedupSpec extends SparkTestBase {
     assert(expected.nonEmpty) // the fixture must actually exercise pairs
   }
 
+  test("bounded collect: post-filter result identical to unbounded collect_list") {
+    import spark.implicits._
+    // groups straddling the cap: sizes 1, 2, cap, cap+1, 3·cap
+    val cap = 4
+    val rows = Seq.tabulate(1)(i => ("g1", i.toLong)) ++
+      Seq.tabulate(2)(i => ("g2", i.toLong)) ++
+      Seq.tabulate(cap)(i => ("g4", i.toLong)) ++
+      Seq.tabulate(cap + 1)(i => ("g5", i.toLong)) ++
+      Seq.tabulate(3 * cap)(i => ("g12", i.toLong))
+    val df = rows.toDF("key", "id").repartition(8) // arrival order scrambled
+    val bounded = df.groupBy("key")
+      .agg(graft.ops.BoundedCollect.longIdsUpTo(cap)(col("id")).as("c"))
+      .select(col("key"), col("c.ids").as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .select(col("key"), array_sort(col("ids")).as("ids"))
+    val plain = df.groupBy("key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .select(col("key"), array_sort(col("ids")).as("ids"))
+    val b = bounded.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val p = plain.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(b === p)
+    assert(b.keySet === Set("g2", "g4")) // over-cap and singleton groups gone
+  }
+
   test("word_shingles kernel is value-identical to the HOF fold") {
     import spark.implicits._
     val toksCol = graft.text.TextMetrics.tokens(col("text"))
