@@ -84,10 +84,81 @@ object Dedup {
     Filters.applyRules(unioned, Seq(col("is_dup_near") -> "near_duplicate"))
   }
 
-  /** D1∘D2 composition, reference stage-4 semantics. */
-  def dedupStage(df: DataFrame, textCol: String = "text_pii_masked",
-                 seqCol: String = "ingest_seq"): DataFrame =
-    nearDedup(exactDedup(df, textCol, seqCol), textCol, seqCol)
+  /** D1∘D2 composition, reference stage-4 semantics — value-identical to
+    * `nearDedup(exactDedup(df))` (parity-pinned in FiltersDedupSpec) but
+    * with the narrow-shuffle shape: by dedup time the pipeline frame
+    * carries four text-sized columns (raw/norm/deep-clean/masked) plus
+    * ~25 metrics, and the composed form drags ALL of it through two
+    * window shuffles. Here both windows run over a projection of
+    * (seq, doomed, id, exact-hash, md5'd near-key) — tens of bytes per
+    * row — and the wide frame shuffles exactly once, for the flag
+    * join-back. The canon columns the output contract exposes are
+    * recomputed post-join from the text (one cheap codegen'd pass)
+    * instead of being shuffled.
+    *
+    * Near-window details preserved from the composed form: rows doomed
+    * by earlier stages OR by the exact pass sort last (never shadow a
+    * kept row), non-candidates get a per-row unique key ("u:"+seq —
+    * disjoint from md5 hex, so no collision with real buckets) and thus
+    * singleton groups, and the md5 of the 500-char near key stands in
+    * for the key itself (grouping is identical up to md5 collisions,
+    * ~2^-128 per pair).
+    */
+  def dedupStage(df0: DataFrame, textCol: String = "text_pii_masked",
+                 seqCol: String = "ingest_seq"): DataFrame = {
+    // The frame is consumed twice (narrow window branch + join-back), so
+    // persist at the branch point: without it the flags branch re-runs
+    // the whole upstream scalar chain — the stage-2/3 regex pipeline at
+    // pipeline scale — on a second scan (measured 7.1 s vs 4.5 s for
+    // q_pipeline_full at sf0.1). Node-local materialization, not a
+    // shuffle; released by the caller's clearCache like every
+    // multi-consumer frame in the engine.
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idExpr =
+      if (df.columns.contains("doc_id")) col("doc_id").cast("string")
+      else col(seqCol).cast("string")
+    val narrow = df
+      .select(col(seqCol).as("__seq"), doomedLast(df).as("__doomed"),
+        idExpr.as("__did"), Normalize.canonExact(col(textCol)).as("__canon"))
+      .select(col("__seq"), col("__doomed"), col("__did"),
+        Normalize.sha256Hex(col("__canon")).as("__eh"),
+        substring(col("__canon"), 1, NearKeyChars).as("__nk"),
+        length(col("__canon")).as("__clen"))
+      .select(col("__seq"), col("__doomed"), col("__did"), col("__eh"),
+        md5(col("__nk")).as("__nkh"),
+        (col("__clen") >= NearDupMinLen && col("__nk") =!= "").as("__cand"))
+    val we = Window.partitionBy("__eh").orderBy(col("__doomed"), col("__seq"))
+    val afterExact = narrow
+      .withColumn("__rne", row_number().over(we))
+      .withColumn("__fide", first("__did").over(we))
+      .withColumn("__de", col("__doomed") || col("__rne") > 1)
+      .withColumn("__nkk", when(col("__cand"), col("__nkh"))
+        .otherwise(concat(lit("u:"), col("__seq").cast("string"))))
+    val wn = Window.partitionBy("__nkk").orderBy(col("__de"), col("__seq"))
+    val flags = afterExact
+      .withColumn("__rnn", row_number().over(wn))
+      .withColumn("__fidn", first("__did").over(wn))
+      .select(col("__seq"),
+        (col("__rne") > 1).as("__isde"),
+        when(col("__rne") > 1, col("__fide")).as("__dofe"),
+        (col("__cand") && col("__rnn") > 1 && !(col("__rne") > 1)).as("__isdn"),
+        col("__fidn"))
+    val wide = df.join(flags, col(seqCol) === col("__seq")).drop("__seq")
+      .withColumn("dedup_id", idExpr)
+      .withColumn("exact_canon_text", Normalize.canonExact(col(textCol)))
+      .withColumn("exact_hash", Normalize.sha256Hex(col("exact_canon_text")))
+      .withColumn("is_dup_exact", col("__isde"))
+      .withColumn("dup_of", col("__dofe"))
+    val exactRuled = Filters.applyRules(wide,
+      Seq(col("is_dup_exact") -> "exact_duplicate"))
+    val near = exactRuled
+      .withColumn("near_key", Normalize.canonNear(col(textCol), NearKeyChars))
+      .withColumn("is_dup_near", col("__isdn"))
+      .withColumn("dup_of",
+        coalesce(col("dup_of"), when(col("is_dup_near"), col("__fidn"))))
+      .drop("__isde", "__dofe", "__isdn", "__fidn")
+    Filters.applyRules(near, Seq(col("is_dup_near") -> "near_duplicate"))
+  }
 
   /** Incremental exact dedup — the daily-ingest shape at corpus scale:
     * dedup a NEW batch against the running corpus without re-windowing

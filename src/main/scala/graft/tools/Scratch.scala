@@ -1,41 +1,41 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway profiling/smoke harness (not part of the library surface). */
+/** Throwaway profiling harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
+      .master("local[32]")
+      .appName("scratch")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
-    def time(name: String)(df: => DataFrame): Unit = {
-      df.write.mode("overwrite").format("noop").save()
+    def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
-      println(f"SCRATCH $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
+    graft.Tables.documents(spark, dir).count()
 
-    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    import graft.text._
-    time("baseline_text")(docs)
-    time("normalize")(docs.select(Normalize.normalizeText(col("text")).as("n")))
-    time("langid")(LangId.withLangColumns(docs, col("text")))
-    time("pii_counts")(docs.select(Pii.piiEmailHits(col("text")),
-      Pii.piiPhoneHits(col("text")), Pii.piiCcHits(col("text")),
-      Pii.piiIbanHits(col("text"))))
-    time("pii_mask")(docs.select(Pii.maskPii(col("text")).as("m")))
-    time("toxicity")(Toxicity.withToxicityColumns(docs, col("text")))
-    time("token_stats")(docs.select(
-      TextMetrics.tokenCount(col("text")).as("tc")))
-    time("structural")(docs.select(
-      Normalize.structuralCleanup(col("text")).as("s")))
-    time("tokenize")(docs.select(Tokenize.tokenize(col("text")).as("t")))
+    val raw = graft.Pipeline.fromDocuments(graft.Tables.documents(spark, dir))
+    val s2 = graft.Pipeline.cleanAndFilter(raw)
+    time("s2 cleanAndFilter")(println("  n=" + s2.count()))
+    val s3 = graft.Pipeline.deepCleanAndPii(s2)
+    time("s3 deepCleanAndPii (cum)")(println("  n=" + s3.count()))
+    val s4 = graft.Pipeline.dedup(s3)
+    time("s4 dedup (cum)")(println("  n=" + s4.count()))
+    val s5 = graft.Pipeline.score(s4)
+    val s6 = graft.Pipeline.tokenise(s5)
+    time("s6 tokenise (cum)")(println("  n=" + s6.count()))
+    time("full run again")(println("  n=" + graft.Pipeline.run(raw).count()))
+    time("q_pipeline_full")(println("  n=" +
+      graft.queries.PipelineQueries.pipelineFull(spark, dir).count()))
     spark.stop()
   }
 }

@@ -88,6 +88,38 @@ class FiltersDedupSpec extends SparkTestBase {
     assert(out(3L).getString(2) == "1")
   }
 
+  test("dedupStage narrow-shuffle form is value-identical to the composed form") {
+    // real corpus + a doomed row + exact/near planted dups; doomed rows
+    // exercise the doomed-sorts-last rule in BOTH windows
+    val longPrefix = "p q r s t u v w x y " * 30
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, longPrefix + "tail a"),
+        (100002L, longPrefix + "tail b"),
+        (100003L, longPrefix + "tail a")
+      ).toDF("doc_id", "text"))
+      .withColumn("ingest_seq", col("doc_id"))
+      // doom one of the planted dups pre-dedup (first-occurrence row!)
+      .withColumn("drop_reason",
+        when(col("doc_id") === 100001L, lit("too_short")))
+    val cols = Seq("doc_id", "dedup_id", "exact_hash", "is_dup_exact",
+      "is_dup_near", "dup_of", "drop_reason", "near_key", "exact_canon_text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fused = canon(Dedup.dedupStage(docs, textCol = "text"))
+    val composed = canon(Dedup.nearDedup(
+      Dedup.exactDedup(docs, textCol = "text"), textCol = "text"))
+    assert(fused.keySet === composed.keySet)
+    fused.keySet.foreach { id =>
+      assert(fused(id) === composed(id), s"doc $id")
+    }
+    // the doomed first-occurrence must not have shadowed the kept row
+    assert(fused(100002L)(3) === false, "kept row wrongly flagged")
+  }
+
   test("Q1 quality score: pinned arithmetic from FIXTURES.md") {
     val df = Seq(
       (1.0, 500L, 1.0, false, 1.0),

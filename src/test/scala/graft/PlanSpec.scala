@@ -169,25 +169,37 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("pipeline_full runtime: 2 executed dedup shuffles, exact exchange reused, 1 scan") {
-    // Statically the union's two branches (near-dup candidates vs rest)
-    // each carry the exact_hash window's exchange; at runtime AQE reuses
-    // the first materialization — so the executed plan must show exactly
-    // two real shuffles (exact_hash + near_key), one ReusedExchange, and
-    // a single parquet scan. Pinning the FINAL adaptive plan guards the
-    // fusion work at the level that actually costs money.
+  test("pipeline_full runtime: only narrow dedup shuffles, wide frame never window-shuffles") {
+    // dedupStage's narrow-shuffle form: both dedup windows run over a
+    // (seq, doomed, id, hash-key) projection — tens of bytes per row —
+    // and the wide pipeline frame (four text-sized columns + ~25
+    // metrics) reaches dedup through a persisted branch point, so the
+    // only hash-partitioned exchanges in the whole executed pipeline are
+    // the two narrow window shuffles. The flag join-back broadcasts at
+    // fixture scale (at corpus scale it degrades to ONE wide shuffle —
+    // still half the composed form's two). Pinning the FINAL adaptive
+    // plan guards the rewrite at the level that actually costs money.
     val df = graft.queries.PipelineQueries.pipelineFull(spark, dir)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // "+- Exchange hash..." is a real shuffle; a ReusedExchange line also
-    // mentions "Exchange hashpartitioning" but only after its arg list
-    val executed = """[+:]- Exchange hashpartitioning""".r.findAllIn(finalPlan).size
-    val reused = finalPlan.linesIterator.count(_.contains("ReusedExchange"))
-    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
-    assert(executed === 2, s"expected 2 executed shuffles, got $executed:\n$finalPlan")
-    assert(reused === 1, s"exact-hash exchange not reused across the union:\n$finalPlan")
-    assert(scans === 1, s"documents scanned $scans times at runtime:\n$finalPlan")
+    val exchanges = """[+:]- Exchange hashpartitioning\(([^,]+)""".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toList
+    assert(exchanges.size === 2,
+      s"expected exactly the 2 narrow window shuffles, got $exchanges:\n$finalPlan")
+    assert(exchanges.exists(_.startsWith("__eh")) &&
+      exchanges.exists(_.startsWith("__nkk")),
+      s"shuffles must key on the narrow dedup projection, got $exchanges:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"flag join-back must broadcast at fixture scale:\n$finalPlan")
+    // the persisted branch point prunes: the narrow branch reads only
+    // the 3 columns dedup needs, and the parquet scan only the 4 source
+    // columns — the scalar chain is materialized once, not re-derived
+    assert(finalPlan.linesIterator.exists(l => l.contains("InMemoryTableScan")
+        && l.contains("text_pii_masked") && !l.contains("text_norm")),
+      s"narrow branch must read a pruned cache projection:\n$finalPlan")
+    assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"parquet scan must prune to source columns:\n$finalPlan")
     // the custom codegen expressions stay inlined in the fused plan
     val static = plan(df)
     assert(static.contains("wordlist_hits"), s"WordlistHits kernel missing:\n$static")
