@@ -233,7 +233,21 @@ object SketchDedup {
                          threshold: Double = 0.7,
                          shingleSize: Int = 3): IncrementalNearDup = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val fresh = sketchTable(batch, idCol, textCol, numHashes, bands, shingleSize)
+    incrementalFromSketches(batch,
+      sketchTable(batch, idCol, textCol, numHashes, bands, shingleSize),
+      corpusSketches, idCol, threshold)
+  }
+
+  /** The sketch-agnostic core of [[incrementalMinhash]]: both sides are
+    * already (id, hs, bands) tables, so the same candidate/verify logic
+    * serves the XXH64 production sketch AND the md5-hex oracle sketch
+    * ([[minhashMd5SketchTable]]) — hs element type only has to support
+    * equality (array_intersect), band keys only equality (join).
+    */
+  def incrementalFromSketches(batch: DataFrame, batchSketches: DataFrame,
+                              corpusSketches: DataFrame, idCol: String,
+                              threshold: Double): IncrementalNearDup = {
+    val fresh = batchSketches
       .persist(StorageLevel.MEMORY_AND_DISK)
     fresh.count() // materialize before the multi-way fan-out
     def verify(cands: DataFrame, otherSketches: DataFrame,
@@ -287,6 +301,31 @@ object SketchDedup {
       .select(col("id"), sk(col("__t")).as("sk"))
       .select(col("id"), col("sk._1").as("hs"), col("sk._2").as("bands"))
       .filter(size(col("hs")) > 0)
+  }
+
+  /** Oracle-checkable twin of [[sketchTable]]: md5-hex signatures
+    * ([[graft.plans.MinhashMd5]], lexicographic-min hex strings — a
+    * total order every engine agrees on), band keys as
+    * "b:concat(slots)" strings. Same (id, hs, bands) layout, so
+    * [[incrementalFromSketches]] consumes either; this one a DuckDB
+    * oracle can replay end to end (q_incr_neardup).
+    */
+  def minhashMd5SketchTable(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    Skew.ensureParallelism(df
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        shinglesFromTokens(TextMetrics.tokens(col("__t")), shingleSize).as("hs"))
+      .withColumn("sig", graft.plans.MinhashMd5(col("hs"), numHashes))
+      .select(col("id"), col("hs"),
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat(b.cast("string"), lit(":"),
+            concat_ws("", slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as("bands"))
   }
 
   /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes; UDF —

@@ -388,6 +388,69 @@ object SimilarityQueries {
       |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
       |    / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.7""".stripMargin
 
+  // ---- q_incr_neardup: incremental near-dedup vs a corpus state ---------
+
+  /** Incremental MinHash dedup with a FULL oracle: even doc_ids play the
+    * standing corpus (its sketch state is what a daily run would have on
+    * disk), odd doc_ids the incoming batch. Flags per batch doc: dup of
+    * an earlier batch row (keep-first) and/or of a corpus row, with the
+    * lowest matching id as lineage. The corpus×corpus pair space is
+    * never generated — history participates only through the band-key
+    * join — which is the entire point of the incremental shape. md5
+    * sketch variant so DuckDB replays signatures, banding, candidates
+    * and verification end to end.
+    */
+  def incrNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val r = SketchDedup.incrementalFromSketches(batch,
+      SketchDedup.minhashMd5SketchTable(batch, "doc_id", "text"),
+      SketchDedup.minhashMd5SketchTable(corpus, "doc_id", "text"),
+      "doc_id", threshold = 0.7)
+    r.flagged.select(col("doc_id"),
+      col("is_dup_near_batch").as("is_dup_batch"),
+      col("batch_dup_of").cast("long").as("batch_dup_of"),
+      col("is_dup_near_corpus").as("is_dup_corpus"),
+      col("near_dup_of").cast("long").as("corpus_dup_of"))
+  }
+
+  val incrNearDedupSql: String =
+    """WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh
+      | FROM c),
+      |g AS (SELECT doc_id, sh,
+      |  list_transform(generate_series(0, 15), j ->
+      |    list_aggregate(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)), 'min')) AS sig
+      | FROM s),
+      |bd AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], '') AS band
+      |       FROM g CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      |cand AS (SELECT DISTINCT n.doc_id AS id_n, m.doc_id AS id_m
+      |         FROM bd n JOIN bd m ON n.b = m.b AND n.band = m.band
+      |         WHERE n.doc_id % 2 = 1
+      |           AND (m.doc_id % 2 = 0 OR m.doc_id < n.doc_id)),
+      |ver AS (SELECT cd.id_n, cd.id_m FROM cand cd
+      |        JOIN s x ON x.doc_id = cd.id_n
+      |        JOIN s y ON y.doc_id = cd.id_m
+      |        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |            / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= 0.7),
+      |mb AS (SELECT id_n AS doc_id, min(id_m) AS batch_dup_of
+      |       FROM ver WHERE id_m % 2 = 1 GROUP BY id_n),
+      |mc AS (SELECT id_n AS doc_id, min(id_m) AS corpus_dup_of
+      |       FROM ver WHERE id_m % 2 = 0 GROUP BY id_n)
+      |SELECT d.doc_id,
+      |  mb.batch_dup_of IS NOT NULL AS is_dup_batch, mb.batch_dup_of,
+      |  mc.corpus_dup_of IS NOT NULL AS is_dup_corpus, mc.corpus_dup_of
+      |FROM documents d
+      |LEFT JOIN mb ON mb.doc_id = d.doc_id
+      |LEFT JOIN mc ON mc.doc_id = d.doc_id
+      |WHERE d.doc_id % 2 = 1""".stripMargin
+
   // ---- q_dedup_funnel: survivor counts through every dedup tier ---------
 
   /** The whole dedup stack as one report: reference stage-4 flags

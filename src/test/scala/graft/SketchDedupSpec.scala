@@ -254,6 +254,41 @@ class SketchDedupSpec extends SparkTestBase {
     res2.release(); res.release()
   }
 
+  test("incremental md5 variant matches the pairwise md5 ground truth") {
+    // q_incr_neardup's semantics derived independently from the
+    // already-oracle-checked md5 pair generator: for each odd (batch)
+    // doc, batch_dup_of = min odd partner below it, corpus_dup_of =
+    // min even partner, over the same banding + verify.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val pairs = SketchDedup.minhashMd5Pairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def matchesOf(n: Long): Seq[Long] =
+      pairs.collect {
+        case (a, b) if a == n => b
+        case (a, b) if b == n => a
+      }.toSeq
+    val out = graft.queries.SimilarityQueries
+      .incrNearDedup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out.nonEmpty && out.keySet.forall(_ % 2 == 1))
+    out.foreach { case (n, (batchOf, corpusOf)) =>
+      val ms = matchesOf(n)
+      val expBatch = ms.filter(m => m % 2 == 1 && m < n).sorted.headOption
+      val expCorpus = ms.filter(_ % 2 == 0).sorted.headOption
+      assert(batchOf === expBatch, s"batch_dup_of for $n")
+      assert(corpusOf === expCorpus, s"corpus_dup_of for $n")
+    }
+    // the fixture must actually exercise both flag families
+    assert(out.values.exists(_._1.isDefined), "no intra-batch dup in fixture")
+    assert(out.values.exists(_._2.isDefined), "no corpus dup in fixture")
+    spark.catalog.clearCache()
+  }
+
   test("prefix jaccard: finds the first-token edit the block key misses") {
     import spark.implicits._
     // 40 identical tokens except token ONE differs -> jaccard on 3-gram
