@@ -38,27 +38,34 @@ object Pq {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Unit-normalize (zero vectors pass through unscaled); the norm fold
-    * mirrors the oracle's list_reduce exactly.
+    * mirrors the oracle's list_reduce exactly — native kernel, see
+    * [[graft.plans.L2Normalize]] for the parity contract.
     */
-  private def normalized(v: Column): Column = {
-    val norm = sqrt(aggregate(transform(v, x => x * x),
-      lit(0.0), (a, x) => a + x))
-    when(norm > 0, transform(v, x => x / norm)).otherwise(v)
-  }
+  private def normalized(v: Column): Column = graft.plans.L2Normalize(v)
 
   /** Per-subspace, per-label mean subvectors of the normalized corpus:
     * (m_idx ∈ [0,m), code = label, cv: array<double> of d/m dims).
+    *
+    * One keyed shuffle (|labels| groups, dim partial-avg slots each),
+    * reshaped to (m_idx, cv) rows by an in-row slice over the tiny
+    * per-label result — the posexplode → double-groupBy form it
+    * replaces shuffled dim× the corpus row count through two stages for
+    * the same 160 output rows (~1 s of every PQ query's wall clock).
+    * Per-partition partial sums fold in the same scan order either way,
+    * so the means are bit-stable against the previous form.
     */
   def codebooks(emb: DataFrame, m: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / m
-    emb.select(col("label"), posexplode(normalized(asDouble(col("embedding")))))
-      .toDF("label", "pos", "x")
-      .withColumn("m_idx", (col("pos") / sub).cast("int"))
-      .groupBy("label", "m_idx", "pos").agg(avg("x").as("cx"))
-      .groupBy("m_idx", "label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("m_idx"), col("label").as("code"),
-        expr("transform(pairs, p -> p.cx)").as("cv"))
+    val avgCols = (1 to dim).map(p => avg(element_at(col("__vn"), p)).as(s"c$p"))
+    emb.select(col("label"), normalized(asDouble(col("embedding"))).as("__vn"))
+      .groupBy("label")
+      .agg(avgCols.head, avgCols.tail: _*)
+      .select(col("label").as("code"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), mi =>
+          slice(array((1 to dim).map(p => col(s"c$p")): _*),
+            mi * sub + 1, lit(sub)))))
+      .select(col("pos").cast("int").as("m_idx"), col("code"),
+        col("col").as("cv"))
   }
 
   /** Trained codebooks — the production path the label-mean stand-in
@@ -103,7 +110,7 @@ object Pq {
   def reconstructionErrorQ(emb: DataFrame, cb: DataFrame,
                            m: Int = 16, dim: Int = 64): Long = {
     val sub = dim / m
-    val cbl = codebookLiteral(cb, m)
+    val cbl = codebookLiteral(collectCodebook(cb, m))
     val perVec = (0 until m).map { mi =>
       floor(array_min(transform(element_at(cbl, mi + 1), c =>
         struct(l2sq(subVec(col("__vn"), lit(mi), sub), c.getField("cv")).as("dist"),
@@ -120,40 +127,57 @@ object Pq {
     * [[codebooksLloyd]] — same (m_idx, code, cv) schema).
     */
   def encode(emb: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame =
-    encodeWith(emb, codebookLiteral(cb, m), m, dim)
+    encodeWith(emb, collectCodebook(cb, m), m, dim)
 
-  /** Codebooks collected to a nested literal:
-    * element_at(lit, m_idx+1) = array<struct<code, cv>> sorted by code.
+  /** The codebook table collected and validated once on the driver —
+    * per subspace, codes sorted ascending with their centroid vectors.
+    * Both downstream shapes ([[codebookLiteral]] for the interpreted
+    * query-table side, [[codebookFlat]] for the encode kernel) derive
+    * from one collect, so a query builds the codebook job exactly once.
     *
     * Codes MUST be dense 0..k-1 in every subspace: the ADC table lookup
-    * is positional (`element_at(tab, code + 1)`), so a sparse code set
-    * would silently read the wrong distances. True for label codebooks
-    * over a dense label column and for [[KMeans.lloyd]] cluster ids;
-    * enforced loudly here rather than assumed.
+    * is positional (`element_at(tab, code + 1)`) and the kernel argmin
+    * returns positions, so a sparse code set would silently read the
+    * wrong distances. True for label codebooks over a dense label
+    * column and for [[KMeans.lloyd]] cluster ids; enforced loudly here
+    * rather than assumed.
     */
-  private def codebookLiteral(cb: DataFrame, m: Int): Column = {
-    import org.apache.spark.sql.types._
+  private def collectCodebook(cb: DataFrame, m: Int): Seq[Seq[(Int, Seq[Double])]] = {
     val rows = cb.collect()
-    // One Literal node for the whole m×k×(d/m) table. The
-    // array(struct(lit..)) tree form this replaces put ~m·k·(d/m)
-    // expression nodes into EVERY use site — encode references the
-    // codebook once per subspace column, so the analyzed plan carried
-    // m× that tree and Janino compiled all of it (~2 s of the measured
-    // q_pq_encode time at m=16, k=10, d=64).
-    val value: Seq[Seq[org.apache.spark.sql.Row]] = (0 until m).map { mi =>
+    (0 until m).map { mi =>
       val sub = rows.filter(_.getInt(0) == mi).sortBy(_.getInt(1))
       val codes = sub.map(_.getInt(1)).toSeq
       require(codes == (0 until sub.length),
         s"PQ codebook codes must be dense 0..k-1 per subspace " +
           s"(subspace $mi has $codes); remap labels before building codebooks")
-      sub.toSeq.map(r => org.apache.spark.sql.Row(r.getInt(1), r.getSeq[Double](2)))
+      sub.toSeq.map(r => (r.getInt(1), r.getSeq[Double](2)))
     }
+  }
+
+  /** Collected codebook as a nested literal:
+    * element_at(lit, m_idx+1) = array<struct<code, cv>> sorted by code.
+    * One Literal node for the whole m×k×(d/m) table — the
+    * array(struct(lit..)) tree form this replaces put ~m·k·(d/m)
+    * expression nodes into EVERY use site, and Janino compiled all of
+    * it (~2 s of the measured q_pq_encode time at m=16, k=10, d=64).
+    */
+  private def codebookLiteral(cbRows: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    import org.apache.spark.sql.types._
+    val value: Seq[Seq[org.apache.spark.sql.Row]] = cbRows.map(_.map {
+      case (code, cv) => org.apache.spark.sql.Row(code, cv)
+    })
     val dt = ArrayType(ArrayType(StructType(Seq(
       StructField("code", IntegerType, nullable = false),
       StructField("cv", ArrayType(DoubleType, containsNull = false),
         nullable = false))), containsNull = false), containsNull = false)
     org.apache.spark.sql.GraftSqlBridge.literal(value, dt)
   }
+
+  /** Collected codebook as the kernel's reference shape: per subspace a
+    * flattened k·sub double array in code order.
+    */
+  private def codebookFlat(cbRows: Seq[Seq[(Int, Seq[Double])]]): Array[Array[Double]] =
+    cbRows.map(_.flatMap(_._2).toArray).toArray
 
   /** Native codegen'd left-to-right squared-L2 fold
     * ([[graft.plans.L2SqDistance]]) — bit-identical to the oracle's
@@ -174,25 +198,25 @@ object Pq {
     * subspace (`code_0..code_{m-1}`).
     */
   def encode(emb: DataFrame, m: Int = 16, dim: Int = 64): DataFrame =
-    encodeWith(emb, codebookLiteral(codebooks(emb, m, dim), m), m, dim)
+    encodeWith(emb, collectCodebook(codebooks(emb, m, dim), m), m, dim)
 
-  private def encodeWith(emb: DataFrame, cbl: Column, m: Int,
-                         dim: Int): DataFrame = {
+  private def encodeWith(emb: DataFrame, cbRows: Seq[Seq[(Int, Seq[Double])]],
+                         m: Int, dim: Int): DataFrame = {
     val sub = dim / m
-    // ⚠ the normalized vector MUST be staged as a bound attribute: an
-    // inline normalize subtree gets copied into every (subspace, code)
-    // argmin lambda and re-folds the full 64-dim norm m·k times per row
-    // (measured 90 s for 2 000 vectors; 0.5 s staged). Multi-use +
-    // non-cheap keeps CollapseProject from re-inlining it.
+    // ⚠ the normalized vector is staged as a bound attribute (multi-use
+    // + non-cheap keeps CollapseProject from re-inlining it), and so is
+    // the kernel's code array: the all-subspace [[graft.plans.PqCodes]]
+    // kernel runs ONCE per row, then the m code columns are plain
+    // element_at extractions. The per-subspace HOF argmin this replaces
+    // ran m·k interpreted lambdas per row (~650 µs/row measured at
+    // m=16, k=10 — the bulk of q_pq_encode/search wall clock).
     val staged = emb.select(col("vec_id"),
       normalized(asDouble(col("embedding"))).as("__vn"))
-    val codeCols = (0 until m).map { mi =>
-      array_min(transform(element_at(cbl, mi + 1), c =>
-        struct(l2sq(subVec(col("__vn"), lit(mi), sub), c.getField("cv")).as("dist"),
-          c.getField("code").as("code"))))
-        .getField("code").as(s"code_$mi")
-    }
-    staged.select(col("vec_id") +: codeCols: _*)
+    val withCodes = staged.select(col("vec_id"),
+      graft.plans.PqCodes(col("__vn"), codebookFlat(cbRows), sub).as("__codes"))
+    val codeCols = (0 until m).map(mi =>
+      element_at(col("__codes"), mi + 1).as(s"code_$mi"))
+    withCodes.select(col("vec_id") +: codeCols: _*)
   }
 
   /** ADC shortlist: per query, per subspace, a distance table over the
@@ -205,7 +229,8 @@ object Pq {
               m: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / m
     // one codebook collect job feeds both the query tables and encode
-    val cbl = codebookLiteral(codebooks(emb, m, dim), m)
+    val cbRows = collectCodebook(codebooks(emb, m, dim), m)
+    val cbl = codebookLiteral(cbRows)
     // same staging rule as encode (|Q| rows, but the blowup is m·k per
     // row either way)
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -216,7 +241,7 @@ object Pq {
           transform(element_at(cbl, mi + 1), c =>
             floor(l2sq(subVec(col("__qn"), mi, sub), c.getField("cv")) * 1e4)
               .cast("long"))).as("qtab"))
-    val enc = encodeWith(emb, cbl, m, dim)
+    val enc = encodeWith(emb, cbRows, m, dim)
     val scored = enc
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("dist_q",
@@ -245,9 +270,12 @@ object Pq {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // one broadcast of (query_id, qv, vec_id) — the shortlist pre-joined
+    // with its query vectors (|Q|·shortlist rows, each + d doubles) —
+    // instead of two broadcast builds (shortlist, then query vectors):
+    // the corpus scans once and the rerank is a single-stage job
     val scored = e
-      .join(broadcast(short), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(broadcast(short.join(q, Seq("query_id"))), Seq("vec_id"))
       .withColumn("cosine", Similarity.cosine(col("qv"), col("v")))
       .select("query_id", "vec_id", "cosine")
     TopK.perQuery(scored, k)

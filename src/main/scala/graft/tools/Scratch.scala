@@ -21,21 +21,19 @@ object Scratch {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    graft.Tables.documents(spark, dir).count()
-
-    val raw = graft.Pipeline.fromDocuments(graft.Tables.documents(spark, dir))
-    val s2 = graft.Pipeline.cleanAndFilter(raw)
-    time("s2 cleanAndFilter")(println("  n=" + s2.count()))
-    val s3 = graft.Pipeline.deepCleanAndPii(s2)
-    time("s3 deepCleanAndPii (cum)")(println("  n=" + s3.count()))
-    val s4 = graft.Pipeline.dedup(s3)
-    time("s4 dedup (cum)")(println("  n=" + s4.count()))
-    val s5 = graft.Pipeline.score(s4)
-    val s6 = graft.Pipeline.tokenise(s5)
-    time("s6 tokenise (cum)")(println("  n=" + s6.count()))
-    time("full run again")(println("  n=" + graft.Pipeline.run(raw).count()))
-    time("q_pipeline_full")(println("  n=" +
-      graft.queries.PipelineQueries.pipelineFull(spark, dir).count()))
+    // bench-style: warm on sf0.001, then time fresh query builds on sf0.1
+    graft.queries.SimilarityQueries.pqSearch(spark, "/root/testdata/sf0.001").count()
+    graft.queries.SimilarityQueries.pqEncode(spark, "/root/testdata/sf0.001").count()
+    (1 to 3).foreach { i =>
+      time(s"q_pq_encode run $i") {
+        graft.queries.SimilarityQueries.pqEncode(spark, dir).count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      time(s"q_pq_search run $i") {
+        graft.queries.SimilarityQueries.pqSearch(spark, dir).count()
+      }
+    }
     spark.stop()
   }
 }
