@@ -143,12 +143,16 @@ object Dedup {
         when(col("__rne") > 1, col("__fide")).as("__dofe"),
         (col("__cand") && col("__rnn") > 1 && !(col("__rne") > 1)).as("__isdn"),
         col("__fidn"))
+    // column order matters for schema parity: dup_of BEFORE
+    // is_dup_exact, matching exactDedup's withColumn order, so the
+    // composed and fused forms agree positionally too (parquet schema
+    // diffs, select-by-index), not just by name
     val wide = df.join(flags, col(seqCol) === col("__seq")).drop("__seq")
       .withColumn("dedup_id", idExpr)
       .withColumn("exact_canon_text", Normalize.canonExact(col(textCol)))
       .withColumn("exact_hash", Normalize.sha256Hex(col("exact_canon_text")))
-      .withColumn("is_dup_exact", col("__isde"))
       .withColumn("dup_of", col("__dofe"))
+      .withColumn("is_dup_exact", col("__isde"))
     val exactRuled = Filters.applyRules(wide,
       Seq(col("is_dup_exact") -> "exact_duplicate"))
     val near = exactRuled

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns (builder brief): image/audio/video as opaque
   * `binary` content plus typed metadata, processed with the engine's
-  * regular relational operators. The *decode* step is a clearly-marked
-  * deterministic STUB (no codec libraries exist in this environment);
-  * everything Spark-side — schema, partition-batched processing, frame
-  * arithmetic, explode shapes — is real and tested.
+  * regular relational operators. Image payloads in the JVM-pure codec's
+  * scope (PNG/BMP/PPM — [[ImageCodec]]) decode for REAL and their
+  * features derive from pixels; payloads outside it (JPEG etc. — no
+  * codec libraries exist in this environment) fall back to a
+  * clearly-marked deterministic hash STUB, flagged per row via
+  * `decoded`. Everything Spark-side — schema, partition-batched
+  * processing, frame arithmetic, explode shapes — is real and tested.
   *
   * Scale design: content bytes stay opaque inside a single column (never
   * exploded per-pixel); per-partition batch processing amortizes decoder/
@@ -24,7 +27,7 @@ object Multimodal {
                       n_frames: Int)
 
   case class MediaFeature(media_id: Long, kind: String,
-                          embedding: Array[Float])
+                          embedding: Array[Float], decoded: Boolean)
 
   /** Derive a deterministic media view from the documents table: the
     * UTF-8 text bytes stand in for an encoded payload, metadata derives
@@ -47,18 +50,109 @@ object Multimodal {
       (blen % 120 + 1).cast("int").as("n_frames"))
   }
 
-  // ---- decode stubs ------------------------------------------------------
+  /** Genuine-image fixture adapter: for the documents that
+    * [[syntheticMedia]] labels `image` (doc_id % 3 == 0), build a REAL
+    * encoded payload — the text bytes tiled into an 8-wide RGB pixel
+    * grid, encoded as PNG, BMP, or PPM rotating by doc id — so the
+    * decode path in [[extractFeatures]] exercises every codec format
+    * against distributed data, not just spec fixtures. Audio/video rows
+    * keep their opaque text-byte payloads (and the stub fallback).
+    * Driver-free and shuffle-free: one typed map per row.
+    */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 23) / 24))
+        val px = new Array[Byte](w * h * 3)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < px.length) { px(i) = bytes(i % bytes.length); i += 1 }
+        }
+        val payload = ((id / 3) % 3) match {
+          case 0 => ImageCodec.encodePng(w, h, px)
+          case 1 => ImageCodec.encodeBmp(w, h, px)
+          case _ => ImageCodec.encodePpm(w, h, px)
+        }
+        MediaRow(id, "image", payload, w, h,
+          (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
+      }
+      .toDF()
+  }
 
-  /** STUB image decode: a real implementation hands `content` to a codec
-    * (JPEG/PNG) and returns pixel planes. The stub returns the declared
-    * dims and a deterministic checksum so downstream plumbing (schema,
-    * nullability, batch shape) is exercised end-to-end.
+  // ---- decode: real codec first, stub fallback ---------------------------
+
+  /** Real image decode through [[ImageCodec]] (PNG/BMP/PPM, JVM-pure):
+    * actual dims and a checksum of the DECODED PIXELS — two payloads
+    * that encode the same pixels differently (PNG vs BMP of one image)
+    * produce the same checksum, which no byte-level hash can do. Falls
+    * back to [[decodeImageStub]] outside the codec's scope.
+    */
+  private[graft] def decodeImage(content: Array[Byte], width: Int,
+                                 height: Int): (Int, Int, Long) =
+    ImageCodec.decode(content) match {
+      case Some(img) =>
+        val checksum = XXH64.hashUnsafeBytes(img.pixels,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          img.pixels.length, 42L)
+        (img.width, img.height, checksum)
+      case None => decodeImageStub(content, width, height)
+    }
+
+  /** STUB image decode: the fallback for payloads outside the codec's
+    * scope (e.g. JPEG — a real deployment hands them to a codec
+    * library). Returns the declared dims and a deterministic checksum so
+    * downstream plumbing (schema, nullability, batch shape) is exercised
+    * end-to-end regardless of payload format.
     */
   private[graft] def decodeImageStub(content: Array[Byte], width: Int,
                                      height: Int): (Int, Int, Long) = {
     val checksum = XXH64.hashUnsafeBytes(content,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, content.length, 42L)
     (width, height, checksum)
+  }
+
+  /** Content-derived feature vector from decoded pixels — the
+    * deterministic stand-in for a vision model forward pass that a real
+    * deployment swaps in, except the INPUT is now genuinely the image:
+    * dims, channel means, luminance mean/variance, and an 8-bin
+    * luminance histogram (fractions). `dim` ≠ 16 truncates or
+    * zero-pads, keeping the fixed-width embedding contract.
+    */
+  private[graft] def pixelFeatures(img: ImageCodec.DecodedImage,
+                                   dim: Int): Array[Float] = {
+    val n = img.width * img.height
+    val ch = img.channels
+    val px = img.pixels
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var lumSum = 0.0; var lumSq = 0.0
+    val hist = new Array[Int](8)
+    var p = 0
+    while (p < n) {
+      val base = p * ch
+      val r = px(base) & 0xff
+      val g = if (ch >= 3) px(base + 1) & 0xff else r
+      val b = if (ch >= 3) px(base + 2) & 0xff else r
+      sr += r; sg += g; sb += b
+      val lum = (r + g + b) / 3.0
+      lumSum += lum; lumSq += lum * lum
+      hist(math.min((lum / 32).toInt, 7)) += 1
+      p += 1
+    }
+    val mean = lumSum / n
+    val f = new Array[Float](16)
+    f(0) = img.width.toFloat; f(1) = img.height.toFloat; f(2) = ch.toFloat
+    f(3) = (sr / n).toFloat; f(4) = (sg / n).toFloat; f(5) = (sb / n).toFloat
+    f(6) = mean.toFloat
+    f(7) = (lumSq / n - mean * mean).toFloat
+    var i = 0
+    while (i < 8) { f(8 + i) = hist(i).toFloat / n; i += 1 }
+    if (dim == 16) f else java.util.Arrays.copyOf(f, dim)
   }
 
   /** Fixed-dim deterministic embedding from payload bytes: stands in for
@@ -82,7 +176,9 @@ object Multimodal {
   /** Per-partition batched "model inference" over media rows — the Scala
     * analogue of a vectorized Python UDF: one expensive init per
     * partition, payloads processed in `batchSize` groups so peak memory
-    * is bounded by batch, not partition.
+    * is bounded by batch, not partition. Payloads in [[ImageCodec]]'s
+    * scope decode for real and embed from pixels (`decoded = true`);
+    * the rest take the hash stub (`decoded = false`).
     */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       batchSize: Int = 64): Dataset[MediaFeature] = {
@@ -95,7 +191,12 @@ object Multimodal {
         // real code: load model weights / open codec context HERE, once
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, kind, content) =>
-            MediaFeature(id, kind, embedStub(content, dim))
+            ImageCodec.decode(content) match {
+              case Some(img) =>
+                MediaFeature(id, kind, pixelFeatures(img, dim), decoded = true)
+              case None =>
+                MediaFeature(id, kind, embedStub(content, dim), decoded = false)
+            }
           }
         }
       }

@@ -541,9 +541,15 @@ object SketchDedup {
       """transform(ids, (a, i) ->
         |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b)))
         |""".stripMargin))).as("p"))
+    // the bounded collector coerced ids to bigint/string for its two
+    // aggregator variants; restore the caller's id dtype on the way out
+    // (exact round-trip for integral and string ids — the id contract)
+    val idType = df.schema(idCol).dataType
     pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("n_shared"))
   }
 
   /** Compact per-document form: fingerprint count + md5 digest of the
@@ -681,11 +687,16 @@ object SketchDedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
     val sizes = base.select(col("id").as("id_a"),
       size(col("sh")).cast("long").as("n_sh"))
+    // restore the caller's id dtype (the bounded collector coerced to
+    // bigint/string); exact round-trip for integral and string ids
+    val idType = df.schema(idCol).dataType
     pairs
       .join(sizes, Seq("id_a"))
       .withColumn("containment",
         col("n_shared").cast("double") / col("n_sh").cast("double"))
       .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "n_shared", "containment")
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"),
+        col("n_shared"), col("containment"))
   }
 }

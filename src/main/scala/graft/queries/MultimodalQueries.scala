@@ -8,8 +8,9 @@ import graft.ops.Multimodal
 
 /** Multimodal binary-column queries (builder brief): the synthetic media
   * view derives deterministically from the documents table (UTF-8 bytes
-  * as payload), so every metadata/explode shape is DuckDB-checkable even
-  * though real decode is stubbed.
+  * as payload), so every metadata/explode shape is DuckDB-checkable;
+  * the features query additionally runs REAL PNG/BMP/PPM payloads
+  * through the JVM-pure [[graft.ops.ImageCodec]] decode path.
   */
 object MultimodalQueries {
 
@@ -132,14 +133,22 @@ object MultimodalQueries {
       |  SELECT unnest(generate_series(0,
       |    greatest(n_bytes - 1, 0) // chunk_bytes)) AS c)""".stripMargin
 
-  // ---- q_media_features: partition-batched stub inference (rows-only) ----
+  // ---- q_media_features: partition-batched inference (rows-only) ---------
 
-  // Array cells crash the driver's pandas sort, so expose the embedding
-  // only as an order-sensitive hash; downstream similarity ops consume the
-  // raw array from Multimodal.extractFeatures directly.
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(media(s, dir), dim = 16)
+  // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —
+  // Multimodal.syntheticImages) so their features derive from decoded
+  // pixels (`decoded` = true end-to-end); audio/video rows keep opaque
+  // payloads and the documented hash-stub fallback. Array cells crash
+  // the driver's pandas sort, so expose the embedding only as an
+  // order-sensitive hash; downstream similarity ops consume the raw
+  // array from Multimodal.extractFeatures directly.
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val withImages = Multimodal.syntheticImages(docs)
+      .unionByName(media(s, dir).filter(col("kind") =!= "image"))
+    Multimodal.extractFeatures(withImages, dim = 16)
       .toDF()
       .select(col("media_id"), col("kind"), size(col("embedding")).as("dim"),
-        xxhash64(to_json(col("embedding"))).as("emb_hash"))
+        xxhash64(to_json(col("embedding"))).as("emb_hash"), col("decoded"))
+  }
 }

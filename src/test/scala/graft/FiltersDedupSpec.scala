@@ -118,6 +118,11 @@ class FiltersDedupSpec extends SparkTestBase {
     }
     // the doomed first-occurrence must not have shadowed the kept row
     assert(fused(100002L)(3) === false, "kept row wrongly flagged")
+    // schema parity is positional, not just by-name: positional
+    // consumers (parquet schema diffs, select-by-index) see one order
+    assert(Dedup.dedupStage(docs, textCol = "text").columns.toSeq ===
+      Dedup.nearDedup(Dedup.exactDedup(docs, textCol = "text"),
+        textCol = "text").columns.toSeq)
   }
 
   test("Q1 quality score: pinned arithmetic from FIXTURES.md") {

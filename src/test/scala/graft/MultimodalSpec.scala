@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Multimodal
+import graft.ops.{ImageCodec, Multimodal}
 
-/** Multimodal plumbing: schema/batch shape are real; decode is a
-  * deterministic stub (no codecs in this environment).
+/** Multimodal plumbing: schema/batch shape are real; PNG/BMP/PPM
+  * payloads decode for REAL through the JVM-pure [[ImageCodec]] and
+  * embed from pixels; other payloads take the documented hash stub.
   */
 class MultimodalSpec extends SparkTestBase {
 
@@ -26,13 +27,15 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("extractFeatures: fixed dim, deterministic, one row per media") {
-    val f1 = Multimodal.extractFeatures(media, dim = 8, batchSize = 2)
-      .collect().map(f => f.media_id -> f.embedding.toSeq).toMap
+    val rows1 = Multimodal.extractFeatures(media, dim = 8, batchSize = 2).collect()
+    val f1 = rows1.map(f => f.media_id -> f.embedding.toSeq).toMap
     val f2 = Multimodal.extractFeatures(media, dim = 8, batchSize = 3)
       .collect().map(f => f.media_id -> f.embedding.toSeq).toMap
     assert(f1.keySet === Set(0L, 1L, 2L, 3L))
     assert(f1.values.forall(_.length === 8))
     assert(f1 === f2, "batch size must not change results")
+    // text payloads are not decodable images -> stub path, values in [-1, 1]
+    assert(rows1.forall(!_.decoded))
     assert(f1.values.flatten.forall(v => v >= -1f && v <= 1f))
   }
 
@@ -72,6 +75,101 @@ class MultimodalSpec extends SparkTestBase {
     val (_, _, c2) = Multimodal.decodeImageStub("payload".getBytes, 64, 48)
     assert((w, h) === (64, 48))
     assert(c1 === c2)
+  }
+
+  // ---- real codec --------------------------------------------------------
+
+  // 3x2 RGB test card: distinct channel values in every pixel so any
+  // swapped channel/row/column order fails the exact comparison
+  private val rgb3x2: Array[Byte] = Array(
+    10, 20, 30, 40, 50, 60, 70, 80, 90,
+    110, 120, 130, 140, 150, 160, 170, 180, 190).map(_.toByte)
+
+  test("codec: PNG/BMP/PPM round-trip to exact pixels") {
+    for ((label, payload) <- Seq(
+        "png" -> ImageCodec.encodePng(3, 2, rgb3x2),
+        "bmp" -> ImageCodec.encodeBmp(3, 2, rgb3x2),
+        "ppm" -> ImageCodec.encodePpm(3, 2, rgb3x2))) {
+      val img = ImageCodec.decode(payload)
+        .getOrElse(fail(s"$label did not decode"))
+      assert((img.width, img.height, img.channels) === ((3, 2, 3)), label)
+      assert(img.pixels.toSeq === rgb3x2.toSeq, label)
+    }
+  }
+
+  test("codec: every PNG scanline filter unfilters exactly") {
+    // 3x5, one row per filter type incl. row-0 edge cases for Up/Paeth
+    val rgb = Array.tabulate(3 * 5 * 3)(i => ((i * 37 + 11) % 251).toByte)
+    for (firstRow <- Seq(2, 4)) { // Up and Paeth with no row above
+      val filters = Array(firstRow, 1, 2, 3, 4)
+      val payload = ImageCodec.encodePngWithFilters(3, 5, rgb, filters)
+      val img = ImageCodec.decode(payload).getOrElse(fail("no decode"))
+      assert(img.pixels.toSeq === rgb.toSeq, s"filters=${filters.toSeq}")
+    }
+  }
+
+  test("codec: garbage, truncated, and out-of-scope payloads return None") {
+    assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decode(Array[Byte]()).isEmpty)
+    val png = ImageCodec.encodePng(3, 2, rgb3x2)
+    assert(ImageCodec.decode(png.take(20)).isEmpty, "truncated PNG")
+    val bmp = ImageCodec.encodeBmp(3, 2, rgb3x2)
+    bmp(28) = 8 // 8-bpp palette BMP: out of scope
+    assert(ImageCodec.decode(bmp).isEmpty)
+  }
+
+  test("decodeImage: pixel checksum is representation-independent") {
+    // the same pixels through different encodings must checksum equal —
+    // impossible for any byte-level hash of the payload
+    val viaPng = Multimodal.decodeImage(ImageCodec.encodePng(3, 2, rgb3x2), 0, 0)
+    val viaBmp = Multimodal.decodeImage(ImageCodec.encodeBmp(3, 2, rgb3x2), 0, 0)
+    val viaPpm = Multimodal.decodeImage(ImageCodec.encodePpm(3, 2, rgb3x2), 0, 0)
+    assert(viaPng === ((3, 2, viaPng._3)))
+    assert(viaPng === viaBmp)
+    assert(viaBmp === viaPpm)
+    // and the stub fallback reports the declared dims instead
+    val stub = Multimodal.decodeImage("jpegish garbage".getBytes, 64, 48)
+    assert((stub._1, stub._2) === ((64, 48)))
+  }
+
+  test("extractFeatures: image payloads embed from pixels, flagged decoded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "image", ImageCodec.encodePng(3, 2, rgb3x2)),
+      (2L, "image", ImageCodec.encodeBmp(3, 2, rgb3x2)),
+      (3L, "image", "undecodable".getBytes))
+      .toDF("media_id", "kind", "content")
+    val got = Multimodal.extractFeatures(df, dim = 16).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).decoded && got(2L).decoded && !got(3L).decoded)
+    // same pixels, different container -> identical pixel features
+    assert(got(1L).embedding.toSeq === got(2L).embedding.toSeq)
+    // features really derive from the image: dims lead the vector
+    assert(got(1L).embedding(0) === 3f && got(1L).embedding(1) === 2f)
+    // and match a direct driver-side computation
+    val direct = Multimodal.pixelFeatures(
+      ImageCodec.decode(ImageCodec.encodePng(3, 2, rgb3x2)).get, 16)
+    assert(got(1L).embedding.toSeq === direct.toSeq)
+  }
+
+  test("syntheticImages: every payload decodes, formats rotate, features flow") {
+    import spark.implicits._
+    val docs = Seq.tabulate(12)(i => (i.toLong, s"doc number $i with some text body"))
+      .toDF("doc_id", "text")
+    val imgs = Multimodal.syntheticImages(docs)
+    val feats = Multimodal.extractFeatures(imgs, dim = 16).collect()
+    assert(feats.length === 4) // doc_id % 3 == 0: 0, 3, 6, 9
+    assert(feats.forall(_.decoded), "every synthetic image payload must decode")
+    assert(feats.forall(_.embedding(0) === 8f), "width feature from real decode")
+    // the three container formats all appear across ids 0,3,6,9
+    val magics = imgs.select("media_id", "content").collect().map { r =>
+      val b = r.getAs[Array[Byte]](1)
+      if (b(0) == 0x89.toByte && b(1) == 'P') "png"
+      else if (b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b(0) == 'P' && b(1) == '6') "ppm"
+      else "???"
+    }.toSet
+    assert(magics === Set("png", "bmp", "ppm"))
   }
 
   test("aspectBucket: nearest target aspect, square/portrait/landscape, no bytes read") {

@@ -180,10 +180,21 @@ class SketchDedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     // boilerplate in ALL five docs -> df guard (maxDf=2) must prune it, so
     // only the quote pair survives
-    val pairs = SketchDedup.winnowOverlapPairs(docs, "doc_id", "text",
-        k = 8, w = 4, maxDf = 2, minShared = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SketchDedup.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, maxDf = 2, minShared = 3)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
+    // the bounded collector works in bigint/string internally; the
+    // output restores the caller's id dtype (here int, not bigint)
+    val intDocs = docs.withColumn("doc_id", col("doc_id").cast("int"))
+    val intOut = SketchDedup.winnowOverlapPairs(intDocs, "doc_id", "text",
+      k = 8, w = 4, maxDf = 2, minShared = 3)
+    assert(intOut.schema("id_a").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(intOut.schema("id_b").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(SketchDedup.containmentPairs(intDocs, "doc_id", "text")
+      .schema("id_a").dataType === org.apache.spark.sql.types.IntegerType)
   }
 
   test("winnow kernel is value-identical to the HOF reference form") {
