@@ -45,28 +45,35 @@ object Retrieval {
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
 
-    // (doc, dl, term) for query-term hits only — the isin filter runs
-    // inside the explode pass, ahead of any shuffle
-    val hits = df
+    // ONE tokenize pass serves both consumers: per-doc length AND the
+    // query-term hits project out of the same `__toks` array (tokenize
+    // is the regex-heavy corpus cost — paying it twice, once for hits
+    // and once for corpus stats, dominated this operator's runtime).
+    // The persisted frame is corpus-length but NARROW — (id, dl,
+    // ≤|query terms| matched tokens) — never the token arrays
+    // themselves; released by the caller's clearCache like the sketch
+    // persists.
+    val perDoc = df
       .withColumn("__toks", TextMetrics.tokens(col(textCol)))
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-    // tiny (≤ docs × |query terms| rows) but fed by the corpus explode,
-    // and consumed by BOTH the df(term) aggregate and the scoring join —
-    // persist so the corpus pass behind it runs once (released by the
-    // caller's clearCache, like the sketch persists)
-    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+        filter(col("__toks"), t => t.isin(allTerms: _*)).as("__qt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // (doc, dl, term) for query-term hits only — explode of the
+    // pre-filtered sliver array, never the full token stream
+    // tiny (≤ docs × |query terms| rows), two consumers (df(term) agg +
+    // scoring join): persist so its keyed shuffle runs once
+    val tf = perDoc
+      .select(col(idCol), col("dl"), explode(col("__qt")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // corpus stats: N and avgdl over ALL docs (one global agg, 1 row);
-    // df(term) over the tf table (<= |terms| rows). One row, two
-    // consumers (idf + scoring), one tokenize pass behind it: persist.
-    val stats = df
-      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__toks")).cast("long")).as("sum_dl"))
+    // corpus stats: N and avgdl over ALL docs (one global agg, 1 row,
+    // two consumers: idf + scoring) — off the persisted narrow frame,
+    // not a second tokenize scan
+    val stats = perDoc
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl_q", floor(col("sum_dl").cast("double") * 10000.0d /
         col("n_docs").cast("double")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

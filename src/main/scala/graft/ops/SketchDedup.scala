@@ -456,6 +456,11 @@ object SketchDedup {
     // the hint and this becomes the plain shuffle join — same result.)
     val rep = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
       .filter(col("df_s") > 1)
+    // (A one-row broadcast MAP + per-row transform/element_at sort was
+    // tried here instead of the explode+regroup — 10× SLOWER at sf0.1:
+    // element_at on UnsafeMapData is a LINEAR scan, so each shingle
+    // lookup paid O(|df sliver|). The keyed regroup below shuffles the
+    // corpus once but every per-row op stays O(n log n).)
     val ordered = ex.join(broadcast(rep), Seq("s"), "left")
       .select(col("id"), struct(
         coalesce(col("df_s"), lit(1L)).as("df_s"), col("s")).as("__ds"))

@@ -272,18 +272,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains(") Window"), s"per-query window in bm25 ranking:\n$p")
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkscored"),
       s"top-k must partial-aggregate map-side:\n$p")
-    // the isin(query terms) filter must run in the explode pass, before
-    // any exchange — shuffled volume scales with hits, not corpus size.
-    // Formatted-plan node ids are post-order (children first), so
-    // "filter ahead of the shuffle" = some Filter id between the
-    // explode's Generate id and the smallest Exchange id.
-    def ids(name: String): Seq[Int] =
-      s"""\\((\\d+)\\) $name""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    // the query-term restriction must run inside the single tokenize
+    // pass (an array `filter` in the cached narrow frame's build), so
+    // the exploded/shuffled volume scales with hits, not corpus size —
+    // and the corpus must be tokenized exactly ONCE (stats and hits
+    // share the persisted (id, dl, filtered-terms) frame).
     assert(!p.contains("CartesianProduct"), p)
-    val gen = ids("Generate").min
-    val firstExchange = ids("Exchange").min
-    assert(ids("Filter").exists(f => f > gen && f < firstExchange),
-      s"query-term filter not ahead of the shuffle:\n$p")
+    assert(p.contains("filter(__toks"),
+      s"query-term array filter not in the tokenize pass:\n$p")
+    val cached = """InMemoryRelation""".r.findAllIn(p).size
+    assert("""regexp_extract_all""".r.findAllIn(p).size <= cached,
+      s"tokenize must run only inside cached frame builds (one pass):\n$p")
   }
 
   test("corr / media dedup / source KL: aggregation-only plans, dims broadcast") {
