@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Checkpoint-restart recovery: a streaming query stopped mid-stream and
+  * restarted from its checkpoint must resume with its STATE — source
+  * offsets (no reprocessing), dedup keys seen before the stop, custom
+  * flagged-dedup lineage — not recompute from scratch or double-emit.
+  * This is the failure-recovery half of the streaming contract; the
+  * behavior specs in [[StreamingSpec]] cover the steady-state half.
+  */
+class StreamingRestartSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("file pipeline restart: offsets, sink exactly-once, and dedup state survive") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("stream_restart").toString
+    val landing = s"$base/landing"
+    new java.io.File(landing).mkdirs()
+    val docA = "This is a perfectly reasonable document with enough words to pass the filters in place."
+    val docC = "Another entirely different document that also has plenty of words to clear every filter."
+    val schema = StructType(Seq(StructField("url", StringType), StructField("text", StringType)))
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$landing/batch1.jsonl"),
+      s"""{"url": "https://ok.example.com/a", "text": "$docA"}
+         |""".stripMargin)
+    val q1 = Streaming.runPipeline(spark, schema, landing, s"$base/out", s"$base/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() === 1)
+
+    // while the query is DOWN: a re-arrival of docA (upper-cased — same
+    // canon hash) and a genuinely new doc land in the directory
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$landing/batch2.jsonl"),
+      s"""{"url": "https://ok.example.com/a2", "text": "${docA.toUpperCase}"}
+         |{"url": "https://ok.example.com/c", "text": "$docC"}
+         |""".stripMargin)
+    val q2 = Streaming.runPipeline(spark, schema, landing, s"$base/out", s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(s"$base/out")
+    // batch1 was NOT reprocessed (file-sink exactly-once through the
+    // checkpoint manifest): docA appears exactly once in total, and the
+    // watermark-dedup state RECOVERED from the checkpoint dropped its
+    // post-restart re-arrival; only docC is new
+    assert(out.count() === 2, out.select("url").collect().toSeq.toString)
+    assert(out.select("url").collect().map(_.getString(0)).toSet ===
+      Set("https://ok.example.com/a", "https://ok.example.com/c"))
+  }
+
+  test("flagged stateful dedup restart: keyed state and lineage recover from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("flagged_restart").toString
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ingest_ts", "id", "text")
+
+    // parquet sink, not memory: the memory sink refuses checkpoint
+    // recovery by design; the file sink's manifest is the recovery path
+    // a real deployment uses
+    def start() = Streaming.dedupStreamFlagged(df, "text", "id", "ingest_ts")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData((ts(0), "a", "Hello   World"), (ts(1), "b", "other doc"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val before = spark.read.parquet(s"$base/out")
+      .select("dedup_id", "is_dup_exact").as[(String, Boolean)].collect().toMap
+    assert(before === Map("a" -> false, "b" -> false))
+
+    // restart from the checkpoint: the flatMapGroupsWithState keyed
+    // state (exact_hash -> keeper id) must come back from the state
+    // store, so a post-restart duplicate of "a" is flagged with lineage
+    // to the PRE-restart keeper — cross-restart, not just cross-batch
+    val q2 = start()
+    try {
+      in.addData((ts(2), "c", "HELLO WORLD"), (ts(3), "d", "new doc"))
+      q2.processAllAvailable()
+      // "c" can only be flagged as a dup of "a" if the keyed state came
+      // back from the checkpoint — "a" itself never flowed through q2.
+      // Pre-restart rows appear exactly once (file-sink manifest).
+      val out = spark.read.parquet(s"$base/out")
+      val dupOf = out.filter(col("is_dup_exact"))
+        .select("dedup_id", "dup_of").as[(String, Option[String])]
+        .collect().toMap
+      assert(dupOf === Map("c" -> Some("a")))
+      val kept = out.filter(!col("is_dup_exact"))
+        .select("dedup_id").as[String].collect().toSet
+      assert(kept === Set("a", "b", "d"))
+    } finally q2.stop()
+  }
+}
