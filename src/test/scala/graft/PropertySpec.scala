@@ -345,4 +345,42 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("ImageCodec: random images round-trip exactly through every container") {
+    import graft.ops.ImageCodec
+    val imgG = for {
+      w <- Gen.chooseNum(1, 23)
+      h <- Gen.chooseNum(1, 17)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, px.toArray)
+    forAllSeeded(imgG, trials = 10) { case (w, h, px) =>
+      for ((label, payload) <- Seq(
+          "png" -> ImageCodec.encodePng(w, h, px),
+          "bmp" -> ImageCodec.encodeBmp(w, h, px),
+          "ppm" -> ImageCodec.encodePpm(w, h, px))) {
+        val img = ImageCodec.decode(payload)
+          .getOrElse(fail(s"$label ${w}x$h did not decode"))
+        assert((img.width, img.height, img.channels) === ((w, h, 3)), label)
+        assert(img.pixels.toSeq === px.toSeq, s"$label ${w}x$h")
+      }
+      // random per-row PNG filter choices must unfilter to the same pixels
+      val filters = Array.tabulate(h)(r => (w * 31 + r * 7) % 5)
+      val filtered = ImageCodec.encodePngWithFilters(w, h, px, filters)
+      assert(ImageCodec.decode(filtered).get.pixels.toSeq === px.toSeq,
+        s"filters=${filters.toSeq}")
+    }
+  }
+
+  test("ImageCodec: arbitrary bytes and truncations never throw") {
+    import graft.ops.ImageCodec
+    val junkG = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    forAllSeeded(junkG, trials = 12) { junk =>
+      ImageCodec.decode(junk) // Option, never a throw
+      // valid header, truncated body — the corrupt-upload shape
+      val png = ImageCodec.encodePng(4, 4, Array.fill(48)(7.toByte))
+      (0 until png.length by 7).foreach { cut =>
+        ImageCodec.decode(png.take(cut))
+      }
+    }
+  }
 }
