@@ -280,4 +280,80 @@ object Pq {
       .select("query_id", "vec_id", "cosine")
     TopK.perQuery(scored, k)
   }
+
+  /** IVF-PQ composite search — the Faiss-style production arrangement
+    * (Jégou et al. 2011 §IV): a coarse quantizer restricts each query
+    * to its `probes` nearest inverted lists, ADC over PQ codes ranks
+    * ONLY those lists' members to a shortlist, exact cosine on the raw
+    * vectors reranks the shortlist to the final top k.
+    *
+    * Scale shape — the composition is where the 100 TB win lives:
+    *  - ONE corpus projection computes both the coarse assignment
+    *    (argmax over the centroid literal) and the PQ codes (the
+    *    [[graft.plans.PqCodes]] kernel) — no join between two
+    *    corpus-derived tables, nothing shuffles;
+    *  - the query side (probe lists + ADC tables, |Q|·probes rows)
+    *    broadcasts, so ADC candidates are generated by a broadcast
+    *    hash join keyed on the assignment — candidate volume scales
+    *    with the probed lists' population, not corpus size, and each
+    *    candidate pays m integer lookups against compressed codes,
+    *    never a d-dim float op;
+    *  - both rankings go through the bounded-heap TopK aggregate
+    *    (map-side k, no per-query mega-partition); the exact rerank
+    *    touches |Q|·shortlist raw vectors.
+    * Coarse centroids reuse [[Similarity.labelCentroids]] over RAW
+    * vectors (cosine is scale-invariant, so raw vs normalized picks
+    * the same cells); PQ stays in the normalized space like every PQ
+    * op here. Recall compounds (coarse recall × shortlist recall) —
+    * measured against brute force in SimilaritySpec.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                probes: Int = 2, shortlist: Int = 50,
+                m: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val cents = Similarity.centroidLiteral(Similarity.labelCentroids(emb))
+    val cbRows = collectCodebook(codebooks(emb, m, dim), m)
+    val cbl = codebookLiteral(cbRows)
+    // one corpus pass: coarse cell + compressed codes, pure projection
+    val assignedEnc = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("__v"),
+        normalized(asDouble(col("embedding"))).as("__vn"))
+      .select(col("vec_id"),
+        Similarity.bestCentroid(col("__v"), cents)
+          .getField("label").as("assigned_centroid"),
+        graft.plans.PqCodes(col("__vn"), codebookFlat(cbRows), sub).as("__codes"))
+    // query side: probe labels from the raw vector, ADC distance table
+    // from the normalized one — |Q|·probes rows after the explode
+    val queryProbes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"),
+        normalized(asDouble(col("embedding"))).as("__qn"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), mi =>
+          transform(element_at(cbl, mi + 1), c =>
+            floor(l2sq(subVec(col("__qn"), mi, sub), c.getField("cv")) * 1e4)
+              .cast("long"))).as("qtab"),
+        explode(Similarity.probeLabels(col("qv"), cents, probes))
+          .as("probe_centroid"))
+    val cand = assignedEnc
+      .join(broadcast(queryProbes),
+        col("probe_centroid") === col("assigned_centroid")
+          && col("vec_id") =!= col("query_id"))
+      .withColumn("dist_q",
+        (0 until m).map(mi => element_at(element_at(col("qtab"), mi + 1),
+          element_at(col("__codes"), mi + 1) + 1)).reduce(_ + _))
+      .select(col("query_id"), col("vec_id"),
+        (-col("dist_q").cast("double")).as("cosine"))
+    val short = TopK.perQuery(cand, shortlist).select("query_id", "vec_id")
+    // exact rerank on raw vectors, shortlist broadcast pre-joined with
+    // its query vectors (same single-stage shape as adcRerankTopK)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e
+      .join(broadcast(short.join(q, Seq("query_id"))), Seq("vec_id"))
+      .withColumn("cosine", Similarity.cosine(col("qv"), col("v")))
+      .select("query_id", "vec_id", "cosine")
+    TopK.perQuery(scored, k)
+  }
 }

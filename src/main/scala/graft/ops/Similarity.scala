@@ -179,7 +179,7 @@ object Similarity {
     * shuffled corpus×k rows keyed on vec_id, a full-corpus exchange
     * that buys nothing a map-side argmax doesn't.
     */
-  private def centroidLiteral(centDf: DataFrame): Column = {
+  private[ops] def centroidLiteral(centDf: DataFrame): Column = {
     import org.apache.spark.sql.types._
     // One Literal node for the whole k×d table (vs a CreateArray/
     // CreateStruct tree with one node per double — see
@@ -201,7 +201,7 @@ object Similarity {
     * both struct max and window sort, and an all-null tie falls through
     * to the label field — edge semantics match the window form).
     */
-  private def bestCentroid(v: Column, centsLit: Column): Column =
+  private[ops] def bestCentroid(v: Column, centsLit: Column): Column =
     array_max(transform(centsLit, c =>
       struct(cosine(v, c.getField("cv")).as("cosine"),
         (-c.getField("label")).as("neg_label"),
@@ -215,23 +215,20 @@ object Similarity {
     * candidate join keyed on centroid and the bounded-heap ranking —
     * query cost scales with probed partitions, not corpus size.
     */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-              probes: Int = 2): DataFrame = {
-    val cents = centroidLiteral(labelCentroids(emb))
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val assigned = e
-      .select(col("vec_id"), col("v"),
-        bestCentroid(col("v"), cents).getField("label").as("assigned_centroid"))
-    // Probe list per query: sort the k centroid scores in-row (desc
-    // cosine, asc label — comparator mirrors bestCentroid) and take the
-    // head. Rows = |Q|·probes, joined broadcast against the assignment.
-    // NaN handled explicitly: Spark's >/< are false for NaN operands, so
-    // without the isnan arms a NaN cosine (zero-vector centroid) would
-    // tie with everything — an intransitive comparator and a different
-    // probe set than the oracle's NaN-first DESC window sort.
-    val probeSorted = array_sort(
-      transform(cents, c =>
-        struct(cosine(col("qv"), c.getField("cv")).as("cosine"),
+  /** Probe labels for a query vector, in-row: sort the k centroid
+    * scores (desc cosine, asc label — comparator mirrors
+    * [[bestCentroid]]) and take the head. NaN handled explicitly:
+    * Spark's >/< are false for NaN operands, so without the isnan arms
+    * a NaN cosine (zero-vector centroid) would tie with everything —
+    * an intransitive comparator and a different probe set than the
+    * oracle's NaN-first DESC window sort. Shared by [[ivfTopK]] and
+    * [[Pq.ivfPqTopK]] so the two coarse quantizers cannot drift.
+    */
+  private[ops] def probeLabels(qv: Column, centsLit: Column,
+                               probes: Int): Column = {
+    val sorted = array_sort(
+      transform(centsLit, c =>
+        struct(cosine(qv, c.getField("cv")).as("cosine"),
           c.getField("label").as("label"))),
       (l, r) => {
         val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
@@ -243,11 +240,22 @@ object Similarity {
           .when(l.getField("label") > r.getField("label"), 1)
           .otherwise(0)
       })
+    transform(slice(sorted, 1, probes), p => p.getField("label"))
+  }
+
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+              probes: Int = 2): DataFrame = {
+    val cents = centroidLiteral(labelCentroids(emb))
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val assigned = e
+      .select(col("vec_id"), col("v"),
+        bestCentroid(col("v"), cents).getField("label").as("assigned_centroid"))
+    // Probe list per query: |Q|·probes rows, joined broadcast against
+    // the assignment.
     val queryProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(transform(slice(probeSorted, 1, probes),
-          p => p.getField("label"))).as("probe_centroid"))
+        explode(probeLabels(col("qv"), cents, probes)).as("probe_centroid"))
     // Final ranking via the bounded-heap aggregate — the probed-candidate
     // set still scales with corpus size, so it must never collapse into
     // one partition per query (see TopK scaladoc).

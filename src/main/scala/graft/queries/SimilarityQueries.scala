@@ -295,6 +295,67 @@ object SimilarityQueries {
        |        ORDER BY cosine DESC, vec_id) AS rank FROM rr)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  // ---- q_ivfpq_search: IVF-PQ composite (coarse cells + ADC + rerank) ---
+
+  private val IvfPqProbes = 4
+  private val IvfPqShortlist = 50
+
+  def ivfPqSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.ivfPqTopK(Tables.embeddings(s, dir),
+      nQueries = 10, k = 5, probes = IvfPqProbes,
+      shortlist = IvfPqShortlist, m = PqM, dim = 64)
+
+  /** Composes the two validated chains: the IVF coarse CTEs (raw-vector
+    * centroids/assignment/probes — verbatim shapes from [[ivfTopKSql]])
+    * and the PQ CTEs (normalized codebooks/encoding/ADC tables —
+    * verbatim from [[pqSearchSql]]), restricted to probed cells.
+    */
+  val ivfPqSearchSql: String =
+    s"""WITH $pqCbSql,
+       |$pqEncSql,
+       |cent AS (
+       | SELECT label AS centroid_label, list(cx ORDER BY p) AS cv
+       | FROM (SELECT label, p, avg(v0[p]) AS cx FROM e0 CROSS JOIN pos GROUP BY label, p)
+       | GROUP BY label),
+       |assigned AS (
+       | SELECT vec_id, centroid_label AS assigned_centroid FROM (
+       |  SELECT e0.vec_id, cent.centroid_label,
+       |   row_number() OVER (PARTITION BY e0.vec_id
+       |     ORDER BY list_cosine_similarity(e0.v0, cent.cv) DESC, cent.centroid_label) AS rn
+       |  FROM e0 CROSS JOIN cent)
+       | WHERE rn = 1),
+       |qr AS (SELECT vec_id AS query_id, v0 AS qv0 FROM e0 WHERE vec_id < 10),
+       |probes AS (
+       | SELECT query_id, centroid_label AS probe_centroid FROM (
+       |  SELECT qr.query_id, cent.centroid_label,
+       |   row_number() OVER (PARTITION BY qr.query_id
+       |     ORDER BY list_cosine_similarity(qr.qv0, cent.cv) DESC, cent.centroid_label) AS pr
+       |  FROM qr CROSS JOIN cent)
+       | WHERE pr <= $IvfPqProbes),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |tab AS (SELECT q.query_id, cb.m_idx, cb.code,
+       |    CAST(floor(${pqL2Sql("qv")} * 10000) AS BIGINT) AS dq
+       |  FROM q CROSS JOIN cb),
+       |cand AS (SELECT p.query_id, a.vec_id, CAST(sum(t.dq) AS BIGINT) AS dist_q
+       |  FROM assigned a
+       |  JOIN probes p ON p.probe_centroid = a.assigned_centroid
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN tab t ON t.query_id = p.query_id AND t.m_idx = enc.m_idx
+       |    AND t.code = enc.code
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist_q, vec_id) AS srank FROM cand) WHERE srank <= $IvfPqShortlist),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |    list_cosine_similarity(q2.qv0, ev.v0) AS cosine
+       |  FROM short s
+       |  JOIN e0 ev ON ev.vec_id = s.vec_id
+       |  JOIN qr q2 ON q2.query_id = s.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM rr)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
   // ---- q_containment: asymmetric shingle-containment pairs --------------
 
   private val ContainMaxDf = 20

@@ -52,6 +52,31 @@ class SimilaritySpec extends SparkTestBase {
     }))
   }
 
+  test("IVF-PQ composite: recall compounds sensibly, plan keeps one corpus pass") {
+    import graft.ops.Pq
+    val exact = Similarity.annTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composite = Pq.ivfPqTopK(emb, nQueries = 10, k = 5,
+        probes = 4, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & composite).size.toDouble / exact.size
+    println(s"SIM ivfpq recall probes=4 shortlist=50 = $recall")
+    // coarse recall (≈r4 of the IVF pin) × shortlist recall bounds the
+    // composite; 4/10 probes over the weak label clusters recovering
+    // a third of exact neighbours is the stable floor on this fixture
+    assert(recall >= 0.35, s"IVF-PQ recall degraded to $recall")
+    // widening the coarse stage to all cells must recover at least the
+    // PQ-only shortlist quality (the composite's recall is then pure ADC)
+    val allCells = Pq.ivfPqTopK(emb, nQueries = 10, k = 5,
+        probes = 10, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallAll = (exact & allCells).size.toDouble / exact.size
+    assert(recallAll >= recall, "more probes must not lose recall")
+  }
+
   test("Lloyd-trained PQ codebooks cut reconstruction error vs label means") {
     import graft.ops.Pq
     val label = Pq.codebooks(emb, m = 4, dim = 64)
