@@ -165,4 +165,43 @@ class CorpusOpsSpec extends SparkTestBase {
       shingleSize = 3, maxDf = 20, threshold = 0.5)
     assert(pairs.count() === 0)
   }
+
+  test("pluggable lang model: same column contract, one init per task, not per row") {
+    import graft.text.LangId
+    CorpusOpsSpec.modelInits.set(0)
+    val docs = (1 to 40)
+      .map(i => (i.toLong, if (i % 2 == 0) s"zzz zebra $i" else s"plain text $i"))
+      .toDF("doc_id", "text").repartition(4)
+    val out = LangId.withLangColumnsModel(docs, col("text"),
+      () => { CorpusOpsSpec.modelInits.incrementAndGet(); CorpusOpsSpec.zModel })
+    // the model path appends the SAME columns the expression scorer
+    // does, so downstream consumers interchange freely
+    val ref = LangId.withLangColumns(docs, col("text"))
+    assert(out.columns.toSeq === ref.columns.toSeq)
+    assert(out.schema("lang_pred").dataType === ref.schema("lang_pred").dataType)
+    assert(out.schema("lang_score").dataType === ref.schema("lang_score").dataType)
+    val got = out.select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1 to 40).forall(i => got(i.toLong) === (if (i % 2 == 0) "zz" else "en")))
+    // profile loading amortizes: the factory ran at most once per task,
+    // never once per row (the reason a real langdetect needs this slot)
+    val inits = CorpusOpsSpec.modelInits.get()
+    assert(inits >= 1 && inits <= 8, s"model inits = $inits for 40 rows")
+  }
+}
+
+object CorpusOpsSpec {
+  /** Cross-JVM-safe only because tests run local-mode: executor and
+    * driver share this static, so the spec can observe init counts.
+    */
+  val modelInits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Deterministic fake standing in for a loaded model: 'zz' iff the
+    * text has a z, else 'en' — trivially different from the expression
+    * scorer so a wiring bug cannot fake parity.
+    */
+  val zModel: graft.text.LangId.LangModel = new graft.text.LangId.LangModel {
+    def predict(text: String): (String, Double) =
+      if (text != null && text.contains('z')) ("zz", 0.9) else ("en", 0.5)
+  }
 }
