@@ -29,6 +29,9 @@ object Multimodal {
   case class MediaFeature(media_id: Long, kind: String,
                           embedding: Array[Float], decoded: Boolean)
 
+  case class MediaDecode(media_id: Long, format: String, width: Int,
+                         height: Int, channels: Int)
+
   /** Derive a deterministic media view from the documents table: the
     * UTF-8 text bytes stand in for an encoded payload, metadata derives
     * from byte length. This is the fixture adapter — a real deployment
@@ -83,6 +86,32 @@ object Multimodal {
           (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
       }
       .toDF()
+  }
+
+  /** Decode metadata straight off the payload: container format sniffed
+    * from MAGIC BYTES (never from any id or metadata column — the
+    * payload itself is the evidence) plus the decoded pixel dimensions.
+    * Per-row map, shuffle-free; undecodable payloads report
+    * ("undecodable", 0, 0, 0) instead of failing the stage.
+    */
+  def decodeMeta(media: DataFrame): Dataset[MediaDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val format =
+          if (bytes == null || bytes.length < 2) "undecodable"
+          else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+          else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+          else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6')) "ppm"
+          else "undecodable"
+        ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            MediaDecode(id, format, img.width, img.height, img.channels)
+          case None => MediaDecode(id, "undecodable", 0, 0, 0)
+        }
+      }
   }
 
   // ---- decode: real codec first, stub fallback ---------------------------

@@ -133,6 +133,38 @@ object MultimodalQueries {
       |  SELECT unnest(generate_series(0,
       |    greatest(n_bytes - 1, 0) // chunk_bytes)) AS c)""".stripMargin
 
+  // ---- q_media_decode: ORACLE-CHECKED real decode -----------------------
+
+  /** The end-to-end check the stubbed era could not make: document bytes
+    * are wrapped into genuine rotating PNG/BMP/PPM payloads
+    * ([[graft.ops.Multimodal.syntheticImages]]), decoded back by the
+    * JVM-pure codec on executors, and the DECODED facts — container
+    * format sniffed from magic bytes, pixel dimensions — must equal
+    * what DuckDB derives arithmetically from the text byte length and
+    * the documented encoder layout (8-wide RGB, height
+    * max(1, min(64, ceil(bytes/24)))). A wrong scanline unfilter, a
+    * header-endianness slip, or a broken format rotation all surface
+    * as a hash mismatch here.
+    */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+        Multimodal.syntheticImages(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+
+  val mediaDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+      |    ELSE 'ppm' END AS format,
+      |  CAST(8 AS BIGINT) AS width,
+      |  CAST(greatest(1, least(64,
+      |    (octet_length(encode(coalesce(text, ''))) + 23) // 24)) AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   // ---- q_media_features: partition-batched inference (rows-only) ---------
 
   // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —
