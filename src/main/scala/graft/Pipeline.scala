@@ -44,9 +44,11 @@ object Pipeline {
     * toxicity, quality rules (text_clean_and_filter.py:605-813).
     */
   def cleanAndFilter(df: DataFrame, allowedLangs: Seq[String] = Seq("en"),
-                     minConf: Double = 0.80): DataFrame = {
+                     minConf: Double = 0.80,
+                     applyNfkc: Boolean = true): DataFrame = {
     val norm = df
-      .withColumn("text_norm", Normalize.normalizeText(col("text")))
+      .withColumn("text_norm",
+        Normalize.normalizeText(col("text"), applyNfkc = applyNfkc))
       .withColumn("char_len", TextMetrics.charLen(col("text_norm")).cast("long"))
       .withColumn("word_count", TextMetrics.wordCount(col("text_norm")).cast("long"))
     val pre = Filters.applyRules(norm, Filters.prefilterRules(
@@ -74,9 +76,11 @@ object Pipeline {
   /** Stage 3 — structural deep clean, token stats, low-info filters,
     * PII masking (deep_clean_and_pii.py).
     */
-  def deepCleanAndPii(df: DataFrame, dropPii: Boolean = false): DataFrame = {
+  def deepCleanAndPii(df: DataFrame, dropPii: Boolean = false,
+                      collapseRepeats: Boolean = true): DataFrame = {
     val cleaned = df.withColumn("text_deep_clean",
-      Normalize.structuralCleanup(col("text_norm")))
+      if (collapseRepeats) Normalize.structuralCleanup(col("text_norm"))
+      else Normalize.structuralCleanupNoRepeats(col("text_norm")))
     val t = col("text_deep_clean")
     val stats = TextMetrics.withTokenStats(cleaned, t)
       .withColumn("text_pii_masked", Pii.maskPii(t))

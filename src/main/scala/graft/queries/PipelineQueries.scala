@@ -225,6 +225,151 @@ object PipelineQueries {
       xxhash64(to_json(t.getField("attention_mask"))).as("mask_hash"))
   }
 
+  // ---- q_pipeline_graded: stages 2-5 fused, ORACLE-CHECKED --------------
+
+  /** The graded twin of [[pipelineFull]]: the SAME fused stage chain
+    * (clean/filter → deep-clean/PII → dedup → score, every
+    * first-match-wins interaction included) made DuckDB-expressible by
+    * exactly the two documented oracle exclusions — NFKC off (DuckDB
+    * has no NFKC; the kernel has its own parity spec) and P4
+    * repeat-collapse off (backreference regex; ditto) — and by doc_id
+    * as the ingest sequence (zipWithIndex partition order is
+    * run-stable but not SQL-derivable). Everything else IS the
+    * pipeline: rule order across stages, dedup on the masked text with
+    * doomed-rows-last windows, score propagation. q_pipeline_full
+    * remains the performance-representative rows-only form.
+    */
+  def pipelineGraded(s: SparkSession, dir: String): DataFrame = {
+    val raw = Pipeline.fromDocuments(Tables.documents(s, dir))
+    val staged = Pipeline.deepCleanAndPii(
+      Pipeline.cleanAndFilter(raw, applyNfkc = false),
+      collapseRepeats = false)
+    val deduped = graft.ops.Dedup.dedupStage(staged,
+      textCol = "text_pii_masked", seqCol = "doc_id")
+    Pipeline.score(deduped).select(
+      col("doc_id"), col("drop_reason"), col("lang_pred"), col("lang_score"),
+      col("token_count"), col("unique_token_ratio"), col("has_pii"),
+      col("is_dup_exact"), col("is_dup_near"), col("dup_of"),
+      col("quality_score"), col("subset"))
+  }
+
+  val pipelineGradedSql: String = {
+    import graft.text.{LangId, Pii, TextMetrics, Toxicity}
+    import graft.ops.{Dedup, Score}
+    def toks(t: String) = OracleSql.toks(t)
+    def strList(ws: Seq[String]) = ws.mkString("['", "', '", "']")
+    // stage 2a: P1 sans NFKC (the DocQueries.NormSql shape, over `text`)
+    val norm =
+      """nullif(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')), '')"""
+    val (langPred, langScore) = LangId.duckdbExprs("text_norm")
+    // toxicity over text_norm (the DocQueries.toxicitySql shape)
+    val ttoks = "regexp_extract_all(lower(coalesce(text_norm, '')), '\\w+')"
+    def thits(ws: Seq[String]) =
+      s"CAST(len(list_filter($ttoks, x -> list_contains(${strList(ws)}, x))) AS DOUBLE)"
+    val tn = s"CAST(greatest(1, len($ttoks)) AS DOUBLE)"
+    val tox = s"least(1.0, (${thits(Toxicity.BadWords)} + ${thits(Toxicity.InsultWords)} + " +
+      s"${thits(Toxicity.ThreatWords)} + ${thits(Toxicity.SexualWords)} + " +
+      s"${thits(Toxicity.SlurWords)}) / $tn * 5.0)"
+    // stage 3: deep clean = strip HTML + boilerplate lines (P4 off)
+    val boiler = graft.text.Normalize.BoilerplatePatterns.mkString("(", ")|(", ")")
+    val deepClean =
+      s"""trim(list_aggregate(list_filter(string_split(regexp_replace(text_norm, '<[^>]+>', ' ', 'g'), chr(10)),
+         | l -> NOT regexp_matches(lower(l), '$boiler')), 'string_agg', chr(10)))""".stripMargin.replace("\n", "")
+    def cnt(src: String, pat: String) = s"len(regexp_extract_all($src, '$pat'))"
+    val masked =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(text_deep_clean,
+         | '${Pii.EmailRe}', '<EMAIL>', 'g'), '${Pii.PhoneRe}', '<PHONE>', 'g'),
+         | '${Pii.CreditCardRe}', '<CREDIT_CARD>', 'g'), '${Pii.IbanRe}', '<IBAN>', 'g')""".stripMargin.replace("\n", "")
+    val stops = strList(TextMetrics.EnStopwords)
+    val scoreExpr = Score.duckdbExpr("lang_score", "token_count",
+      "unique_token_ratio", "has_pii")
+    val nullLike = strList(graft.ops.Filters.NullLike)
+    s"""WITH d0 AS (SELECT doc_id, text,
+       |   'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |n AS (SELECT *, $norm AS text_norm FROM d0),
+       |m AS (SELECT *, length(text_norm) AS char_len,
+       |   len(${toks("text_norm")}) AS word_count FROM n),
+       |lm AS (SELECT *,
+       |   $langPred AS lang_pred, $langScore AS lang_score,
+       |   CASE WHEN length(regexp_replace(coalesce(text_norm, ''), '[^\\p{L}]', '', 'g')) > 0
+       |    THEN CAST(length(regexp_replace(regexp_replace(coalesce(text_norm, ''), '[^\\p{L}]', '', 'g'), '[\\x00-\\x7f]', '', 'g')) AS DOUBLE)
+       |         / CAST(length(regexp_replace(coalesce(text_norm, ''), '[^\\p{L}]', '', 'g')) AS DOUBLE)
+       |    ELSE 0.0 END AS non_latin_ratio,
+       |   CASE WHEN length(text_norm) > 0 THEN CAST(length(regexp_replace(text_norm, '[^\\p{L}]', '', 'g')) AS DOUBLE) / CAST(length(text_norm) AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+       |   CASE WHEN len(${toks("text_norm")}) > 0 THEN 1.0 - CAST(len(list_distinct(${toks("text_norm")})) AS DOUBLE) / CAST(len(${toks("text_norm")}) AS DOUBLE) ELSE 0.0 END AS repetition_ratio,
+       |   ${cnt("text_norm", Pii.EmailRe)} AS email_hits,
+       |   ${cnt("text_norm", Pii.PhoneSimpleRe)} AS phone_hits,
+       |   $tox AS toxicity
+       |  FROM m),
+       |s2 AS (SELECT *, coalesce(
+       |   CASE WHEN text IS NULL THEN 'missing'
+       |    WHEN text_norm IS NULL THEN 'empty_after_clean'
+       |    WHEN list_contains($nullLike, lower(coalesce(text_norm, ''))) THEN 'null_like'
+       |    WHEN regexp_matches(coalesce(text_norm, ''), '^[\\d\\.\\-]+$$') THEN 'numeric_like'
+       |    WHEN char_len < 20 THEN 'too_short_chars'
+       |    WHEN word_count < 2 THEN 'too_short_words'
+       |    WHEN char_len > 100000 THEN 'too_long' END,
+       |   CASE WHEN lang_pred = 'unk' THEN 'lang_unknown'
+       |    WHEN lang_pred <> 'en' THEN 'non_english'
+       |    WHEN lang_pred = 'en' AND lang_score < 0.80 THEN 'low_lang_confidence'
+       |    WHEN non_latin_ratio > 0.50 THEN 'non_latin_heavy' END,
+       |   CASE WHEN text_norm IS NULL OR trim(text_norm) = '' THEN 'empty_text'
+       |    WHEN word_count < 5 THEN 'too_short'
+       |    WHEN word_count > 5000 THEN 'too_long'
+       |    WHEN alpha_ratio < 0.5 THEN 'low_alpha_ratio'
+       |    WHEN repetition_ratio > 0.8 THEN 'high_repetition'
+       |    WHEN regexp_matches(coalesce(url, ''), '/ads/|example-spam-site\\.com') THEN 'blocked_url'
+       |    WHEN email_hits + phone_hits > 20 THEN 'pii_heavy'
+       |    WHEN toxicity >= 0.8 THEN 'high_toxicity' END) AS dr2
+       |  FROM lm),
+       |s3a AS (SELECT *, $deepClean AS text_deep_clean FROM s2),
+       |s3b AS (SELECT *, ${toks("text_deep_clean")} AS dtoks,
+       |   ${cnt("text_deep_clean", Pii.EmailRe)} AS pii_email_hits,
+       |   ${cnt("text_deep_clean", Pii.PhoneRe)} AS pii_phone_hits,
+       |   ${cnt("text_deep_clean", Pii.CreditCardRe)} AS pii_cc_hits,
+       |   ${cnt("text_deep_clean", Pii.IbanRe)} AS pii_iban_hits,
+       |   $masked AS text_pii_masked
+       |  FROM s3a),
+       |s3c AS (SELECT *, CAST(len(dtoks) AS BIGINT) AS token_count,
+       |   CASE WHEN len(dtoks) > 0 THEN CAST(len(list_distinct(dtoks)) AS DOUBLE) / CAST(len(dtoks) AS DOUBLE) ELSE 0.0 END AS unique_token_ratio,
+       |   CASE WHEN len(dtoks) > 0 THEN CAST(len(list_filter(dtoks, x -> list_contains($stops, lower(x)))) AS DOUBLE) / CAST(len(dtoks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+       |   CASE WHEN len(dtoks) > 0 THEN CAST(list_max(list_transform(list_distinct(dtoks), x -> len(list_filter(dtoks, y -> y = x)))) AS DOUBLE) / CAST(len(dtoks) AS DOUBLE) ELSE 0.0 END AS max_token_freq_ratio,
+       |   (pii_email_hits + pii_phone_hits + pii_cc_hits + pii_iban_hits) > 0 AS has_pii
+       |  FROM s3b),
+       |s3 AS (SELECT *, coalesce(dr2,
+       |   CASE WHEN token_count >= 3 AND max_token_freq_ratio > 0.70 THEN 'repetitive_token_spam'
+       |    WHEN token_count >= 10 AND unique_token_ratio < 0.20 THEN 'low_unique_token_ratio'
+       |    WHEN token_count >= 10 AND stopword_ratio > 0.95 THEN 'high_stopword_ratio' END) AS dr3
+       |  FROM s3c),
+       |c AS (SELECT *, CAST(doc_id AS VARCHAR) AS dedup_id,
+       |   trim(regexp_replace(lower(coalesce(text_pii_masked, '')), '\\s+', ' ', 'g')) AS canon FROM s3),
+       |e AS (SELECT *, sha256(canon) AS exact_hash,
+       |   substr(canon, 1, ${Dedup.NearKeyChars}) AS near_key, length(canon) AS clen FROM c),
+       |w AS (SELECT *,
+       |   row_number() OVER (PARTITION BY exact_hash ORDER BY (dr3 IS NOT NULL), doc_id) AS rne,
+       |   first_value(dedup_id) OVER (PARTITION BY exact_hash ORDER BY (dr3 IS NOT NULL), doc_id) AS fide
+       |  FROM e),
+       |x AS (SELECT *, rne > 1 AS is_dup_exact,
+       |   CASE WHEN rne > 1 THEN fide END AS dup_of_e,
+       |   coalesce(dr3, CASE WHEN rne > 1 THEN 'exact_duplicate' END) AS dr4 FROM w),
+       |nw AS (SELECT doc_id AS ndoc,
+       |   row_number() OVER (PARTITION BY near_key ORDER BY (dr4 IS NOT NULL), doc_id) AS rnn,
+       |   first_value(dedup_id) OVER (PARTITION BY near_key ORDER BY (dr4 IS NOT NULL), doc_id) AS fidn
+       |  FROM x WHERE clen >= ${Dedup.NearDupMinLen} AND near_key <> ''),
+       |j AS (SELECT x.*, nw.rnn, nw.fidn FROM x LEFT JOIN nw ON x.doc_id = nw.ndoc),
+       |s4 AS (SELECT *, coalesce(rnn > 1 AND NOT is_dup_exact, false) AS is_dup_near FROM j),
+       |s5 AS (SELECT *,
+       |   coalesce(dup_of_e, CASE WHEN is_dup_near THEN fidn END) AS dup_of,
+       |   coalesce(dr4, CASE WHEN is_dup_near THEN 'near_duplicate' END) AS drop_reason,
+       |   $scoreExpr AS quality_score FROM s4)
+       |SELECT doc_id, drop_reason, lang_pred, lang_score, token_count,
+       | unique_token_ratio, has_pii, is_dup_exact, is_dup_near, dup_of,
+       | quality_score,
+       | CASE WHEN quality_score >= ${Score.HighQualityThreshold} THEN 'high_quality' ELSE 'rest' END AS subset
+       |FROM s5""".stripMargin
+  }
+
   // ---- q_pipeline_full: stages 2-6 fused, end to end (rows-only) --------
 
   def pipelineFull(s: SparkSession, dir: String): DataFrame = {
