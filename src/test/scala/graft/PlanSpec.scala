@@ -169,6 +169,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ composite: window-free, cartesian-free, bounded-heap both rankings") {
+    val p = plan(graft.queries.SimilarityQueries.ivfPqSearch(spark, dir))
+    assert(!p.contains(") Window"),
+      s"per-query window in the composite:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x corpus cartesian in IVF-PQ:\n$p")
+    // ADC candidates come from a broadcast of the |Q|·probes query side
+    // against the assignment — the corpus never shuffles to meet queries
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkscored"),
+      s"both rankings must partial-aggregate map-side:\n$p")
+  }
+
   test("pipeline_full runtime: only narrow dedup shuffles, wide frame never window-shuffles") {
     // dedupStage's narrow-shuffle form: both dedup windows run over a
     // (seq, doomed, id, hash-key) projection — tens of bytes per row —
