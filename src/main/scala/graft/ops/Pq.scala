@@ -309,10 +309,16 @@ object Pq {
     */
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                 probes: Int = 2, shortlist: Int = 50,
-                m: Int = 16, dim: Int = 64): DataFrame = {
+                m: Int = 16, dim: Int = 64,
+                trainedCodebooks: Boolean = false): DataFrame = {
     val sub = dim / m
     val cents = Similarity.centroidLiteral(Similarity.labelCentroids(emb))
-    val cbRows = collectCodebook(codebooks(emb, m, dim), m)
+    // label-mean codebooks keep the oracle replayable; `trainedCodebooks`
+    // swaps in the Lloyd-trained production codebooks (same dense-code
+    // contract, lower reconstruction error — see codebooksLloyd)
+    val cbRows = collectCodebook(
+      if (trainedCodebooks) codebooksLloyd(emb, m, dim)
+      else codebooks(emb, m, dim), m)
     val cbl = codebookLiteral(cbRows)
     // one corpus pass: coarse cell + compressed codes, pure projection
     val assignedEnc = emb

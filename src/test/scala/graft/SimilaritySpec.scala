@@ -75,6 +75,16 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recallAll = (exact & allCells).size.toDouble / exact.size
     assert(recallAll >= recall, "more probes must not lose recall")
+    // Lloyd-trained codebooks (the production path) must hold the same
+    // recall floor — sharper codes cannot be allowed to regress the
+    // composite even though the shortlist membership shifts
+    val trained = Pq.ivfPqTopK(emb, nQueries = 10, k = 5,
+        probes = 4, shortlist = 50, trainedCodebooks = true)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallTrained = (exact & trained).size.toDouble / exact.size
+    println(s"SIM ivfpq trained-codebook recall = $recallTrained")
+    assert(recallTrained >= 0.35, s"trained-codebook recall $recallTrained")
   }
 
   test("Lloyd-trained PQ codebooks cut reconstruction error vs label means") {
