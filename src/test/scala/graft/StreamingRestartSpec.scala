@@ -101,4 +101,49 @@ class StreamingRestartSpec extends SparkTestBase {
       assert(kept === Set("a", "b", "d"))
     } finally q2.stop()
   }
+
+  test("windowed aggregation restart: buffers merge rows from both sides of the stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("window_restart").toString
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+
+    def start() = Streaming.eventsTumbling(df, window_ = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+
+    // two rows land in the 10:00-10:10 window, then the query STOPS
+    // with the window still open (watermark has not passed 10:10)
+    val q1 = start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$base/out").count() === 0,
+      "open window must not emit before the watermark closes it")
+
+    // after restart: one more row in the SAME window, then an event far
+    // enough ahead to close it — the emitted count must include the
+    // pre-restart rows, which only works if the aggregation buffer came
+    // back from the state store
+    val q2 = start()
+    try {
+      in.addData((ts(7), "click", 4.0))
+      q2.processAllAvailable()
+      in.addData((ts(30), "click", 0.5))
+      q2.processAllAvailable()
+      val closed = spark.read.parquet(s"$base/out")
+        .filter(col("event_type") === "click" &&
+          col("window_start") === ts(0))
+        .select("n_events", "sum_value").collect()
+      assert(closed.length === 1, "exactly one emission for the closed window")
+      assert(closed(0).getLong(0) === 3L, "count must span the restart")
+      assert(closed(0).getDouble(1) === 7.0, "sum must span the restart")
+    } finally q2.stop()
+  }
 }
