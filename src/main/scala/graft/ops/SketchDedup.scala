@@ -456,11 +456,15 @@ object SketchDedup {
     // the hint and this becomes the plain shuffle join — same result.)
     val rep = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
       .filter(col("df_s") > 1)
-    // (A one-row broadcast MAP + per-row transform/element_at sort was
-    // tried here instead of the explode+regroup — 10× SLOWER at sf0.1:
-    // element_at on UnsafeMapData is a LINEAR scan, so each shingle
-    // lookup paid O(|df sliver|). The keyed regroup below shuffles the
-    // corpus once but every per-row op stays O(n log n).)
+    // (Two map-lookup variants of this ordering were tried and REJECTED
+    // on min-of-3 A/B at sf0.1: a one-row corpus-wide df map lost 10× —
+    // element_at on UnsafeMapData linear-scans the whole df sliver per
+    // shingle — and a per-doc sliver map (only the doc's repeated
+    // shingles, built from the df>1 hits) still lost 30%: the join of
+    // the persisted base against the per-doc maps costs more than the
+    // regroup it saves. The explode+regroup below shuffles every
+    // (id, struct(df, s)) occurrence once, keeps per-row work at
+    // O(n log n), and stays the fastest measured form.)
     val ordered = ex.join(broadcast(rep), Seq("s"), "left")
       .select(col("id"), struct(
         coalesce(col("df_s"), lit(1L)).as("df_s"), col("s")).as("__ds"))
