@@ -289,6 +289,100 @@ class TextOpsSpec extends SparkTestBase {
     assert(folded(0) === folded(1))
   }
 
+  test("interaction goldens: hygiene passes × PII masks (mixed-script evasion)") {
+    // The dedup-evasion channels are ALSO PII-mask-evasion channels:
+    // every fixture here defeats the reference regexes until the
+    // matching hygiene pass runs first. Order is load-bearing —
+    // hygiene BEFORE masking — and each golden pins both the evaded
+    // and the repaired output so neither side drifts.
+    val N = Normalize
+    def strip(s: String): String = Seq(s).toDF("t")
+      .select(N.stripInvisible(col("t"))).collect()(0).getString(0)
+    def fold(s: String): String = Seq(s).toDF("t")
+      .select(N.foldConfusables(col("t"))).collect()(0).getString(0)
+    def emailHits(s: String): Int = Seq(s).toDF("t")
+      .select(Pii.piiEmailHits(col("t"))).collect()(0).getInt(0)
+    def ibanHits(s: String): Int = Seq(s).toDF("t")
+      .select(Pii.piiIbanHits(col("t"))).collect()(0).getInt(0)
+
+    // ZWSP inside the email local part: EmailRe still fires on the
+    // "hn@example.com" suffix, so mask-without-strip LEAKS the first
+    // two local-part chars plus the invisible itself. Strip first →
+    // the whole address masks.
+    val zwspMail = "jo​hn@example.com"
+    assert(masked(zwspMail) === "jo​<EMAIL>")
+    assert(masked(strip(zwspMail)) === "<EMAIL>")
+
+    // ZWSP inside a card number splits the digit run under 13, so
+    // NOTHING matches it as a card; the raw chain leaks the leading
+    // digits ("4111" + invisible survive next to a <PHONE> that ate
+    // the rest). Strip first → the chain behaves exactly like the
+    // pinned spaced-card golden (phone-before-cc eats the first
+    // groups — same bytes Python produces).
+    val zwspCard = "4111​1111 1111 1111"
+    assert(ccHits(zwspCard) === 0)
+    assert(masked(zwspCard) === "4111​<PHONE>")
+    assert(ccHits(strip(zwspCard)) === 1)
+    assert(masked(strip(zwspCard)) === "<PHONE> 1111")
+
+    // Cyrillic а in the domain kills the match entirely (domain class
+    // is [A-Za-z0-9.-], and no dot+TLD remains to backtrack to): a
+    // FULL address leaks with zero hits. Fold first → full mask.
+    val cyrMail = "contact john@exаmple.com now"
+    assert(emailHits(cyrMail) === 0)
+    assert(masked(cyrMail) === cyrMail)
+    assert(emailHits(fold(cyrMail)) === 1)
+    assert(masked(fold(cyrMail)) === "contact <EMAIL> now")
+
+    // Cyrillic Е in the IBAN country code: [A-Z]{2} never matches, the
+    // account number leaks wholesale. Fold first → masked.
+    val cyrIban = "acct DЕ95370400440532013000 end"
+    assert(ibanHits(cyrIban) === 0)
+    assert(ibanHits(fold(cyrIban)) === 1)
+    assert(masked(fold(cyrIban)) === "acct <IBAN> end")
+
+    // NFKC repairs NEITHER channel — ZWSP/soft-hyphen are format
+    // chars, Cyrillic letters are not compatibility forms. This is
+    // the reason stripInvisible/foldConfusables exist as separate
+    // passes and must be sequenced before the masks.
+    val nfkc = Seq("a​b", "а", "a­b").toDF("t")
+      .select(graft.plans.NfkcNormalize(col("t"))).collect().map(_.getString(0))
+    assert(nfkc(0) === "a​b")
+    assert(nfkc(1) === "а")
+    assert(nfkc(2) === "a­b")
+  }
+
+  test("interaction goldens: hygiene passes × canon keys (dedup identity)") {
+    // A doc laundered with BOTH channels (homoglyph о + ZWSP) has a
+    // different exact hash, near key, AND sha1 doc id than its clean
+    // twin — identical pixels, four distinct identities. The fused
+    // hygiene prefix (fold ∘ strip, in either order: the char sets
+    // are disjoint, so the passes commute) restores every identity.
+    val N = Normalize
+    val clean = "The Quick Brown Fox Jumps"
+    val dirty = "The Quick Brоwn F​ox Jumps"
+    def canonOf(prep: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Seq(clean, dirty).toDF("t").select(
+        N.sha256Hex(N.canonExact(prep(col("t")))).as("eh"),
+        N.canonNear(prep(col("t")), 500).as("nk"),
+        N.sha1DocId(lit("u"), prep(col("t"))).as("did"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val bare = canonOf(identity)
+    assert(bare(0)._1 !== bare(1)._1) // exact-dup identity broken
+    assert(bare(0)._2 !== bare(1)._2) // near-dup key broken
+    assert(bare(0)._3 !== bare(1)._3) // doc id broken
+    val hygienic = canonOf(c => N.foldConfusables(N.stripInvisible(c)))
+    assert(hygienic(0) === hygienic(1)) // all three identities restored
+    // commutativity: strip∘fold ≡ fold∘strip, so pipeline authors may
+    // order the two hygiene passes freely
+    val both = Seq(dirty).toDF("t").select(
+      N.stripInvisible(N.foldConfusables(col("t"))).as("a"),
+      N.foldConfusables(N.stripInvisible(col("t"))).as("b"))
+      .collect()(0)
+    assert(both.getString(0) === both.getString(1))
+    assert(both.getString(0) === clean)
+  }
+
   test("domain quality blocklist: rates and threshold on a hand fixture") {
     import spark.implicits._
     // good.com: 2/2 keep; mixed.com: 1/2; spam.com: 0/3
