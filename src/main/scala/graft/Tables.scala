@@ -20,16 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark's
-    * reader rejects outright. Read the nanos as a plain long (legacy
-    * conf) and truncate to Spark's native microsecond timestamps with
-    * integer arithmetic (`div` — double division would lose precision on
-    * an epoch-nanos int64).
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) parquet (which Spark's reader
+    * rejects outright — read the nanos as a plain long via the legacy
+    * conf and truncate with integer `div`, since double division would
+    * lose precision on an epoch-nanos int64) and plain TIMESTAMP(MICROS)
+    * without the UTC-adjusted flag (which Spark reads as TIMESTAMP_NTZ).
+    * Both shapes normalize to Spark's session-TZ TimestampType here so
+    * every downstream query sees one `ts` dtype; with the engine's
+    * standard UTC session the NTZ cast is value-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Documents table with the stable ingest sequence the pipeline's

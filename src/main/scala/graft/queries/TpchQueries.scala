@@ -1041,9 +1041,11 @@ object TpchQueries {
     * previous step (user-keyed shuffles, no windows, no self-join
     * explosion); the three step counts cross-join into one row.
     * Timestamps compare as integer MICROSECONDS on both engines
-    * (unix_micros / epoch_us) — the parquet column is nanos, Spark
-    * truncates to micros on load, and a strict '>' at a sub-micro
-    * boundary would otherwise disagree.
+    * (unix_micros / epoch_us) — [[Tables.events]] normalizes the
+    * physical column (nanos-as-long or TIMESTAMP(MICROS), it has been
+    * both across testdata generations) to micro-precision
+    * TimestampType, and a strict '>' at a sub-micro boundary would
+    * otherwise disagree.
     */
   def eventFunnel(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.sequentialFunnel(
