@@ -302,4 +302,37 @@ class RelationalSpec extends SparkTestBase {
     assert(res("__all__")._1 === docs.count())
     spark.catalog.clearCache()
   }
+
+  // The events table's physical `ts` type has varied across driver
+  // testdata generations (epoch-nanos int64 via the nanosAsLong legacy
+  // conf; TIMESTAMP(MICROS) without the UTC flag, read as NTZ). The
+  // loader contract is: whatever the physical shape, downstream queries
+  // see one session-TZ TimestampType column with identical instants.
+  test("events loader normalizes every historical ts physical shape") {
+    import org.apache.spark.sql.types._
+    val micros = Seq(0L, 1_000_000L, 1_755_000_000_123_456L)
+    val microsArr = array(micros.map(m =>
+      org.apache.spark.sql.functions.lit(m)): _*)
+    def roundTrip(tsExpr: org.apache.spark.sql.Column): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("evts").toString
+      spark.range(micros.length)
+        .selectExpr("id AS event_id", "CAST(id AS INT) AS __i",
+          "id AS user_id", "'click' AS event_type", "0.0 AS value",
+          "'' AS props")
+        .withColumn("ts", tsExpr).drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val loaded = Tables.events(spark, dir)
+      assert(loaded.schema("ts").dataType === TimestampType,
+        s"loader must emit TimestampType, got ${loaded.schema("ts").dataType}")
+      loaded.select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+    val us = element_at(microsArr, col("__i") + 1)
+    // epoch-nanos int64 (legacy generations, read via nanosAsLong);
+    // TIMESTAMP_NTZ (current generation: MICROS without the UTC flag);
+    // plain TimestampType (already-normalized parquet)
+    assert(roundTrip(us * 1000L) === micros.sorted)
+    assert(roundTrip(timestamp_micros(us).cast(TimestampNTZType)) === micros.sorted)
+    assert(roundTrip(timestamp_micros(us)) === micros.sorted)
+  }
 }
