@@ -33,6 +33,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder))
     ext.injectFunction(
       (FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -61,6 +65,10 @@ object GraftFunctions {
       FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
+  /** The email pattern stays the literal operator contract (and the
+    * DuckDB oracle still runs it verbatim), but the Spark side
+    * evaluates it through [[graft.plans.EmailScan]] — a linear-time
+    * exact-semantics kernel — because under java.util.regex this is
+    * the engine's one super-linear pattern (O(n²) on '@'-free runs of
+    * local-part chars; see the kernel scaladoc and tools/RegexAudit).
+    */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Stage-2 rough phone pattern. */
@@ -31,18 +38,20 @@ object Pii {
     coalesce(regexp_count(c, lit(pattern)), lit(0))
 
   /** M7: stage-2 family — email/phone counts on the normalized text. */
-  def emailHits(c: Column): Column = hits(c, EmailRe)
+  def emailHits(c: Column): Column =
+    coalesce(graft.plans.EmailCount(c), lit(0))
   def phoneHitsSimple(c: Column): Column = hits(c, PhoneSimpleRe)
 
   /** M8: stage-3 family counts (run on text_deep_clean). */
-  def piiEmailHits(c: Column): Column = hits(c, EmailRe)
+  def piiEmailHits(c: Column): Column =
+    coalesce(graft.plans.EmailCount(c), lit(0))
   def piiPhoneHits(c: Column): Column = hits(c, PhoneRe)
   def piiCcHits(c: Column): Column    = hits(c, CreditCardRe)
   def piiIbanHits(c: Column): Column  = hits(c, IbanRe)
 
   /** M8: mask chain in reference order over progressively-masked text. */
   def maskPii(c: Column): Column = {
-    val e = regexp_replace(c, EmailRe, "<EMAIL>")
+    val e = graft.plans.EmailMask(c)
     val p = regexp_replace(e, PhoneRe, "<PHONE>")
     val cc = regexp_replace(p, CreditCardRe, "<CREDIT_CARD>")
     regexp_replace(cc, IbanRe, "<IBAN>")
@@ -72,7 +81,7 @@ object Pii {
     * 4-type order; this chain is the beyond-ref superset.
     */
   def maskPiiExtended(c: Column): Column = {
-    val e = regexp_replace(c, EmailRe, "<EMAIL>")
+    val e = graft.plans.EmailMask(c)
     val ip = regexp_replace(e, IpRe, "<IP>")
     val ssn = regexp_replace(ip, SsnRe, "<SSN>")
     val p = regexp_replace(ssn, PhoneRe, "<PHONE>")
