@@ -30,6 +30,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap stays at 8g: full-run bench timings show random 3-30x
+// per-query outliers under EVERY heap size tried (8g twice, 32g with
+// matching -Xms measured WORSE: 126/139/182 s totals on identical
+// code) — the noise is host-level, not GC-by-heap-pressure, so a
+// bigger heap only slows allocation-heavy cells. Perf conclusions come
+// from isolated SPARK_GRAFT_BENCH_ONLY min-of-N runs, never full-run
+// deltas (SCALING.md "Measurement discipline").
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

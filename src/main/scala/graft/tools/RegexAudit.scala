@@ -38,9 +38,16 @@ object RegexAudit {
     }
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Every pattern the scalar operators evaluate through
+    * java.util.regex. `EmailRe` is listed for the report but excluded
+    * from [[javaEvaluated]]: since round 5 the engine evaluates it via
+    * the linear [[graft.plans.EmailScan]] kernel, so its java.util.regex
+    * cost is no longer a production path (it stays here so the report
+    * keeps showing WHY the kernel exists).
+    */
+  val patterns: Seq[(String, String)] = {
     import graft.text.Pii
-    val patterns: Seq[(String, String)] = Seq(
+    Seq(
       "EmailRe" -> Pii.EmailRe,
       "PhoneSimpleRe" -> Pii.PhoneSimpleRe,
       "PhoneRe" -> Pii.PhoneRe,
@@ -59,9 +66,14 @@ object RegexAudit {
       "numericLike" -> "^[\\d\\.\\-]+$",
       "boiler" -> graft.text.Normalize.BoilerplatePatterns
         .mkString("(", ")|(", ")"))
+  }
 
-    def run(l: Int): Seq[(String, String)] = {
-      val shapes: Seq[(String, String)] = Seq(
+  /** The patterns production code still runs under java.util.regex. */
+  val javaEvaluated: Seq[(String, String)] =
+    patterns.filterNot(_._1 == "EmailRe")
+
+  /** Adversarial input shapes at total length ~l. */
+  def shapes(l: Int): Seq[(String, String)] = Seq(
         "alnumRun" -> "x" * l,
         "digitRun" -> "1" * l,
         "digitSpace" -> ("1 " * (l / 2)),
@@ -77,11 +89,18 @@ object RegexAudit {
         "nlFlood" -> "\n" * l,
         "punctFlood" -> ("... --- ~~~ " * (l / 12)),
         "upperIban" -> ("DE" + "1" * (l - 2)))
-      for ((pn, ps) <- patterns; (sn, s) <- shapes) yield {
+
+  /** Public cell timer for the spec: (millis, timedOut). */
+  def timeCell(pattern: String, input: String, budgetMs: Long): (Double, Boolean) =
+    time(Pattern.compile(pattern), input, budgetMs)
+
+  def main(args: Array[String]): Unit = {
+    def run(l: Int): Seq[(String, String)] = {
+      for ((pn, ps) <- patterns; (sn, s) <- shapes(l)) yield {
         val (ms, to) = time(Pattern.compile(ps), s, 2000L)
         (s"$pn/$sn", if (to) "TIMEOUT" else f"$ms%.1f")
       }
-    }
+    }.toSeq
 
     val l1 = 50000
     val r1 = run(l1).toMap
