@@ -620,18 +620,33 @@ object DocQueries {
   /** FineWeb-style rule ensemble over every quality signal the engine
     * computes — heuristic score, token-distribution entropy, corpus-LM
     * fluency, toxicity — with first-match-wins fail reasons (the same
-    * drop-reason discipline as ops.Filters). Built by joining the four
-    * oracle-validated signal queries on doc_id: at corpus scale the
-    * three per-row signals fuse into one scan (they are column
-    * expressions; see Pipeline), while the fluency signal keeps its
-    * inherent vocabulary join — this form trades two extra scans for
-    * exact reuse of the validated building blocks.
+    * drop-reason discipline as ops.Filters).
+    *
+    * Shape: the three PER-ROW signals (quality score, entropy,
+    * toxicity) are column expressions over ONE corpus scan — they
+    * reuse the exact expression builders the individually-validated
+    * queries use, so values cannot drift — and only the fluency signal
+    * keeps its inherent vocabulary join (one doc_id join). The
+    * composed four-query join form this replaces scanned the corpus
+    * four times and shuffled three joins; the signals' own oracles
+    * plus this query's oracle (unchanged, still the four-CTE join)
+    * pin the fused form's equivalence. Isolated min-of-N at sf0.1:
+    * 1.85 s composed → 1.46 s fused (an earlier pre-email-kernel
+    * fusion experiment showed no gain because regex dominated; the
+    * kernel moved that floor and the shared scan now pays off).
     */
-  def qualityEnsemble(s: SparkSession, dir: String): DataFrame =
-    qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
-      .join(tokenEntropy(s, dir).select("doc_id", "entropy_q"), Seq("doc_id"))
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val base = qualityScored(Tables.documents(s, dir))
+      .withColumn("__toks", TextMetrics.tokens(t))
+      .withColumn("entropy_q",
+        floor(TextMetrics.tokenEntropyFromTokens(col("__toks")) * 10000)
+          .cast("long"))
+    val withTox = graft.text.Toxicity.withToxicityColumns(base, t)
+      .select(col("doc_id"), col("quality_score"), col("entropy_q"),
+        col("toxicity"))
+    withTox
       .join(unigramLogprob(s, dir), Seq("doc_id"))
-      .join(toxicity(s, dir).select("doc_id", "toxicity"), Seq("doc_id"))
       .withColumn("qs_q", floor(col("quality_score") * 10000).cast("long"))
       .withColumn("mean_lp_q",
         when(col("n_toks") > 0,
@@ -644,6 +659,7 @@ object DocQueries {
           .when(col("toxicity") >= GateMaxToxicity, "toxic"))
       .withColumn("keep", col("fail_reason").isNull)
       .select("doc_id", "qs_q", "entropy_q", "mean_lp_q", "fail_reason", "keep")
+  }
 
   // lazy: interpolates unigramLogprobSql, declared LATER in this object —
   // a plain val would capture null at initialization order
