@@ -74,6 +74,19 @@ class PlanSpec extends SparkTestBase {
       s"orderBy.limit must plan as top-k, not materialize a full sort:\n$p")
   }
 
+  test("PII mask chain evaluates email via the linear kernel, not the regex") {
+    // a revert to regexp_replace for the email step reintroduces the
+    // engine's one ReDoS-class pattern (see plans/EmailScan); the
+    // kernel's presence in the physical plan is the guard
+    val pm = plan(DocQueries.piiMask(spark, dir))
+    assert(pm.contains("email_mask"), s"email step not the kernel:\n$pm")
+    val pe = plan(DocQueries.piiExtended(spark, dir))
+    assert(pe.contains("email_mask"), s"extended chain not the kernel:\n$pe")
+    val pt = plan(graft.queries.PipelineQueries.piiTotals(spark, dir))
+    assert(pt.contains("email_hits"),
+      s"email counts not via the kernel:\n$pt")
+  }
+
   test("range join executes as an equi-join on user_id, not a cartesian") {
     val p = plan(RelationalQueries.rangeJoinClicks(spark, dir))
     assert(!p.contains("CartesianProduct"), s"range join degenerated:\n$p")
