@@ -37,6 +37,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder))
     ext.injectFunction(
       (FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("token_dist_stats"),
+        TokenDistStats.info, TokenDistStats.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -69,6 +72,9 @@ object GraftFunctions {
       FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("token_dist_stats"),
+      TokenDistStats.info, TokenDistStats.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

@@ -98,12 +98,15 @@ object TextMetrics {
     */
   def maxTokenFreqRatio(c: Column): Column = maxTokenFreqFromTokens(tokens(c))
 
+  /** Max token frequency ratio via the compiled one-pass kernel
+    * ([[graft.plans.TokenDistStats]]) — bit-equal to the interpreted
+    * `array_max(transform(array_distinct...))` chain it replaced
+    * (int max over counts is order-free), without that chain's
+    * O(distinct·n)-per-row cost. coalesce mirrors the old
+    * `when(size > 0, ...).otherwise(0.0)` null-array fallthrough.
+    */
   private def maxTokenFreqFromTokens(t: Column): Column =
-    when(size(t) > 0,
-      array_max(transform(array_distinct(t),
-        x => size(filter(t, y => y === x)))).cast("double")
-        / size(t).cast("double"))
-      .otherwise(lit(0.0))
+    coalesce(element_at(graft.plans.TokenDistStats(t), 2), lit(0.0))
 
   /** Shannon entropy (nats) of a doc's token distribution — the
     * repetition/diversity quality signal: near 0 for "spam spam spam",
@@ -115,18 +118,18 @@ object TextMetrics {
     * (DuckDB `list_distinct` has no order guarantee; `list_sort` +
     * `array_sort` pin one).
     *
-    * O(u·n) per row (u = distinct tokens); `t` must be a bound attribute
-    * (see [[withTokenStats]] ⚠ — inline subtrees re-evaluate per lambda).
+    * Evaluated by the compiled one-pass kernel
+    * ([[graft.plans.TokenDistStats]]: sort once, run-length count) —
+    * bit-equal to the interpreted `aggregate(transform(array_sort(
+    * array_distinct(t)), ...)` chain it replaced (same ascending-binary
+    * fold order, same StrictMath.log; TokenDistStatsSpec pins the bits),
+    * without that chain's O(distinct·n)-per-row cost: a row of 150k
+    * UNIQUE tokens took minutes interpreted and takes milliseconds
+    * compiled (HostileInputSpec's distinct-token flood). coalesce
+    * mirrors the old `when(size > 0, ...)` null-array fallthrough.
     */
   def tokenEntropyFromTokens(t: Column): Column =
-    when(size(t) > 0,
-      log(size(t).cast("double")) -
-        aggregate(
-          transform(array_sort(array_distinct(t)),
-            x => size(filter(t, y => y === x)).cast("double")),
-          lit(0.0),
-          (acc, c) => acc + c * log(c)) / size(t).cast("double"))
-      .otherwise(lit(0.0))
+    coalesce(element_at(graft.plans.TokenDistStats(t), 1), lit(0.0))
 
   /** M5+A4 staged: tokenize ONCE into an attribute, derive all five
     * token stats from it (value-identical to the single-column forms —
