@@ -44,9 +44,67 @@ object Bpe {
     }
 
     /** Encode one word: start from characters, repeatedly apply the
-      * best-ranked adjacent merge until none applies (HF inference rule).
+      * best-ranked adjacent merge — leftmost on rank ties — until none
+      * applies (HF inference rule).
+      *
+      * Agenda implementation (heap of (rank, position) claims over a
+      * linked symbol list), O(L log L): the rescan-per-merge form
+      * ([[encodeWordRescan]], kept as the executable spec) is O(L) per
+      * merge and a word can need L−1 merges — O(L²), which on a
+      * 200k-char single "word" (a base64 blob the whitespace tokenizer
+      * cannot split) whose pairs keep merging is minutes on one row:
+      * the same poisoned-row class as the email regex and the
+      * entropy HOF, fixed the same way. Claims are verified at pop
+      * (pair still alive with that rank); every live pair always has a
+      * claim and ranks never change while a pair exists, so pop order
+      * equals the rescan's (min rank, leftmost) — BpeSpec pins output
+      * equality on randomized words.
       */
     def encodeWord(word: String): Seq[String] = {
+      val n = word.length
+      if (n == 0) return Seq.empty
+      if (n == 1) return Seq(word)
+      val syms = Array.tabulate(n)(i => word.charAt(i).toString)
+      val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+      val prev = Array.tabulate(n)(i => i - 1)
+      val alive = Array.fill(n)(true)
+      def rankAt(i: Int): Int = {
+        val j = next(i)
+        if (j < 0) Int.MaxValue
+        else rank.getOrElse((syms(i), syms(j)), Int.MaxValue)
+      }
+      // min-heap of (rank << 32 | pos) claims; rank < 2^31, pos < 2^31
+      val heap = new java.util.PriorityQueue[java.lang.Long](n)
+      def push(i: Int): Unit = {
+        val r = rankAt(i)
+        if (r != Int.MaxValue) heap.add((r.toLong << 32) | i.toLong)
+      }
+      var i = 0
+      while (i < n - 1) { push(i); i += 1 }
+      while (!heap.isEmpty) {
+        val claim = heap.poll().longValue()
+        val r = (claim >>> 32).toInt
+        val p = (claim & 0xffffffffL).toInt
+        if (alive(p) && rankAt(p) == r) {
+          val q = next(p)
+          syms(p) = syms(p) + syms(q)
+          alive(q) = false
+          next(p) = next(q)
+          if (next(p) >= 0) prev(next(p)) = p
+          if (prev(p) >= 0) push(prev(p))
+          push(p)
+        }
+      }
+      val out = Seq.newBuilder[String]
+      var k = 0
+      while (k >= 0) { out += syms(k); k = next(k) }
+      out.result()
+    }
+
+    /** The rescan-per-merge form — the executable spec [[encodeWord]]
+      * must match (BpeSpec randomized parity); O(L²), test-only.
+      */
+    private[graft] def encodeWordRescan(word: String): Seq[String] = {
       if (word.isEmpty) return Seq.empty
       var symbols = word.map(_.toString).toVector
       var done = false

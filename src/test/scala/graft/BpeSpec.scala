@@ -57,4 +57,36 @@ class BpeSpec extends SparkTestBase {
       assert(enc.mkString === words.mkString, "lossless concat")
     }
   }
+
+  test("agenda encoder matches the rescan executable spec on randomized words") {
+    // train a model with real merge interactions (repeats + overlaps)
+    val model = graft.text.Bpe.trainFromCounts(
+      Seq("aaaa" -> 50L, "abab" -> 40L, "banana" -> 30L, "aabb" -> 20L,
+        "cdcdcd" -> 10L, "the" -> 60L, "then" -> 25L), numMerges = 12)
+    val alphabet = "aabbcdnthe "
+    val rnd = new scala.util.Random(5)
+    val words = Seq("", "a", "aa", "aaa", "aaaaaaaaaa", "ababab",
+      "banana", "bananana", "xyz", "aabbaabb", "ththththe") ++
+      (1 to 800).map { _ =>
+        (0 until rnd.nextInt(24))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString.trim
+      }
+    words.foreach { w =>
+      assert(model.encodeWord(w) === model.encodeWordRescan(w),
+        s"encoder diverged on '$w'")
+    }
+  }
+
+  test("agenda encoder is near-linear on the single-word flood the rescan form was quadratic on") {
+    // a 200k-char run whose pairs keep merging: the rescan form is
+    // O(L^2) here (~minutes); the agenda must stay in milliseconds
+    val model = graft.text.Bpe.trainFromCounts(
+      Seq("aaaaaaaa" -> 10L), numMerges = 8)
+    val flood = "a" * 200000
+    val t0 = System.nanoTime()
+    val enc = model.encodeWord(flood)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000.0, f"agenda encoder took $ms%.0f ms on the flood")
+    assert(enc.mkString === flood, "lossless on the flood")
+  }
 }
