@@ -37,7 +37,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // Fail loudly on a ts shape we have never seen: a silent
+        // cast("timestamp") of e.g. a string or int32 generation would
+        // yield nulls/garbage instants that corrupt every downstream
+        // windowed/sessionized query instead of flagging the drift.
+        throw new IllegalStateException(
+          s"events.ts has unrecognized physical type $other — " +
+            "extend Tables.events for this testdata generation")
     }
   }
 

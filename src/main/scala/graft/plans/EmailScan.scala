@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
@@ -121,8 +121,13 @@ object EmailScan {
   }
 }
 
-/** `email_hits(str)` — linear-time count of reference-pattern emails. */
-case class EmailCount(child: Expression) extends UnaryExpression {
+/** `email_hits(str)` — linear-time count of reference-pattern emails.
+  * ExpectsInputTypes so a wrong-typed SQL call (`email_hits(42)`) fails
+  * at analysis time, not as a task-killing ClassCastException.
+  */
+case class EmailCount(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "email_hits"
@@ -157,7 +162,9 @@ object EmailCount {
   * emails with the fixed `<EMAIL>` placeholder (the mask chain's first
   * step; the replacement is part of the operator contract).
   */
-case class EmailMask(child: Expression) extends UnaryExpression {
+case class EmailMask(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "email_mask"

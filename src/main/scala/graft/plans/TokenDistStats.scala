@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass token-distribution statistics: `[entropy, max_freq_ratio]`
@@ -36,8 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * order-free). Empty array → [0.0, 0.0], matching the `when(size>0)`
   * guards it replaces.
   */
-case class TokenDistStats(child: Expression) extends UnaryExpression {
+case class TokenDistStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_dist_stats"
@@ -56,19 +58,26 @@ case class TokenDistStats(child: Expression) extends UnaryExpression {
 object TokenDistStats {
 
   def stats(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(Array(0.0, 0.0))
-    val toks = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      toks(i) = arr.getUTF8String(i) // tokens() never yields null elements
-      i += 1
+    val m = arr.numElements()
+    // Defined behavior for null ELEMENTS (possible only via external SQL
+    // callers — the engine's tokens() never yields them): they are
+    // skipped, i.e. the distribution is over the non-null tokens only.
+    // Without this, getUTF8String returns null and Arrays.sort NPEs the
+    // whole task.
+    val toks = new Array[UTF8String](m)
+    var n = 0
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) { toks(n) = arr.getUTF8String(j); n += 1 }
+      j += 1
     }
-    java.util.Arrays.sort(toks, null) // natural order = byte-wise, = array_sort
+    if (n == 0) return new GenericArrayData(Array(0.0, 0.0))
+    // sort only the filled prefix — the tail past n is unset slots
+    java.util.Arrays.sort(toks, 0, n, null) // natural order = byte-wise, = array_sort
     var acc = 0.0
     var maxCount = 0
     var runStart = 0
-    i = 1
+    var i = 1
     while (i <= n) {
       if (i == n || toks(i).compareTo(toks(runStart)) != 0) {
         val c = i - runStart

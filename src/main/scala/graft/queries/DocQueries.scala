@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{Dedup, Filters, Score}
-import graft.text.{LangId, Normalize, Pii, TextMetrics, Toxicity}
+import graft.text.{LangId, Normalize, Pii, TextMetrics, Toxicity, TrigramLangModel}
 
 /** Pipeline operators exposed as standalone queries over the `documents`
   * table, each paired with DuckDB oracle SQL (SURVEY.md §5.4).
@@ -175,6 +175,24 @@ object DocQueries {
        | END AS drop_reason
        |FROM l""".stripMargin
   }
+
+  // ---- q_langid_model: L1 via the trained-model slot -------------------
+
+  /** The trained trigram model ([[TrigramLangModel]], Cavnar–Trenkle
+    * profiles across ten languages) riding the [[LangId.LangModel]]
+    * slot — the path the reference's langdetect occupies. Rows-only by
+    * design: a model scored inside a UDF has no SQL oracle (same class
+    * as the tokenizer); LangIdModelSpec pins held-out accuracy and the
+    * factory-per-executor init instead. Rolled up per predicted
+    * language so the output is small and order-stable.
+    */
+  def langIdModel(s: SparkSession, dir: String): DataFrame =
+    LangId.withLangColumnsModel(Tables.documents(s, dir), col("text"),
+        () => TrigramLangModel.default())
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("lang_score")).as("avg_score"))
+      .orderBy("lang_pred")
 
   // ---- q_spam_exploded: A4 scalable max-token-frequency ----------------
 

@@ -114,6 +114,16 @@ class EmailScanSpec extends SparkTestBase {
     assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "<EMAIL>"))
   }
 
+  test("wrong-typed SQL call fails at analysis, not execution") {
+    graft.plans.GraftFunctions.register(spark)
+    for (q <- Seq("SELECT email_hits(42)", "SELECT email_mask(array(1,2))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"), s"$q: ${e.getMessage}")
+    }
+  }
+
   test("linear on the shapes that send java.util.regex quadratic") {
     // tools/RegexAudit: the regex engine exceeds 2 s at 50k chars on
     // these; the kernel must do 400k chars in milliseconds. Generous

@@ -84,4 +84,28 @@ class TokenDistStatsSpec extends SparkTestBase {
     assert(math.abs(out.getDouble(0) - math.log(150000.0)) < 1e-9)
     assert(out.getDouble(1) === 1.0 / 150000.0)
   }
+
+  test("null ELEMENTS are skipped, not an NPE (external-SQL contract)") {
+    // tokens() never yields null elements, but token_dist_stats is a
+    // registered SQL function any user query can call; [a, null, a]
+    // must behave as [a, a], and an all-null array as empty.
+    val mixed = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString("a"), null,
+        org.apache.spark.unsafe.types.UTF8String.fromString("a")))
+    val out = graft.plans.TokenDistStats.stats(mixed)
+    assert(out.getDouble(0) === 0.0) // two identical tokens: H = 0
+    assert(out.getDouble(1) === 1.0)
+    val allNull = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[org.apache.spark.unsafe.types.UTF8String](null, null))
+    val empty = graft.plans.TokenDistStats.stats(allNull)
+    assert(empty.getDouble(0) === 0.0 && empty.getDouble(1) === 0.0)
+  }
+
+  test("wrong-typed SQL call fails at analysis, not execution") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_dist_stats(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
 }
