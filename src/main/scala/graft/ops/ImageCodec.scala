@@ -37,6 +37,7 @@ object ImageCodec {
       else if (isPng(bytes)) decodePng(bytes)
       else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
       else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6')) decodePnm(bytes)
+      else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
       else None
     } catch { case _: Exception => None }
 

@@ -88,6 +88,44 @@ object Multimodal {
       .toDF()
   }
 
+  /** JPEG twin of [[syntheticImages]]: the same 8-wide pixel grid
+    * encoded as baseline JPEG, rotating by doc id through 4:4:4,
+    * 4:2:0, and grayscale — so the decode path exercises every
+    * supported sampling structure against distributed data. JPEG is
+    * lossy in PIXELS but exact in STRUCTURE: the decoded width/height/
+    * channels are bit-determined by the stream header, which is what
+    * q_media_decode_jpeg oracle-checks arithmetically.
+    */
+  def syntheticJpegImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 23) / 24))
+        val px = new Array[Byte](w * h * 3)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < px.length) { px(i) = bytes(i % bytes.length); i += 1 }
+        }
+        val payload = ((id / 3) % 3) match {
+          case 0 => JpegCodec.encodeJpeg(w, h, px, subsample420 = false)
+          case 1 => JpegCodec.encodeJpeg(w, h, px, subsample420 = true)
+          case _ =>
+            val gray = new Array[Byte](w * h)
+            var i = 0
+            while (i < gray.length) { gray(i) = px(i * 3); i += 1 }
+            JpegCodec.encodeJpegGray(w, h, gray)
+        }
+        MediaRow(id, "image", payload, w, h,
+          (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
+      }
+      .toDF()
+  }
+
   /** Decode metadata straight off the payload: container format sniffed
     * from MAGIC BYTES (never from any id or metadata column — the
     * payload itself is the evidence) plus the decoded pixel dimensions.
@@ -105,6 +143,7 @@ object Multimodal {
           else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
           else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
           else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6')) "ppm"
+          else if (JpegCodec.isJpeg(bytes)) "jpeg"
           else "undecodable"
         ImageCodec.decode(bytes) match {
           case Some(img) =>

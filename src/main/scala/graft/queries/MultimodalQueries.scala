@@ -165,6 +165,35 @@ object MultimodalQueries {
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  // ---- q_media_decode_jpeg: ORACLE-CHECKED baseline JPEG decode ---------
+
+  /** Same contract as q_media_decode but through the hand-rolled
+    * baseline JPEG decoder ([[graft.ops.JpegCodec]]): payloads rotate
+    * 4:4:4 / 4:2:0 / grayscale by doc id, and the oracle derives the
+    * expected format/dims/channels arithmetically from the text byte
+    * length and the documented encoder layout. Pixels are lossy;
+    * width/height/channels are exact header facts — a broken Huffman
+    * walk, a wrong MCU geometry, or a failed sampling-factor path all
+    * surface as an "undecodable" row and a hash mismatch here.
+    */
+  def mediaDecodeJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+        Multimodal.syntheticJpegImages(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+
+  val mediaDecodeJpegSql: String =
+    """SELECT doc_id AS media_id,
+      |  'jpeg' AS format,
+      |  CAST(8 AS BIGINT) AS width,
+      |  CAST(greatest(1, least(64,
+      |    (octet_length(encode(coalesce(text, ''))) + 23) // 24)) AS BIGINT) AS height,
+      |  CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   // ---- q_media_features: partition-batched inference (rows-only) ---------
 
   // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —

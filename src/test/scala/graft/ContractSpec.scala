@@ -34,6 +34,28 @@ class ContractSpec extends AnyFunSuite {
       s"README count line stale: expected '$q queries, $o DuckDB-oracle-checked'")
   }
 
+  test("every scalar plans/* expression is in the hostile-input sweep") {
+    // the net must grow with the surface (VERDICT r5 #8): a new codegen
+    // kernel that never sees the hostile fixture is exactly the kernel
+    // that dies on the first poisoned row at scale. Enumerate every
+    // case class in plans/ that IS a scalar expression (extends
+    // Unary/BinaryExpression) and require HostileInputSpec to evaluate
+    // it by name.
+    import scala.jdk.CollectionConverters._
+    val plansDir = Paths.get("src/main/scala/graft/plans")
+    val caseClass =
+      """case class (\w+)\([^)]*\)[\s\n]*extends[\s\n]+\w*(?:Unary|Binary)Expression""".r
+    val exprs = Files.list(plansDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => caseClass.findAllMatchIn(Files.readString(p)).map(_.group(1)))
+      .toSet
+    assert(exprs.nonEmpty, "expression scan found nothing — regex rotted")
+    val sweep = read("src/test/scala/graft/HostileInputSpec.scala")
+    val missing = exprs.filterNot(e => sweep.contains(s"plans.$e("))
+    assert(missing.isEmpty,
+      s"plans expressions absent from HostileInputSpec: $missing")
+  }
+
   test("bench headline names are real queries") {
     // a typo'd headline entry silently vanishes from BENCH parsing
     val src = read("src/main/scala/graft/Bench.scala")
