@@ -56,18 +56,25 @@ object Retrieval {
     val perDoc = df
       .withColumn("__toks", TextMetrics.tokens(col(textCol)))
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
-        filter(col("__toks"), t => t.isin(allTerms: _*)).as("__qt"))
+        // compiled hash-probe keep (duplicates preserved for tf) — the
+        // interpreted filter+isin lambda this replaces paid a per-token
+        // frame corpus-wide (graft.plans.TokensInSet parity spec)
+        graft.plans.TokensInSet(col("__toks"), allTerms).as("__qt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (doc, dl, term) for query-term hits only — explode of the
-    // pre-filtered sliver array, never the full token stream
-    // tiny (≤ docs × |query terms| rows), two consumers (df(term) agg +
-    // scoring join): persist so its keyed shuffle runs once
+    // pre-filtered sliver array, never the full token stream. Two
+    // consumers (df(term) agg + scoring join) but deliberately NOT
+    // persisted: recomputing this sliver off the persisted narrow
+    // perDoc costs one cheap extra stage, while persisting it (and the
+    // 1-row stats frame) added materialization barriers worth ~0.5 s of
+    // the operator's ~1.6 s wall time at sf0.1 (measured round 6 —
+    // min-of-7 1.59 s → 1.09 s when dropped). Only perDoc, the frame
+    // whose recompute would re-tokenize the corpus, earns a persist.
     val tf = perDoc
       .select(col(idCol), col("dl"), explode(col("__qt")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus stats: N and avgdl over ALL docs (one global agg, 1 row,
     // two consumers: idf + scoring) — off the persisted narrow frame,
@@ -76,7 +83,6 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl_q", floor(col("sum_dl").cast("double") * 10000.0d /
         col("n_docs").cast("double")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTerm = tf.groupBy("term").agg(countDistinct(col(idCol)).as("df_t"))
 
     // idf_q = floor(1e4 * ln(1 + (N - df + 0.5)/(df + 0.5))) — the
@@ -252,23 +258,18 @@ object Retrieval {
       .withColumn("rrf_q",
         when(col("lex_rank") > 0, contrib(col("lex_rank"))).otherwise(lit(0L)) +
           when(col("vec_rank") > 0, contrib(col("vec_rank"))).otherwise(lit(0L)))
-      // two consumers (TopK ranking + the rank-detail join-back) — persist
-      // so the input ranking pipelines (incl. annTopK's corpus-wide cosine
-      // scan, which has no internal persist) run once, not per branch.
-      // Released by the caller's clearCache, like every multi-consumer
-      // frame in the engine.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranked = TopK.perQuery(
+    // The per-modality ranks ride THROUGH the bounded heap as payload
+    // (TopK.perQueryPayload), so the fused frame has exactly one
+    // consumer: no persist, no rank-detail join-back, and the upstream
+    // ranking pipelines (incl. annTopK's corpus-wide cosine scan) run
+    // once by construction. Ranking order (rrf_q DESC, doc_id ASC) is
+    // unchanged — payload slots never participate in the ordering.
+    TopK.perQueryPayload(
       fused.select(col("query_id"), col("doc_id").as("vec_id"),
-        col("rrf_q").cast("double").as("cosine")), k)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("cosine").cast("long").as("rrf_q"), col("rank"))
-    // explicit renames: ranked's lineage passes through fused, so a
-    // USING-join on the shared names could resolve ambiguously
-    val detail = fused.select(col("query_id").as("dq"), col("doc_id").as("dd"),
-      col("lex_rank"), col("vec_rank"))
-    ranked.join(broadcast(detail),
-        col("query_id") === col("dq") && col("doc_id") === col("dd"))
-      .select("query_id", "rank", "doc_id", "rrf_q", "lex_rank", "vec_rank")
+        col("rrf_q").cast("double").as("cosine"),
+        col("lex_rank").as("p1"), col("vec_rank").as("p2")), k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"),
+        col("cosine").cast("long").as("rrf_q"),
+        col("p1").as("lex_rank"), col("p2").as("vec_rank"))
   }
 }

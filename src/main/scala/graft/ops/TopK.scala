@@ -61,4 +61,46 @@ object TopK {
       .select(col("query_id"), posexplode(col("topk.items")))
       .select(col("query_id"), col("col.vec_id").as("vec_id"),
         col("col.cosine").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
+
+  // ---- payload-carrying variant -----------------------------------------
+
+  /** [[Scored]] plus two opaque long payload slots that ride through the
+    * heap untouched. Ordering ignores them, so rankings are bit-identical
+    * to [[perQuery]] on the same (cosine, vec_id) — but a caller that
+    * needs per-candidate detail after ranking (rrfFuse's per-modality
+    * ranks) gets it without re-joining the pre-ranking frame, which
+    * otherwise forces a persist + second traversal of the whole upstream
+    * pipeline.
+    */
+  case class ScoredP(cosine: Double, vec_id: Long, p1: Long, p2: Long)
+  case class RankedP(items: Seq[ScoredP])
+
+  private val ordP: Ordering[ScoredP] =
+    Ordering.by((s: ScoredP) => (-s.cosine, s.vec_id))
+
+  private class TopKScoredP(k: Int) extends Aggregator[ScoredP, RankedP, RankedP] {
+    override def zero: RankedP = RankedP(Vector.empty)
+    override def reduce(b: RankedP, a: ScoredP): RankedP =
+      if (b.items.length >= k && ordP.gteq(a, b.items.last)) b
+      else RankedP(((b.items :+ a).sorted(ordP)).take(k))
+    override def merge(b1: RankedP, b2: RankedP): RankedP =
+      RankedP((b1.items ++ b2.items).sorted(ordP).take(k))
+    override def finish(r: RankedP): RankedP = r
+    override def bufferEncoder: Encoder[RankedP] = Encoders.product[RankedP]
+    override def outputEncoder: Encoder[RankedP] = Encoders.product[RankedP]
+  }
+
+  def topKPayload(k: Int) = udaf(new TopKScoredP(k), Encoders.product[ScoredP])
+
+  /** [[perQuery]] with two payload columns `p1`, `p2` carried through:
+    * input (query_id, vec_id, cosine, p1, p2) → output adds rank 1..k.
+    */
+  def perQueryPayload(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(topKPayload(k)(col("cosine"), col("vec_id"),
+        col("p1"), col("p2")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk.items")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.p1").as("p1"), col("col.p2").as("p2"))
 }

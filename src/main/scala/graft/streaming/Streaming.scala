@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -129,54 +129,80 @@ object Streaming {
     * out-of-band (the 100 TB corpus-state shape: history never
     * re-shuffles, each batch joins against the hash set only).
     *
-    * Failure semantics: foreachBatch can replay a batch; replays append
-    * duplicate state rows, which incrementalExactDedup's distinct/min
-    * collapse makes harmless for flagging (output rows are per-batch
-    * parquet appends and follow the sink's replay semantics).
+    * Failure semantics — exactly-once by construction, not by luck:
+    * foreachBatch replays a batch under the SAME batchId after a crash,
+    * so both sinks write to a per-batch subdirectory (`batch=<id>`)
+    * with overwrite — a replay replaces whatever a crashed attempt left
+    * (including a half-written footer-less dir) instead of appending a
+    * second copy. The state read takes only subdirectories with batch id
+    * STRICTLY BELOW the current batch, so a replay never sees its own
+    * crashed attempt's partial state and flags are identical to the
+    * uninterrupted run (StreamingRestartSpec pins this with a planted
+    * crashed-attempt dir).
     */
   def dedupAgainstCorpus(df: DataFrame, textCol: String, idCol: String,
                          stateDir: String, outDir: String,
                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val stateSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("exact_hash", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("dedup_id", org.apache.spark.sql.types.StringType)))
-        // probe via the Spark reader, not java.io (the state table may
-        // live on any Hadoop filesystem), WITH the explicit schema: a
-        // crash between the out-append and the state-append can leave
-        // stateDir existing but footer-less, and schema inference would
-        // then fail every replay — a known-schema read cannot
-        val seen =
-          try spark.read.schema(stateSchema).parquet(stateDir)
-          catch { case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("PATH_NOT_FOUND") ||
-                 e.getMessage.toLowerCase.contains("path does not exist") =>
-            spark.createDataFrame(
-              java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
-          }
+        val seen = readBatchedState(spark, stateDir, stateSchema, batchId)
         val flagged = graft.ops.Dedup
           .incrementalExactDedup(batch, seen, textCol = textCol, seqCol = idCol)
           .persist() // one evaluation feeds both sinks
         try {
-          flagged.write.mode("append").parquet(outDir)
+          flagged.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           flagged.filter(!col("is_dup_exact"))
             .select("exact_hash", "dedup_id")
-            .write.mode("append").parquet(stateDir)
+            .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
         } finally flagged.unpersist(blocking = false)
       }
       .start()
+
+  /** Read a `batch=<id>`-layouted state table, taking only batches
+    * strictly below `currentBatchId` (a replayed batch must never read
+    * its own crashed attempt's partial rows). Listing + explicit schema
+    * — never inference, which a footer-less crashed dir would break.
+    */
+  private def readBatchedState(spark: SparkSession, stateDir: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               currentBatchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs: Array[String] =
+      if (!fs.exists(path)) Array.empty
+      else fs.listStatus(path).collect {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith("batch=") &&
+          st.getPath.getName.drop(6).toLongOption.exists(_ < currentBatchId) =>
+          st.getPath.toString
+      }
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else
+      spark.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** Near-dup twin of [[dedupAgainstCorpus]]: each micro-batch is
     * MinHash-flagged within itself AND against a persistent banded
     * sketch table ([[graft.ops.SketchDedup.incrementalMinhash]]), then
     * the sketches already computed for the kept docs (neither flag) are
-    * appended to that state — one sketch pass per batch, total. Same
+    * written to that state — one sketch pass per batch, total. Same
     * unbounded-horizon design: state is a parquet table, not the
-    * streaming state store — restart-safe, inspectable, compactable
-    * out-of-band; history is never re-sketched.
+    * streaming state store — inspectable, compactable out-of-band;
+    * history is never re-sketched. Restart safety is the same
+    * per-batch-overwrite scheme as [[dedupAgainstCorpus]]: both sinks
+    * write `batch=<id>` subdirectories keyed by the stable foreachBatch
+    * batch id, and the state read excludes the current batch id, so a
+    * crash anywhere between the two writes replays into an identical
+    * end state — no sketch lost, none double-appended, flags equal to
+    * the uninterrupted run (StreamingRestartSpec).
     */
   def nearDedupAgainstCorpus(df: DataFrame, textCol: String, idCol: String,
                              stateDir: String, outDir: String,
@@ -184,7 +210,7 @@ object Streaming {
                              threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val stateSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
@@ -193,27 +219,20 @@ object Streaming {
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
           org.apache.spark.sql.types.StructField("bands",
             org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false))))
-        val state =
-          try spark.read.schema(stateSchema).parquet(stateDir)
-          catch { case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("PATH_NOT_FOUND") ||
-                 e.getMessage.toLowerCase.contains("path does not exist") =>
-            spark.createDataFrame(
-              java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
-          }
+        val state = readBatchedState(spark, stateDir, stateSchema, batchId)
         val result = graft.ops.SketchDedup
           .incrementalMinhash(batch, state, idCol = idCol, textCol = textCol,
             threshold = threshold)
         val flagged = result.flagged.persist()
         try {
-          flagged.write.mode("append").parquet(outDir)
-          // append the ALREADY-COMPUTED sketches of docs kept by both
-          // checks — no re-sketching, no second pass over the text
+          flagged.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          // the ALREADY-COMPUTED sketches of docs kept by both checks —
+          // no re-sketching, no second pass over the text
           val keptIds = flagged
             .filter(!col("is_dup_near_batch") && !col("is_dup_near_corpus"))
             .select(col(idCol).cast("long").as("id"))
           result.sketches.join(keptIds, Seq("id"), "left_semi")
-            .write.mode("append").parquet(stateDir)
+            .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
         } finally {
           flagged.unpersist(blocking = false)
           result.release()

@@ -304,8 +304,8 @@ class PlanSpec extends SparkTestBase {
     // and the corpus must be tokenized exactly ONCE (stats and hits
     // share the persisted (id, dl, filtered-terms) frame).
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("filter(__toks"),
-      s"query-term array filter not in the tokenize pass:\n$p")
+    assert(p.contains("tokens_in_set"),
+      s"compiled query-term keep not in the tokenize pass:\n$p")
     val cached = """InMemoryRelation""".r.findAllIn(p).size
     assert("""regexp_extract_all""".r.findAllIn(p).size <= cached,
       s"tokenize must run only inside cached frame builds (one pass):\n$p")
@@ -378,12 +378,22 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("hybrid rrf: ranks via bounded aggregate; detail join broadcasts") {
+  test("hybrid rrf: ranks via payload heap, no persist, no detail join-back") {
     val p = plan(graft.queries.RetrievalQueries.hybridRrf(spark, dir))
     assert(!p.contains(") Window"),
       s"per-query window back in a fused ranking:\n$p")
-    assert(p.contains("partial_topkscored"),
-      s"fusion must rank through the bounded heap:\n$p")
+    assert(p.contains("partial_topkscoredp"),
+      s"fusion must rank through the payload-carrying bounded heap:\n$p")
+    // the per-modality ranks ride through the heap as payload, so
+    // NOTHING joins above the final ranking aggregate (the old
+    // rank-detail join-back sat at the plan root). The plan prints
+    // top-down: every line before the first ObjectHashAggregate is the
+    // post-ranking tail, and it must be join-free. (BM25's own internal
+    // persist below the fusion is expected and untouched.)
+    val tail = p.linesIterator
+      .takeWhile(l => !l.contains("ObjectHashAggregate")).mkString("\n")
+    assert(!tail.contains("Join"),
+      s"rank-detail join-back reappeared above the ranking heap:\n$p")
   }
 
   test("hll shards: sketches partial-aggregate map-side") {

@@ -34,7 +34,12 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   */
 class PlanSweepSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  // Env-overridable so the same invariants can be swept at a larger
+  // scale fixture (round-6 10x sweep: tools/gen_scale.py output —
+  // plan SHAPE must not degrade when file-size statistics grow, e.g.
+  // a broadcast silently becoming a cartesian fallback).
+  private val dir = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR",
+    "/root/testdata/sf0.001")
 
   test("no query in the contract plans a cartesian product or an unpartitioned window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

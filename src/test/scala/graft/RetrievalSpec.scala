@@ -87,6 +87,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(buckets.getLong(0) >= 0L && buckets.getLong(1) <= 99L)
   }
 
+  test("tokens_in_set kernel: exact parity with the filter+isin HOF it replaced") {
+    import spark.implicits._
+    val words = Seq("the", "fox", "über", "日本", "", "a-b")
+    val rnd = new scala.util.Random(29)
+    val vocab = words ++ Seq("dog", "cat", "x", "THE", "ü", "nope")
+    val arrays = Seq(Seq.empty[String], Seq("the", "the", "the")) ++
+      (1 to 200).map(_ => (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length))))
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "toks")
+    val rows = df.select(col("id"),
+      graft.plans.TokensInSet(col("toks"), words).as("kernel"),
+      filter(col("toks"), t => t.isin(words: _*)).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("rrf fusion: hand-computed scores, absent side contributes zero") {
     import spark.implicits._
     // floor(1e6/61)=16393, /62=16129, /63=15873

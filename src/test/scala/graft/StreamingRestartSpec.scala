@@ -146,4 +146,78 @@ class StreamingRestartSpec extends SparkTestBase {
       assert(closed(0).getDouble(1) === 7.0, "sum must span the restart")
     } finally q2.stop()
   }
+
+  test("corpus-state near-dup restart: crashed attempt replaced, flags = uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val para = "the quick brown fox jumps over the lazy dog again and again today"
+    val batch0 = Seq((1L, s"$para with corpus trailing words"),
+      (2L, "entirely different first-batch content about nothing shared"))
+    val batch1 = Seq(
+      (10L, s"$para with corpus trailing words"), // corpus near-dup of 1
+      (11L, "novel second-batch material unlike anything previous"),
+      (12L, "novel second-batch material unlike anything previous")) // batch dup of 11
+
+    // run the two micro-batches through a fresh pipeline; between them,
+    // optionally plant a CRASHED ATTEMPT of batch 1: the worst failure
+    // window is "both sinks written, checkpoint never committed", so the
+    // plant is a full copy of what batch 1 legitimately writes (taken
+    // from the clean run), plus a footer-less zero-byte parquet file —
+    // the shape a mid-write kill leaves behind
+    def run(plantFrom: Option[String]): String = {
+      val base = java.nio.file.Files.createTempDirectory("near_restart").toString
+      val in = MemoryStream[(Long, String)]
+      def start() = Streaming.nearDedupAgainstCorpus(in.toDF().toDF("doc_id", "text"),
+        textCol = "text", idCol = "doc_id",
+        stateDir = s"$base/state", outDir = s"$base/out",
+        checkpointDir = s"$base/ckpt", threshold = 0.6)
+      val q1 = start()
+      try { in.addData(batch0: _*); q1.processAllAvailable() } finally q1.stop()
+      plantFrom.foreach { src =>
+        for (d <- Seq("state", "out")) {
+          val from = java.nio.file.Paths.get(s"$src/$d/batch=1")
+          val to = java.nio.file.Paths.get(s"$base/$d/batch=1")
+          java.nio.file.Files.createDirectories(to)
+          java.nio.file.Files.list(from).forEach { f =>
+            java.nio.file.Files.copy(f, to.resolve(f.getFileName.toString))
+          }
+          java.nio.file.Files.write(to.resolve("part-99999-crashed.parquet"),
+            Array.emptyByteArray) // the mid-write torso
+        }
+      }
+      val q2 = start()
+      try { in.addData(batch1: _*); q2.processAllAvailable() } finally q2.stop()
+      base
+    }
+
+    def snapshot(base: String): (Map[Long, (Boolean, Any, Boolean, Any)], Seq[Long]) = {
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("is_dup_near_batch"), col("batch_dup_of"),
+          col("is_dup_near_corpus"), col("near_dup_of")).collect()
+      val flags = out.map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.get(2), r.getBoolean(3), r.get(4)))).toMap
+      val stateIds = spark.read.parquet(s"$base/state")
+        .select("id").as[Long].collect().toSeq
+      (flags, stateIds)
+    }
+
+    val clean = run(plantFrom = None)
+    val (cleanFlags, cleanState) = snapshot(clean)
+    // sanity on the clean run itself
+    assert(cleanFlags(10L)._3 && cleanFlags(10L)._4 === 1L, "10 corpus-dups 1")
+    assert(cleanFlags(12L)._1 && cleanFlags(12L)._2 === 11L, "12 batch-dups 11")
+    assert(cleanState.sorted === Seq(1L, 2L, 11L), "kept sketches only")
+
+    val replayed = run(plantFrom = Some(clean))
+    val (replayFlags, replayState) = snapshot(replayed)
+    // every output row exactly once (overwrite replaced the planted copy)
+    assert(spark.read.parquet(s"$replayed/out").count() === 5)
+    // no sketch lost, none double-appended
+    assert(replayState.sorted === cleanState.sorted)
+    assert(replayState.distinct.length === replayState.length)
+    // and the flags are bit-identical to the uninterrupted run — in
+    // particular 12 must stay a BATCH dup of 11, which only holds if the
+    // replay did not read its own crashed attempt's sketches as corpus
+    assert(replayFlags === cleanFlags)
+  }
 }
