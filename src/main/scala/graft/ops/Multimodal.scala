@@ -32,6 +32,9 @@ object Multimodal {
   case class MediaDecode(media_id: Long, format: String, width: Int,
                          height: Int, channels: Int)
 
+  case class AudioDecode(media_id: Long, format: String, sample_rate: Int,
+                         channels: Int, n_frames: Int, duration_ms: Long)
+
   /** Derive a deterministic media view from the documents table: the
     * UTF-8 text bytes stand in for an encoded payload, metadata derives
     * from byte length. This is the fixture adapter — a real deployment
@@ -124,6 +127,68 @@ object Multimodal {
           (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
       }
       .toDF()
+  }
+
+  /** Audio counterpart of [[syntheticImages]]: the documents that
+    * [[syntheticMedia]] labels `audio` (doc_id % 3 == 1) become REAL
+    * 16-bit PCM WAV payloads ([[AudioCodec.encodeWav16]]), samples
+    * derived deterministically from the text bytes, structure rotating
+    * by doc id:
+    *   n_frames    = (octet_length(text) % 4000) + 256
+    *   channels    = (doc_id / 3) % 2 + 1
+    *   sample_rate = [8000, 16000, 44100][(doc_id / 3) % 3]
+    * — the documented arithmetic q_audio_decode's oracle replays. PCM
+    * is lossy only in amplitude (16-bit quantization); the structure
+    * the decode reports is exact.
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val nFrames = (bytes.length % 4000) + 256
+        val channels = ((id / 3) % 2 + 1).toInt
+        val rate = ((id / 3) % 3) match {
+          case 0 => 8000
+          case 1 => 16000
+          case _ => 44100
+        }
+        val samples = new Array[Float](nFrames * channels)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = ((bytes(i % bytes.length) & 0xff) - 128) / 128.0f
+            i += 1
+          }
+        }
+        val payload = AudioCodec.encodeWav16(rate, channels, samples)
+        MediaRow(id, "audio", payload, 0, 0, rate, nFrames)
+      }
+      .toDF()
+  }
+
+  /** Decode audio metadata straight off the WAV payload (same
+    * evidence-is-the-payload discipline as [[decodeMeta]]): sample
+    * rate, channels, frame count and integer duration all come from
+    * the DECODED stream; undecodable payloads report
+    * ("undecodable", 0, 0, 0, 0) instead of failing the stage.
+    */
+  def decodeAudioMeta(media: DataFrame): Dataset[AudioDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        AudioCodec.decode(bytes) match {
+          case Some(a) =>
+            AudioDecode(id, "wav", a.sampleRate, a.channels, a.nFrames,
+              a.nFrames.toLong * 1000L / a.sampleRate)
+          case None => AudioDecode(id, "undecodable", 0, 0, 0, 0L)
+        }
+      }
   }
 
   /** Decode metadata straight off the payload: container format sniffed

@@ -194,6 +194,42 @@ object MultimodalQueries {
       |  CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  // ---- q_audio_decode: ORACLE-CHECKED real WAV decode -------------------
+
+  /** Audio sibling of q_media_decode: document bytes become genuine
+    * 16-bit PCM WAV payloads ([[graft.ops.Multimodal.syntheticAudio]],
+    * structure rotating through mono/stereo × three sample rates), the
+    * JVM-pure [[graft.ops.AudioCodec]] decodes them on executors, and
+    * the DECODED facts — rate, channels, frame count, integer duration
+    * — must equal DuckDB's arithmetic from the text byte length and
+    * the documented encoder layout. A wrong chunk walk, endianness
+    * slip, or channel-interleave bug is an "undecodable" row or a
+    * frame-count mismatch, i.e. a hash mismatch here.
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(
+        Multimodal.syntheticAudio(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("duration_ms"))
+
+  val audioDecodeSql: String =
+    """WITH a AS (SELECT doc_id AS media_id,
+      |  (octet_length(encode(coalesce(text, ''))) % 4000) + 256 AS n_frames,
+      |  (doc_id // 3) % 2 + 1 AS channels,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |    ELSE 44100 END AS sample_rate
+      | FROM documents WHERE doc_id % 3 = 1)
+      |SELECT media_id, 'wav' AS format,
+      |  CAST(sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(channels AS BIGINT) AS channels,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
+      |FROM a""".stripMargin
+
   // ---- q_media_features: partition-batched inference (rows-only) ---------
 
   // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —
