@@ -129,6 +129,53 @@ object Multimodal {
       .toDF()
   }
 
+  /** GIF twin of [[syntheticImages]]: text bytes become PALETTE
+    * INDICES into a fixed deterministic 256-entry color table, encoded
+    * GIF89a, alternating sequential/interlaced row order by doc id —
+    * so the LZW walk, sub-block framing, and deinterlace pass all run
+    * against distributed data. GIF is lossless over indices, so the
+    * decoded pixels (not just header facts) are bit-exact:
+    * pal[text_byte] per position, same class of evidence as PNG.
+    */
+  def syntheticGifImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 7) / 8))
+        val idx = new Array[Byte](w * h)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < idx.length) { idx(i) = bytes(i % bytes.length); i += 1 }
+        }
+        val payload = GifCodec.encodeGif(w, h, GifPalette, idx,
+          interlaced = (id / 3) % 2 == 1)
+        MediaRow(id, "image", payload, w, h,
+          (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
+      }
+      .toDF()
+  }
+
+  /** Fixed 256-entry palette for GIF fixtures: entry i = (i, 7i mod
+    * 256, 13i mod 256) — full-rank and deterministic, so index→RGB is
+    * invertible and a decode bug cannot alias two indices.
+    */
+  private[graft] val GifPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(i * 3) = i.toByte
+      p(i * 3 + 1) = ((i * 7) % 256).toByte
+      p(i * 3 + 2) = ((i * 13) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
   /** Audio counterpart of [[syntheticImages]]: the documents that
     * [[syntheticMedia]] labels `audio` (doc_id % 3 == 1) become REAL
     * 16-bit PCM WAV payloads ([[AudioCodec.encodeWav16]]), samples
@@ -209,6 +256,7 @@ object Multimodal {
           else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
           else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6')) "ppm"
           else if (JpegCodec.isJpeg(bytes)) "jpeg"
+          else if (GifCodec.isGif(bytes)) "gif"
           else "undecodable"
         ImageCodec.decode(bytes) match {
           case Some(img) =>

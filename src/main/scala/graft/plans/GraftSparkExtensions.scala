@@ -40,6 +40,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("token_dist_stats"),
         TokenDistStats.info, TokenDistStats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -75,6 +77,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_dist_stats"),
       TokenDistStats.info, TokenDistStats.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

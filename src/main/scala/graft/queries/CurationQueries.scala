@@ -565,4 +565,57 @@ object CurationQueries {
        |  CAST(floor(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) * 10000.0 /
        |    CAST(tt.n_docs AS DOUBLE)) AS BIGINT) AS novelty_q
        |FROM tt LEFT JOIN nv USING (batch)""".stripMargin
+
+  // ---- q_quality_classifier: trained fastText-style quality filter ------
+
+  /** Hashed-BoW logistic regression ([[graft.ops.Classifier]]) on a
+    * self-supervised curation task: each document gets a spam-injected
+    * twin (one of four spam phrases chosen by doc_id — deterministic,
+    * no RNG), the model trains on a 70% doc_id split and is scored on
+    * the held-out 30%. Output is the confusion matrix — small,
+    * order-stable, and a direct read on whether the learned filter
+    * separates clean from spam text.
+    *
+    * Rows-only by design: learned weights are the product of an
+    * iterative distributed fit, not SQL-expressible (same class as
+    * k-means training). ClassifierSpec pins bit-reproducible training
+    * and held-out accuracy; the confusion matrix here shows the result
+    * end-to-end on the fixture corpus.
+    */
+  val ClassifierDim = 256
+
+  private val SpamPhrases = Seq(
+    "free prize winner click here claim your bonus now",
+    "casino jackpot lucky spins deposit bonus win big today",
+    "cheap pills discount meds order online no prescription",
+    "congratulations you have been selected exclusive offer act fast")
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Classifier
+    import graft.text.TextMetrics
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val spamArr = array(SpamPhrases.map(lit): _*)
+    val neg = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          element_at(spamArr, (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+          .as("text"))
+      .withColumn("label", lit(1))          // 1 = spam (the filter target)
+    val pos = docs.withColumn("label", lit(0))
+    val feat = pos.unionByName(neg).select(col("doc_id"), col("label"),
+      Classifier.features(TextMetrics.tokens(col("text")), ClassifierDim)
+        .as("x"))
+    val isTrain = pmod(col("doc_id"), lit(10)) < 7
+    // 100 full-batch steps: the un-normalized count features make GD
+    // oscillate through ~iter 40 before settling (measured: heldout
+    // 0.55 at 30 iters, 1.00 at 100); each step is one tiny job over
+    // the persisted feature sliver, so the extra steps are cheap.
+    val model = Classifier.trainLogistic(feat.filter(isTrain), "x", "label",
+      ClassifierDim, iters = 100, lr = 0.5)
+    feat.filter(!isTrain)
+      .select(col("label"),
+        (model.scoreCol(col("x")) >= 0.5).cast("int").as("predicted"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "predicted")
+  }
 }

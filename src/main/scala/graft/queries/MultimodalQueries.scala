@@ -194,7 +194,69 @@ object MultimodalQueries {
       |  CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
-  // ---- q_audio_decode: ORACLE-CHECKED real WAV decode -------------------
+  // ---- q_media_decode_gif: ORACLE-CHECKED GIF decode --------------------
+
+  /** GIF sibling of q_media_decode, with the strongest evidence class:
+    * GIF is lossless over palette indices, so beyond header facts the
+    * query returns POSITION-WEIGHTED sums over the DECODED RGB pixels
+    * (sum of (p+1)·channel over row-major positions p), which DuckDB
+    * reproduces arithmetically from the text bytes and the documented
+    * fixture layout (pixel p = palette[text_byte p mod len], palette
+    * entry i = (i, 7i%256, 13i%256), 8-wide, bytes tiled). The
+    * position weighting makes the check ORDER-SENSITIVE: payloads
+    * alternate sequential/interlaced row order by doc id, so a broken
+    * LZW walk, sub-block framing slip, or wrong deinterlace pass order
+    * shifts pixels to wrong positions and fails the hash — a plain sum
+    * (order-invariant) could not see that. Corpus is ASCII, so
+    * DuckDB's per-character ord() equals the UTF-8 byte the encoder
+    * tiled (same assumption the sibling oracles already lean on).
+    */
+  def mediaDecodeGif(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.syntheticGifImages(Tables.documents(s, dir))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.ops.ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            var wr = 0L; var wg = 0L; var wb = 0L
+            var p = 0
+            val n = img.width * img.height
+            while (p < n) {
+              wr += (p + 1).toLong * (img.pixels(p * 3) & 0xff)
+              wg += (p + 1).toLong * (img.pixels(p * 3 + 1) & 0xff)
+              wb += (p + 1).toLong * (img.pixels(p * 3 + 2) & 0xff)
+              p += 1
+            }
+            (id, "gif", img.width.toLong, img.height.toLong,
+              img.channels.toLong, wr, wg, wb)
+          case None => (id, "undecodable", 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "channels",
+        "wsum_r", "wsum_g", "wsum_b")
+  }
+
+  val mediaDecodeGifSql: String =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS blen
+      | FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (SELECT doc_id, t, blen,
+      |  greatest(1, least(64, (blen + 7) // 8)) AS h FROM d),
+      |pos AS (SELECT doc_id, h, t, blen,
+      |  unnest(range(0, 8 * h)) AS p FROM dims),
+      |px AS (SELECT doc_id, h, p,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST(p % blen AS INT) + 1, 1)) END AS v
+      | FROM pos)
+      |SELECT doc_id AS media_id, 'gif' AS format,
+      |  CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(sum((p + 1) * v) AS BIGINT) AS wsum_r,
+      |  CAST(sum((p + 1) * ((7 * v) % 256)) AS BIGINT) AS wsum_g,
+      |  CAST(sum((p + 1) * ((13 * v) % 256)) AS BIGINT) AS wsum_b
+      |FROM px GROUP BY doc_id, h""".stripMargin
 
   /** Audio sibling of q_media_decode: document bytes become genuine
     * 16-bit PCM WAV payloads ([[graft.ops.Multimodal.syntheticAudio]],

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Classifier
+import graft.plans.DotProduct
+import graft.text.TextMetrics
+
+/** Contract pins for the trained quality classifier
+  * (ops/Classifier): gradient-descent correctness (loss strictly
+  * falls), bit-reproducible training (the sorted partition combine),
+  * held-out separation on a spam-vs-clean fixture, and parity of the
+  * DotProduct codegen kernel against the declarative HOF form.
+  */
+class ClassifierSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val Dim = 64
+
+  // Deterministic two-class text fixture: "clean" rows draw from one
+  // vocabulary, "spam" rows mix clean words with spam vocabulary.
+  // Word choice is a pure function of the row index — no RNG.
+  private val cleanWords = Vector("river", "mountain", "library", "garden",
+    "window", "evening", "teacher", "journey", "harbor", "winter")
+  private val spamWords = Vector("free", "winner", "casino", "jackpot",
+    "prize", "bonus", "click", "deposit")
+
+  private def cleanText(i: Int): String =
+    (0 until 12).map(j => cleanWords((i * 7 + j * 3) % cleanWords.size))
+      .mkString(" ")
+
+  private def spamText(i: Int): String = {
+    val base = (0 until 8).map(j => cleanWords((i * 5 + j) % cleanWords.size))
+    val spam = (0 until 4).map(j => spamWords((i * 3 + j) % spamWords.size))
+    (base ++ spam).mkString(" ")
+  }
+
+  private def fixture(n: Int) = {
+    val rows = (0 until n).map { i =>
+      if (i % 2 == 0) (i.toLong, cleanText(i), 0) else (i.toLong, spamText(i), 1)
+    }
+    rows.toDF("id", "text", "label")
+      .select(col("id"), col("label"),
+        Classifier.features(TextMetrics.tokens(col("text")), Dim).as("x"))
+  }
+
+  test("training strictly reduces logistic loss") {
+    val train = fixture(200).filter(col("id") % 10 < 7)
+    val m0 = Classifier.LogisticModel(new Array[Double](Dim), 0.0)
+    val l0 = Classifier.logLoss(train, "x", "label", m0)
+    val m10 = Classifier.trainLogistic(train, "x", "label", Dim, iters = 10)
+    val l10 = Classifier.logLoss(train, "x", "label", m10)
+    val m30 = Classifier.trainLogistic(train, "x", "label", Dim, iters = 30)
+    val l30 = Classifier.logLoss(train, "x", "label", m30)
+    assert(l0 === Classifier.logLoss(train, "x", "label", m0)) // loss is pure
+    assert(l10 < l0, s"10 iters should beat init: $l10 vs $l0")
+    assert(l30 < l10, s"30 iters should beat 10: $l30 vs $l10")
+  }
+
+  test("training is bit-reproducible across runs") {
+    val train = fixture(200).filter(col("id") % 10 < 7)
+      .repartition(4, col("id")) // fixed layout, >1 partition
+      .sortWithinPartitions("id")
+    val a = Classifier.trainLogistic(train, "x", "label", Dim, iters = 15)
+    val b = Classifier.trainLogistic(train, "x", "label", Dim, iters = 15)
+    assert(a.bias === b.bias)
+    assert(a.weights.toSeq === b.weights.toSeq,
+      "sorted partition combine must make training deterministic")
+  }
+
+  test("held-out accuracy separates spam from clean") {
+    val all = fixture(400)
+    val train = all.filter(col("id") % 10 < 7)
+    val test = all.filter(col("id") % 10 >= 7)
+    val m = Classifier.trainLogistic(train, "x", "label", Dim,
+      iters = 30, lr = 0.5)
+    val acc = test
+      .select(((m.scoreCol(col("x")) >= 0.5).cast("int") === col("label"))
+        .cast("double").as("hit"))
+      .agg(avg("hit")).head().getDouble(0)
+    assert(acc >= 0.95, s"held-out accuracy $acc below 0.95")
+  }
+
+  test("spam weight mass is negative-free on clean buckets' evidence") {
+    // The learned direction must put positive weight on spam buckets:
+    // scoring pure spam text above pure clean text.
+    val train = fixture(400).filter(col("id") % 10 < 7)
+    val m = Classifier.trainLogistic(train, "x", "label", Dim,
+      iters = 30, lr = 0.5)
+    val probe = Seq(
+      (0L, spamWords.mkString(" ")),
+      (1L, cleanWords.mkString(" "))).toDF("id", "text")
+      .select(col("id"),
+        m.scoreCol(Classifier.features(TextMetrics.tokens(col("text")), Dim))
+          .as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probe(0L) > probe(1L),
+      s"pure spam ${probe(0L)} must outscore pure clean ${probe(1L)}")
+  }
+
+  test("DotProduct kernel parity with the declarative HOF form") {
+    val df = fixture(50).select(col("x"),
+      // reversed copy as the second operand
+      reverse(col("x")).as("y"))
+    val got = df.select(
+      DotProduct(col("x"), col("y")).as("k"),
+      aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "kernel vs HOF mismatch")
+    }
+  }
+
+  test("DotProduct handles length mismatch and SQL registration") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d)) AS d")
+      .head().getDouble(0)
+    assert(r === 14.0) // common prefix: 1*4 + 2*5
+    val n = spark.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
+      .head()
+    assert(n.isNullAt(0))
+  }
+}
