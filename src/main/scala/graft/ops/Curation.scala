@@ -404,6 +404,78 @@ object Curation {
           .otherwise(lit(0L)).cast("long"))
   }
 
+  /** Maximal duplicated-span EXCISION — the removal step of Lee et
+    * al. 2022 that [[dupSpans]] only measures: every token covered by
+    * any corpus-duplicated `n`-gram is cut, adjacent covered tokens
+    * merge into one maximal span (exactly how overlapping duplicated
+    * n-grams stitch into the maximal repeat the suffix-array method
+    * would report), and the per-doc output is the excision accounting
+    * plus an md5 of the surviving text for downstream equality checks.
+    *
+    * Returns (idCol, n_tokens, n_removed, n_cut_spans, clean_md5).
+    *
+    * Scale shape: the duplicated-gram sliver joins back keyed on the
+    * gram STRING — a plain shuffle join, NOT a broadcast: duplicated
+    * n-grams across a 100 TB web corpus are vocab-scale (boilerplate,
+    * licenses, templates), far past any broadcast budget. Coverage and
+    * span-merge are two window passes over (doc, pos) — both
+    * partitioned by document, so the frame never exceeds one document
+    * and the two windows share one Exchange. Token positions are dense
+    * (posexplode), so the "any duplicated start within the last n−1
+    * positions" test is a rowsBetween frame, no range scan.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = DupSpanN,
+                     minDocs: Int = DupSpanMinDocs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      // feeds the gram build AND the final coverage join: persist so
+      // tokenize+posexplode runs once (caller's clearCache releases)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), posexplode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("gpos", "gram")))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    val marked = grams.join(dup, Seq("gram"))
+      .select(col(idCol), col("gpos")).distinct()
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val trail = byPos.rowsBetween(-(n - 1), 0)
+    val covered = toks
+      .join(marked.withColumnRenamed("gpos", "pos")
+        .withColumn("__start", lit(1)), Seq(idCol, "pos"), "left")
+      .withColumn("__cov", max(coalesce(col("__start"), lit(0))).over(trail))
+      .withColumn("__cut_start",
+        (col("__cov") === 1 &&
+          coalesce(lag(col("__cov"), 1).over(byPos), lit(0)) === 0)
+          .cast("int"))
+    val perDoc = covered.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__cov").as("n_removed"),
+        sum("__cut_start").as("n_cut_spans"),
+        array_sort(collect_list(
+          when(col("__cov") === 0, struct(col("pos"), col("tok")))))
+          .as("__kept"))
+      .withColumn("clean_md5",
+        md5(array_join(transform(col("__kept"), s => s.getField("tok")), " ")
+          .cast("binary")))
+      .drop("__kept")
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+  }
+
   val C4MinLineWords = 5
   val C4MinKeptLines = 3
 

@@ -16,10 +16,11 @@ package graft.ops
   * over palette indices, so (unlike JPEG) decoded PIXELS are
   * bit-exact and oracle-checkable, like PNG.
   *
-  * Scope (documented, spec-pinned): first image frame only (animation
-  * = repeated image blocks; a training-data pipeline wants frame 0 as
-  * the thumbnail), transparency index ignored (output is opaque RGB),
-  * extensions skipped per framing rules.
+  * Two decode surfaces: [[decode]] (first frame only, transparency
+  * ignored — the thumbnail path, oracle-pinned since r6a) and
+  * [[decodeFrames]] (full animation: graphic-control extensions,
+  * per-frame delay/disposal/transparency, canvas composition — the
+  * real video-frame source for the frame-sampling pipeline).
   */
 object GifCodec {
 
@@ -281,6 +282,213 @@ object GifCodec {
     }
     emit(eoi)
     if (bits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** One decoded animation frame: the FULL logical-screen canvas after
+    * compositing this frame (what a video pipeline samples), plus the
+    * frame's graphic-control timing/disposal facts.
+    */
+  case class GifFrame(frameIdx: Int, delayCs: Int, disposal: Int,
+                      canvas: DecodedImage)
+
+  /** Full animated decode (GIF89a animation = repeated image blocks,
+    * each optionally preceded by a graphic control extension): walks
+    * every image block, composites onto the logical-screen canvas at
+    * the frame's (left, top) rect honoring the transparent index, and
+    * snapshots the canvas per frame — the composited sequence a video
+    * frame-sampler consumes, not the raw partial rects.
+    *
+    * Disposal semantics (GIF89a spec §23): 0/1 leave the canvas; 2
+    * restores the frame rect to the background color; 3 restores the
+    * canvas to its pre-frame state. The canvas is opaque RGB (like the
+    * sibling codecs), so "background" is the global-palette background
+    * color when one exists, else black.
+    *
+    * Tolerance contract: malformed before the FIRST frame completes →
+    * None (same as [[decode]]); truncation or corruption after ≥1
+    * complete frame returns the frames decoded so far — a half-fetched
+    * animation still yields its leading frames, mirroring
+    * [[AudioCodec]]'s truncated-data tolerance. `maxFrames` bounds
+    * output memory against frame-bomb payloads.
+    */
+  def decodeFrames(b: Array[Byte],
+                   maxFrames: Int = 1024): Option[Vector[GifFrame]] =
+    try {
+      if (!isGif(b) || b.length < 14) return None
+      var off = 6
+      val cw = le16(b, off)
+      val ch = le16(b, off + 2)
+      val packed = b(off + 4) & 0xff
+      val bgIdx = b(off + 5) & 0xff
+      off += 7
+      if (cw <= 0 || ch <= 0 || cw.toLong * ch * 3 > MaxPixelBytes) return None
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 0x07) + 1)
+        if (off + 3 * n > b.length) return None
+        gct = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+        off += 3 * n
+      }
+      val canvas = new Array[Byte](cw * ch * 3)
+      def fillRect(l: Int, t: Int, fw: Int, fh: Int): Unit = {
+        val hasBg = gct != null && bgIdx < gct.length / 3
+        val br = if (hasBg) gct(bgIdx * 3) else 0.toByte
+        val bg = if (hasBg) gct(bgIdx * 3 + 1) else 0.toByte
+        val bb = if (hasBg) gct(bgIdx * 3 + 2) else 0.toByte
+        var y = t
+        while (y < t + fh) {
+          var x = l
+          while (x < l + fw) {
+            val d = (y * cw + x) * 3
+            canvas(d) = br; canvas(d + 1) = bg; canvas(d + 2) = bb
+            x += 1
+          }
+          y += 1
+        }
+      }
+      fillRect(0, 0, cw, ch)
+      var frames = Vector.empty[GifFrame]
+      var delay = 0
+      var disposal = 0
+      var transFlag = false
+      var tIdx = 0
+      def done(): Option[Vector[GifFrame]] =
+        if (frames.nonEmpty) Some(frames) else None
+      while (off < b.length) {
+        (b(off) & 0xff) match {
+          case 0x21 =>
+            if (off + 1 >= b.length) return done()
+            val label = b(off + 1) & 0xff
+            if (label == 0xf9 && off + 7 < b.length && (b(off + 2) & 0xff) >= 4) {
+              val p = b(off + 3) & 0xff
+              disposal = (p >> 2) & 7
+              transFlag = (p & 1) != 0
+              delay = le16(b, off + 4)
+              tIdx = b(off + 6) & 0xff
+            }
+            off += 2
+            while (off < b.length && b(off) != 0) off += 1 + (b(off) & 0xff)
+            off += 1
+          case 0x2c =>
+            if (off + 10 > b.length) return done()
+            val left = le16(b, off + 1)
+            val top = le16(b, off + 3)
+            val fw = le16(b, off + 5)
+            val fh = le16(b, off + 7)
+            val ip = b(off + 9) & 0xff
+            off += 10
+            if (fw <= 0 || fh <= 0 || left + fw > cw || top + fh > ch)
+              return done()
+            var pal = gct
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 0x07) + 1)
+              if (off + 3 * n > b.length) return done()
+              pal = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+              off += 3 * n
+            }
+            if (pal == null) return done()
+            val interlaced = (ip & 0x40) != 0
+            if (off >= b.length) return done()
+            val minCodeSize = b(off) & 0xff
+            off += 1
+            if (minCodeSize < 2 || minCodeSize > 8) return done()
+            val data = new java.io.ByteArrayOutputStream()
+            while (off < b.length && b(off) != 0) {
+              val len = b(off) & 0xff
+              if (off + 1 + len > b.length) return done()
+              data.write(b, off + 1, len)
+              off += 1 + len
+            }
+            off += 1 // sub-block terminator
+            val idx = lzwDecode(data.toByteArray, minCodeSize, fw * fh)
+              .getOrElse(return done())
+            val saved = if (disposal == 3) canvas.clone() else null
+            val rowOrder =
+              if (!interlaced) 0 until fh
+              else Seq((0, 8), (4, 8), (2, 4), (1, 2))
+                .flatMap { case (start, step) => start until fh by step }
+            val npal = pal.length / 3
+            var src = 0
+            rowOrder.foreach { fy =>
+              var fx = 0
+              while (fx < fw) {
+                val ci = idx(src) & 0xff
+                src += 1
+                if (ci >= npal) return done()
+                if (!(transFlag && ci == tIdx)) {
+                  val d = ((top + fy) * cw + (left + fx)) * 3
+                  canvas(d) = pal(ci * 3)
+                  canvas(d + 1) = pal(ci * 3 + 1)
+                  canvas(d + 2) = pal(ci * 3 + 2)
+                }
+                fx += 1
+              }
+            }
+            frames = frames :+ GifFrame(frames.size, delay, disposal,
+              DecodedImage(cw, ch, 3, canvas.clone()))
+            if (frames.size >= maxFrames) return Some(frames)
+            disposal match {
+              case 2 => fillRect(left, top, fw, fh)
+              case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+              case _ =>
+            }
+            delay = 0; disposal = 0; transFlag = false; tIdx = 0
+          case 0x3b => return done()
+          case _ => return done()
+        }
+      }
+      done()
+    } catch { case _: Exception => None }
+
+  /** One animation frame for [[encodeGifAnim]]: a palette-index rect
+    * composited at (left, top) with GIF89a graphic-control facts.
+    */
+  case class AnimFrame(left: Int, top: Int, width: Int, height: Int,
+                       indices: Array[Byte], delayCs: Int,
+                       disposal: Int = 1, transparentIdx: Int = -1)
+
+  /** Animated fixture encoder: a GCE + image block per frame, same
+    * literal-mode LZW as [[encodeGif]]. Lossless over palette indices,
+    * so [[decodeFrames]] round-trips composited canvases bit-exactly.
+    */
+  def encodeGifAnim(w: Int, h: Int, pal: Array[Byte],
+                    frames: Seq[AnimFrame],
+                    bgIndex: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty, "animation needs at least one frame")
+    val npal = pal.length / 3
+    require(npal >= 2 && npal <= 256 && (npal & (npal - 1)) == 0 &&
+      pal.length == npal * 3, s"palette size $npal must be a power of two")
+    val palBits = 31 - Integer.numberOfLeadingZeros(npal)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | ((palBits - 1) & 0x07) | 0x70)
+    out.write(bgIndex & 0xff); out.write(0)
+    out.write(pal)
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.width > 0 && f.height > 0 &&
+        f.left + f.width <= w && f.top + f.height <= h &&
+        f.indices.length == f.width * f.height,
+        s"bad frame rect ${f.width}x${f.height}@(${f.left},${f.top}) in ${w}x$h")
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(((f.disposal & 7) << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+      out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)
+      out.write(if (f.transparentIdx >= 0) f.transparentIdx & 0xff else 0)
+      out.write(0)
+      out.write(0x2c)
+      out.write(f.left & 0xff); out.write(f.left >> 8)
+      out.write(f.top & 0xff); out.write(f.top >> 8)
+      out.write(f.width & 0xff); out.write(f.width >> 8)
+      out.write(f.height & 0xff); out.write(f.height >> 8)
+      out.write(0x00) // no local palette, not interlaced
+      val minCodeSize = math.max(2, palBits)
+      out.write(minCodeSize)
+      out.write(subBlocks(lzwEncodeLiteral(f.indices, minCodeSize)))
+      out.write(0x00)
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 

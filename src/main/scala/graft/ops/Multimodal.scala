@@ -160,6 +160,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Video fixture adapter: the documents [[syntheticMedia]] labels
+    * `video` (doc_id % 3 == 2) become REAL animated GIFs — 8×8 canvas,
+    * 1 + (doc_id mod 4) full-canvas frames, palette index at raster
+    * position p of frame f = (doc_id·31 + f·17 + p·5) mod 256, delay
+    * 4 + 2f centiseconds — pure integer arithmetic, so the oracle can
+    * recompute every decoded pixel without a codec. The video modality
+    * thereby decodes for real like image (PNG/BMP/PPM/JPEG/GIF) and
+    * audio (WAV): frame sampling downstream reads composited pixels,
+    * not synthetic byte offsets.
+    */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val w = 8; val h = 8
+        val nf = 1 + (id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val idx = new Array[Byte](w * h)
+          var p = 0
+          while (p < idx.length) {
+            idx(p) = ((id * 31 + f * 17 + p * 5) % 256).toByte
+            p += 1
+          }
+          GifCodec.AnimFrame(0, 0, w, h, idx, delayCs = 4 + 2 * f)
+        }
+        val payload = GifCodec.encodeGifAnim(w, h, GifPalette, frames)
+        MediaRow(id, "video", payload, w, h,
+          (payload.length % 8 + 1) * 4, nf)
+      }
+      .toDF()
+  }
+
   /** Fixed 256-entry palette for GIF fixtures: entry i = (i, 7i mod
     * 256, 13i mod 256) — full-rank and deterministic, so index→RGB is
     * invertible and a decode bug cannot alias two indices.

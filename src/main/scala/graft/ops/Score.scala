@@ -144,4 +144,75 @@ object Score {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("blp_sum_q"), lit(0L)).as("blp_sum_q"))
   }
+
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram log-probability — the actual
+    * smoothing family behind the KenLM models CCNet/CC-Net-style
+    * pipelines filter with (Heafield 2011; Chen & Goodman 1998 §4.1.6),
+    * where [[bigramLogprobs]] is the unsmoothed MLE estimate:
+    *
+    *   P_KN(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1 ·)·P_cont(w2)) / c(w1 ·)
+    *   P_cont(w2)  = N1+(· w2) / |{distinct bigram types}|
+    *
+    * with absolute discount D = 0.75 (exactly representable in binary,
+    * so the arithmetic is bit-reproducible). The continuation
+    * probability is what distinguishes KN from plain backoff: a word's
+    * unigram weight is how many CONTEXTS it follows, not how often it
+    * occurs — "Francisco" scores low even though it is frequent,
+    * because it only ever follows "San".
+    *
+    * Scale shape: identical to [[bigramLogprobs]] — one explode, one
+    * pair-keyed count; the three smoothing marginals (start counts +
+    * distinct-successor counts keyed w1, distinct-predecessor counts
+    * keyed w2) all fold from the pair-count table, which is persisted so
+    * the corpus explode aggregates once. The type total is a one-row
+    * aggregate of that table collected to the driver (a single long,
+    * like [[graft.queries.RelationalQueries]]'s quartile count) and
+    * inlined as a literal. Per-pair quantization before the per-doc
+    * BIGINT sum — merge-order-proof.
+    */
+  def knBigramLogprobs(df: DataFrame, idCol: String, textCol: String,
+                       discount: Double = KnDiscount): DataFrame = {
+    val bi = df
+      .withColumn("__toks", graft.text.TextMetrics.tokens(col(textCol)))
+      .select(col(idCol).as("id"), explode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // pair counts feed four consumers (type total, both marginals, the
+    // scoring join) — persist so the corpus-wide explode aggregates
+    // once (released by the caller's clearCache, like bigramLogprobs)
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N1+(w1 ·) = distinct successors = rows per w1 in the TYPE table;
+    // c(w1 ·) folds from the same grouping — one pass, two marginals
+    val cs = cb.groupBy("w1")
+      .agg(sum("cb").as("cs"), count(lit(1)).as("n1f"))
+    val cr = cb.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    // |bigram types| — ONE driver long off the (vocab²-bounded) type
+    // table, inlined as a literal so the oracle's CROSS JOIN total and
+    // this plan see the identical double
+    val types = cb.count().toDouble
+    // association pinned to mirror the oracle SQL token-for-token:
+    // (max(cb−D, 0) + ((D·n1f)·n1r)/T) / cs
+    val p = (greatest(col("cb").cast("double") - discount, lit(0.0))
+      + ((lit(discount) * col("n1f")) * col("n1r")) / lit(types)) / col("cs")
+    val scored = bi
+      .join(cb, Seq("w1", "w2"))
+      .join(cs, Seq("w1"))
+      .join(cr, Seq("w2"))
+      .withColumn("klp_q", floor(log(p) * 10000).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("klp_q").as("kn_lp_sum_q"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_lp_sum_q"), lit(0L)).as("kn_lp_sum_q"))
+  }
 }

@@ -618,4 +618,117 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("label", "predicted")
   }
+
+  // ---- q_kn_perplexity: Kneser–Ney LM score + CCNet tertile buckets -----
+
+  /** Interpolated Kneser–Ney bigram scoring (graft.ops.Score
+    * .knBigramLogprobs) with the CCNet head/middle/tail assignment
+    * (Wenzek et al. 2020 §4.3): docs ranked by quantized per-bigram
+    * perplexity proxy (−Σlp/n), split into tertiles — bucket 1 = head
+    * (most fluent), 3 = tail, 0 = unscorable (< 2 tokens). The tertile
+    * rank reuses Shard.withGlobalSeq's two-pass partition-offset scheme
+    * (the same scale-safe ntile as q_order_quartiles — no global-order
+    * window).
+    */
+  def knPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Score, Shard}
+    // the scored sliver (4 longs/doc) feeds THREE consumers — the
+    // tertile count, the two-pass rank, and the unscorable union —
+    // so persist it or the whole KN scoring DAG runs three times
+    // (released by the caller's clearCache, like the op's pair table)
+    val scored = Score.knBigramLogprobs(
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("ppl_q",
+        when(col("n_bigrams") > 0,
+          floor((-col("kn_lp_sum_q")).cast("double")
+            / col("n_bigrams").cast("double")))
+          .otherwise(lit(0L)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = scored.filter(col("n_bigrams") > 0)
+    val n = pos.count()
+    val ranked = Shard.withGlobalSeq(pos, Seq("ppl_q", "doc_id"), "__rk")
+    val k = col("__rk") + lit(1L) // 1-based, tie-free rank
+    val lo = n / 3L
+    val cut = (n % 3L) * (lo + 1L) // rows in the big buckets
+    val bucket = when(k <= cut, ceil(k.cast("double") / (lo + 1L)))
+      .otherwise(lit(n % 3L) + ceil((k - cut).cast("double") / math.max(lo, 1L)))
+      .cast("long")
+    ranked.withColumn("ppl_bucket", bucket)
+      .select("doc_id", "n_bigrams", "kn_lp_sum_q", "ppl_q", "ppl_bucket")
+      .unionByName(scored.filter(col("n_bigrams") <= 0)
+        .withColumn("ppl_bucket", lit(0L))
+        .select("doc_id", "n_bigrams", "kn_lp_sum_q", "ppl_q", "ppl_bucket"))
+  }
+
+  val knPerplexitySql: String = {
+    val d = graft.ops.Score.KnDiscount
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |b AS (SELECT doc_id, unnest(toks[1 : len(toks) - 1]) AS w1,
+       |             unnest(toks[2 : len(toks)]) AS w2
+       |      FROM t WHERE len(toks) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+       |cs AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cs, count(*) AS n1f
+       |       FROM cb GROUP BY w1),
+       |cr AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY w2),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cb),
+       |sc AS (SELECT b.doc_id,
+       |  CAST(floor(ln((greatest(CAST(cb.cb AS DOUBLE) - $d, 0.0)
+       |    + (($d * cs.n1f) * cr.n1r) / tt.t) / cs.cs) * 10000) AS BIGINT) AS klp_q
+       | FROM b JOIN cb USING (w1, w2) JOIN cs USING (w1) JOIN cr USING (w2)
+       | CROSS JOIN tt),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |          CAST(sum(klp_q) AS BIGINT) AS kn_lp_sum_q
+       |        FROM sc GROUP BY doc_id),
+       |pq AS (SELECT doc_id, n_bigrams, kn_lp_sum_q,
+       |   CAST(floor(CAST(-kn_lp_sum_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS ppl_q
+       | FROM agg),
+       |rk AS (SELECT *, CAST(ntile(3) OVER (ORDER BY ppl_q, doc_id) AS BIGINT) AS ppl_bucket FROM pq)
+       |SELECT d.doc_id, CAST(coalesce(rk.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(rk.kn_lp_sum_q, 0) AS BIGINT) AS kn_lp_sum_q,
+       |  CAST(coalesce(rk.ppl_q, 0) AS BIGINT) AS ppl_q,
+       |  CAST(coalesce(rk.ppl_bucket, 0) AS BIGINT) AS ppl_bucket
+       |FROM documents d LEFT JOIN rk USING (doc_id)""".stripMargin
+  }
+
+  // ---- q_span_removal: maximal duplicated-span excision -----------------
+
+  def spanRemoval(s: SparkSession, dir: String): DataFrame =
+    Curation.removeDupSpans(Tables.documents(s, dir))
+
+  val spanRemovalSql: String = {
+    val n = Curation.DupSpanN
+    val m = Curation.DupSpanMinDocs
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS tok,
+       |             unnest(generate_series(0, len(toks) - 1)) AS pos
+       |      FROM t WHERE len(toks) > 0),
+       |g AS (SELECT doc_id,
+       |      unnest(CASE WHEN len(toks) >= $n THEN
+       |        list_transform(generate_series(0, len(toks) - $n),
+       |          i -> array_to_string(toks[i + 1 : i + $n], ' '))
+       |        ELSE CAST([] AS VARCHAR[]) END) AS gram,
+       |      unnest(CASE WHEN len(toks) >= $n THEN generate_series(0, len(toks) - $n)
+       |        ELSE CAST([] AS BIGINT[]) END) AS gpos FROM t),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= $m),
+       |mk AS (SELECT DISTINCT g.doc_id, g.gpos FROM g JOIN dup USING (gram)),
+       |cov AS (SELECT p.doc_id, p.pos, p.tok,
+       |        CASE WHEN count(m.gpos) > 0 THEN 1 ELSE 0 END AS cov
+       |        FROM p LEFT JOIN mk m ON m.doc_id = p.doc_id
+       |          AND p.pos BETWEEN m.gpos AND m.gpos + ${n - 1}
+       |        GROUP BY p.doc_id, p.pos, p.tok),
+       |sp AS (SELECT doc_id, pos, tok, cov,
+       |       CASE WHEN cov = 1 AND coalesce(lag(cov) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+       |            THEN 1 ELSE 0 END AS cut_start FROM cov),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |        CAST(sum(cov) AS BIGINT) AS n_removed,
+       |        CAST(sum(cut_start) AS BIGINT) AS n_cut_spans,
+       |        md5(coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '')) AS clean_md5
+       |        FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(a.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       |  coalesce(a.clean_md5, md5('')) AS clean_md5
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
 }

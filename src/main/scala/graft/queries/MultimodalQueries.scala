@@ -258,6 +258,67 @@ object MultimodalQueries {
       |  CAST(sum((p + 1) * ((13 * v) % 256)) AS BIGINT) AS wsum_b
       |FROM px GROUP BY doc_id, h""".stripMargin
 
+  /** Video sibling of q_media_decode: ANIMATED decode. Video-labeled
+    * documents become real multi-frame GIF89a payloads
+    * ([[graft.ops.Multimodal.syntheticVideos]]); the engine walks
+    * every image block through [[graft.ops.GifCodec.decodeFrames]]
+    * (graphic-control extensions, LZW per frame, canvas composition)
+    * and emits one row per COMPOSITED frame — frame count, the
+    * per-frame delay parsed from the GCE, and position-weighted
+    * channel sums over the composited canvas pixels. DuckDB
+    * reproduces all of it arithmetically from the documented fixture
+    * formula (index p of frame f = (id·31 + f·17 + p·5) mod 256
+    * through the fixed palette), so a dropped frame, a mis-parsed
+    * delay, or any pixel landing at the wrong position is a hash
+    * mismatch. This makes frame sampling downstream a REAL decoded
+    * path, like image and audio.
+    */
+  def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.syntheticVideos(Tables.documents(s, dir))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.ops.GifCodec.decodeFrames(bytes) match {
+          case Some(frames) => frames.map { fr =>
+            val img = fr.canvas
+            var wr = 0L; var wg = 0L; var wb = 0L
+            var p = 0
+            val n = img.width * img.height
+            while (p < n) {
+              wr += (p + 1).toLong * (img.pixels(p * 3) & 0xff)
+              wg += (p + 1).toLong * (img.pixels(p * 3 + 1) & 0xff)
+              wb += (p + 1).toLong * (img.pixels(p * 3 + 2) & 0xff)
+              p += 1
+            }
+            (id, frames.size.toLong, fr.frameIdx.toLong,
+              fr.delayCs.toLong, img.width.toLong, img.height.toLong,
+              wr, wg, wb)
+          }
+          case None => Seq((id, 0L, -1L, 0L, 0L, 0L, 0L, 0L, 0L))
+        }
+      }
+      .toDF("media_id", "n_frames", "frame_idx", "delay_cs",
+        "width", "height", "wsum_r", "wsum_g", "wsum_b")
+  }
+
+  val videoFramesSql: String =
+    """WITH v AS (SELECT doc_id, 1 + (doc_id % 4) AS nf
+      | FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, nf, unnest(range(0, nf)) AS fi FROM v),
+      |px AS (SELECT doc_id, nf, fi, unnest(range(0, 64)) AS p FROM f),
+      |i AS (SELECT doc_id, nf, fi, p,
+      |  (doc_id * 31 + fi * 17 + p * 5) % 256 AS ci FROM px)
+      |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(fi AS BIGINT) AS frame_idx,
+      |  CAST(4 + 2 * fi AS BIGINT) AS delay_cs,
+      |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |  CAST(sum((p + 1) * ci) AS BIGINT) AS wsum_r,
+      |  CAST(sum((p + 1) * ((7 * ci) % 256)) AS BIGINT) AS wsum_g,
+      |  CAST(sum((p + 1) * ((13 * ci) % 256)) AS BIGINT) AS wsum_b
+      |FROM i GROUP BY doc_id, nf, fi""".stripMargin
+
   /** Audio sibling of q_media_decode: document bytes become genuine
     * 16-bit PCM WAV payloads ([[graft.ops.Multimodal.syntheticAudio]],
     * structure rotating through mono/stereo × three sample rates), the

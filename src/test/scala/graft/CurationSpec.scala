@@ -258,4 +258,55 @@ class CurationSpec extends SparkTestBase {
     assert(rows(2L) === ((2L, 0L, 0L)))
     spark.catalog.clearCache()
   }
+
+  test("span removal: overlapping dup 8-grams merge into maximal spans") {
+    // 9-token run shared by three docs -> its two overlapping 8-grams
+    // are corpus-duplicated and must stitch into ONE maximal 9-token cut
+    val common = "a b c d e f g h i"
+    val gap = "m1 m2 m3 m4 m5 m6 m7 m8" // 8 unique tokens: no dup 8-gram
+                                        // can bridge the two cuts
+    val out = Curation.removeDupSpans(docsDf(
+      (1L, s"x1 $common y1 z1"),
+      (2L, s"x2 x3 $common"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, s"$common $gap $common")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_cut_spans"), r.getAs[String]("clean_md5"))))
+      .toMap
+    assert(out(1L) === ((12L, 9L, 1L, md5Hex("x1 y1 z1"))))
+    assert(out(2L) === ((11L, 9L, 1L, md5Hex("x2 x3"))))
+    // no duplicated grams touch doc 3: nothing cut, text survives intact
+    assert(out(3L) === ((10L, 0L, 0L,
+      md5Hex("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))))
+    // the same run twice with a unique 8-token gap: TWO maximal spans
+    assert(out(4L) === ((26L, 18L, 2L, md5Hex(gap))))
+    spark.catalog.clearCache()
+  }
+
+  test("kneser-ney bigram logprobs: hand-computed smoothing fixture") {
+    // corpus "a b a b" + "a c": cb (a,b)=2 (b,a)=1 (a,c)=1; starts a=3
+    // b=1; distinct successors a=2 b=1; distinct predecessors b=1 a=1
+    // c=1; |types|=3
+    def lpq(cb: Long, cs: Long, n1f: Long, n1r: Long, t: Double): Long =
+      math.floor(math.log((math.max(cb - 0.75, 0.0)
+        + ((0.75 * n1f) * n1r) / t) / cs) * 10000).toLong
+    val ab = lpq(2, 3, 2, 1, 3.0)
+    val ba = lpq(1, 1, 1, 1, 3.0)
+    val ac = lpq(1, 3, 2, 1, 3.0)
+    val out = graft.ops.Score.knBigramLogprobs(
+      docsDf((1L, "a b a b"), (2L, "a c"), (3L, null), (4L, "solo")),
+      "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("kn_lp_sum_q")))).toMap
+    assert(out(1L) === ((3L, 2 * ab + ba)))
+    assert(out(2L) === ((1L, ac)))
+    // null text and single-token docs are unscorable, not dropped
+    assert(out(3L) === ((0L, 0L)))
+    assert(out(4L) === ((0L, 0L)))
+    // KN must discount the raw MLE: every smoothed logprob sits below
+    // the unsmoothed conditional for seen pairs with cb < cs
+    assert(ab < 0 && ab > math.floor(math.log(2.0 / 3.0) * 10000) - 10000)
+    spark.catalog.clearCache()
+  }
 }

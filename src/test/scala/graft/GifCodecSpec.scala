@@ -117,4 +117,108 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.isGif(gif))
     assert(ImageCodec.decode(gif).isDefined)
   }
+
+  // ---- animated decode (decodeFrames) ---------------------------------
+
+  import GifCodec.AnimFrame
+
+  private def frame(w: Int, h: Int, seed: Int, left: Int = 0, top: Int = 0,
+                    delay: Int = 4, disposal: Int = 1,
+                    tIdx: Int = -1): AnimFrame =
+    AnimFrame(left, top, w, h,
+      Array.tabulate[Byte](w * h)(i => ((i * 29 + seed) % 256).toByte),
+      delay, disposal, tIdx)
+
+  test("animated round-trip: full frames, exact canvases, GCE facts") {
+    val fs = Seq(frame(8, 8, 3, delay = 4), frame(8, 8, 77, delay = 6),
+      frame(8, 8, 150, delay = 8))
+    val gif = GifCodec.encodeGifAnim(8, 8, pal256, fs)
+    val out = GifCodec.decodeFrames(gif).getOrElse(fail("decode None"))
+    assert(out.size === 3)
+    out.zip(fs).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got.frameIdx === i && got.delayCs === exp.delayCs)
+      assert(got.canvas.width === 8 && got.canvas.height === 8)
+      assert(got.canvas.pixels.toSeq === expand(pal256, exp.indices).toSeq,
+        s"frame $i pixels")
+    }
+    // first-frame decode surface sees the same leading frame
+    assert(ImageCodec.decode(gif).get.pixels.toSeq ===
+      expand(pal256, fs.head.indices).toSeq)
+  }
+
+  test("partial frame composites at its rect over the previous canvas") {
+    val f1 = frame(4, 4, 10)
+    val f2 = frame(2, 2, 200, left = 1, top = 2)
+    val gif = GifCodec.encodeGifAnim(4, 4, pal256, Seq(f1, f2))
+    val out = GifCodec.decodeFrames(gif).get
+    val want = expand(pal256, f1.indices)
+    for (fy <- 0 until 2; fx <- 0 until 2) {
+      val ci = f2.indices(fy * 2 + fx) & 0xff
+      val d = ((2 + fy) * 4 + (1 + fx)) * 3
+      want(d) = pal256(ci * 3)
+      want(d + 1) = pal256(ci * 3 + 1)
+      want(d + 2) = pal256(ci * 3 + 2)
+    }
+    assert(out(1).canvas.pixels.toSeq === want.toSeq)
+  }
+
+  test("disposal 2 restores background; disposal 3 restores previous") {
+    val base = frame(4, 4, 10)
+    val rect2 = frame(2, 2, 200, left = 0, top = 0, disposal = 2)
+    val rect3 = frame(2, 2, 200, left = 0, top = 0, disposal = 3)
+    val last = frame(1, 1, 99, left = 3, top = 3)
+    // bgIndex 5 -> background color = palette entry 5
+    val gifBg = GifCodec.encodeGifAnim(4, 4, pal256,
+      Seq(base, rect2, last), bgIndex = 5)
+    val afterBg = GifCodec.decodeFrames(gifBg).get(2).canvas.pixels
+    // rect2's 2x2 area was wiped to the BACKGROUND color before `last`
+    for (fy <- 0 until 2; fx <- 0 until 2) {
+      val d = (fy * 4 + fx) * 3
+      assert((afterBg(d) & 0xff) === 5 &&
+        (afterBg(d + 1) & 0xff) === 35 && (afterBg(d + 2) & 0xff) === 65,
+        s"bg restore at ($fx,$fy)")
+    }
+    val gifPrev = GifCodec.encodeGifAnim(4, 4, pal256,
+      Seq(base, rect3, last), bgIndex = 5)
+    val afterPrev = GifCodec.decodeFrames(gifPrev).get(2).canvas.pixels
+    // rect3's area reverted to frame-1 content before `last` composited
+    val baseRgb = expand(pal256, base.indices)
+    for (fy <- 0 until 2; fx <- 0 until 2) {
+      val d = (fy * 4 + fx) * 3
+      assert(afterPrev(d) === baseRgb(d) && afterPrev(d + 1) === baseRgb(d + 1)
+        && afterPrev(d + 2) === baseRgb(d + 2), s"prev restore at ($fx,$fy)")
+    }
+  }
+
+  test("transparent index leaves the underlying canvas pixel intact") {
+    val f1 = frame(4, 4, 10)
+    // frame 2 paints index 7 everywhere except one transparent hole
+    val idx2 = Array.fill[Byte](16)(7.toByte)
+    idx2(5) = 42 // declared transparent below: must NOT paint
+    val f2 = AnimFrame(0, 0, 4, 4, idx2, 5, disposal = 1, transparentIdx = 42)
+    val gif = GifCodec.encodeGifAnim(4, 4, pal256, Seq(f1, f2))
+    val c2 = GifCodec.decodeFrames(gif).get(1).canvas.pixels
+    val baseRgb = expand(pal256, f1.indices)
+    assert(c2(5 * 3) === baseRgb(5 * 3) && c2(5 * 3 + 1) === baseRgb(5 * 3 + 1)
+      && c2(5 * 3 + 2) === baseRgb(5 * 3 + 2), "transparent hole")
+    assert((c2(0) & 0xff) === 7, "opaque pixels painted")
+  }
+
+  test("truncated animation yields the complete leading frames") {
+    val fs = Seq(frame(6, 6, 1), frame(6, 6, 2), frame(6, 6, 3))
+    val gif = GifCodec.encodeGifAnim(6, 6, pal256, fs)
+    // cut inside the third frame's data: two complete frames survive
+    val cut = GifCodec.decodeFrames(gif.take(gif.length - 10)).get
+    assert(cut.size === 2)
+    assert(cut(1).canvas.pixels.toSeq === expand(pal256, fs(1).indices).toSeq)
+    // garbage before any frame completes -> None, never throw
+    assert(GifCodec.decodeFrames(gif.take(20)).isEmpty)
+    assert(GifCodec.decodeFrames(null).isEmpty)
+  }
+
+  test("frame-bomb payloads are bounded by maxFrames") {
+    val fs = Vector.fill(40)(frame(2, 2, 9))
+    val gif = GifCodec.encodeGifAnim(2, 2, pal256, fs)
+    assert(GifCodec.decodeFrames(gif, maxFrames = 8).get.size === 8)
+  }
 }
