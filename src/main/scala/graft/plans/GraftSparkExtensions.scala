@@ -42,6 +42,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         TokenDistStats.info, TokenDistStats.builder))
     ext.injectFunction(
       (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -79,6 +81,8 @@ object GraftFunctions {
       TokenDistStats.info, TokenDistStats.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

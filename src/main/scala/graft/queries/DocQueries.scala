@@ -522,6 +522,45 @@ object DocQueries {
        |FROM f""".stripMargin
   }
 
+  // ---- q_mojibake: ftfy-style encoding repair ---------------------------
+
+  /** Mojibake repair, oracle-exact. Each doc's text gets a non-ASCII
+    * suffix (é = 2 UTF-8 bytes through the Latin-1 printable range,
+    * № and € = 3 bytes each crossing the C1-control range), then the
+    * UTF-8 bytes are re-read as ISO-8859-1 — the EXACT upstream
+    * accident (mislabeled Content-Type) that produces `Ã©` web text.
+    * (Spark's `decode` charset whitelist has no windows-1252; the
+    * cp1252 remap arm of the kernel is pinned by FixMojibakeSpec
+    * instead.) The fix_mojibake codegen kernel must invert the damage
+    * perfectly: the oracle computes the intended clean string
+    * directly, so `recovered` must be uniformly true and the md5 must
+    * match char-for-char; `chars_reclaimed` pins the byte-level
+    * accounting (corrupt chars = clean UTF-8 bytes).
+    */
+  def mojibake(s: SparkSession, dir: String): DataFrame = {
+    val orig = concat(coalesce(col("text"), lit("")),
+      lit(" café №€"), col("doc_id").cast("string"))
+    val corrupt = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), orig.as("__orig"), corrupt.as("__corrupt"))
+      .select(col("doc_id"),
+        graft.plans.FixMojibake(col("__corrupt")).as("__fixed"),
+        col("__orig"), col("__corrupt"))
+      .select(col("doc_id"),
+        md5(col("__fixed").cast("binary")).as("fixed_md5"),
+        (col("__fixed") === col("__orig")).as("recovered"),
+        (length(col("__corrupt")) - length(col("__fixed")))
+          .cast("long").as("chars_reclaimed"))
+  }
+
+  val mojibakeSql: String =
+    """WITH o AS (SELECT doc_id,
+      |  coalesce(text, '') || ' café №€' || CAST(doc_id AS VARCHAR) AS orig
+      | FROM documents)
+      |SELECT doc_id, md5(orig) AS fixed_md5, true AS recovered,
+      |  CAST(octet_length(encode(orig)) - length(orig) AS BIGINT) AS chars_reclaimed
+      |FROM o""".stripMargin
+
   // ---- q_phrase_hits: Aho-Corasick boilerplate-phrase counts -------------
 
   def phraseHits(s: SparkSession, dir: String): DataFrame =
