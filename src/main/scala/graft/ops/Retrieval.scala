@@ -177,6 +177,48 @@ object Retrieval {
             i => i.cast("string")), ",").cast("binary")).as("postings_md5"))
   }
 
+  /** Exact phrase search over positional postings — the operator the
+    * positional arm of an inverted index exists for: phrase
+    * (w0 … wL−1) matches document d at start p iff token(p+j) = wj for
+    * every j. Returns one row per (query, matching doc) with the match
+    * count (overlapping matches counted — "table table" hits twice in
+    * "table table table") and the first match position.
+    *
+    * Scale shape: the corpus posexplode is filtered to phrase terms
+    * BEFORE its one keyed shuffle (the same pre-shuffle term gate as
+    * [[bm25TopK]]); the (term, offset) phrase table is a literal
+    * broadcast. Candidate verification is ONE join + ONE keyed
+    * aggregate for ANY phrase length: each posting proposes start =
+    * pos − offset, and a start is a match iff all L offsets arrived —
+    * no L-way self-join of posting lists, no per-doc token array
+    * shipped. (pos, off) pairs are unique per candidate, so a plain
+    * count equals the distinct-offset count.
+    */
+  def phraseSearch(df: DataFrame, phrases: Seq[(Long, Seq[String])],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap(_._2).distinct
+    val offsets = phrases.flatMap { case (qid, ws) =>
+      ws.zipWithIndex.map { case (w, j) => (qid, w, j, ws.length) }
+    }.toDF("query_id", "term", "off", "plen")
+    val postings = df
+      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms: _*))
+    postings.join(broadcast(offsets), Seq("term"))
+      .select(col("query_id"), col(idCol),
+        (col("pos") - col("off")).as("start"), col("plen"))
+      .filter(col("start") >= 0)
+      .groupBy(col("query_id"), col(idCol), col("start"))
+      .agg(count(lit(1)).as("__n_off"), max("plen").as("__plen"))
+      .filter(col("__n_off") === col("__plen"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min("start").cast("long").as("first_pos"))
+  }
+
   /** Deterministic train/val/test assignment: bucket 0-99 from the
     * first 4 hex chars of md5(id) — content-addressed, so the split is
     * stable under repartitioning, re-ingestion, and engine choice

@@ -203,4 +203,38 @@ object RetrievalQueries {
        |  array_to_string(toks[start : start + ${w - 1}], ' ') AS passage
        |FROM sp""".stripMargin
   }
+
+  // ---- q_phrase_search: positional-postings exact phrase match ----------
+
+  /** Fixed phrase set, chosen to exercise the edge shapes: a plain
+    * bigram, a repeated-word bigram ("table table" — overlapping
+    * matches), and a trigram with an internal repeat.
+    */
+  val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "merge"),
+    1L -> Seq("slow", "small"),
+    2L -> Seq("table", "table"),
+    3L -> Seq("scan", "scan", "slow"))
+
+  def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(Tables.documents(s, dir), PhraseQueries)
+
+  val phraseSearchSql: String = {
+    val qRows = PhraseQueries.flatMap { case (qid, ws) =>
+      ws.zipWithIndex.map { case (w, j) => s"($qid, '$w', $j, ${ws.length})" }
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS term,
+       |             unnest(generate_series(0, len(toks) - 1)) AS pos
+       |      FROM t WHERE len(toks) > 0),
+       |q(query_id, term, off, plen) AS (VALUES $qRows),
+       |c AS (SELECT q.query_id, p.doc_id, p.pos - q.off AS start, q.plen
+       |      FROM p JOIN q USING (term) WHERE p.pos - q.off >= 0),
+       |m AS (SELECT query_id, doc_id, start FROM c
+       |      GROUP BY query_id, doc_id, start, plen HAVING count(*) = plen)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(start) AS BIGINT) AS first_pos
+       |FROM m GROUP BY query_id, doc_id""".stripMargin
+  }
 }

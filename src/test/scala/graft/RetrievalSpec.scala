@@ -130,4 +130,29 @@ class RetrievalSpec extends SparkTestBase {
     assert(fused.head.getAs[Long]("doc_id") === 3L)
     assert(fused.head.getAs[Long]("rank") === 1L)
   }
+
+  test("phrase search: positions, overlaps, and cross-boundary rejects") {
+    val df = docsDf(
+      (1L, "big data spark merge fast"),        // "spark merge" at 2
+      (2L, "merge spark merge spark merge"),    // matches at 1 and 3
+      (3L, "spark fast merge"),                 // terms present, NOT adjacent
+      (4L, "table table table"),                // overlapping self-phrase: 0,1
+      (5L, "scan scan scan slow"),              // trigram "scan scan slow" at 1
+      (6L, "slow scan scan"),                   // trigram prefix at end: no match
+      (7L, ""))
+    val out = Retrieval.phraseSearch(df, Seq(
+      0L -> Seq("spark", "merge"),
+      1L -> Seq("table", "table"),
+      2L -> Seq("scan", "scan", "slow")))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    assert(out((0L, 1L)) === ((1L, 2L)))
+    assert(out((0L, 2L)) === ((2L, 1L)))
+    assert(!out.contains((0L, 3L)), "adjacency is required")
+    assert(out((1L, 4L)) === ((2L, 0L)), "overlapping matches both count")
+    assert(out((2L, 5L)) === ((1L, 1L)))
+    assert(!out.contains((2L, 6L)), "prefix at doc end must not match")
+    assert(out.keys.forall(_._2 != 7L), "empty doc matches nothing")
+  }
 }
