@@ -400,6 +400,111 @@ object Streaming {
       s"p_user = c_user AND c_ts >= p_ts - INTERVAL $lookback AND c_ts <= p_ts"))
   }
 
+  // ---- per-source drift monitor (EWMA over tumbling windows) ------------
+
+  case class DriftEvent(source: String, ts: Timestamp, n_chars: Long)
+  case class DriftWin(start: Long, n: Long, sum: Long)
+  case class DriftState(ewmaQ: Long, ewvarQ: Long, nWindows: Long,
+                        open: Seq[DriftWin])
+  case class DriftOut(source: String, window_start: Timestamp, n_docs: Long,
+                      mean_len_q: Long, ewma_q: Long, dd_q: Long,
+                      ewvar_q: Long, alert: Boolean)
+
+  /** Continuous intake-drift detection: per source, tumbling event-time
+    * windows of mean document length folded into an EWMA + EW-variance,
+    * alerting when a window's deviation exceeds 3σ — the "did this
+    * crawl source silently change shape?" monitor that
+    * [[intakeMonitor]]'s plain per-window report cannot express because
+    * it holds no cross-window memory.
+    *
+    * Statefulness: ONE flatMapGroupsWithState keyed by source. Windows
+    * accumulate inside the state (not a separate windowed agg — two
+    * chained stateful operators would each need their own watermark
+    * semantics), close strictly in window-start order when the
+    * watermark passes their end, and fold into the EWMA as they close,
+    * so emission order — and therefore the EWMA trajectory — is
+    * deterministic regardless of batch boundaries. State per source is
+    * three longs + the open windows inside the watermark horizon.
+    *
+    * Determinism: all arithmetic is scaled-integer (mean length
+    * quantized ×10⁴; EWMA α = 1/4 via integer shift-divide; variance
+    * tracked in q²/10⁴ units), so a restart replaying from the
+    * checkpoint reproduces bit-identical outputs — the same discipline
+    * as the quantized oracle queries. Alerts arm after
+    * [[DriftWarmupWindows]] closed windows; σ-floor `+1` keeps the
+    * constant-input case (variance 0) from alerting on the first
+    * 1-char jitter.
+    */
+  val DriftWindowMs: Long = 60000L
+  val DriftWarmupWindows: Long = 3L
+
+  def driftMonitor(docs: DataFrame, tsCol: String = "ts",
+                   sourceCol: String = "source", lenCol: String = "n_chars",
+                   watermark: String = "2 minutes"): Dataset[DriftOut] = {
+    implicit val evEnc: Encoder[DriftEvent] = Encoders.product[DriftEvent]
+    implicit val stEnc: Encoder[DriftState] = Encoders.product[DriftState]
+    implicit val outEnc: Encoder[DriftOut] = Encoders.product[DriftOut]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    // copied to locals so the state lambda captures VALUES, not the
+    // (non-serializable) enclosing module that owns the constants
+    val windowMs = DriftWindowMs
+    val warmup = DriftWarmupWindows
+
+    def fold(source: String, st: DriftState,
+             closed: Seq[DriftWin]): (DriftState, List[DriftOut]) = {
+      var ewma = st.ewmaQ
+      var ewvar = st.ewvarQ
+      var nw = st.nWindows
+      val outs = closed.sortBy(_.start).map { w =>
+        val xq = math.floorDiv(w.sum * 10000L, math.max(w.n, 1L))
+        val (ddq, alert) =
+          if (nw == 0L) { ewma = xq; (0L, false) }
+          else {
+            val d = xq - ewma
+            val dd = math.floorDiv(d * d, 10000L)
+            val a = nw >= warmup && dd > 9L * ewvar + 1L
+            ewma += math.floorDiv(d, 4L)
+            ewvar += math.floorDiv(dd - ewvar, 4L)
+            (dd, a)
+          }
+        nw += 1L
+        DriftOut(source, new Timestamp(w.start), w.n, xq, ewma, ddq,
+          ewvar, alert)
+      }
+      (DriftState(ewma, ewvar, nw, Seq.empty), outs.toList)
+    }
+
+    def fn(source: String, batch: Iterator[DriftEvent],
+           state: GroupState[DriftState]): Iterator[DriftOut] = {
+      val st0 = state.getOption.getOrElse(DriftState(0L, 0L, 0L, Seq.empty))
+      val acc = collection.mutable.Map.empty[Long, DriftWin]
+      st0.open.foreach(w => acc(w.start) = w)
+      batch.foreach { e =>
+        val ws = math.floorDiv(e.ts.getTime, windowMs) * windowMs
+        val w = acc.getOrElse(ws, DriftWin(ws, 0L, 0L))
+        acc(ws) = DriftWin(ws, w.n + 1L, w.sum + e.n_chars)
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) =
+        acc.values.toSeq.partition(_.start + windowMs <= wm)
+      val (st1, outs) = fold(source, st0, closed)
+      state.update(st1.copy(open = open.sortBy(_.start)))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(open.map(_.start).min + windowMs)
+      outs.iterator
+    }
+
+    docs
+      .select(coalesce(col(sourceCol), lit("")).as("source"),
+        col(tsCol).cast("timestamp").as("ts"),
+        coalesce(col(lenCol), lit(0L)).cast("long").as("n_chars"))
+      .withWatermark("ts", watermark)
+      .as[DriftEvent]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   // ---- gap sessionization (flatMapGroupsWithState) ----------------------
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

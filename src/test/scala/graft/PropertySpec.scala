@@ -383,4 +383,76 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("mojibake repair: latin-1 wreck of any lead-safe string inverts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // alphabet restricted to chars whose ROUND-2 re-encoding can never
+    // be valid UTF-8 by accident: ASCII, Latin-1 lead-byte range
+    // U+00C0–U+00FF (any pair needs an 0x80–0xBF continuation it can't
+    // produce), and >0xFF chars outside the cp1252 remap (byte-mapping
+    // fails -> fixpoint). Chars in U+0080–U+00BF or the cp1252 remap
+    // (©, €, ™ …) are excluded because text like "ß©" genuinely IS the
+    // mojibake byte pattern — inherent ftfy ambiguity, not a bug.
+    val safeChar: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf(' ', '.', ',', '!'),
+      3 -> Gen.choose(0xC0.toChar, 0xFF.toChar),
+      1 -> Gen.oneOf('中', '日', '語', 'ж', 'Ω', 'は'))
+    def fix(s: String): String =
+      graft.plans.FixMojibake.fix(UTF8String.fromString(s)).toString
+    forAllSeeded(Gen.listOf(safeChar).map(_.mkString), trials = 24) { s =>
+      val wreck = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+      assert(fix(wreck) === s, s"not inverted for: $s")
+      if (s.forall(_ < 0x80)) assert(wreck === s) // ASCII: no-op damage
+    }
+  }
+
+  test("phrase search agrees with the brute-force sliding window") {
+    import graft.ops.Retrieval
+    val vocab = Seq("a", "b", "c")
+    val docGen = Gen.listOfN(12,
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    val phraseGen = Gen.choose(2, 3).flatMap(l => Gen.listOfN(l, Gen.oneOf(vocab)))
+    forAllSeeded(docGen.flatMap(d => phraseGen.map(p => (d, p))),
+      trials = 4) { case (docs, phrase) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Retrieval.phraseSearch(df, Seq(0L -> phrase))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+      val want = docs.zipWithIndex.flatMap { case (ts, i) =>
+        val starts = ts.indices
+          .filter(p => p + phrase.length <= ts.length &&
+            phrase.indices.forall(j => ts(p + j) == phrase(j)))
+        if (starts.isEmpty) None
+        else Some(i.toLong -> ((starts.size.toLong, starts.min.toLong)))
+      }.toMap
+      assert(got === want, s"phrase=$phrase docs=$docs")
+    }
+  }
+
+  test("span removal: accounting invariants and full-dup coverage") {
+    import graft.ops.Curation
+    import spark.implicits._
+    // two identical 10-token docs (full mutual coverage) + unique docs
+    val rep = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val rows = Seq((1L, rep), (2L, rep), (3L, "u1 u2 u3 u4 u5"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val out = Curation.removeDupSpans(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_cut_spans")))).toMap
+    out.values.foreach { case (n, rem, spans) =>
+      assert(rem <= n && spans <= rem, "accounting order")
+      assert((spans == 0) === (rem == 0), "spans iff removals")
+    }
+    assert(out(1L) === ((10L, 10L, 1L)), "identical docs fully excised")
+    assert(out(2L) === ((10L, 10L, 1L)))
+    assert(out(3L)._2 === 0L, "unique doc untouched")
+    assert(out(4L) === ((0L, 0L, 0L)) && out(5L) === ((0L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
 }

@@ -399,4 +399,62 @@ class StreamingSpec extends SparkTestBase {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("drift monitor: steady windows stay quiet, a level shift alerts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = Streaming.driftMonitor(
+      in.toDF().toDF("source", "ts", "n_chars"), watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      // source a: five steady 1-minute windows of mean length 100,
+      // then a 10x level shift in minute 5
+      val steady = (0 to 4).flatMap(m =>
+        Seq(("a", ts(m), 90L), ("a", ts(m), 110L)))
+      val shift = Seq(("a", ts(5), 1000L), ("a", ts(5), 1000L))
+      in.addData(steady ++ shift: _*)
+      q.processAllAvailable()
+      // sentinel events push the watermark past minute 5's window end
+      in.addData(("zz", ts(20), 1L))
+      q.processAllAvailable()
+      in.addData(("zz", ts(40), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("drift").filter(col("source") === "a")
+        .orderBy("window_start")
+        .select("n_docs", "mean_len_q", "alert")
+        .as[(Long, Long, Boolean)].collect()
+      assert(rows.length === 6, s"got ${rows.toSeq}")
+      // every window saw both docs; means quantized x1e4
+      assert(rows.take(5).forall(r => r._1 == 2L && r._2 == 1000000L))
+      assert(rows.take(5).forall(!_._3), "steady state must not alert")
+      assert(rows(5) === ((2L, 10000000L, true)), "10x shift must alert")
+    } finally q.stop()
+  }
+
+  test("drift monitor: window closing order is batch-boundary-proof") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same events, different batch slicing -> identical EWMA trajectory
+    def run(name: String, slices: Seq[Seq[(String, Timestamp, Long)]]) = {
+      val in = MemoryStream[(String, Timestamp, Long)]
+      val q = Streaming.driftMonitor(
+        in.toDF().toDF("source", "ts", "n_chars"), watermark = "2 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).filter(col("source") === "b")
+          .orderBy("window_start")
+          .select("mean_len_q", "ewma_q", "ewvar_q", "alert")
+          .as[(Long, Long, Long, Boolean)].collect().toSeq
+      } finally q.stop()
+    }
+    val evs = (0 to 6).map(m => ("b", ts(m), 100L + 13L * m)) :+
+      ("zz", ts(40), 1L)
+    val oneShot = run("drift_one", Seq(evs))
+    val sliced = run("drift_two", evs.grouped(2).toSeq)
+    assert(oneShot.nonEmpty && oneShot === sliced)
+  }
 }
