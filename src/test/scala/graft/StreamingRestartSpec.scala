@@ -220,4 +220,65 @@ class StreamingRestartSpec extends SparkTestBase {
     // replay did not read its own crashed attempt's sketches as corpus
     assert(replayFlags === cleanFlags)
   }
+
+  test("drift monitor restart: EWMA trajectory is bit-identical across the stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the monitor's claim is a bit-deterministic alert trajectory; the
+    // hard half of that claim is RESTART — the EWMA/EW-variance state and
+    // the open-window accumulators must recover from the checkpoint so the
+    // post-restart windows continue the same integer sequence
+    val lens = (0 to 7).map(m => 100L + 31L * m) // drifting means
+    def events(ms: Range) = ms.flatMap(m =>
+      Seq(("d", ts(m), lens(m) - 5L), ("d", ts(m), lens(m) + 5L)))
+    val sentinel1 = ("zz", ts(20), 1L)
+    val sentinel2 = ("zz", ts(40), 1L)
+
+    def run(base: String, split: Boolean): Seq[(Long, Long, Long, Long, Boolean)] = {
+      val in = MemoryStream[(String, Timestamp, Long)]
+      def start() = Streaming.driftMonitor(
+        in.toDF().toDF("source", "ts", "n_chars"), watermark = "2 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      val q1 = start()
+      try {
+        in.addData(events(0 to 3): _*)
+        q1.processAllAvailable()
+        if (!split) {
+          in.addData(events(4 to 7) :+ sentinel1: _*)
+          q1.processAllAvailable()
+          in.addData(sentinel2)
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      if (split) {
+        // restart from the checkpoint, then feed the remaining windows
+        val q2 = start()
+        try {
+          in.addData(events(4 to 7) :+ sentinel1: _*)
+          q2.processAllAvailable()
+          in.addData(sentinel2)
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      spark.read.parquet(s"$base/out").filter(col("source") === "d")
+        .orderBy("window_start")
+        .select(col("window_start").cast("long"), col("mean_len_q"),
+          col("ewma_q"), col("ewvar_q"), col("alert"))
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    }
+
+    val clean = run(
+      java.nio.file.Files.createTempDirectory("drift_clean").toString,
+      split = false)
+    val restarted = run(
+      java.nio.file.Files.createTempDirectory("drift_restart").toString,
+      split = true)
+    assert(clean.length === 8, s"got $clean")
+    assert(clean.map(_._1).distinct.length === 8, "exactly-once per window")
+    assert(restarted === clean,
+      "restart must continue the identical integer EWMA sequence")
+  }
 }
