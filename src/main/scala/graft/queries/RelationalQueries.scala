@@ -493,4 +493,26 @@ object RelationalQueries {
   def hllShards(s: SparkSession, dir: String): DataFrame =
     graft.ops.Report.sketchDistinct(Tables.documents(s, dir),
       keyCol = "doc_id", groupCol = "source")
+
+  // ---- q_dd_quantiles: mergeable relative-error percentiles -------------
+
+  /** Per-source p50/p90/p99 of document length through the DDSketch
+    * aggregator (graft.ops.DdSketch) — the bounded-state mergeable
+    * alternative to the exact `percentile` sort-agg of
+    * q_source_percentiles. Sketch estimates are engine-defined →
+    * rows-only driver check; DdSketchSpec pins the ≤α relative-error
+    * guarantee against exact ranks and partition-order-proof identity.
+    */
+  def ddQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.ops.DdSketch.quantiles().toColumn)
+      .map { case (src, q) => (src, q.n, q.p50, q.p90, q.p99) }
+      .toDF("source", "n", "p50", "p90", "p99")
+  }
 }
