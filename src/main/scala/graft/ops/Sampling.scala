@@ -25,4 +25,33 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Weighted sample without replacement, RNG-free: Efraimidis &
+    * Spirakis A-ES (IPL 2006) — each row gets priority u^(1/w) for a
+    * uniform u, and the k largest priorities are an exact weighted
+    * sample — with the uniform DERIVED FROM THE ID's md5 instead of an
+    * RNG stream. Equivalent max-key is ln(u)/w (monotone transform),
+    * floor-quantized ×10¹² to a BIGINT so the ranking — and therefore
+    * the SAMPLE ITSELF — is engine-portable and oracle-checkable, the
+    * same content-addressed trick as [[uniformPerGroup]] and
+    * `Retrieval.splitAssign`. Same inputs ⇒ same sample on any
+    * cluster layout, any engine.
+    *
+    * u = (first 8 md5 hex digits + 1) / (2³² + 1) ∈ (0, 1);
+    * weights are clamped to ≥ 1 (w ≤ 0 would otherwise flip the
+    * key's sign and DOMINATE the sample — the classic A-ES foot-gun).
+    *
+    * Scale shape: one per-row projection + a global top-k. The top-k
+    * here is orderBy+limit (TakeOrderedAndProject — k rows per
+    * partition to the driver, never a global sort of the corpus).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0d) / 4294967297.0d
+    val w = greatest(coalesce(col(weightCol).cast("double"), lit(1.0d)), lit(1.0d))
+    df.withColumn("es_key_q", floor(log(u) / w * 1e12d).cast("long"))
+      .orderBy(col("es_key_q").desc, col(idCol))
+      .limit(k)
+  }
 }

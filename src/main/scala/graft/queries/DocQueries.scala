@@ -561,6 +561,26 @@ object DocQueries {
       |  CAST(octet_length(encode(orig)) - length(orig) AS BIGINT) AS chars_reclaimed
       |FROM o""".stripMargin
 
+  // ---- q_weighted_sample: RNG-free Efraimidis–Spirakis sample -----------
+
+  /** Length-weighted corpus sample (graft.ops.Sampling.weightedSample):
+    * A-ES priorities from md5-derived uniforms, so the SAMPLE ITSELF is
+    * deterministic and oracle-checkable — the content-addressed answer
+    * to the RNG-excluded O4 seeded sample.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 50)
+
+  val weightedSampleSql: String =
+    """WITH w AS (SELECT doc_id, source, n_chars,
+      |  CAST(floor(ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0) / 4294967297.0)
+      |    / greatest(CAST(coalesce(n_chars, 1) AS DOUBLE), 1.0) * 1e12) AS BIGINT) AS es_key_q
+      | FROM documents)
+      |SELECT doc_id, source, n_chars, es_key_q FROM w
+      |ORDER BY es_key_q DESC, doc_id LIMIT 50""".stripMargin
+
   // ---- q_phrase_hits: Aho-Corasick boilerplate-phrase counts -------------
 
   def phraseHits(s: SparkSession, dir: String): DataFrame =

@@ -434,6 +434,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("weighted sample: heavy rows dominate, layout cannot move the set") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // 200 light rows (w=1) vs 200 heavy rows (w=10000): a k=50 A-ES
+    // sample should be nearly all heavy — P(any light row outranking a
+    // heavy one) is tiny at this weight ratio
+    val rows = (0 until 200).map(i => (i.toLong, 1L)) ++
+      (200 until 400).map(i => (i.toLong, 10000L))
+    val df = rows.toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(df, "doc_id", "w", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.size === 50)
+    assert(picked.count(_ >= 200L) >= 48, s"heavy dominance, got $picked")
+    // partition layout cannot change a content-addressed sample
+    val repart = Sampling.weightedSample(df.repartition(17), "doc_id", "w",
+      k = 50).select("doc_id").as[Long].collect().toSet
+    assert(repart === picked)
+  }
+
   test("span removal: accounting invariants and full-dup coverage") {
     import graft.ops.Curation
     import spark.implicits._
