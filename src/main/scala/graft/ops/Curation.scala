@@ -428,14 +428,16 @@ object Curation {
                      textCol: String = "text", n: Int = DupSpanN,
                      minDocs: Int = DupSpanMinDocs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df
-      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
-      // feeds the gram build AND the final coverage join: persist so
-      // tokenize+posexplode runs once (caller's clearCache releases)
+    // ONE tokenize pass: the persisted (id, token-array) projection
+    // feeds both the position explode and the gram build — tokenize is
+    // the regex-heavy corpus cost, and grams/toks re-deriving it
+    // independently would pay it twice (caller's clearCache releases)
+    val base = df
+      .select(col(idCol), TextMetrics.tokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grams = df
-      .withColumn("__toks", TextMetrics.tokens(col(textCol)))
+    val toks = base
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val grams = base
       .select(col(idCol), posexplode(
         when(size(col("__toks")) >= n,
           transform(sequence(lit(0), size(col("__toks")) - n),

@@ -214,6 +214,7 @@ object GifCodec {
     val npal = pal.length / 3
     require(npal >= 2 && npal <= 256 && (npal & (npal - 1)) == 0 &&
       pal.length == npal * 3, s"palette size $npal must be a power of two")
+    requireIndicesInRange(indices, npal)
     val palBits = 31 - Integer.numberOfLeadingZeros(npal) // log2
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -243,6 +244,21 @@ object GifCodec {
     out.write(0x00)                                 // data terminator
     out.write(0x3b)                                 // trailer
     out.toByteArray
+  }
+
+  /** Every index must address the palette: an out-of-range index is
+    * not merely a wrong color — `lzwEncodeLiteral` would emit it as a
+    * literal WIDER than the code size, smearing bits into subsequent
+    * codes and producing a structurally-plausible but undecodable
+    * stream. Fail fast instead.
+    */
+  private def requireIndicesInRange(indices: Array[Byte], npal: Int): Unit = {
+    var i = 0
+    while (i < indices.length) {
+      val v = indices(i) & 0xff
+      require(v < npal, s"palette index $v at position $i >= palette size $npal")
+      i += 1
+    }
   }
 
   /** Literal-mode LZW: clear, then root codes at minCodeSize+1 bits,
@@ -472,6 +488,7 @@ object GifCodec {
         f.left + f.width <= w && f.top + f.height <= h &&
         f.indices.length == f.width * f.height,
         s"bad frame rect ${f.width}x${f.height}@(${f.left},${f.top}) in ${w}x$h")
+      requireIndicesInRange(f.indices, npal)
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write(((f.disposal & 7) << 2) | (if (f.transparentIdx >= 0) 1 else 0))
       out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)

@@ -38,8 +38,14 @@ object Sampling {
     * cluster layout, any engine.
     *
     * u = (first 8 md5 hex digits + 1) / (2³² + 1) ∈ (0, 1);
-    * weights are clamped to ≥ 1 (w ≤ 0 would otherwise flip the
-    * key's sign and DOMINATE the sample — the classic A-ES foot-gun).
+    * non-positive weights clamp to 1e-4 (w ≤ 0 would flip the key's
+    * sign and DOMINATE the sample — the classic A-ES foot-gun — while
+    * w → 0⁺ correctly means "effectively never chosen"); fractional
+    * weights down to 1e-4 are VALID A-ES weights and pass through
+    * untouched. The floor is sized so the quantized key stays inside
+    * a signed 64-bit long: |ln u| ≤ 22, and 22/1e-4 · 1e12 ≈ 2.2e17
+    * — an unbounded w → 0 would overflow the BIGINT (and DuckDB
+    * errors on out-of-range casts where Spark saturates).
     *
     * Scale shape: one per-row projection + a global top-k. The top-k
     * here is orderBy+limit (TakeOrderedAndProject — k rows per
@@ -49,7 +55,8 @@ object Sampling {
                      k: Int): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + 1.0d) / 4294967297.0d
-    val w = greatest(coalesce(col(weightCol).cast("double"), lit(1.0d)), lit(1.0d))
+    val w = greatest(coalesce(col(weightCol).cast("double"), lit(1.0d)),
+      lit(1e-4d))
     df.withColumn("es_key_q", floor(log(u) / w * 1e12d).cast("long"))
       .orderBy(col("es_key_q").desc, col(idCol))
       .limit(k)

@@ -30,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `isin`'s null-propagating lambda which filter treats as
   * don't-keep.
   */
-case class TokensInSet(child: Expression, words: Array[String])
+// words is a Seq (NOT Array): case-class equality on Array is
+// reference-based, which would defeat Catalyst semanticEquals — two
+// identical TokensInSet calls would never CSE or cache-match
+case class TokensInSet(child: Expression, words: Seq[String])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -55,7 +58,7 @@ case class TokensInSet(child: Expression, words: Array[String])
 
 object TokensInSet {
 
-  private[plans] def buildSet(words: Array[String]): java.util.HashSet[UTF8String] = {
+  private[plans] def buildSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.length * 2)
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
@@ -80,5 +83,5 @@ object TokensInSet {
   /** Column-API entry point. */
   def apply(toks: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(
-      TokensInSet(GraftSqlBridge.expression(toks), words.toArray))
+      TokensInSet(GraftSqlBridge.expression(toks), words))
 }

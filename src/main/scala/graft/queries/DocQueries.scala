@@ -576,7 +576,7 @@ object DocQueries {
   val weightedSampleSql: String =
     """WITH w AS (SELECT doc_id, source, n_chars,
       |  CAST(floor(ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0) / 4294967297.0)
-      |    / greatest(CAST(coalesce(n_chars, 1) AS DOUBLE), 1.0) * 1e12) AS BIGINT) AS es_key_q
+      |    / greatest(CAST(coalesce(n_chars, 1) AS DOUBLE), 1e-4) * 1e12) AS BIGINT) AS es_key_q
       | FROM documents)
       |SELECT doc_id, source, n_chars, es_key_q FROM w
       |ORDER BY es_key_q DESC, doc_id LIMIT 50""".stripMargin

@@ -167,20 +167,40 @@ object Streaming {
     * strictly below `currentBatchId` (a replayed batch must never read
     * its own crashed attempt's partial rows). Listing + explicit schema
     * — never inference, which a footer-less crashed dir would break.
+    *
+    * The `batch=<id>` layout IS the state contract: out-of-band
+    * compaction must preserve it (merge into fewer `batch=` dirs with
+    * ids below the live horizon, never flat files — flat files are
+    * invisible to this reader by design, because only the layout lets
+    * a crashed attempt be distinguished from history).
+    *
+    * Lineage guard: a batch id ABOVE the current one can only mean the
+    * state dir belongs to a different checkpoint lineage (a fresh
+    * checkpoint restarts ids at 0; per-batch `overwrite` would then
+    * silently destroy the prior run's corpus state batch by batch) —
+    * fail fast instead. The one undetectable case is an old state dir
+    * containing ONLY `batch=0` meeting a fresh query's batch 0, which
+    * is indistinguishable from a first-batch crash replay.
     */
   private def readBatchedState(spark: SparkSession, stateDir: String,
                                schema: org.apache.spark.sql.types.StructType,
                                currentBatchId: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs: Array[String] =
+    val ids: Array[Long] =
       if (!fs.exists(path)) Array.empty
-      else fs.listStatus(path).collect {
-        case st if st.isDirectory &&
-          st.getPath.getName.startsWith("batch=") &&
-          st.getPath.getName.drop(6).toLongOption.exists(_ < currentBatchId) =>
-          st.getPath.toString
+      else fs.listStatus(path).flatMap { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("batch="))
+          st.getPath.getName.drop(6).toLongOption
+        else None
       }
+    val ahead = ids.filter(_ > currentBatchId)
+    require(ahead.isEmpty,
+      s"corpus state at $stateDir contains batch ids ${ahead.sorted.mkString(",")} " +
+        s"AHEAD of this query's batch $currentBatchId: the state belongs to a " +
+        "different checkpoint lineage. Reuse the original checkpointDir to " +
+        "resume it, or point this query at a fresh stateDir.")
+    val dirs = ids.filter(_ < currentBatchId).map(id => s"$stateDir/batch=$id")
     if (dirs.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
@@ -195,8 +215,10 @@ object Streaming {
     * the sketches already computed for the kept docs (neither flag) are
     * written to that state — one sketch pass per batch, total. Same
     * unbounded-horizon design: state is a parquet table, not the
-    * streaming state store — inspectable, compactable out-of-band;
-    * history is never re-sketched. Restart safety is the same
+    * streaming state store — inspectable, and compactable out-of-band
+    * PROVIDED the `batch=<id>` layout is preserved (the layout is the
+    * replay-safety contract — see [[readBatchedState]]); history is
+    * never re-sketched. Restart safety is the same
     * per-batch-overwrite scheme as [[dedupAgainstCorpus]]: both sinks
     * write `batch=<id>` subdirectories keyed by the stable foreachBatch
     * batch id, and the state read excludes the current batch id, so a
@@ -474,12 +496,21 @@ object Streaming {
       (DriftState(ewma, ewvar, nw, Seq.empty), outs.toList)
     }
 
+    // idle eviction horizon: a source silent for this long loses its
+    // state-store entry (and its EWMA baseline — deliberate: after a
+    // long silence the old baseline is stale anyway). Without it,
+    // churning source cardinality (one-off feeds, per-domain labels)
+    // would grow per-source state entries for the life of the query.
+    val retentionMs = 30L * windowMs
+
     def fn(source: String, batch: Iterator[DriftEvent],
            state: GroupState[DriftState]): Iterator[DriftOut] = {
       val st0 = state.getOption.getOrElse(DriftState(0L, 0L, 0L, Seq.empty))
       val acc = collection.mutable.Map.empty[Long, DriftWin]
       st0.open.foreach(w => acc(w.start) = w)
+      var sawData = false
       batch.foreach { e =>
+        sawData = true
         val ws = math.floorDiv(e.ts.getTime, windowMs) * windowMs
         val w = acc.getOrElse(ws, DriftWin(ws, 0L, 0L))
         acc(ws) = DriftWin(ws, w.n + 1L, w.sum + e.n_chars)
@@ -487,11 +518,21 @@ object Streaming {
       val wm = state.getCurrentWatermarkMs()
       val (closed, open) =
         acc.values.toSeq.partition(_.start + windowMs <= wm)
-      val (st1, outs) = fold(source, st0, closed)
-      state.update(st1.copy(open = open.sortBy(_.start)))
-      if (open.nonEmpty)
-        state.setTimeoutTimestamp(open.map(_.start).min + windowMs)
-      outs.iterator
+      if (state.hasTimedOut && !sawData && closed.isEmpty && open.isEmpty) {
+        // idle-retention timeout with nothing pending: evict
+        state.remove()
+        Iterator.empty
+      } else {
+        val (st1, outs) = fold(source, st0, closed)
+        state.update(st1.copy(open = open.sortBy(_.start)))
+        // open windows: wake when the earliest can close; otherwise arm
+        // the idle-eviction timer past the watermark
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(open.map(_.start).min + windowMs)
+        else
+          state.setTimeoutTimestamp(wm + retentionMs)
+        outs.iterator
+      }
     }
 
     docs

@@ -221,6 +221,36 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(replayFlags === cleanFlags)
   }
 
+  test("corpus-state lineage guard: fresh checkpoint against old state fails fast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("lineage_guard").toString
+    // a prior run's state: batches 0 and 1 already on disk
+    Seq(("h0", "d0")).toDF("exact_hash", "dedup_id")
+      .write.parquet(s"$base/state/batch=0")
+    Seq(("h1", "d1")).toDF("exact_hash", "dedup_id")
+      .write.parquet(s"$base/state/batch=1")
+    val in = MemoryStream[(Timestamp, String, String)]
+    // FRESH checkpoint -> this query's ids restart at 0; per-batch
+    // overwrite would silently destroy the prior state batch by batch,
+    // so the reader must refuse the mismatched lineage loudly
+    val q = Streaming.dedupAgainstCorpus(
+      in.toDF().toDF("ingest_ts", "id", "text"), "text", "id",
+      s"$base/state", s"$base/out", s"$base/ckpt_fresh")
+    try {
+      in.addData((ts(0), "a", "some doc"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("different checkpoint lineage")),
+        s"got: ${msgs(ex)}")
+      // and the prior state was NOT touched
+      assert(spark.read.parquet(s"$base/state/batch=1").count() === 1)
+    } finally q.stop()
+  }
+
   test("drift monitor restart: EWMA trajectory is bit-identical across the stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

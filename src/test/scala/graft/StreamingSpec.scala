@@ -433,6 +433,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("drift monitor: idle sources are evicted and restart their baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = Streaming.driftMonitor(
+      in.toDF().toDF("source", "ts", "n_chars"), watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("drift_evict")
+      .outputMode("append").start()
+    def nudge(m: Int): Unit = { in.addData(("zz", ts(m), 1L)); q.processAllAvailable() }
+    try {
+      in.addData(("e", ts(0), 100L), ("e", ts(0), 100L))
+      q.processAllAvailable()
+      nudge(20); nudge(22) // close window 0, arm idle timer at wm+30min
+      nudge(50); nudge(51) // watermark crosses the idle horizon: evict
+      in.addData(("e", ts(52), 900L), ("e", ts(52), 900L))
+      q.processAllAvailable()
+      nudge(56); nudge(57); nudge(58) // close window 52
+      val rows = spark.table("drift_evict").filter(col("source") === "e")
+        .orderBy("window_start")
+        .select("mean_len_q", "ewma_q", "dd_q", "alert")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(rows.length === 2, s"got ${rows.toSeq}")
+      // post-eviction window starts a FRESH baseline: ewma equals its
+      // own mean with zero deviation — the old 100-char baseline is
+      // gone (un-evicted state would blend 1000000 toward 9000000 and
+      // carry a huge dd)
+      assert(rows(0) === ((1000000L, 1000000L, 0L, false)))
+      assert(rows(1) === ((9000000L, 9000000L, 0L, false)))
+    } finally q.stop()
+  }
+
   test("drift monitor: window closing order is batch-boundary-proof") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

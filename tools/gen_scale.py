@@ -48,11 +48,19 @@ def main():
         off = rep * 10_000_000
         cols["doc_id"].extend(x + off for x in d["doc_id"])
         if rep == 0:
-            cols["text"].extend(d["text"])
+            texts = d["text"]
         else:
-            cols["text"].extend(perturb_text(t, rep) for t in d["text"])
+            texts = [perturb_text(t, rep) for t in d["text"]]
+        cols["text"].extend(texts)
         for k in d:
-            if k not in ("doc_id", "text"):
+            if k == "n_chars":
+                # metadata must track the perturbed text — a replica
+                # where n_chars != length(text) is a corpus shape no
+                # real SF generation produces, and length-derived ops
+                # (weighted sample, gopher rules) would measure a lie
+                cols[k].extend(
+                    None if t is None else len(t) for t in texts)
+            elif k not in ("doc_id", "text"):
                 cols[k].extend(d[k])
     pq.write_table(pa.table(cols, schema=docs.schema), f"{out}/documents.parquet")
     print(f"documents: {len(d['doc_id'])} -> {len(cols['doc_id'])}")
