@@ -35,16 +35,36 @@ object DdSketch {
 
   val DefaultAlpha = 0.01
 
-  case class Buf(pos: Map[Int, Long], neg: Map[Int, Long], zero: Long)
+  /** Buffer maps are typed `collection.Map` so the HOT path can mutate:
+    * within a partition the buffer holds a `mutable.HashMap` and
+    * reduce() updates it in place (one hash probe per row, zero
+    * allocation) — a per-row immutable `updated` would rebuild a HAMT
+    * path per document on the exact map-side-partial path the sketch
+    * exists to keep cheap. Only at exchange boundaries does the
+    * encoder materialize (and deserialize back) an immutable map, and
+    * reduce/merge upgrade such a buffer to mutable exactly once.
+    */
+  case class Buf(pos: scala.collection.Map[Int, Long],
+                 neg: scala.collection.Map[Int, Long], zero: Long)
 
   case class Quantiles(n: Long, p50: Double, p90: Double, p99: Double)
 
-  private def addTo(m: Map[Int, Long], k: Int): Map[Int, Long] =
-    m.updated(k, m.getOrElse(k, 0L) + 1L)
+  private type MMap = scala.collection.mutable.HashMap[Int, Long]
 
-  private def mergeMaps(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
-    if (a.size < b.size) mergeMaps(b, a)
-    else b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+  private def bump(m: MMap, k: Int, v: Long): Unit =
+    m.update(k, m.getOrElse(k, 0L) + v)
+
+  /** The map as a mutable HashMap — itself when already mutable (the
+    * in-partition case), else a one-time copy (post-deserialization).
+    */
+  private def asMutable(m: scala.collection.Map[Int, Long]): MMap = m match {
+    case hm: MMap @unchecked => hm
+    case other =>
+      val hm = new scala.collection.mutable.HashMap[Int, Long](
+        other.size * 2 + 8, scala.collection.mutable.HashMap.defaultLoadFactor)
+      other.foreach { case (k, v) => hm.update(k, v) }
+      hm
+  }
 
   /** Sketch of doubles; finish() reports n and the 50/90/99th
     * percentile estimates (the report-card set).
@@ -58,16 +78,33 @@ object DdSketch {
       private def value(i: Int): Double =
         2.0 * math.pow(gamma, i) / (gamma + 1.0)
 
-      override def zero: Buf = Buf(Map.empty, Map.empty, 0L)
+      override def zero: Buf =
+        Buf(new scala.collection.mutable.HashMap[Int, Long](),
+          new scala.collection.mutable.HashMap[Int, Long](), 0L)
 
       override def reduce(b: Buf, x: Double): Buf =
         if (x.isNaN) b
-        else if (x > 0.0) b.copy(pos = addTo(b.pos, bucket(x)))
-        else if (x < 0.0) b.copy(neg = addTo(b.neg, bucket(-x)))
-        else b.copy(zero = b.zero + 1L)
+        else if (x > 0.0) {
+          val m = asMutable(b.pos)
+          bump(m, bucket(x), 1L)
+          if (m eq b.pos) b else b.copy(pos = m)
+        } else if (x < 0.0) {
+          val m = asMutable(b.neg)
+          bump(m, bucket(-x), 1L)
+          if (m eq b.neg) b else b.copy(neg = m)
+        } else b.copy(zero = b.zero + 1L)
 
-      override def merge(a: Buf, b: Buf): Buf =
-        Buf(mergeMaps(a.pos, b.pos), mergeMaps(a.neg, b.neg), a.zero + b.zero)
+      override def merge(a: Buf, b: Buf): Buf = {
+        // fold the smaller side into the larger one's mutable form
+        val (big, small) =
+          if (a.pos.size + a.neg.size >= b.pos.size + b.neg.size) (a, b)
+          else (b, a)
+        val pos = asMutable(big.pos)
+        val neg = asMutable(big.neg)
+        small.pos.foreach { case (k, v) => bump(pos, k, v) }
+        small.neg.foreach { case (k, v) => bump(neg, k, v) }
+        Buf(pos, neg, a.zero + b.zero)
+      }
 
       /** Rank walk in value order: negatives from the largest-magnitude
         * bucket down, then zeros, then positives ascending.

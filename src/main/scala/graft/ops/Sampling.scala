@@ -55,7 +55,16 @@ object Sampling {
                      k: Int): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + 1.0d) / 4294967297.0d
-    val w = greatest(coalesce(col(weightCol).cast("double"), lit(1.0d)),
+    // NaN must be routed through the clamp explicitly: greatest(NaN, x)
+    // returns NaN, NaN arithmetic floors to a 0 key on cast, and 0
+    // outranks every legitimate (strictly negative) key — the same
+    // sample-takeover the clamp exists to prevent. nanvl(NaN -> null)
+    // then coalesce gives NaN the null treatment (default weight 1).
+    // For integer weight columns (this engine's callers) nanvl is a
+    // no-op, so the DuckDB oracle mirror is unchanged.
+    val w = greatest(
+      coalesce(nanvl(col(weightCol).cast("double"), lit(null).cast("double")),
+        lit(1.0d)),
       lit(1e-4d))
     df.withColumn("es_key_q", floor(log(u) / w * 1e12d).cast("long"))
       .orderBy(col("es_key_q").desc, col(idCol))

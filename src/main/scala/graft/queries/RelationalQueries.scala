@@ -507,7 +507,10 @@ object RelationalQueries {
     val spark = s
     import spark.implicits._
     Tables.documents(s, dir)
-      .select(col("source"), col("n_chars").cast("double").as("v"))
+      // null length deserializing into a primitive Double would throw;
+      // treat it as 0 like the sibling length consumers
+      .select(col("source"),
+        coalesce(col("n_chars"), lit(0L)).cast("double").as("v"))
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapValues(_._2)

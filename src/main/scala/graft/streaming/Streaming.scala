@@ -478,14 +478,23 @@ object Streaming {
       var ewvar = st.ewvarQ
       var nw = st.nWindows
       val outs = closed.sortBy(_.start).map { w =>
-        val xq = math.floorDiv(w.sum * 10000L, math.max(w.n, 1L))
+        // quantized mean and squared deviation go through DOUBLES with
+        // a floor, not pure Long arithmetic: d·d overflows a Long once
+        // a window's mean shifts by > ~3e5 chars (exactly the extreme
+        // drift the monitor exists to catch — wrap-around would
+        // silently suppress THAT alert and drive ewvar negative).
+        // Doubles are exact for every realistic magnitude (< 2^53) and
+        // deterministic for all of them; dd additionally clamps to a
+        // ceiling that keeps every downstream comparison finite.
+        val xq = math.floor(
+          w.sum.toDouble * 10000.0 / math.max(w.n, 1L).toDouble).toLong
         val (ddq, alert) =
           if (nw == 0L) { ewma = xq; (0L, false) }
           else {
-            val d = xq - ewma
-            val dd = math.floorDiv(d * d, 10000L)
+            val d = (xq - ewma).toDouble
+            val dd = math.min(math.floor(d * d / 10000.0), 9.0e17).toLong
             val a = nw >= warmup && dd > 9L * ewvar + 1L
-            ewma += math.floorDiv(d, 4L)
+            ewma += math.floorDiv(xq - ewma, 4L)
             ewvar += math.floorDiv(dd - ewvar, 4L)
             (dd, a)
           }
@@ -539,6 +548,10 @@ object Streaming {
       .select(coalesce(col(sourceCol), lit("")).as("source"),
         col(tsCol).cast("timestamp").as("ts"),
         coalesce(col(lenCol), lit(0L)).cast("long").as("n_chars"))
+      // null timestamps: the watermark filter does NOT drop them (a
+      // null predicate is not late), and they would NPE in the state
+      // function — an un-timestamped record cannot join any window
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .as[DriftEvent]
       .groupByKey(_.source)

@@ -70,9 +70,17 @@ class DdSketchSpec extends SparkTestBase {
 
   test("merge is commutative on disjoint and overlapping buffers") {
     val agg = DdSketch.quantiles()
-    val a = Seq(1.0, 5.0, 5.0, -2.0, 0.0).foldLeft(agg.zero)(agg.reduce)
-    val b = Seq(5.0, 1000.0, 0.0).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.merge(a, b) === agg.merge(b, a))
-    assert(agg.finish(agg.merge(a, b)).n === 8L)
+    // merge may mutate its larger argument (the in-partition fast
+    // path), so each call gets freshly built buffers
+    def a() = Seq(1.0, 5.0, 5.0, -2.0, 0.0).foldLeft(agg.zero)(agg.reduce)
+    def b() = Seq(5.0, 1000.0, 0.0).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(a(), b()) === agg.merge(b(), a()))
+    assert(agg.finish(agg.merge(a(), b())).n === 8L)
+    // an immutable (post-deserialization-shaped) buffer merges too
+    val frozen = {
+      val x = a()
+      x.copy(pos = x.pos.toMap, neg = x.neg.toMap)
+    }
+    assert(agg.merge(frozen, b()) === agg.merge(a(), b()))
   }
 }

@@ -464,6 +464,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("drift monitor: an extreme shift still alerts (no d*d wraparound)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Long)]
+    val out = Streaming.driftMonitor(
+      in.toDF().toDF("source", "ts", "n_chars"), watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("drift_big")
+      .outputMode("append").start()
+    try {
+      // four tiny steady windows, then a GIGANTIC one: the squared
+      // deviation (~1e26 in q-units) would wrap a pure-Long d*d
+      // negative and silently suppress exactly this alert
+      val evs = (0 to 3).map(m => ("g", ts(m), 10L)) :+
+        ("g", ts(4), 1000000000L)
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      in.addData(("zz", ts(30), 1L)); q.processAllAvailable()
+      in.addData(("zz", ts(50), 1L)); q.processAllAvailable()
+      val rows = spark.table("drift_big").filter(col("source") === "g")
+        .orderBy("window_start")
+        .select("dd_q", "ewvar_q", "alert")
+        .as[(Long, Long, Boolean)].collect()
+      assert(rows.length === 5)
+      assert(rows.last._3, "the extreme shift MUST alert")
+      assert(rows.forall(r => r._1 >= 0L && r._2 >= 0L),
+        "deviation and variance never go negative")
+    } finally q.stop()
+  }
+
   test("drift monitor: window closing order is batch-boundary-proof") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
