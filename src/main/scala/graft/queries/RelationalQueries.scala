@@ -503,6 +503,50 @@ object RelationalQueries {
     * rows-only driver check; DdSketchSpec pins the ≤α relative-error
     * guarantee against exact ranks and partition-order-proof identity.
     */
+  // ---- q_source_drift: batch EWMA drift report --------------------------
+
+  /** Per-event-type hourly drift report (graft.ops.Drift.sourceDrift) —
+    * the batch twin of the streaming drift monitor, sharing its exact
+    * integer fold (graft.ops.DriftMath). The oracle replays the same
+    * recurrence as a DuckDB RECURSIVE CTE, so the quantized
+    * EWMA/EW-variance/alert trajectory is hash-checked end to end —
+    * and the streaming monitor is covered transitively through the
+    * shared arithmetic.
+    */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.sourceDrift(Tables.events(s, dir))
+
+  val sourceDriftSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT coalesce(event_type, '') AS source,
+      |    date_trunc('hour', ts) AS window_start,
+      |    count(*) AS n,
+      |    CAST(sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0)) AS BIGINT) AS sum_vq
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |i AS (SELECT source, window_start, n, sum_vq,
+      |  CAST(floor(CAST(sum_vq AS DOUBLE) * 10000.0 / CAST(greatest(n, 1) AS DOUBLE)) AS BIGINT) AS xq,
+      |  row_number() OVER (PARTITION BY source ORDER BY window_start) AS rn
+      | FROM w),
+      |r AS (
+      |  SELECT source, window_start, n, xq, rn,
+      |    CAST(0 AS BIGINT) AS dd_q, xq AS ewma_q,
+      |    CAST(0 AS BIGINT) AS ewvar_q, false AS alert
+      |  FROM i WHERE rn = 1
+      |  UNION ALL
+      |  SELECT source, window_start, n, xq, rn, dd AS dd_q,
+      |    prev_ewma + CAST(floor((xq - prev_ewma) / 4.0) AS BIGINT) AS ewma_q,
+      |    prev_ewvar + CAST(floor((dd - prev_ewvar) / 4.0) AS BIGINT) AS ewvar_q,
+      |    (rn - 1 >= 3 AND dd > 9 * prev_ewvar + 1) AS alert
+      |  FROM (
+      |    SELECT i.source, i.window_start, i.n, i.xq, i.rn,
+      |      r.ewma_q AS prev_ewma, r.ewvar_q AS prev_ewvar,
+      |      CAST(least(floor(CAST(i.xq - r.ewma_q AS DOUBLE)
+      |        * CAST(i.xq - r.ewma_q AS DOUBLE) / 10000.0), 9e17) AS BIGINT) AS dd
+      |    FROM r JOIN i ON i.source = r.source AND i.rn = r.rn + 1))
+      |SELECT source, window_start, CAST(n AS BIGINT) AS n, xq AS x_q,
+      |  dd_q, ewma_q, ewvar_q, alert
+      |FROM r""".stripMargin
+
   def ddQuantiles(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._

@@ -458,7 +458,7 @@ object Streaming {
     * 1-char jitter.
     */
   val DriftWindowMs: Long = 60000L
-  val DriftWarmupWindows: Long = 3L
+  val DriftWarmupWindows: Long = graft.ops.DriftMath.Warmup
 
   def driftMonitor(docs: DataFrame, tsCol: String = "ts",
                    sourceCol: String = "source", lenCol: String = "n_chars",
@@ -472,35 +472,22 @@ object Streaming {
     val windowMs = DriftWindowMs
     val warmup = DriftWarmupWindows
 
+    // the recurrence itself lives in graft.ops.DriftMath — ONE fold
+    // arithmetic shared with the batch twin (ops.Drift.sourceDrift),
+    // whose DuckDB recursive-CTE oracle (q_source_drift) hash-checks
+    // it; this streaming form inherits that coverage through the
+    // shared code path
     def fold(source: String, st: DriftState,
              closed: Seq[DriftWin]): (DriftState, List[DriftOut]) = {
       var ewma = st.ewmaQ
       var ewvar = st.ewvarQ
       var nw = st.nWindows
       val outs = closed.sortBy(_.start).map { w =>
-        // quantized mean and squared deviation go through DOUBLES with
-        // a floor, not pure Long arithmetic: d·d overflows a Long once
-        // a window's mean shifts by > ~3e5 chars (exactly the extreme
-        // drift the monitor exists to catch — wrap-around would
-        // silently suppress THAT alert and drive ewvar negative).
-        // Doubles are exact for every realistic magnitude (< 2^53) and
-        // deterministic for all of them; dd additionally clamps to a
-        // ceiling that keeps every downstream comparison finite.
-        val xq = math.floor(
-          w.sum.toDouble * 10000.0 / math.max(w.n, 1L).toDouble).toLong
-        val (ddq, alert) =
-          if (nw == 0L) { ewma = xq; (0L, false) }
-          else {
-            val d = (xq - ewma).toDouble
-            val dd = math.min(math.floor(d * d / 10000.0), 9.0e17).toLong
-            val a = nw >= warmup && dd > 9L * ewvar + 1L
-            ewma += math.floorDiv(xq - ewma, 4L)
-            ewvar += math.floorDiv(dd - ewvar, 4L)
-            (dd, a)
-          }
-        nw += 1L
-        DriftOut(source, new Timestamp(w.start), w.n, xq, ewma, ddq,
-          ewvar, alert)
+        val s = graft.ops.DriftMath.step(ewma, ewvar, nw,
+          graft.ops.DriftMath.xq(w.sum, w.n), warmup)
+        ewma = s.ewma; ewvar = s.ewvar; nw += 1L
+        DriftOut(source, new Timestamp(w.start), w.n, s.xq, s.ewma, s.ddq,
+          s.ewvar, s.alert)
       }
       (DriftState(ewma, ewvar, nw, Seq.empty), outs.toList)
     }
