@@ -147,6 +147,98 @@ object Score {
 
   val KnDiscount = 0.75
 
+  /** Interpolated Kneser–Ney TRIGRAM log-probability — the full
+    * higher-order construction of Chen & Goodman §4.1.6 (the shape
+    * KenLM builds for CCNet's 5-gram filter, here at order 3):
+    *
+    *   P₃(w|u,v) = (max(c(uvw) − D, 0) + D·N1+(uv·)·P₂(w|v)) / c(uv·)
+    *   P₂(w|v)   = (max(N1+(·vw) − D, 0) + D·N1+c(v·)·P₁(w)) / N1+(·v·)
+    *   P₁(w)     = N1+(·w) / |bigram types|
+    *
+    * The essential KN property holds at EVERY level: the middle order
+    * is estimated from CONTINUATION counts (how many distinct contexts
+    * u precede the bigram vw), not raw counts — a bigram frequent only
+    * inside one boilerplate trigram contributes almost nothing to the
+    * backoff mass, exactly the behavior that makes KN the right
+    * smoothing for de-boilerplated web text.
+    *
+    * Scale shape: one trigram explode + one bigram explode (the
+    * unigram continuation marginal is bigram-based, per the
+    * construction). EVERY marginal folds from the two persisted TYPE
+    * tables (trigram pair-counts, bigram types) — N1+(uv·) and c(uv·)
+    * key on (u,v); the continuation table N1+(·vw) keys on (v,w) and
+    * its own marginals on v; nothing re-scans the corpus. The two type
+    * totals are driver longs. Per-trigram quantization before the
+    * per-doc BIGINT sum, as everywhere.
+    */
+  def knTrigramLogprobs(df: DataFrame, idCol: String, textCol: String,
+                        discount: Double = KnDiscount): DataFrame = {
+    // the three type tables each feed 2-3 consumers; persisted frames
+    // are released by the caller's clearCache, like the bigram op
+    def keep(d: DataFrame): DataFrame =
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = df.withColumn("__toks",
+      graft.text.TextMetrics.tokens(col(textCol)))
+    val tri = toks
+      .select(col(idCol).as("id"), explode(
+        when(size(col("__toks")) >= 3,
+          transform(sequence(lit(0), size(col("__toks")) - 3),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"),
+              element_at(col("__toks"), i + 3).as("w3"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val bi = toks
+      .select(col(idCol).as("id"), explode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // trigram pair-count table: feeds the (u,v) context marginals, the
+    // continuation table, and the scoring join
+    val c3 = keep(tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    val ctx3 = c3.groupBy("w1", "w2")
+      .agg(sum("c3").as("cs3"), count(lit(1)).as("n1f3"))
+    // N1+(·vw): distinct preceding contexts per (v,w) — rows per (v,w)
+    // in the TYPE table; feeds its own v-marginals and the scoring join
+    val cont2 = keep(c3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1p23")))
+    val midctx = cont2.groupBy("w2")
+      .agg(sum("n1p23").as("denom2"), count(lit(1)).as("n1fc2"))
+    // bigram-based unigram continuation: N1+(·w) / |bigram types|
+    val cb2 = keep(bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb")))
+    val n1r = cb2.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("n1r"))
+    val t2 = cb2.count().toDouble
+    // association pinned to mirror the oracle SQL token-for-token
+    val p2 = (greatest(col("n1p23").cast("double") - discount, lit(0.0))
+      + ((lit(discount) * col("n1fc2")) * col("n1r")) / lit(t2)) /
+      col("denom2")
+    val p3 = (greatest(col("c3").cast("double") - discount, lit(0.0))
+      + (lit(discount) * col("n1f3")) * col("__p2")) / col("cs3")
+    val scored = tri
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(ctx3, Seq("w1", "w2"))
+      .join(cont2, Seq("w2", "w3"))
+      .join(midctx, Seq("w2"))
+      .join(n1r, Seq("w3"))
+      .withColumn("__p2", p2)
+      .withColumn("k3lp_q", floor(log(p3) * 10000).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("k3lp_q").as("kn3_lp_sum_q"))
+    val out = df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("kn3_lp_sum_q"), lit(0L)).as("kn3_lp_sum_q"))
+    out
+  }
+
   /** Interpolated Kneser–Ney bigram log-probability — the actual
     * smoothing family behind the KenLM models CCNet/CC-Net-style
     * pipelines filter with (Heafield 2011; Chen & Goodman 1998 §4.1.6),

@@ -690,6 +690,61 @@ object CurationQueries {
        |FROM documents d LEFT JOIN rk USING (doc_id)""".stripMargin
   }
 
+  // ---- q_kn_trigram: order-3 interpolated Kneser–Ney ---------------------
+
+  /** Trigram KN scoring (graft.ops.Score.knTrigramLogprobs) with the
+    * quantized per-trigram perplexity proxy — the order-3 step toward
+    * the 5-gram KenLM CCNet filters with, continuation-smoothed at
+    * every backoff level.
+    */
+  def knTrigram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Score.knTrigramLogprobs(
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("ppl3_q",
+        when(col("n_trigrams") > 0,
+          floor((-col("kn3_lp_sum_q")).cast("double")
+            / col("n_trigrams").cast("double")))
+          .otherwise(lit(0L)).cast("long"))
+
+  val knTrigramSql: String = {
+    val d = graft.ops.Score.KnDiscount
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |tr AS (SELECT doc_id, unnest(toks[1 : len(toks) - 2]) AS w1,
+       |              unnest(toks[2 : len(toks) - 1]) AS w2,
+       |              unnest(toks[3 : len(toks)]) AS w3
+       |       FROM t WHERE len(toks) >= 3),
+       |b AS (SELECT unnest(toks[1 : len(toks) - 1]) AS w1,
+       |             unnest(toks[2 : len(toks)]) AS w2
+       |      FROM t WHERE len(toks) >= 2),
+       |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+       |ctx3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS cs3,
+       |           count(*) AS n1f3 FROM c3 GROUP BY w1, w2),
+       |cont2 AS (SELECT w2, w3, count(*) AS n1p23 FROM c3 GROUP BY w2, w3),
+       |midctx AS (SELECT w2, CAST(sum(n1p23) AS BIGINT) AS denom2,
+       |             count(*) AS n1fc2 FROM cont2 GROUP BY w2),
+       |cb2 AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+       |n1r AS (SELECT w2 AS w3, count(*) AS n1r FROM cb2 GROUP BY w2),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t2 FROM cb2),
+       |sc AS (SELECT tr.doc_id,
+       |  CAST(floor(ln((greatest(CAST(c3.c3 AS DOUBLE) - $d, 0.0)
+       |    + ($d * ctx3.n1f3) * ((greatest(CAST(cont2.n1p23 AS DOUBLE) - $d, 0.0)
+       |        + (($d * midctx.n1fc2) * n1r.n1r) / tt.t2) / midctx.denom2))
+       |    / ctx3.cs3) * 10000) AS BIGINT) AS k3lp_q
+       | FROM tr JOIN c3 USING (w1, w2, w3) JOIN ctx3 USING (w1, w2)
+       |      JOIN cont2 USING (w2, w3) JOIN midctx USING (w2)
+       |      JOIN n1r USING (w3) CROSS JOIN tt),
+       |agg AS (SELECT doc_id, count(*) AS n_trigrams,
+       |          CAST(sum(k3lp_q) AS BIGINT) AS kn3_lp_sum_q
+       |        FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |  CAST(coalesce(a.kn3_lp_sum_q, 0) AS BIGINT) AS kn3_lp_sum_q,
+       |  CAST(CASE WHEN coalesce(a.n_trigrams, 0) > 0
+       |    THEN floor(CAST(-a.kn3_lp_sum_q AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE))
+       |    ELSE 0 END AS BIGINT) AS ppl3_q
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   // ---- q_span_removal: maximal duplicated-span excision -----------------
 
   def spanRemoval(s: SparkSession, dir: String): DataFrame =

@@ -309,4 +309,35 @@ class CurationSpec extends SparkTestBase {
     assert(ab < 0 && ab > math.floor(math.log(2.0 / 3.0) * 10000) - 10000)
     spark.catalog.clearCache()
   }
+
+  test("kneser-ney trigram logprobs: hand-computed two-doc fixture") {
+    // corpus: doc1 "a b c a b c", doc2 "a b d"
+    // trigrams: abc×2, bca, cab (doc1); abd (doc2)
+    // bigram TYPES: ab, bc, ca, bd -> T2 = 4; N1+(·w): b=1 c=1 a=1 d=1
+    val D = 0.75
+    val t2 = 4.0
+    // P2(w|v) = (max(N1+(·vw)−D,0) + D·N1+c(v·)·(N1+(·w)/T2)) / N1+(·v·)
+    def p2(n1p23: Long, n1fc2: Long, n1r: Long, denom2: Long): Double =
+      (math.max(n1p23 - D, 0.0) + ((D * n1fc2) * n1r) / t2) / denom2
+    def lp3(c3: Long, cs3: Long, n1f3: Long, p2v: Double): Long =
+      math.floor(math.log(
+        (math.max(c3 - D, 0.0) + (D * n1f3) * p2v) / cs3) * 10000).toLong
+    // contexts: (a,b): cs3=3 n1f3=2; (b,c): 1,1; (c,a): 1,1
+    // continuations N1+(·vw): (b,c)=1 (c,a)=1 (a,b)=1 (b,d)=1
+    // v-marginals: b: denom2=2 n1fc2=2; c: 1,1; a: 1,1
+    val abc = lp3(2, 3, 2, p2(1, 2, 1, 2)) // w2=b, w3=c
+    val bca = lp3(1, 1, 1, p2(1, 1, 1, 1)) // w2=c, w3=a
+    val cab = lp3(1, 1, 1, p2(1, 1, 1, 1)) // w2=a, w3=b
+    val abd = lp3(1, 3, 2, p2(1, 2, 1, 2)) // w2=b, w3=d
+    val out = graft.ops.Score.knTrigramLogprobs(
+      docsDf((1L, "a b c a b c"), (2L, "a b d"), (3L, "a b"), (4L, null)),
+      "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("kn3_lp_sum_q")))).toMap
+    assert(out(1L) === ((4L, 2 * abc + bca + cab)))
+    assert(out(2L) === ((1L, abd)))
+    // sub-trigram and null docs are unscorable, not dropped
+    assert(out(3L) === ((0L, 0L)) && out(4L) === ((0L, 0L)))
+    spark.catalog.clearCache()
+  }
 }
