@@ -221,14 +221,20 @@ object Score {
       col("denom2")
     val p3 = (greatest(col("c3").cast("double") - discount, lit(0.0))
       + (lit(discount) * col("n1f3")) * col("__p2")) / col("cs3")
-    val scored = tri
-      .join(c3, Seq("w1", "w2", "w3"))
+    // the smoothed logprob depends only on the TRIGRAM TYPE: fold all
+    // five marginals into the type table (every join there is
+    // type-table-sized), then the corpus-length frame shuffles through
+    // ONE join keyed on the triple — not five
+    val lpByType = c3
       .join(ctx3, Seq("w1", "w2"))
       .join(cont2, Seq("w2", "w3"))
       .join(midctx, Seq("w2"))
       .join(n1r, Seq("w3"))
       .withColumn("__p2", p2)
       .withColumn("k3lp_q", floor(log(p3) * 10000).cast("long"))
+      .select("w1", "w2", "w3", "k3lp_q")
+    val scored = tri
+      .join(lpByType, Seq("w1", "w2", "w3"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_trigrams"), sum("k3lp_q").as("kn3_lp_sum_q"))
     val out = df.select(col(idCol).as("id"))
@@ -294,11 +300,17 @@ object Score {
     // (max(cb−D, 0) + ((D·n1f)·n1r)/T) / cs
     val p = (greatest(col("cb").cast("double") - discount, lit(0.0))
       + ((lit(discount) * col("n1f")) * col("n1r")) / lit(types)) / col("cs")
-    val scored = bi
-      .join(cb, Seq("w1", "w2"))
+    // the smoothed logprob is a function of the PAIR TYPE alone, so
+    // compute it on the (vocab²-bounded) type table — the marginal
+    // joins stay type-table-sized — and the corpus-length frame joins
+    // ONCE, keyed on the pair, instead of shuffling through three joins
+    val lpByType = cb
       .join(cs, Seq("w1"))
       .join(cr, Seq("w2"))
       .withColumn("klp_q", floor(log(p) * 10000).cast("long"))
+      .select("w1", "w2", "klp_q")
+    val scored = bi
+      .join(lpByType, Seq("w1", "w2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), sum("klp_q").as("kn_lp_sum_q"))
     df.select(col(idCol).as("id"))
