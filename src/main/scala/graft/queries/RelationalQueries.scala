@@ -503,6 +503,29 @@ object RelationalQueries {
     * rows-only driver check; DdSketchSpec pins the ≤α relative-error
     * guarantee against exact ranks and partition-order-proof identity.
     */
+  // ---- q_zorder_key: Morton clustering key ------------------------------
+
+  /** The Z-order (Morton) clustering key over (n_chars, doc_id mod
+    * 2¹⁶) — the sort key graft.sources.Layout.writeZOrdered lays files
+    * out by. Pure bit arithmetic, so the key itself is oracle-exact;
+    * the pruning effect of the layout is pinned by LayoutSpec (fewer
+    * files intersect a 2-D box predicate than under a linear sort).
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.sources.Layout.zValue(col("n_chars"),
+          pmod(col("doc_id"), lit(65536L))).as("z_key"))
+
+  val zorderKeySql: String = {
+    import graft.sources.Layout
+    s"""WITH c AS (SELECT doc_id,
+       |  ${Layout.zClampSql("n_chars")} AS zx,
+       |  ${Layout.zClampSql("doc_id % 65536")} AS zy
+       | FROM documents)
+       |SELECT doc_id, ${Layout.zTermsSql("zx", "zy")} AS z_key FROM c""".stripMargin
+  }
+
   // ---- q_source_drift: batch EWMA drift report --------------------------
 
   /** Per-event-type hourly drift report (graft.ops.Drift.sourceDrift) —
