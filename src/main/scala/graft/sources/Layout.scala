@@ -63,6 +63,41 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Compaction plan for a small-file table: first-fit-decreasing bin
+    * packing of file sizes into merge groups near `targetBytes` — the
+    * maintenance pass that keeps a long-lived corpus table's file count
+    * (and therefore driver listing/planning cost) bounded as
+    * incremental batches accrete. Deterministic: files sort by
+    * (size desc, name) and bins fill in creation order, so the same
+    * listing always yields the same plan. Files already ≥ target stay
+    * alone (rewriting them buys nothing). Pure planning — the caller
+    * executes each group with a coalesce(1) read-rewrite, so the
+    * planner never touches data.
+    */
+  def planCompaction(files: Seq[(String, Long)],
+                     targetBytes: Long): Seq[Seq[String]] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sorted = files.sortBy { case (name, size) => (-size, name) }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[String], Long)]
+    sorted.foreach { case (name, size) =>
+      if (size >= targetBytes)
+        bins += ((scala.collection.mutable.ArrayBuffer(name), size))
+      else {
+        val i = bins.indexWhere { case (members, tot) =>
+          tot + size <= targetBytes && tot < targetBytes &&
+            !(members.length == 1 && tot >= targetBytes)
+        }
+        if (i >= 0) {
+          val (members, tot) = bins(i)
+          members += name
+          bins(i) = (members, tot + size)
+        } else bins += ((scala.collection.mutable.ArrayBuffer(name), size))
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
   /** Parquet bloom filters on point-lookup columns (dedup keys, ids):
     * split-level membership pruning for equality predicates that
     * min/max statistics cannot serve (hash-like columns have useless

@@ -76,6 +76,26 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$base/zorder").count() === pts.length)
   }
 
+  test("compaction plan: FFD bins near target, big files stay alone") {
+    val files = Seq(("a", 90L), ("b", 60L), ("c", 40L), ("d", 30L),
+      ("e", 30L), ("f", 10L), ("g", 200L))
+    val plan = Layout.planCompaction(files, targetBytes = 100L)
+    // every file exactly once
+    assert(plan.flatten.sorted === files.map(_._1).sorted)
+    // the oversized file is left alone (rewriting buys nothing)
+    assert(plan.exists(_ == Seq("g")))
+    // no bin exceeds target unless it is a single oversized file
+    val sizes = files.toMap
+    plan.foreach { bin =>
+      val tot = bin.map(sizes).sum
+      assert(tot <= 100L || bin.length == 1, s"overfull bin $bin")
+    }
+    // deterministic: same listing (any order) -> same plan
+    assert(Layout.planCompaction(files.reverse, 100L) === plan)
+    // small files actually merge: fewer bins than files
+    assert(plan.length < files.length)
+  }
+
   test("bloom filter option lands in the parquet footers") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("bloom").toString
