@@ -51,4 +51,28 @@ object Incremental {
     process(cur.join(todo, Seq(idCol), "left_semi"))
       .unionByName(prevOut.join(keep, Seq(idCol), "left_semi"))
   }
+
+  /** Snapshot MERGE — the copy-on-write upsert/delete that produces the
+    * NEXT corpus snapshot from the current one plus a change set (what
+    * Delta/Iceberg `MERGE INTO` does, as plain relational algebra):
+    * rows named by `deletes` fall out, rows named by `upserts` are
+    * replaced wholesale, everything else carries forward untouched.
+    * Feeding the result and the old snapshot to [[SnapshotDiff.diff]] /
+    * [[processDelta]] closes the loop: merge → diff → delta-only
+    * reprocess.
+    *
+    * Scale shape: two LEFT-ANTI joins keyed on the id plus a union —
+    * the unchanged majority is never rewritten row-by-row, never
+    * compared column-by-column, and its text never moves except
+    * through the id joins. Change sets are delta-sized, so AQE
+    * broadcasts both anti-join build sides; with the snapshot bucketed
+    * on the id even that exchange disappears.
+    */
+  def applyDelta(snapshot: DataFrame, upserts: DataFrame,
+                 deletes: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    snapshot
+      .join(deletes.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(upserts.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(upserts)
 }

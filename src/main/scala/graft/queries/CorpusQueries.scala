@@ -23,6 +23,50 @@ object CorpusQueries {
   private def bucketOf(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
+  // ---- q_apply_delta: copy-on-write snapshot MERGE ----------------------
+
+  /** Snapshot MERGE (graft.ops.Incremental.applyDelta): a synthesized
+    * change set — 10% of docs updated in place, 10% deleted, 10%
+    * spawning new ids — applied to the documents snapshot; the oracle
+    * rebuilds the merged table relationally, so every carried-forward,
+    * replaced, and inserted row (id, status, content md5) is
+    * hash-checked.
+    */
+  def applyDelta(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(s, dir).select("doc_id", "text")
+    val ups = snap.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" [rev2]")).as("text"))
+      .unionByName(snap.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    val dels = snap.filter(col("doc_id") % 10 === 2).select("doc_id")
+    graft.ops.Incremental.applyDelta(snap, ups, dels)
+      .select(col("doc_id"),
+        when(col("doc_id") >= 1000000L, "inserted")
+          .when(col("doc_id") % 10 === 0, "updated")
+          .otherwise("kept").as("status"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+  }
+
+  val applyDeltaSql: String =
+    """WITH snap AS (SELECT doc_id, text FROM documents),
+      |ups AS (
+      |  SELECT doc_id, coalesce(text, '') || ' [rev2]' AS text
+      |  FROM snap WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM snap WHERE doc_id % 10 = 1),
+      |kept AS (SELECT s.doc_id, s.text FROM snap s
+      |  WHERE s.doc_id % 10 <> 2
+      |    AND NOT EXISTS (SELECT 1 FROM ups u WHERE u.doc_id = s.doc_id)),
+      |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id >= 1000000 THEN 'inserted'
+      |       WHEN doc_id % 10 = 0 THEN 'updated' ELSE 'kept' END AS status,
+      |  md5(coalesce(text, '')) AS text_md5
+      |FROM merged""".stripMargin
+
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), bucketOf(col("doc_id")).as("bucket"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
-import graft.ops.Incremental
+import graft.ops.{Incremental, SnapshotDiff}
 import graft.text.TextMetrics
 
 /** Incremental processing: carry-forward equals full recompute, and the
@@ -50,5 +50,32 @@ class IncrementalSpec extends SparkTestBase {
     assert(incRows.map(_.getLong(0)).toSeq === (10L until 55L).toSeq)
     // the delta side processed ONLY changed+added rows (10 + 5)
     assert(processed.value === 15L)
+  }
+
+  test("applyDelta: upserts replace, deletes fall out, merge->diff closes") {
+    import spark.implicits._
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val ups = Seq((2L, "two v2"), (9L, "nine")).toDF("doc_id", "text")
+    val dels = Seq(3L).toDF("doc_id")
+    val merged = Incremental.applyDelta(snap, ups, dels)
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "one", 2L -> "two v2", 4L -> "four",
+      9L -> "nine"))
+    // merge -> diff closes the loop: the diff of (snap, merged) must
+    // report exactly the change set that produced it
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+    val d = SnapshotDiff.diff(fp(snap), fp(merged))
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 9L -> "added"))
+    // a doc both deleted AND upserted: the upsert wins (it is the
+    // newer fact about the id)
+    val both = Incremental.applyDelta(snap, ups, Seq(2L, 3L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(both(2L) === "two v2")
   }
 }
