@@ -67,12 +67,33 @@ object Incremental {
     * through the id joins. Change sets are delta-sized, so AQE
     * broadcasts both anti-join build sides; with the snapshot bucketed
     * on the id even that exchange disappears.
+    *
+    * Contract: `upserts` is keyed by the id. A duplicated upsert id
+    * would silently emit a duplicate-id snapshot (which then fans out
+    * through every later diff / processDelta id-join), so — like
+    * Delta/Iceberg `MERGE INTO` on a multi-matching source — the merge
+    * FAILS on one instead. The guard is lazy and delta-sized: a
+    * broadcast self-count join plus a raising filter (filters are
+    * never pruned away, so the check cannot be optimized out). An id
+    * in both `deletes` and `upserts` is well-defined: the old row
+    * falls out, the new version lands.
     */
   def applyDelta(snapshot: DataFrame, upserts: DataFrame,
                  deletes: DataFrame,
-                 idCol: String = "doc_id"): DataFrame =
+                 idCol: String = "doc_id"): DataFrame = {
+    val dupIds = upserts.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_ups"))
+      .filter(col("__n_ups") > 1)
+    val guarded = upserts
+      .join(broadcast(dupIds), Seq(idCol), "left")
+      .filter(when(col("__n_ups").isNotNull,
+        raise_error(concat(
+          lit("applyDelta: upsert change set has duplicate id "),
+          col(idCol).cast("string")))).otherwise(lit(true)))
+      .drop("__n_ups")
     snapshot
       .join(deletes.select(col(idCol)), Seq(idCol), "left_anti")
-      .join(upserts.select(col(idCol)), Seq(idCol), "left_anti")
-      .unionByName(upserts)
+      .join(guarded.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(guarded)
+  }
 }

@@ -110,16 +110,25 @@ object Score {
     * pair once. Per-pair quantization before the per-doc BIGINT sum —
     * order-proof.
     */
+  /** Array of overlapping n-gram structs (fields w1..wn) over a token
+    * array — the shared explode input for [[bigramLogprobs]] and both
+    * KN estimators. One definition keeps the index arithmetic and the
+    * empty-array cast in sync across orders (and with the DuckDB slice
+    * mirrors in the oracle SQL).
+    */
+  private def ngramStructs(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => struct((1 to n).map(j =>
+          element_at(toks, i + j).as(s"w$j")): _*)))
+      .otherwise(array().cast(
+        s"array<struct<${(1 to n).map(j => s"w$j:string").mkString(",")}>>"))
+
   def bigramLogprobs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = df
       .withColumn("__toks", graft.text.TextMetrics.tokens(col(textCol)))
-      .select(col(idCol).as("id"), explode(
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(0), size(col("__toks")) - 2),
-            i => struct(element_at(col("__toks"), i + 1).as("w1"),
-              element_at(col("__toks"), i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("bg"))
+      .select(col(idCol).as("id"),
+        explode(ngramStructs(col("__toks"), 2)).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // cb is vocab²-bounded but feeds two branches (the marginal and the
     // scoring join) — persist so the corpus-wide explode aggregates once
@@ -180,25 +189,13 @@ object Score {
     val toks = df.withColumn("__toks",
       graft.text.TextMetrics.tokens(col(textCol)))
     val tri = toks
-      .select(col(idCol).as("id"), explode(
-        when(size(col("__toks")) >= 3,
-          transform(sequence(lit(0), size(col("__toks")) - 3),
-            i => struct(element_at(col("__toks"), i + 1).as("w1"),
-              element_at(col("__toks"), i + 2).as("w2"),
-              element_at(col("__toks"), i + 3).as("w3"))))
-          .otherwise(array()
-            .cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("tg"))
+      .select(col(idCol).as("id"),
+        explode(ngramStructs(col("__toks"), 3)).as("tg"))
       .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
     val bi = toks
-      .select(col(idCol).as("id"), explode(
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(0), size(col("__toks")) - 2),
-            i => struct(element_at(col("__toks"), i + 1).as("w1"),
-              element_at(col("__toks"), i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("bg"))
+      .select(col(idCol).as("id"),
+        explode(ngramStructs(col("__toks"), 2)).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // trigram pair-count table: feeds the (u,v) context marginals, the
     // continuation table, and the scoring join
@@ -274,13 +271,8 @@ object Score {
                        discount: Double = KnDiscount): DataFrame = {
     val bi = df
       .withColumn("__toks", graft.text.TextMetrics.tokens(col(textCol)))
-      .select(col(idCol).as("id"), explode(
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(0), size(col("__toks")) - 2),
-            i => struct(element_at(col("__toks"), i + 1).as("w1"),
-              element_at(col("__toks"), i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("bg"))
+      .select(col(idCol).as("id"),
+        explode(ngramStructs(col("__toks"), 2)).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // pair counts feed four consumers (type total, both marginals, the
     // scoring join) — persist so the corpus-wide explode aggregates

@@ -521,7 +521,7 @@ object RelationalQueries {
     import graft.sources.Layout
     s"""WITH c AS (SELECT doc_id,
        |  ${Layout.zClampSql("n_chars")} AS zx,
-       |  ${Layout.zClampSql("doc_id % 65536")} AS zy
+       |  ${Layout.zClampSql("((doc_id % 65536) + 65536) % 65536")} AS zy
        | FROM documents)
        |SELECT doc_id, ${Layout.zTermsSql("zx", "zy")} AS z_key FROM c""".stripMargin
   }
@@ -534,7 +534,12 @@ object RelationalQueries {
     * recurrence as a DuckDB RECURSIVE CTE, so the quantized
     * EWMA/EW-variance/alert trajectory is hash-checked end to end —
     * and the streaming monitor is covered transitively through the
-    * shared arithmetic.
+    * shared arithmetic. The quarter-step folds use exact BIGINT floor
+    * division on BOTH sides (math.floorDiv in Scala, the
+    * `(x - nonneg-mod) // 4` identity in SQL): floor(x/4.0) through
+    * doubles rounds once |x| exceeds 2^53, and the dd clamp admits
+    * deviations up to 9e17 — exactly the extreme-drift regime the
+    * monitor exists for.
     */
   def sourceDrift(s: SparkSession, dir: String): DataFrame =
     graft.ops.Drift.sourceDrift(Tables.events(s, dir))
@@ -557,15 +562,17 @@ object RelationalQueries {
       |  FROM i WHERE rn = 1
       |  UNION ALL
       |  SELECT source, window_start, n, xq, rn, dd AS dd_q,
-      |    prev_ewma + CAST(floor((xq - prev_ewma) / 4.0) AS BIGINT) AS ewma_q,
-      |    prev_ewvar + CAST(floor((dd - prev_ewvar) / 4.0) AS BIGINT) AS ewvar_q,
+      |    prev_ewma + (de - (((de % 4) + 4) % 4)) // 4 AS ewma_q,
+      |    prev_ewvar + (dv - (((dv % 4) + 4) % 4)) // 4 AS ewvar_q,
       |    (rn - 1 >= 3 AND dd > 9 * prev_ewvar + 1) AS alert
       |  FROM (
-      |    SELECT i.source, i.window_start, i.n, i.xq, i.rn,
-      |      r.ewma_q AS prev_ewma, r.ewvar_q AS prev_ewvar,
-      |      CAST(least(floor(CAST(i.xq - r.ewma_q AS DOUBLE)
-      |        * CAST(i.xq - r.ewma_q AS DOUBLE) / 10000.0), 9e17) AS BIGINT) AS dd
-      |    FROM r JOIN i ON i.source = r.source AND i.rn = r.rn + 1))
+      |    SELECT q.*, q.xq - q.prev_ewma AS de, q.dd - q.prev_ewvar AS dv
+      |    FROM (
+      |      SELECT i.source, i.window_start, i.n, i.xq, i.rn,
+      |        r.ewma_q AS prev_ewma, r.ewvar_q AS prev_ewvar,
+      |        CAST(least(floor(CAST(i.xq - r.ewma_q AS DOUBLE)
+      |          * CAST(i.xq - r.ewma_q AS DOUBLE) / 10000.0), 9e17) AS BIGINT) AS dd
+      |      FROM r JOIN i ON i.source = r.source AND i.rn = r.rn + 1) q))
       |SELECT source, window_start, CAST(n AS BIGINT) AS n, xq AS x_q,
       |  dd_q, ewma_q, ewvar_q, alert
       |FROM r""".stripMargin

@@ -69,10 +69,12 @@ object Layout {
     * (and therefore driver listing/planning cost) bounded as
     * incremental batches accrete. Deterministic: files sort by
     * (size desc, name) and bins fill in creation order, so the same
-    * listing always yields the same plan. Files already ≥ target stay
-    * alone (rewriting them buys nothing). Pure planning — the caller
-    * executes each group with a coalesce(1) read-rewrite, so the
-    * planner never touches data.
+    * listing always yields the same plan. Only groups that actually
+    * merge (≥ 2 files) are returned: files already ≥ target and
+    * leftover smalls that fit no bin would be 1-file-in → 1-file-out
+    * rewrites — rewriting them buys nothing, so the plan omits them.
+    * Pure planning — the caller executes each group with a coalesce(1)
+    * read-rewrite, so the planner never touches data.
     */
   def planCompaction(files: Seq[(String, Long)],
                      targetBytes: Long): Seq[Seq[String]] = {
@@ -81,21 +83,20 @@ object Layout {
     val bins = scala.collection.mutable.ArrayBuffer.empty[
       (scala.collection.mutable.ArrayBuffer[String], Long)]
     sorted.foreach { case (name, size) =>
-      if (size >= targetBytes)
-        bins += ((scala.collection.mutable.ArrayBuffer(name), size))
-      else {
-        val i = bins.indexWhere { case (members, tot) =>
-          tot + size <= targetBytes && tot < targetBytes &&
-            !(members.length == 1 && tot >= targetBytes)
-        }
-        if (i >= 0) {
-          val (members, tot) = bins(i)
-          members += name
-          bins(i) = (members, tot + size)
-        } else bins += ((scala.collection.mutable.ArrayBuffer(name), size))
+      // an oversized file opens a bin already at/over target, which no
+      // later file can join (tot + size > targetBytes for any size > 0)
+      val i = bins.indexWhere { case (_, tot) =>
+        tot + size <= targetBytes
       }
+      if (i >= 0) {
+        val (members, tot) = bins(i)
+        members += name
+        bins(i) = (members, tot + size)
+      } else bins += ((scala.collection.mutable.ArrayBuffer(name), size))
     }
-    bins.map(_._1.toSeq).toSeq
+    bins.collect { case (members, _) if members.length > 1 =>
+      members.toSeq
+    }.toSeq
   }
 
   /** Parquet bloom filters on point-lookup columns (dedup keys, ids):

@@ -78,4 +78,29 @@ class IncrementalSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(both(2L) === "two v2")
   }
+
+  test("applyDelta: a duplicated upsert id fails the merge, like MERGE INTO") {
+    import spark.implicits._
+    val snap = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    // the same id updated twice in one change set: silently unioning
+    // both rows would emit a duplicate-id snapshot that every later
+    // id-keyed diff join fans out over — the merge must raise instead
+    val dupUps = Seq((2L, "two v2"), (2L, "two v3"), (5L, "five"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Incremental.applyDelta(snap, dupUps, Seq.empty[Long].toDF("doc_id"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate id")),
+      s"unexpected failure: $ex")
+    // and the guard is transparent for a well-keyed change set
+    val ok = Incremental.applyDelta(snap,
+      Seq((2L, "two v2")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ok === Map(1L -> "one", 2L -> "two v2"))
+  }
 }

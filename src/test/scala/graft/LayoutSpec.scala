@@ -80,20 +80,24 @@ class LayoutSpec extends SparkTestBase {
     val files = Seq(("a", 90L), ("b", 60L), ("c", 40L), ("d", 30L),
       ("e", 30L), ("f", 10L), ("g", 200L))
     val plan = Layout.planCompaction(files, targetBytes = 100L)
-    // every file exactly once
-    assert(plan.flatten.sorted === files.map(_._1).sorted)
-    // the oversized file is left alone (rewriting buys nothing)
-    assert(plan.exists(_ == Seq("g")))
-    // no bin exceeds target unless it is a single oversized file
+    // every group actually merges: no 1-file-in -> 1-file-out rewrites
+    assert(plan.forall(_.length > 1), s"no-op singleton group in $plan")
+    // the oversized file is NOT in the plan (rewriting it buys nothing)
+    assert(!plan.flatten.contains("g"))
+    // each small file appears at most once across groups
+    val planned = plan.flatten
+    assert(planned.distinct === planned)
+    // no merge group exceeds the target
     val sizes = files.toMap
     plan.foreach { bin =>
-      val tot = bin.map(sizes).sum
-      assert(tot <= 100L || bin.length == 1, s"overfull bin $bin")
+      assert(bin.map(sizes).sum <= 100L, s"overfull bin $bin")
     }
     // deterministic: same listing (any order) -> same plan
     assert(Layout.planCompaction(files.reverse, 100L) === plan)
-    // small files actually merge: fewer bins than files
-    assert(plan.length < files.length)
+    // the six small files pack into three near-target groups
+    assert(plan === Seq(Seq("a", "f"), Seq("b", "c"), Seq("d", "e")))
+    // a lone unmatched small file is also a no-op, not a group
+    assert(Layout.planCompaction(Seq(("x", 90L)), 100L) === Seq())
   }
 
   test("bloom filter option lands in the parquet footers") {
