@@ -41,10 +41,19 @@ object CorpusQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
     val dels = snap.filter(col("doc_id") % 10 === 2).select("doc_id")
-    graft.ops.Incremental.applyDelta(snap, ups, dels)
+    // status derives from MEMBERSHIP (in the original snapshot / in the
+    // change set), not from an absolute id threshold: the gen_scale.py
+    // sweep fixtures replicate doc_ids into arbitrary higher ranges, so
+    // any constant cut-off would silently mislabel carried-forward rows
+    val merged = graft.ops.Incremental.applyDelta(snap, ups, dels)
+    merged
+      .join(snap.select(col("doc_id"), lit(1).as("__in_snap")),
+        Seq("doc_id"), "left")
+      .join(ups.select(col("doc_id"), lit(1).as("__in_ups")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("doc_id") >= 1000000L, "inserted")
-          .when(col("doc_id") % 10 === 0, "updated")
+        when(col("__in_snap").isNull, "inserted")
+          .when(col("__in_ups").isNotNull, "updated")
           .otherwise("kept").as("status"),
         md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
   }
@@ -61,11 +70,14 @@ object CorpusQueries {
       |  WHERE s.doc_id % 10 <> 2
       |    AND NOT EXISTS (SELECT 1 FROM ups u WHERE u.doc_id = s.doc_id)),
       |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
-      |SELECT doc_id,
-      |  CASE WHEN doc_id >= 1000000 THEN 'inserted'
-      |       WHEN doc_id % 10 = 0 THEN 'updated' ELSE 'kept' END AS status,
-      |  md5(coalesce(text, '')) AS text_md5
-      |FROM merged""".stripMargin
+      |SELECT m.doc_id,
+      |  CASE WHEN s.doc_id IS NULL THEN 'inserted'
+      |       WHEN u.doc_id IS NOT NULL THEN 'updated'
+      |       ELSE 'kept' END AS status,
+      |  md5(coalesce(m.text, '')) AS text_md5
+      |FROM merged m
+      |LEFT JOIN snap s ON m.doc_id = s.doc_id
+      |LEFT JOIN ups u ON m.doc_id = u.doc_id""".stripMargin
 
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -94,6 +106,81 @@ object CorpusQueries {
       |       WHEN p.fp_prev <> c.fp_cur THEN 'changed'
       |       ELSE 'unchanged' END AS status
       |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin
+
+  // ---- q_kmv_vocab: cross-source vocabulary overlap via KMV sketches ---
+
+  private val KmvK = 64
+
+  /** Pairwise source vocabulary overlap (graft.ops.Kmv): per-source
+    * bottom-k sketches over distinct word-BIGRAM 52-bit hashes, then
+    * the KMV set algebra — distinct / union / Jaccard / intersection
+    * estimates. Bigrams (not unigrams) because the phrase universe is
+    * what separates sources — and, on the fixture, it is the universe
+    * large enough (≈700/source) to exercise the ≥k estimator branch.
+    * The md5-prefix hash makes every estimate deterministic, so unlike
+    * the seeded HLL blobs the ESTIMATES are hash-checked against
+    * DuckDB computing the identical bottom-k lists and IEEE
+    * arithmetic.
+    */
+  def kmvVocab(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .withColumn("__toks", graft.text.TextMetrics.tokens(col("text")))
+      .select(col("source"), explode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => concat_ws(" ", element_at(col("__toks"), i + 1),
+              element_at(col("__toks"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("tok"))
+    val sk = graft.ops.Kmv.sketchDistinct(bi, keyCol = "tok",
+      groupCol = "source", k = KmvK)
+    graft.ops.Kmv.overlapReport(sk, KmvK)
+  }
+
+  val kmvVocabSql: String = {
+    val toks = OracleSql.toks("text")
+    val m = "CAST(4503599627370496 AS DOUBLE)" // 2^52, Kmv.HashRange
+    val k = KmvK
+    s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+       |tk AS (SELECT source, w1 || ' ' || w2 AS tok FROM (
+       |  SELECT source, unnest(toks[1 : len(toks) - 1]) AS w1,
+       |         unnest(toks[2 : len(toks)]) AS w2
+       |  FROM t WHERE len(toks) >= 2)),
+       |h AS (SELECT DISTINCT CAST(source AS VARCHAR) AS grp,
+       |    CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) AS h FROM tk),
+       |n AS (SELECT grp, count(*) AS n_exact FROM h GROUP BY grp),
+       |r AS (SELECT grp, h,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT grp, list(h ORDER BY h) AS sk FROM r
+       |       WHERE rn <= $k GROUP BY grp),
+       |s AS (SELECT sk.grp, n.n_exact, sk.sk
+       |      FROM sk JOIN n ON sk.grp = n.grp),
+       |p AS (SELECT a.grp AS group_a, b.grp AS group_b,
+       |        a.n_exact AS n_a, b.n_exact AS n_b, a.sk AS ska, b.sk AS skb,
+       |        list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:$k] AS x
+       |      FROM s a JOIN s b ON a.grp < b.grp),
+       |q AS (SELECT *,
+       |        len(list_intersect(list_intersect(x, ska), skb)) AS nb2,
+       |        CASE WHEN len(x) < $k THEN CAST(len(x) AS DOUBLE)
+       |             ELSE CAST(${k - 1} AS DOUBLE) * $m / CAST(x[least($k, len(x))] AS DOUBLE)
+       |        END AS uest
+       |      FROM p)
+       |SELECT group_a, group_b,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CASE WHEN len(ska) < $k THEN CAST(len(ska) AS BIGINT)
+       |       ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * $m
+       |         / CAST(ska[least($k, len(ska))] AS DOUBLE)) AS BIGINT)
+       |  END AS est_a_q,
+       |  CASE WHEN len(skb) < $k THEN CAST(len(skb) AS BIGINT)
+       |       ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * $m
+       |         / CAST(skb[least($k, len(skb))] AS DOUBLE)) AS BIGINT)
+       |  END AS est_b_q,
+       |  CAST(floor(uest) AS BIGINT) AS union_est_q,
+       |  CAST(floor(CAST(nb2 AS DOUBLE) * 10000.0
+       |    / CAST(len(x) AS DOUBLE)) AS BIGINT) AS jaccard_q,
+       |  CAST(floor(CAST(nb2 AS DOUBLE) / CAST(len(x) AS DOUBLE) * uest)
+       |    AS BIGINT) AS inter_est_q
+       |FROM q""".stripMargin
+  }
 
   // ---- q_oov_rate: per-doc coverage of the top-V corpus vocabulary -----
 

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Kmv
+
+/** KMV sketch properties: estimator accuracy, sketch mergeability, and
+  * partition-order independence — plus the overlap report's set-algebra
+  * identities on constructed universes with KNOWN overlap.
+  */
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K = 64
+
+  test("distinct estimate: exact below k, within KMV error bounds at k") {
+    // universe far above k: estimate within ~4/sqrt(k) relative error
+    val big = (0 until 20000).map(i => ("a", s"tok_$i")).toDF("g", "v")
+    val est = Kmv.sketchDistinct(big, "v", "g", K)
+      .select(Kmv.estimateQ(col("sk"), K)).as[Long].head()
+    val rel = math.abs(est - 20000.0) / 20000.0
+    assert(rel < 4.0 / math.sqrt(K), s"estimate $est off by $rel")
+    // universe below k: the sketch IS the universe, estimate exact
+    val small = (0 until 40).map(i => ("a", s"tok_$i")).toDF("g", "v")
+    val exact = Kmv.sketchDistinct(small, "v", "g", K)
+      .select(Kmv.estimateQ(col("sk"), K)).as[Long].head()
+    assert(exact === 40L)
+  }
+
+  test("sketch is duplicate-proof and partition-order-proof") {
+    val vals = (0 until 5000).map(i => ("a", s"tok_${i % 1000}"))
+    val once = Kmv.sketchDistinct(vals.toDF("g", "v"), "v", "g", K)
+      .select("sk").as[Seq[Long]].head()
+    // duplicates cannot shift the bottom-k of the DISTINCT universe
+    val dedup = Kmv.sketchDistinct(
+      vals.distinct.toDF("g", "v").repartition(7), "v", "g", K)
+      .select("sk").as[Seq[Long]].head()
+    assert(once === dedup)
+    assert(once.length === K && once === once.distinct.sorted)
+  }
+
+  test("merged bottom-k of two sketches = sketch of the unioned universe") {
+    val ua = (0 until 3000).map(i => s"tok_$i")
+    val ub = (1500 until 4500).map(i => s"tok_$i")
+    def sketchOf(vs: Seq[String]) =
+      Kmv.sketchDistinct(vs.map(("g", _)).toDF("g", "v"), "v", "g", K)
+        .select("sk").as[Seq[Long]].head()
+    val merged = (sketchOf(ua) ++ sketchOf(ub)).distinct.sorted.take(K)
+    assert(merged === sketchOf((ua ++ ub).distinct))
+  }
+
+  test("overlap report recovers a constructed 50% overlap") {
+    // |A| = |B| = 4000, |A ∩ B| = 2000, |A ∪ B| = 6000 → Jaccard 1/3
+    val a = (0 until 4000).map(i => ("a", s"tok_$i"))
+    val b = (2000 until 6000).map(i => ("b", s"tok_$i"))
+    val sk = Kmv.sketchDistinct((a ++ b).toDF("g", "v"), "v", "g", K)
+    val r = Kmv.overlapReport(sk, K).collect().head
+    assert(r.getAs[String]("group_a") === "a")
+    assert(r.getAs[Long]("n_a") === 4000L && r.getAs[Long]("n_b") === 4000L)
+    val unionEst = r.getAs[Long]("union_est_q")
+    val jac = r.getAs[Long]("jaccard_q") / 10000.0
+    val interEst = r.getAs[Long]("inter_est_q")
+    assert(math.abs(unionEst - 6000.0) / 6000.0 < 4.0 / math.sqrt(K),
+      s"union est $unionEst")
+    // Jaccard from a k-sample: binomial noise, allow a loose band
+    assert(jac > 0.15 && jac < 0.55, s"jaccard $jac (true 1/3)")
+    assert(interEst > 500 && interEst < 4500,
+      s"intersection est $interEst (true 2000)")
+    // disjoint groups: zero Jaccard, zero intersection — exactly
+    val c = (10000 until 14000).map(i => ("c", s"tok_$i"))
+    val sk2 = Kmv.sketchDistinct((a ++ c).toDF("g", "v"), "v", "g", K)
+    val r2 = Kmv.overlapReport(sk2, K).collect().head
+    assert(r2.getAs[Long]("jaccard_q") === 0L)
+    assert(r2.getAs[Long]("inter_est_q") === 0L)
+  }
+}
