@@ -106,7 +106,8 @@ object Bench {
       "q_media_decode_jpeg", "q_langid_model", "q_media_decode_gif",
       "q_quality_classifier", "q_kn_perplexity", "q_span_removal",
       "q_video_frames", "q_mojibake", "q_phrase_search",
-      "q_kn_trigram", "q_source_drift", "q_apply_delta", "q_zorder_key")
+      "q_kn_trigram", "q_source_drift", "q_apply_delta", "q_zorder_key",
+      "q_kmv_vocab")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
