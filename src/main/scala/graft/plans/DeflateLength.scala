@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DEFLATE-compressed byte length of a string — the compressibility
@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * excluded from the DuckDB oracle (no DEFLATE there — engine-defined,
   * rows-only check, like the tokenizer).
   */
-case class DeflateLength(child: Expression) extends UnaryExpression {
+case class DeflateLength(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Squared L2 distance over two double arrays as a native Catalyst
   * expression — the PQ hot kernel (ops/Pq): encoding runs it m·k times
@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * over the common prefix, like zip_with.
   */
 case class L2SqDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

@@ -4,7 +4,7 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * already-normalized fast path returns the input UTF8String without
   * re-encoding (the overwhelmingly common case for web text).
   */
-case class NfkcNormalize(child: Expression) extends UnaryExpression {
+case class NfkcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

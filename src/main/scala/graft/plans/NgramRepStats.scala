@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * builds + O(u) weight folds per row, one pass, still inside
   * whole-stage codegen.
   */
-case class NgramRepStats(child: Expression) extends UnaryExpression {
+case class NgramRepStats(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
 
   override def dataType: DataType = NgramRepStats.schema
   override def nullIntolerant: Boolean = true

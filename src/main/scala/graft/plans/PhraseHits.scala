@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Multi-phrase substring counting in one Aho-Corasick pass — the
@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * for the usual case-folded scan (profiles are lowercase).
   */
 case class PhraseHits(child: Expression, profile: String)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
 
   require(PhraseHits.Profiles.contains(profile),
     s"unknown phrase profile: $profile")

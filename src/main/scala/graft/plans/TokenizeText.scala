@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The GPT-2-style pre-tokenizer ([[graft.text.Tokenize]] T1) as one
@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Java default, NOT unicode-ws). Ids hash the token's UTF-16 units
   * exactly like String.hashCode, so they are spec-stable across JVMs.
   */
-case class TokenizeText(child: Expression) extends UnaryExpression {
+case class TokenizeText(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
 
   override def dataType: DataType = TokenizeText.OutType
   override def nullIntolerant: Boolean = true
