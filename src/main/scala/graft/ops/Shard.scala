@@ -101,4 +101,38 @@ object Shard {
     */
   def toySample(df: DataFrame, n: Int = 1000, seed: Long = 42): DataFrame =
     df.orderBy(rand(seed)).limit(n)
+
+  /** Deterministic per-epoch corpus shuffle (beyond ref) — the training
+    * ORDER operator: every epoch sees the whole corpus in a different
+    * pseudo-random permutation, reproducible from the data alone
+    * (Megatron/GPT-NeoX-style epoch shuffling, hash-derived instead of
+    * seeded-RNG so it is resumable and oracle-checkable). The shuffle
+    * key is the 52-bit md5 prefix of `id:epoch` ([[Kmv.hash52]]); an
+    * optional `curriculumCol` sorts ahead of the key, giving
+    * curriculum ordering (easy→hard buckets) with a deterministic
+    * shuffle WITHIN each bucket — the two orderings real training
+    * pipelines use, one operator.
+    *
+    * Scale shape: positions come from [[withGlobalSeq]]'s two-pass
+    * partition-offset scheme over (epoch, [curriculum,] key, id) —
+    * never a global sort, never a single-partition window; the
+    * per-epoch rebase is an E-row broadcast join. Epoch replication is
+    * an in-row explode (no shuffle of its own).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   curriculumCol: Option[String] = None): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val keyed = df
+      .select((col(idCol) +: curriculumCol.map(col).toSeq): _*)
+      .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
+      .withColumn("skey", Kmv.hash52(concat(col(idCol).cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+    val orderCols = Seq("epoch") ++ curriculumCol ++ Seq("skey", idCol)
+    val seq = withGlobalSeq(keyed, orderCols, "__gseq")
+    val base = seq.groupBy("epoch").agg(min("__gseq").as("__base"))
+    seq.join(broadcast(base), Seq("epoch"))
+      .select((Seq(col("epoch"), col(idCol)) ++
+        curriculumCol.map(col) :+ col("skey") :+
+        (col("__gseq") - col("__base")).as("position")): _*)
+  }
 }

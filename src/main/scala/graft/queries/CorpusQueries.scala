@@ -107,6 +107,30 @@ object CorpusQueries {
       |       ELSE 'unchanged' END AS status
       |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin
 
+  // ---- q_epoch_shuffle: deterministic per-epoch training order ---------
+
+  /** Three-epoch deterministic corpus shuffle
+    * (graft.ops.Shard.epochShuffle): every epoch is a different
+    * hash-derived permutation of the whole corpus, positions assigned
+    * by the two-pass partition-offset scheme — the oracle's per-epoch
+    * row_number() over the same md5-prefix key checks every position
+    * of every permutation exactly.
+    */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Shard.epochShuffle(
+      Tables.documents(s, dir).select("doc_id"), "doc_id", epochs = 3)
+
+  val epochShuffleSql: String =
+    """WITH e AS (SELECT unnest([1, 2, 3]) AS epoch),
+      |k AS (SELECT d.doc_id, e.epoch,
+      |        CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+      |          || CAST(e.epoch AS VARCHAR)), 1, 13) AS BIGINT) AS skey
+      |      FROM documents d CROSS JOIN e)
+      |SELECT epoch, doc_id, skey,
+      |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id)
+      |    - 1 AS BIGINT) AS position
+      |FROM k""".stripMargin
+
   // ---- q_kmv_vocab: cross-source vocabulary overlap via KMV sketches ---
 
   private val KmvK = 64
