@@ -131,6 +131,39 @@ object CorpusQueries {
       |    - 1 AS BIGINT) AS position
       |FROM k""".stripMargin
 
+  // ---- q_curriculum_order: staged curriculum + in-stage shuffle --------
+
+  /** The curriculum variant of the epoch shuffle: three length-derived
+    * difficulty stages train in order, with the deterministic hash
+    * shuffle WITHIN each stage — every position of both epochs
+    * hash-checked like q_epoch_shuffle.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(coalesce(col("n_chars"), lit(0L)) < 500L, "a_short")
+          .when(coalesce(col("n_chars"), lit(0L)) < 2000L, "b_mid")
+          .otherwise("c_long").as("stage"))
+    graft.ops.Shard.epochShuffle(staged, "doc_id", epochs = 2,
+      curriculumCol = Some("stage"))
+  }
+
+  val curriculumOrderSql: String =
+    """WITH st AS (SELECT doc_id,
+      |    CASE WHEN coalesce(n_chars, 0) < 500 THEN 'a_short'
+      |         WHEN coalesce(n_chars, 0) < 2000 THEN 'b_mid'
+      |         ELSE 'c_long' END AS stage
+      |  FROM documents),
+      |e AS (SELECT unnest([1, 2]) AS epoch),
+      |k AS (SELECT st.doc_id, st.stage, e.epoch,
+      |        CAST('0x' || substr(md5(CAST(st.doc_id AS VARCHAR) || ':'
+      |          || CAST(e.epoch AS VARCHAR)), 1, 13) AS BIGINT) AS skey
+      |      FROM st CROSS JOIN e)
+      |SELECT epoch, doc_id, stage, skey,
+      |  CAST(row_number() OVER (PARTITION BY epoch
+      |    ORDER BY stage, skey, doc_id) - 1 AS BIGINT) AS position
+      |FROM k""".stripMargin
+
   // ---- q_kmv_vocab: cross-source vocabulary overlap via KMV sketches ---
 
   private val KmvK = 64
