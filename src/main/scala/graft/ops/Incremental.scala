@@ -72,11 +72,13 @@ object Incremental {
     * would silently emit a duplicate-id snapshot (which then fans out
     * through every later diff / processDelta id-join), so — like
     * Delta/Iceberg `MERGE INTO` on a multi-matching source — the merge
-    * FAILS on one instead. The guard is lazy and delta-sized: a
-    * broadcast self-count join plus a raising filter (filters are
-    * never pruned away, so the check cannot be optimized out). An id
-    * in both `deletes` and `upserts` is well-defined: the old row
-    * falls out, the new version lands.
+    * FAILS on one instead; a NULL upsert id fails too (a null-keyed
+    * row can never be replaced or deleted later — the id anti-joins
+    * never match null — so it would accumulate forever). The guard is
+    * lazy and delta-sized: a broadcast null-safe self-count join plus
+    * a raising filter (filters are never pruned away, so the check
+    * cannot be optimized out). An id in both `deletes` and `upserts`
+    * is well-defined: the old row falls out, the new version lands.
     */
   def applyDelta(snapshot: DataFrame, upserts: DataFrame,
                  deletes: DataFrame,
@@ -84,13 +86,20 @@ object Incremental {
     val dupIds = upserts.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_ups"))
       .filter(col("__n_ups") > 1)
+      .select(col(idCol).as("__dup_id"), col("__n_ups"))
+    // null-SAFE join: a plain USING join never matches null keys, which
+    // would let duplicated null-id upserts slip past the guard
     val guarded = upserts
-      .join(broadcast(dupIds), Seq(idCol), "left")
-      .filter(when(col("__n_ups").isNotNull,
-        raise_error(concat(
-          lit("applyDelta: upsert change set has duplicate id "),
-          col(idCol).cast("string")))).otherwise(lit(true)))
-      .drop("__n_ups")
+      .join(broadcast(dupIds), col(idCol) <=> col("__dup_id"), "left")
+      .filter(
+        when(col(idCol).isNull,
+          raise_error(lit("applyDelta: upsert change set has a null id")))
+          .when(col("__n_ups").isNotNull,
+            raise_error(concat(
+              lit("applyDelta: upsert change set has duplicate id "),
+              col(idCol).cast("string"))))
+          .otherwise(lit(true)))
+      .drop("__dup_id", "__n_ups")
     snapshot
       .join(deletes.select(col(idCol)), Seq(idCol), "left_anti")
       .join(guarded.select(col(idCol)), Seq(idCol), "left_anti")

@@ -115,24 +115,28 @@ object Shard {
     *
     * Scale shape: positions come from [[withGlobalSeq]]'s two-pass
     * partition-offset scheme over (epoch, [curriculum,] key, id) —
-    * never a global sort, never a single-partition window; the
-    * per-epoch rebase is an E-row broadcast join. Epoch replication is
-    * an in-row explode (no shuffle of its own).
+    * never a global sort, never a single-partition window. Epoch
+    * replication is an in-row explode (no shuffle of its own), which
+    * also makes the per-epoch rebase FREE: every epoch holds exactly
+    * |df| rows and epochs are contiguous in the global sequence, so
+    * position = gseq − (epoch−1)·|df| — one cheap count of the input,
+    * no second traversal of the seq lineage (a groupBy-min + join
+    * rebase would recompute the range-shuffle + sort per consumer).
     */
   def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
                    curriculumCol: Option[String] = None): DataFrame = {
     require(epochs >= 1, "epochs must be >= 1")
+    val n = df.count()
     val keyed = df
       .select((col(idCol) +: curriculumCol.map(col).toSeq): _*)
       .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
       .withColumn("skey", Kmv.hash52(concat(col(idCol).cast("string"),
         lit(":"), col("epoch").cast("string"))))
     val orderCols = Seq("epoch") ++ curriculumCol ++ Seq("skey", idCol)
-    val seq = withGlobalSeq(keyed, orderCols, "__gseq")
-    val base = seq.groupBy("epoch").agg(min("__gseq").as("__base"))
-    seq.join(broadcast(base), Seq("epoch"))
+    withGlobalSeq(keyed, orderCols, "__gseq")
       .select((Seq(col("epoch"), col(idCol)) ++
         curriculumCol.map(col) :+ col("skey") :+
-        (col("__gseq") - col("__base")).as("position")): _*)
+        (col("__gseq") - (col("epoch").cast("long") - 1L) * n)
+          .as("position")): _*)
   }
 }

@@ -180,14 +180,18 @@ object CorpusQueries {
     * arithmetic.
     */
   def kmvVocab(s: SparkSession, dir: String): DataFrame = {
+    // the compiled WordShinglesK kernel, not the interpreted HOF: the
+    // bigram explode is this query's corpus-linear leg (SCALING.md).
+    // size>=2 pre-filter preserves oracle semantics (the kernel emits a
+    // whole-doc shingle for 1-token docs; the oracle emits nothing) and
+    // the kernel's per-doc distinct is absorbed by sketchDistinct's
+    // global (group, hash) distinct.
     val bi = Tables.documents(s, dir)
-      .withColumn("__toks", graft.text.TextMetrics.tokens(col("text")))
+      .select(col("source"),
+        graft.text.TextMetrics.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
       .select(col("source"), explode(
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(0), size(col("__toks")) - 2),
-            i => concat_ws(" ", element_at(col("__toks"), i + 1),
-              element_at(col("__toks"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("tok"))
+        graft.ops.SketchDedup.shinglesFromTokens(col("__toks"), 2)).as("tok"))
     val sk = graft.ops.Kmv.sketchDistinct(bi, keyCol = "tok",
       groupCol = "source", k = KmvK)
     graft.ops.Kmv.overlapReport(sk, KmvK)

@@ -84,9 +84,12 @@ object Layout {
       (scala.collection.mutable.ArrayBuffer[String], Long)]
     sorted.foreach { case (name, size) =>
       // an oversized file opens a bin already at/over target, which no
-      // later file can join (tot + size > targetBytes for any size > 0)
+      // later file can join: tot + size > targetBytes for any size > 0,
+      // and the tot < targetBytes conjunct blocks the remaining case (a
+      // ZERO-byte file "joining" an at-target bin and promoting an
+      // already-compact file into a pointless rewrite group)
       val i = bins.indexWhere { case (_, tot) =>
-        tot + size <= targetBytes
+        tot + size <= targetBytes && tot < targetBytes
       }
       if (i >= 0) {
         val (members, tot) = bins(i)

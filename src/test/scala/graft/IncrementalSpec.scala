@@ -102,5 +102,15 @@ class IncrementalSpec extends SparkTestBase {
       Seq.empty[Long].toDF("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ok === Map(1L -> "one", 2L -> "two v2"))
+    // a NULL upsert id also raises: null never matches a later
+    // delete/upsert anti-join, so it could never be removed again
+    val nullUps = Seq((Some(5L), "five"), (None, "ghost"))
+      .toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      Incremental.applyDelta(snap, nullUps,
+        Seq.empty[Long].toDF("doc_id")).collect()
+    }
+    assert(messages(ex2).exists(_.contains("null id")),
+      s"unexpected failure: $ex2")
   }
 }

@@ -98,6 +98,10 @@ class LayoutSpec extends SparkTestBase {
     assert(plan === Seq(Seq("a", "f"), Seq("b", "c"), Seq("d", "e")))
     // a lone unmatched small file is also a no-op, not a group
     assert(Layout.planCompaction(Seq(("x", 90L)), 100L) === Seq())
+    // a zero-byte file cannot promote an already-at-target file into a
+    // pointless rewrite group (tot < target guards the size = 0 case)
+    assert(Layout.planCompaction(Seq(("big", 100L), ("empty", 0L)), 100L)
+      === Seq())
   }
 
   test("bloom filter option lands in the parquet footers") {
