@@ -29,14 +29,18 @@ import graft.plans.DotProduct
   *
   * Training: full-batch gradient descent on L2-regularized logistic
   * loss. One Spark job per iteration: broadcast the weight vector,
-  * fold a per-partition dense gradient, combine on the driver IN
-  * PARTITION-INDEX ORDER. That ordering is the determinism keystone —
-  * floating-point addition is not associative, so a treeAggregate
-  * whose combine order depends on task completion would give
-  * run-to-run different low bits; folding partition gradients in
-  * sorted order makes training bit-reproducible for a fixed input
-  * layout (pinned in ClassifierSpec: two trainings, identical
-  * weights).
+  * fold a per-partition dense gradient, combine via `treeAggregate`.
+  * The determinism keystone is PER-ROW QUANTIZATION, the engine's
+  * order-proof idiom (StatsAgg, unigramLogprobs): each row's gradient
+  * contribution e·xᵢ is quantized to a scaled long BEFORE any
+  * summation, so the full gradient is a sum of longs — exact and
+  * associative — and the result is bit-identical regardless of task
+  * completion order, combine topology, OR partition layout (pinned in
+  * ClassifierSpec: two trainings identical, and 2-partition vs
+  * 13-partition training identical). A double-summing formulation
+  * could only offer fixed-ORDER determinism (FP addition is not
+  * associative), which pins the partition layout forever; quantized
+  * longs free the layout and unlock the tree combine.
   *
   * == 100 TB shape ==
   *
@@ -45,12 +49,20 @@ import graft.plans.DotProduct
   * literal, one [[graft.plans.DotProduct]] per row inside whole-stage
   * codegen — exactly as scalable as `length(text)`. TRAINING runs on
   * a labeled sliver (10^5..10^6 docs — no curation classifier trains
-  * on the full crawl); per-iteration driver state is
-  * numPartitions × dim doubles, so at the documented ceiling
-  * (dim 2^18, 1024 training partitions) the combine is 2 GB spread
-  * over the job, or cap training parallelism with coalesce. The
-  * dense per-partition gradient buffer is dim doubles per task —
+  * on the full crawl); the per-iteration tree combine moves
+  * O(√partitions × dim) longs through each level instead of the
+  * all-partitions-to-driver collect a naive combine would, so
+  * driver-inbound no longer grows with training parallelism. The
+  * dense per-partition gradient buffer is dim longs per task —
   * constant memory regardless of row count.
+  *
+  * Quantization bound: contributions scale by 2³⁰ (≈1.07e9); the long
+  * accumulator holds |Σ e·xᵢ| up to 2³³ ≈ 8.6e9 — for count features
+  * that is a training-sliver token MASS of ~8.6 billion (at the
+  * documented sliver ceiling of 10⁶ docs that is 8,600 tokens/doc),
+  * far above any real labeled set. The quantization step (2⁻³⁰ per
+  * row) is ~7 decimal digits below the gradient signal and vanishes
+  * against the stochasticity any curation classifier tolerates.
   */
 object Classifier {
 
@@ -93,20 +105,24 @@ object Classifier {
     try {
       val n = data.count().toDouble
       require(n > 0, "trainLogistic: empty training set")
+      // per-row contribution scale: 2^30, a power of two so the
+      // scaled-long grid is binary-clean; see the quantization-bound
+      // note in the object doc
+      val Q = (1L << 30).toDouble
       val w = new Array[Double](dim)
       var b = 0.0
       var it = 0
       while (it < iters) {
         val bw = spark.sparkContext.broadcast(w)
         val bb = b
-        // (partitionIndex, gradW, gradB) — the per-partition fold is
-        // sequential in row order; the driver combine below is sorted
-        // by index, so the full gradient is a fixed-order sum.
-        val parts = data.rdd.mapPartitionsWithIndex { (idx, rows) =>
-          val ww = bw.value
-          val g = new Array[Double](ww.length)
-          var gb = 0.0
-          rows.foreach { row =>
+        // Gradient as a long vector (slot dim = the bias): every row
+        // quantizes its own contribution rint(e·xᵢ·Q) BEFORE any sum,
+        // so seqOp and combOp add longs — exact, associative,
+        // commutative — and the tree combine is free to use any
+        // topology without touching a bit of the result.
+        val gl = data.rdd.treeAggregate(new Array[Long](dim + 1))(
+          seqOp = (g, row) => {
+            val ww = bw.value
             val x = row.getSeq[Double](0)
             val y = row.getDouble(1)
             var z = bb
@@ -115,21 +131,19 @@ object Classifier {
             while (i < m) { z += ww(i) * x(i); i += 1 }
             val e = sigmoid(z) - y
             i = 0
-            while (i < m) { g(i) += e * x(i); i += 1 }
-            gb += e
-          }
-          Iterator((idx, (g, gb)))
-        }.collect()
-        val grad = new Array[Double](dim)
-        var gradB = 0.0
-        parts.sortBy(_._1).foreach { case (_, (g, gb)) =>
-          var i = 0
-          while (i < dim) { grad(i) += g(i); i += 1 }
-          gradB += gb
-        }
+            while (i < m) { g(i) += math.rint(e * x(i) * Q).toLong; i += 1 }
+            g(dim) += math.rint(e * Q).toLong
+            g
+          },
+          combOp = (a, c) => {
+            var i = 0
+            while (i <= dim) { a(i) += c(i); i += 1 }
+            a
+          },
+          depth = 2)
         var i = 0
-        while (i < dim) { w(i) -= lr * (grad(i) / n + l2 * w(i)); i += 1 }
-        b -= lr * (gradB / n)
+        while (i < dim) { w(i) -= lr * (gl(i) / Q / n + l2 * w(i)); i += 1 }
+        b -= lr * (gl(dim) / Q / n)
         bw.destroy()
         it += 1
       }

@@ -49,6 +49,20 @@ object DdSketch {
 
   case class Quantiles(n: Long, p50: Double, p90: Double, p99: Double)
 
+  /** One sketch bucket in the canonical exploded form: kind ∈
+    * {neg, zero, pos}, the log-bucket index (0 for the zero counter),
+    * and its count. The ORACLE-CHECKABLE view of the sketch — bucket
+    * assignment is a pure function of the value and counts ADD, so a
+    * foreign engine can replay the whole sketch as a GROUP BY over
+    * the same ceil(ln·/ln γ) arithmetic (what `q_dd_buckets` does),
+    * proving assignment and the distributed merge end-to-end.
+    */
+  case class Bucket(kind: String, idx: Int, cnt: Long)
+
+  /** Bucket index of a positive magnitude: ⌈ln x / ln γ⌉. */
+  private def bucketIdx(x: Double, logGamma: Double): Int =
+    math.ceil(math.log(x) / logGamma).toInt
+
   private type MMap = scala.collection.mutable.HashMap[Int, Long]
 
   private def bump(m: MMap, k: Int, v: Long): Unit =
@@ -66,45 +80,55 @@ object DdSketch {
       hm
   }
 
+  /** The shared sketch algebra — zero/reduce/merge identical for every
+    * finisher, so the quantile reporter and the oracle-checkable bucket
+    * exploder are provably the SAME sketch (one build path, two views).
+    */
+  private abstract class SketchAgg[O](alpha: Double)
+      extends Aggregator[Double, Buf, O] {
+    protected val gamma: Double = (1.0 + alpha) / (1.0 - alpha)
+    protected val logGamma: Double = math.log(gamma)
+
+    protected def bucket(x: Double): Int = bucketIdx(x, logGamma)
+
+    override def zero: Buf =
+      Buf(new scala.collection.mutable.HashMap[Int, Long](),
+        new scala.collection.mutable.HashMap[Int, Long](), 0L)
+
+    override def reduce(b: Buf, x: Double): Buf =
+      if (x.isNaN) b
+      else if (x > 0.0) {
+        val m = asMutable(b.pos)
+        bump(m, bucket(x), 1L)
+        if (m eq b.pos) b else b.copy(pos = m)
+      } else if (x < 0.0) {
+        val m = asMutable(b.neg)
+        bump(m, bucket(-x), 1L)
+        if (m eq b.neg) b else b.copy(neg = m)
+      } else b.copy(zero = b.zero + 1L)
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      // fold the smaller side into the larger one's mutable form
+      val (big, small) =
+        if (a.pos.size + a.neg.size >= b.pos.size + b.neg.size) (a, b)
+        else (b, a)
+      val pos = asMutable(big.pos)
+      val neg = asMutable(big.neg)
+      small.pos.foreach { case (k, v) => bump(pos, k, v) }
+      small.neg.foreach { case (k, v) => bump(neg, k, v) }
+      Buf(pos, neg, a.zero + b.zero)
+    }
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+
   /** Sketch of doubles; finish() reports n and the 50/90/99th
     * percentile estimates (the report-card set).
     */
   def quantiles(alpha: Double = DefaultAlpha): Aggregator[Double, Buf, Quantiles] =
-    new Aggregator[Double, Buf, Quantiles] {
-      private val gamma = (1.0 + alpha) / (1.0 - alpha)
-      private val logGamma = math.log(gamma)
-
-      private def bucket(x: Double): Int = math.ceil(math.log(x) / logGamma).toInt
+    new SketchAgg[Quantiles](alpha) {
       private def value(i: Int): Double =
         2.0 * math.pow(gamma, i) / (gamma + 1.0)
-
-      override def zero: Buf =
-        Buf(new scala.collection.mutable.HashMap[Int, Long](),
-          new scala.collection.mutable.HashMap[Int, Long](), 0L)
-
-      override def reduce(b: Buf, x: Double): Buf =
-        if (x.isNaN) b
-        else if (x > 0.0) {
-          val m = asMutable(b.pos)
-          bump(m, bucket(x), 1L)
-          if (m eq b.pos) b else b.copy(pos = m)
-        } else if (x < 0.0) {
-          val m = asMutable(b.neg)
-          bump(m, bucket(-x), 1L)
-          if (m eq b.neg) b else b.copy(neg = m)
-        } else b.copy(zero = b.zero + 1L)
-
-      override def merge(a: Buf, b: Buf): Buf = {
-        // fold the smaller side into the larger one's mutable form
-        val (big, small) =
-          if (a.pos.size + a.neg.size >= b.pos.size + b.neg.size) (a, b)
-          else (b, a)
-        val pos = asMutable(big.pos)
-        val neg = asMutable(big.neg)
-        small.pos.foreach { case (k, v) => bump(pos, k, v) }
-        small.neg.foreach { case (k, v) => bump(neg, k, v) }
-        Buf(pos, neg, a.zero + b.zero)
-      }
 
       /** Rank walk in value order: negatives from the largest-magnitude
         * bucket down, then zeros, then positives ascending.
@@ -134,7 +158,30 @@ object DdSketch {
           estimate(b, n, 0.99))
       }
 
-      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       override def outputEncoder: Encoder[Quantiles] = Encoders.product[Quantiles]
+    }
+
+  /** Same sketch, exploded view: finish() returns every bucket as a
+    * [[Bucket]] row in deterministic (kind, idx) order. This is the
+    * oracle gate for the sketch — DuckDB replays bucket assignment as
+    * `ceil(ln(v) / ln γ)` and the merge as a plain GROUP-BY count, so
+    * a wrong bucket function, a dropped map-side partial, or a merge
+    * slip is a hash mismatch (`q_dd_buckets`). The quantile reporter
+    * above shares zero/reduce/merge through [[SketchAgg]], so the
+    * check covers its sketch-building path transitively.
+    */
+  def buckets(alpha: Double = DefaultAlpha): Aggregator[Double, Buf, Seq[Bucket]] =
+    new SketchAgg[Seq[Bucket]](alpha) {
+      override def finish(b: Buf): Seq[Bucket] = {
+        val neg = b.neg.toSeq.sortBy(_._1)
+          .map { case (i, c) => Bucket("neg", i, c) }
+        val zero = if (b.zero > 0L) Seq(Bucket("zero", 0, b.zero)) else Nil
+        val pos = b.pos.toSeq.sortBy(_._1)
+          .map { case (i, c) => Bucket("pos", i, c) }
+        neg ++ zero ++ pos
+      }
+
+      override def outputEncoder: Encoder[Seq[Bucket]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Bucket]]()
     }
 }

@@ -79,10 +79,23 @@ object Incremental {
     * a raising filter (filters are never pruned away, so the check
     * cannot be optimized out). An id in both `deletes` and `upserts`
     * is well-defined: the old row falls out, the new version lands.
+    *
+    * The null-id guard covers ALL THREE inputs, not just upserts: a
+    * null id in `deletes` would silently delete nothing (anti-joins
+    * never match null), and a null-id row already in `snapshot` can
+    * never be replaced or deleted by any later merge — both are the
+    * same accumulate-forever hazard, so both raise. The snapshot check
+    * is a per-row filter inside the scan the anti-joins already pay —
+    * no extra pass, no shuffle.
     */
   def applyDelta(snapshot: DataFrame, upserts: DataFrame,
                  deletes: DataFrame,
                  idCol: String = "doc_id"): DataFrame = {
+    def requireIds(df: DataFrame, which: String): DataFrame =
+      df.filter(
+        when(col(idCol).isNull,
+          raise_error(lit(s"applyDelta: $which has a null id")))
+          .otherwise(lit(true)))
     val dupIds = upserts.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_ups"))
       .filter(col("__n_ups") > 1)
@@ -100,8 +113,9 @@ object Incremental {
               col(idCol).cast("string"))))
           .otherwise(lit(true)))
       .drop("__dup_id", "__n_ups")
-    snapshot
-      .join(deletes.select(col(idCol)), Seq(idCol), "left_anti")
+    requireIds(snapshot, "snapshot")
+      .join(requireIds(deletes.select(col(idCol)), "delete change set"),
+        Seq(idCol), "left_anti")
       .join(guarded.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(guarded)
   }

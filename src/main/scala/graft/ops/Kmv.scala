@@ -54,6 +54,17 @@ object Kmv {
     conv(substring(md5(c.cast("string")), 1, HashHexChars), 16, 10)
       .cast("long")
 
+  /** [[hash52]] clamped to ≥ 1 — the sketch-input form. The estimator
+    * divides by the k-th smallest hash, so a hash of exactly 0
+    * (md5 prefix '0000000000000', ~2⁻⁵² per key) would make the
+    * divisor 0: Spark saturates the Infinity→BIGINT cast where DuckDB
+    * raises, breaking oracle parity in the one place the engines
+    * disagree. Mapping 0→1 costs a 2⁻⁵² collision and keeps every
+    * divisor positive on both engines (the oracle SQL applies the
+    * same `greatest(h, 1)`).
+    */
+  def hash52Pos(c: Column): Column = greatest(hash52(c), lit(1L))
+
   /** Sketch buffer: ascending distinct hash values, at most k. */
   case class Hashes(hs: Seq[Long])
 
@@ -100,7 +111,7 @@ object Kmv {
   def sketchDistinct(df: DataFrame, keyCol: String, groupCol: String,
                      k: Int): DataFrame =
     df.select(col(groupCol).cast("string").as("group"),
-        hash52(col(keyCol)).as("h"))
+        hash52Pos(col(keyCol)).as("h"))
       .distinct()
       .groupBy("group")
       .agg(count(lit(1)).as("n_exact"),

@@ -207,7 +207,7 @@ object CorpusQueries {
        |         unnest(toks[2 : len(toks)]) AS w2
        |  FROM t WHERE len(toks) >= 2)),
        |h AS (SELECT DISTINCT CAST(source AS VARCHAR) AS grp,
-       |    CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) AS h FROM tk),
+       |    greatest(CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT), 1) AS h FROM tk),
        |n AS (SELECT grp, count(*) AS n_exact FROM h GROUP BY grp),
        |r AS (SELECT grp, h,
        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),

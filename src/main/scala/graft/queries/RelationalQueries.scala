@@ -582,8 +582,10 @@ object RelationalQueries {
     import spark.implicits._
     Tables.documents(s, dir)
       // null length deserializing into a primitive Double would throw;
-      // treat it as 0 like the sibling length consumers
-      .select(col("source"),
+      // treat it as 0 like the sibling length consumers. Null source
+      // folds to '' — the engine-wide grouping convention (sourceDrift,
+      // driftMonitor) — so the typed groupByKey never keys on null.
+      .select(coalesce(col("source"), lit("")).as("source"),
         coalesce(col("n_chars"), lit(0L)).cast("double").as("v"))
       .as[(String, Double)]
       .groupByKey(_._1)
@@ -592,4 +594,50 @@ object RelationalQueries {
       .map { case (src, q) => (src, q.n, q.p50, q.p90, q.p99) }
       .toDF("source", "n", "p50", "p90", "p99")
   }
+
+  /** The DDSketch ORACLE GATE — the same sketch as [[ddQuantiles]]
+    * (shared zero/reduce/merge), finished as exploded (kind, idx, cnt)
+    * bucket rows instead of quantile estimates. Bucket assignment is a
+    * pure function of the value (⌈ln v / ln γ⌉ — the whole point of
+    * the DDSketch design) and counts ADD, so DuckDB replays the entire
+    * distributed sketch as a GROUP BY over the identical arithmetic:
+    * assignment, map-side partials, and merge are all hash-checked.
+    * The quantile query itself stays rows-only (its γ^i/(γ+1) midpoint
+    * estimates are engine-defined), but its sketch-building path is
+    * covered transitively through the shared aggregator core.
+    *
+    * Cross-libm note: both engines' ln() are ≤1-ulp; ceil of the ratio
+    * flips only when ln v / ln γ lands within ~1e-13 of an integer,
+    * which no value in any fixture does (and the fixture is fixed, so
+    * green once is green forever — same determinism argument as the
+    * q_source_drift EWMA replay).
+    */
+  def ddBuckets(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, dir)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        coalesce(col("n_chars"), lit(0L)).cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.ops.DdSketch.buckets().toColumn)
+      .flatMap { case (src, bs) =>
+        bs.map(b => (src, b.kind, b.idx, b.cnt)) }
+      .toDF("source", "kind", "idx", "cnt")
+  }
+
+  val ddBucketsSql: String =
+    // γ as the JVM's shortest-roundtrip repr of (1+α)/(1−α) at α=0.01:
+    // DuckDB parses the decimal and the cast lands on the identical
+    // double, so ln(γ) matches bit-for-bit modulo the ≤1-ulp libm note
+    """WITH v AS (SELECT coalesce(source, '') AS source,
+      |    CAST(coalesce(n_chars, 0) AS DOUBLE) AS v FROM documents)
+      |SELECT source,
+      |  CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' ELSE 'zero' END AS kind,
+      |  CAST(CASE WHEN v = 0 THEN 0
+      |       ELSE ceil(ln(abs(v)) / ln(CAST(1.02020202020202 AS DOUBLE)))
+      |       END AS INT) AS idx,
+      |  count(*) AS cnt
+      |FROM v GROUP BY 1, 2, 3""".stripMargin
 }

@@ -89,4 +89,65 @@ class BpeSpec extends SparkTestBase {
     assert(ms < 2000.0, f"agenda encoder took $ms%.0f ms on the flood")
     assert(enc.mkString === flood, "lossless on the flood")
   }
+
+  private def resourceLines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing test resource $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  test("drop-in merges file: external HF-format fixture loads and tokenizes golden") {
+    // the executable form of the SURVEY §7 claim: a deployment with
+    // vocabulary access drops its tokenizer's merges.txt into Bpe and
+    // gets that tokenizer's merge semantics. The fixture is a
+    // checked-in external-format file (header line, space-separated
+    // pairs, rank = line order), NOT a Model built in code.
+    val model = Bpe.loadMerges(resourceLines("/bpe/merges.txt"))
+    assert(model.merges.length === 18)
+    assert(model.merges.head === ("t", "h"))
+    assert(model.merges(13) === ("th", "at"), "rank follows line order")
+    // golden tokenizations, hand-derived from the fixture's merge
+    // table under the HF rule (best rank first, leftmost on ties)
+    assert(model.encodeWord("that") === Seq("that"))
+    assert(model.encodeWord("thing") === Seq("th", "ing"))
+    assert(model.encodeWord("and") === Seq("and"))
+    assert(model.encodeWord("hello") === Seq("h", "e", "ll", "o"))
+    assert(model.encodeWord("anan") === Seq("an", "an"),
+      "equal-rank pairs must merge leftmost-first")
+    // agenda inference over LOADED merges equals the rescan
+    // formulation token-for-token — the same parity the trained path
+    // pins, now proven on the external-format model
+    val rng = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val w = (0 until (1 + rng.nextInt(24)))
+        .map(_ => "theianordgul".charAt(rng.nextInt(12))).mkString
+      assert(model.encodeWord(w) === model.encodeWordRescan(w),
+        s"agenda/rescan divergence on '$w'")
+      assert(model.encodeWord(w).mkString === w, s"lossy on '$w'")
+    }
+  }
+
+  test("vocab.json loads and covers the merge table; ids are the file's") {
+    val vocab = Bpe.loadVocabJson(
+      resourceLines("/bpe/vocab.json").mkString("\n"))
+    assert(vocab.size === 45)
+    assert(vocab("that") === 39 && vocab("a") === 0)
+    assert(vocab("é") === 44, "\\uXXXX escapes must decode")
+    val model = Bpe.loadMerges(resourceLines("/bpe/merges.txt"))
+    // every symbol the loaded model can emit has an id — the
+    // export-to-external-ids path is total over this tokenizer
+    model.merges.foreach { case (a, b) =>
+      assert(vocab.contains(a + b), s"merge output '${a + b}' has no id")
+    }
+    assert(model.encodeWord("thing").map(vocab) === Seq(26, 33))
+    assert(model.encodeWord("hello").map(vocab) === Seq(7, 4, 43, 14))
+    // corrupt inputs raise instead of silently shifting ranks
+    intercept[IllegalArgumentException] {
+      Bpe.loadMerges(Seq("t h", "oops"))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocabJson("""{"a": {"nested": 1}}""")
+    }
+  }
 }

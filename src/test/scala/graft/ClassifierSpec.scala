@@ -66,7 +66,25 @@ class ClassifierSpec extends SparkTestBase {
     val b = Classifier.trainLogistic(train, "x", "label", Dim, iters = 15)
     assert(a.bias === b.bias)
     assert(a.weights.toSeq === b.weights.toSeq,
-      "sorted partition combine must make training deterministic")
+      "quantized-long gradient sum must make training deterministic")
+  }
+
+  test("training is bit-identical across partition layouts") {
+    // the cluster-scale property the quantized-long tree combine buys:
+    // each row's gradient contribution is quantized BEFORE summation,
+    // so the full gradient is a sum of longs — exact and associative —
+    // and repartitioning the training sliver cannot move a single bit
+    // of the fitted model (a per-partition double fold, however the
+    // partials are combined, could not make this promise: the
+    // IN-partition row sums would already differ)
+    val base = fixture(200).filter(col("id") % 10 < 7)
+    val p2 = base.repartition(2, col("id"))
+    val p13 = base.repartition(13, col("id"))
+    val a = Classifier.trainLogistic(p2, "x", "label", Dim, iters = 15)
+    val b = Classifier.trainLogistic(p13, "x", "label", Dim, iters = 15)
+    assert(a.bias === b.bias)
+    assert(a.weights.toSeq === b.weights.toSeq,
+      "2-partition and 13-partition training must agree bit-for-bit")
   }
 
   test("held-out accuracy separates spam from clean") {

@@ -83,4 +83,30 @@ class DdSketchSpec extends SparkTestBase {
     }
     assert(agg.merge(frozen, b()) === agg.merge(a(), b()))
   }
+
+  test("buckets view: same sketch as quantiles, exploded and exactly countable") {
+    val qAgg = DdSketch.quantiles()
+    val bAgg = DdSketch.buckets()
+    val xs = Seq(1.0, 5.0, 5.0, 5.05, -2.0, 0.0, 0.0, 1000.0, 0.25)
+    val qBuf = xs.foldLeft(qAgg.zero)(qAgg.reduce)
+    val bBuf = xs.foldLeft(bAgg.zero)(bAgg.reduce)
+    // one algebra, two finishers: the buffers are identical
+    assert(qBuf === bBuf)
+    val bs = bAgg.finish(bBuf)
+    // deterministic (kind, idx) order: neg desc-magnitude? no — neg
+    // ascending idx, then zero, then pos ascending idx
+    assert(bs === bs.sortBy(b =>
+      (Seq("neg", "zero", "pos").indexOf(b.kind), b.idx)))
+    // counts are exact (no estimation in this view): total = n, the
+    // two 5.0s share a bucket with 5.05 (same gamma-bucket at α=0.01
+    // ⇒ within 2% relative), zeros counted apart
+    assert(bs.map(_.cnt).sum === xs.length.toLong)
+    assert(bs.find(_.kind == "zero").map(_.cnt) === Some(2L))
+    assert(bs.count(_.kind == "neg") === 1)
+    val fives = bs.filter(b => b.kind == "pos" &&
+      b.idx == math.ceil(math.log(5.0) / math.log(1.02020202020202)).toInt)
+    assert(fives.map(_.cnt).sum === 3L)
+    // and the quantile finisher sees the same mass
+    assert(qAgg.finish(qBuf).n === xs.length.toLong)
+  }
 }

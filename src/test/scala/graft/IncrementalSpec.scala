@@ -113,4 +113,33 @@ class IncrementalSpec extends SparkTestBase {
     assert(messages(ex2).exists(_.contains("null id")),
       s"unexpected failure: $ex2")
   }
+
+  test("applyDelta: null ids in deletes or the snapshot raise too") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val snap = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    // a null delete id silently deletes NOTHING (anti-joins never
+    // match null) — the caller meant to remove something; raise
+    val exDel = intercept[Exception] {
+      Incremental.applyDelta(snap,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        Seq(Some(1L), None).toDF("doc_id")).collect()
+    }
+    assert(messages(exDel).exists(_.contains("delete change set")),
+      s"unexpected failure: $exDel")
+    // a null-id row already IN the snapshot can never be replaced or
+    // deleted by any later merge — the accumulate-forever hazard the
+    // upsert guard documents applies to the carried rows equally
+    val nullSnap = Seq((Some(1L), "one"), (None, "ghost"))
+      .toDF("doc_id", "text")
+    val exSnap = intercept[Exception] {
+      Incremental.applyDelta(nullSnap,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        Seq.empty[Long].toDF("doc_id")).collect()
+    }
+    assert(messages(exSnap).exists(_.contains("snapshot")),
+      s"unexpected failure: $exSnap")
+  }
 }

@@ -27,6 +27,25 @@ class KmvSpec extends SparkTestBase {
     assert(exact === 40L)
   }
 
+  test("sketch-input hash is clamped positive: the estimator divisor can never be 0") {
+    // hash52 CAN yield 0 (md5 prefix '0000000000000', ~2^-52 per key):
+    // the estimate divides by the k-th smallest hash, and a 0 divisor
+    // splits the engines (Spark saturates Infinity->BIGINT, DuckDB
+    // raises). hash52Pos maps 0->1; pin that the clamp composes with
+    // hash52 (identical on ordinary keys, floor of 1 always) and that
+    // the sketch path uses the clamped form.
+    val keys = (0 until 1000).map(i => s"key_$i").toDF("v")
+    val both = keys.select(Kmv.hash52(col("v")).as("h"),
+      Kmv.hash52Pos(col("v")).as("hp")).collect()
+    both.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(1) === math.max(r.getLong(0), 1L))
+    }
+    val sk = Kmv.sketchDistinct(keys.select(lit("g").as("g"), col("v")),
+      "v", "g", K).select(explode(col("sk"))).as[Long].collect()
+    assert(sk.forall(_ >= 1L), "sketch contains a non-positive hash")
+  }
+
   test("sketch is duplicate-proof and partition-order-proof") {
     val vals = (0 until 5000).map(i => ("a", s"tok_${i % 1000}"))
     val once = Kmv.sketchDistinct(vals.toDF("g", "v"), "v", "g", K)

@@ -57,9 +57,16 @@ def main():
                 # metadata must track the perturbed text — a replica
                 # where n_chars != length(text) is a corpus shape no
                 # real SF generation produces, and length-derived ops
-                # (weighted sample, gopher rules) would measure a lie
-                cols[k].extend(
-                    None if t is None else len(t) for t in texts)
+                # (weighted sample, gopher rules) would measure a lie.
+                # Replica 0's text is untouched, so its metadata passes
+                # through verbatim: if a base SF ever deliberately
+                # carries n_chars != length(text), the sweep preserves
+                # that shape instead of silently normalizing it.
+                if rep == 0:
+                    cols[k].extend(d[k])
+                else:
+                    cols[k].extend(
+                        None if t is None else len(t) for t in texts)
             elif k not in ("doc_id", "text"):
                 cols[k].extend(d[k])
     pq.write_table(pa.table(cols, schema=docs.schema), f"{out}/documents.parquet")
