@@ -7,13 +7,16 @@ import java.io.ByteArrayOutputStream
   * previously hash-stubbed JPEG payloads; the reference brief's decode
   * step covers crawl images, which are overwhelmingly JPEG).
   *
-  * Decoder scope (spec-pinned): baseline DCT (SOF0), 8-bit precision,
-  * 1-component grayscale or 3-component YCbCr with sampling factors up
-  * to 2×2 (covers 4:4:4, 4:2:2, 4:2:0), restart markers, multi-table
-  * DQT/DHT segments, 16-bit quant tables, APPn/COM skipping. Anything
-  * else (progressive SOF2, arithmetic coding, 12-bit, CMYK) → None,
-  * never a throw — same contract as [[ImageCodec.decode]]: one corrupt
-  * payload in a 100 TB corpus must degrade, not kill the stage.
+  * Decoder scope (spec-pinned): baseline DCT (SOF0) AND progressive
+  * DCT (SOF2 — spectral selection + successive approximation, all four
+  * scan kinds, EOB-run coding; the two dominant real-crawl JPEG
+  * shapes), 8-bit precision, 1-component grayscale or 3-component
+  * YCbCr with sampling factors up to 2×2 (covers 4:4:4, 4:2:2, 4:2:0),
+  * restart markers, multi-table DQT/DHT segments, 16-bit quant tables,
+  * APPn/COM skipping. Anything else (arithmetic coding, 12-bit,
+  * CMYK, hierarchical) → None, never a throw — same contract as
+  * [[ImageCodec.decode]]: one corrupt payload in a 100 TB corpus must
+  * degrade, not kill the stage.
   *
   * Encoder (fixtures + the synthetic-media adapter): baseline, Annex K
   * quantization tables scaled by the classic libjpeg quality curve and
@@ -228,6 +231,86 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Separable 8×8 inverse DCT over natural-order dequantized
+    * coefficients; writes level-shifted clamped samples. Shared by the
+    * baseline streaming path and the progressive finalize pass, so the
+    * two paths cannot drift in DCT convention.
+    */
+  private def idct8x8(coef: Array[Double], tmp: Array[Double],
+                      out: Array[Int]): Unit = {
+    // tmp(u)(y) = sum_v CosT(y)(v) * coef(u*8+v)  [u = row index]
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += CosT(y)(v) * coef(u * 8 + v); v += 1 }
+        tmp(u * 8 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var uu = 0
+        while (uu < 8) { acc += CosT(x)(uu) * tmp(uu * 8 + y); uu += 1 }
+        val px = math.round(acc + 128.0).toInt
+        out(x * 8 + y) = if (px < 0) 0 else if (px > 255) 255 else px
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Crop + upsample (nearest) + color conversion from component
+    * planes to the packed output — shared by both decode paths.
+    */
+  private def assemble(comps: Array[Component], planes: Array[Array[Byte]],
+                       planeW: Array[Int], w: Int, h: Int,
+                       hmax: Int, vmax: Int): DecodedImage =
+    if (comps.length == 1) {
+      val out = new Array[Byte](w * h)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        y += 1
+      }
+      DecodedImage(w, h, 1, out)
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      val yPlane = planes(0); val cbPlane = planes(1); val crPlane = planes(2)
+      val yW = planeW(0)
+      val cbW = planeW(1); val crW = planeW(2)
+      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
+      var y = 0
+      while (y < h) {
+        val yRow = y * c0.v / vmax
+        val cbRow = y * c1.v / vmax
+        val crRow = y * c2.v / vmax
+        var x = 0
+        while (x < w) {
+          val Y = yPlane(yRow * yW + (x * c0.h / hmax)) & 0xff
+          val cb = (cbPlane(cbRow * cbW + (x * c1.h / hmax)) & 0xff) - 128
+          val cr = (crPlane(crRow * crW + (x * c2.h / hmax)) & 0xff) - 128
+          val r = math.round(Y + 1.402 * cr).toInt
+          val g = math.round(Y - 0.344136 * cb - 0.714136 * cr).toInt
+          val bl = math.round(Y + 1.772 * cb).toInt
+          val o = (y * w + x) * 3
+          out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+          out(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(w, h, 3, out)
+    }
+
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var dcTable: Int = 0
     var acTable: Int = 0
@@ -239,6 +322,56 @@ object JpegCodec {
 
   private def be16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Parse a DHT segment payload [start, end) into the table slots;
+    * false on any structural corruption. Shared by both decode paths.
+    */
+  private def parseDhtPayload(b: Array[Byte], start: Int, end: Int,
+      dcTables: Array[HuffTable], acTables: Array[HuffTable]): Boolean = {
+    var o = start
+    while (o < end) {
+      val tcth = b(o) & 0xff
+      val tc = tcth >> 4; val th = tcth & 0xf
+      if (tc > 1 || th > 3 || o + 17 > end) return false
+      val bits = new Array[Int](17)
+      var total = 0
+      var l = 1
+      while (l <= 16) { bits(l) = b(o + l) & 0xff; total += bits(l); l += 1 }
+      if (total > 256 || o + 17 + total > end) return false
+      val vals = new Array[Byte](total)
+      System.arraycopy(b, o + 17, vals, 0, total)
+      val t = new HuffTable(bits, vals)
+      if (tc == 0) dcTables(th) = t else acTables(th) = t
+      o += 17 + total
+    }
+    true
+  }
+
+  /** Parse a DQT segment payload [start, end) into the quant slots
+    * (zigzag order, as written); false on corruption. Shared by both
+    * decode paths.
+    */
+  private def parseDqtPayload(b: Array[Byte], start: Int, end: Int,
+      quant: Array[Array[Int]], quantSeen: Array[Boolean]): Boolean = {
+    var o = start
+    while (o < end) {
+      val pqtq = b(o) & 0xff
+      val pq = pqtq >> 4; val tq = pqtq & 0xf
+      if (pq > 1 || tq > 3) return false
+      val n = if (pq == 0) 64 else 128
+      if (o + 1 + n > end) return false
+      var k = 0
+      while (k < 64) {
+        quant(tq)(k) =
+          if (pq == 0) b(o + 1 + k) & 0xff
+          else be16(b, o + 1 + 2 * k)
+        k += 1
+      }
+      quantSeen(tq) = true
+      o += 1 + n
+    }
+    true
+  }
 
   private def decodeImpl(b: Array[Byte]): Option[DecodedImage] = {
     if (!isJpeg(b)) return None
@@ -283,52 +416,23 @@ object JpegCodec {
           if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3))
             return None
           pos += len
+        case 0xc2 => // SOF2 progressive: restart the parse on that path
+          return decodeProgressiveImpl(b)
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-          return None // progressive/extended/arithmetic/lossless: out of scope
+          return None // extended/arithmetic/lossless: out of scope
         case 0xc4 => // DHT (possibly several tables)
           if (pos + 2 > b.length) return None
           val len = be16(b, pos)
           if (pos + len > b.length) return None
-          var o = pos + 2
-          val end = pos + len
-          while (o < end) {
-            val tcth = b(o) & 0xff
-            val tc = tcth >> 4; val th = tcth & 0xf
-            if (tc > 1 || th > 3 || o + 17 > end) return None
-            val bits = new Array[Int](17)
-            var total = 0
-            var l = 1
-            while (l <= 16) { bits(l) = b(o + l) & 0xff; total += bits(l); l += 1 }
-            if (total > 256 || o + 17 + total > end) return None
-            val vals = new Array[Byte](total)
-            System.arraycopy(b, o + 17, vals, 0, total)
-            val t = new HuffTable(bits, vals)
-            if (tc == 0) dcTables(th) = t else acTables(th) = t
-            o += 17 + total
-          }
+          if (!parseDhtPayload(b, pos + 2, pos + len, dcTables, acTables))
+            return None
           pos += len
         case 0xdb => // DQT (possibly several tables)
           if (pos + 2 > b.length) return None
           val len = be16(b, pos)
           if (pos + len > b.length) return None
-          var o = pos + 2
-          val end = pos + len
-          while (o < end) {
-            val pqtq = b(o) & 0xff
-            val pq = pqtq >> 4; val tq = pqtq & 0xf
-            if (pq > 1 || tq > 3) return None
-            val n = if (pq == 0) 64 else 128
-            if (o + 1 + n > end) return None
-            var k = 0
-            while (k < 64) {
-              quant(tq)(k) =
-                if (pq == 0) b(o + 1 + k) & 0xff
-                else be16(b, o + 1 + 2 * k)
-              k += 1
-            }
-            quantSeen(tq) = true
-            o += 1 + n
-          }
+          if (!parseDqtPayload(b, pos + 2, pos + len, quant, quantSeen))
+            return None
           pos += len
         case 0xdd => // DRI
           if (pos + 4 > b.length) return None
@@ -434,32 +538,7 @@ object JpegCodec {
               }
             }
             // ---- IDCT (separable, double) ----
-            // tmp(u)(y) = sum_v CosT(y)(v) * coef(u*8+v)  [u = row index]
-            var u = 0
-            while (u < 8) {
-              var y = 0
-              while (y < 8) {
-                var acc = 0.0
-                var v = 0
-                while (v < 8) { acc += CosT(y)(v) * coef(u * 8 + v); v += 1 }
-                tmp(u * 8 + y) = acc
-                y += 1
-              }
-              u += 1
-            }
-            var x = 0
-            while (x < 8) {
-              var y = 0
-              while (y < 8) {
-                var acc = 0.0
-                var uu = 0
-                while (uu < 8) { acc += CosT(x)(uu) * tmp(uu * 8 + y); uu += 1 }
-                val px = math.round(acc + 128.0).toInt
-                blockOut(x * 8 + y) = if (px < 0) 0 else if (px > 255) 255 else px
-                y += 1
-              }
-              x += 1
-            }
+            idct8x8(coef, tmp, blockOut)
             // ---- place block in component plane ----
             val px0 = (mx * c.h + bx) * 8
             val py0 = (my * c.v + by) * 8
@@ -484,44 +563,415 @@ object JpegCodec {
     }
 
     // ---- color convert + crop + upsample (nearest) ----
-    if (comps.length == 1) {
-      val out = new Array[Byte](w * h)
-      val pw = planeW(0)
-      var y = 0
-      while (y < h) {
-        System.arraycopy(planes(0), y * pw, out, y * w, w)
-        y += 1
+    Some(assemble(comps, planes, planeW, w, h, hmax, vmax))
+  }
+
+  // =======================================================================
+  // Progressive decoder (SOF2, ITU-T T.81 Annex G, Huffman coding)
+  // =======================================================================
+
+  /** Progressive JPEG: the stream carries MULTIPLE scans, each covering
+    * a spectral band (Ss..Se) at a bit precision (successive
+    * approximation Ah→Al), so decoding is two-phase — accumulate raw
+    * coefficients across scans into a per-component buffer, then
+    * dequantize + IDCT once at the end. All four scan kinds are
+    * implemented: DC first / DC refine (raw-bit), AC first / AC refine
+    * (with EOB-run coding, the progressive-only Huffman extension).
+    * Interleaved MCU order for multi-component (DC) scans,
+    * per-component block order for the single-component AC scans T.81
+    * mandates, restart markers in both. Same outer contract as the
+    * baseline path: structural corruption → None, never a throw, and
+    * the coefficient buffer is bounded BEFORE allocation. Truncation
+    * tolerance mirrors GifCodec: a payload cut off mid-stream still
+    * decodes from the scans that completed (progressive's defining
+    * property — every prefix is a coarser image), as long as at least
+    * one scan landed.
+    */
+  private def decodeProgressiveImpl(b: Array[Byte]): Option[DecodedImage] = {
+    var pos = 2
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var hmax = 0; var vmax = 0
+    var mcusX = 0; var mcusY = 0
+    // per component: raw (un-dequantized) coefficients in ZIGZAG order,
+    // blocks row-major over the MCU-padded grid, 64 ints per block
+    var coefs: Array[Array[Int]] = null
+    var blocksPerRow: Array[Int] = null
+    var scansDone = 0
+
+    def finalizeImage(): Option[DecodedImage] = {
+      if (comps == null || scansDone == 0) return None
+      for (c <- comps) if (!quantSeen(c.tq)) return None
+      val planeW = comps.map(c => mcusX * c.h * 8)
+      val planeH = comps.map(c => mcusY * c.v * 8)
+      val planes = Array.tabulate(comps.length) { i =>
+        new Array[Byte](planeW(i) * planeH(i))
       }
-      Some(DecodedImage(w, h, 1, out))
-    } else {
-      val out = new Array[Byte](w * h * 3)
-      val yPlane = planes(0); val cbPlane = planes(1); val crPlane = planes(2)
-      val yW = planeW(0)
-      val cbW = planeW(1); val crW = planeW(2)
-      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
-      var y = 0
-      while (y < h) {
-        val yRow = y * c0.v / vmax
-        val cbRow = y * c1.v / vmax
-        val crRow = y * c2.v / vmax
-        var x = 0
-        while (x < w) {
-          val Y = yPlane(yRow * yW + (x * c0.h / hmax)) & 0xff
-          val cb = (cbPlane(cbRow * cbW + (x * c1.h / hmax)) & 0xff) - 128
-          val cr = (crPlane(crRow * crW + (x * c2.h / hmax)) & 0xff) - 128
-          val r = math.round(Y + 1.402 * cr).toInt
-          val g = math.round(Y - 0.344136 * cb - 0.714136 * cr).toInt
-          val bl = math.round(Y + 1.772 * cb).toInt
-          val o = (y * w + x) * 3
-          out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
-          out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
-          out(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
-          x += 1
+      val coefD = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      val blockOut = new Array[Int](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qt = quant(c.tq)
+        val bw = blocksPerRow(ci)
+        val bh = mcusY * c.v
+        val cf = coefs(ci)
+        var row = 0
+        while (row < bh) {
+          var colB = 0
+          while (colB < bw) {
+            val base = (row * bw + colB) * 64
+            java.util.Arrays.fill(coefD, 0.0)
+            var k = 0
+            while (k < 64) {
+              val v = cf(base + k)
+              if (v != 0) coefD(ZigNat(k)) = v.toDouble * qt(k)
+              k += 1
+            }
+            idct8x8(coefD, tmp, blockOut)
+            val px0 = colB * 8
+            val py0 = row * 8
+            val pw = planeW(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(ci)((py0 + yy) * pw + (px0 + xx)) =
+                  blockOut(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            colB += 1
+          }
+          row += 1
         }
-        y += 1
+        ci += 1
       }
-      Some(DecodedImage(w, h, 3, out))
+      Some(assemble(comps, planes, planeW, w, h, hmax, vmax))
     }
+
+    /** Decode one scan's entropy data; returns the position of the
+      * next marker, or -1 on corruption, or -2 on truncation (caller
+      * finalizes what accumulated).
+      */
+    def runScan(scanComp: Array[Int], dcSel: Array[Int], acSel: Array[Int],
+                ss: Int, se: Int, ah: Int, al: Int, start: Int): Int = {
+      val reader = new BitReader(b, start)
+      val dcPred = new Array[Int](comps.length)
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -1 << al
+
+      def refineNonzero(cf: Array[Int], idx: Int): Boolean = {
+        val cb = reader.bit()
+        if (cb < 0) return false
+        if (cb == 1 && (cf(idx) & p1) == 0)
+          cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+        true
+      }
+
+      def decodeBlock(si: Int, ci: Int, blockIdx: Int): Boolean = {
+        val cf = coefs(ci)
+        val base = blockIdx * 64
+        if (ss == 0) {
+          if (ah == 0) { // DC first
+            val t = reader.decodeHuff(dcTables(dcSel(si)))
+            if (t < 0 || t > 15) return false
+            var diff = 0
+            if (t > 0) {
+              val v = reader.receive(t)
+              if (v < 0) return false
+              diff = extend(v, t)
+            }
+            dcPred(ci) += diff
+            cf(base) = dcPred(ci) << al
+          } else { // DC refine: one raw bit per block
+            val bit = reader.bit()
+            if (bit < 0) return false
+            if (bit == 1) cf(base) |= p1
+          }
+          true
+        } else if (ah == 0) { // AC first
+          if (eobrun > 0) { eobrun -= 1; return true }
+          var k = ss
+          while (k <= se) {
+            val rs = reader.decodeHuff(acTables(acSel(si)))
+            if (rs < 0) return false
+            val r = rs >> 4; val s = rs & 0xf
+            if (s == 0) {
+              if (r == 15) k += 16
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) {
+                  val e = reader.receive(r)
+                  if (e < 0) return false
+                  eobrun += e
+                }
+                return true
+              }
+            } else {
+              k += r
+              if (k > se) return false
+              val v = reader.receive(s)
+              if (v < 0) return false
+              cf(base + k) = extend(v, s) << al
+              k += 1
+            }
+          }
+          true
+        } else { // AC refine (T.81 G.1.2.3 correction-bit walk)
+          var k = ss
+          if (eobrun == 0) {
+            var toEob = false
+            while (k <= se && !toEob) {
+              val rs = reader.decodeHuff(acTables(acSel(si)))
+              if (rs < 0) return false
+              var r = rs >> 4; val s = rs & 0xf
+              var newVal = 0
+              if (s == 0) {
+                if (r < 15) {
+                  // NOTE the off-by-one vs AC-first: the run count here
+                  // INCLUDES the current block, whose band tail still
+                  // takes correction bits below before the decrement
+                  eobrun = 1 << r
+                  if (r > 0) {
+                    val e = reader.receive(r)
+                    if (e < 0) return false
+                    eobrun += e
+                  }
+                  toEob = true
+                }
+                // r == 15: ZRL — pass over 16 zero-HISTORY positions
+              } else {
+                if (s != 1) return false // refine can only create ±1<<Al
+                val sb = reader.bit()
+                if (sb < 0) return false
+                newVal = if (sb == 1) p1 else m1
+              }
+              if (!toEob) {
+                // advance: nonzero-history coefs take a correction bit
+                // (and do NOT consume r); zero-history ones count down
+                // r, the (r+1)-th receives the new value (if any)
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + k
+                  if (cf(idx) != 0) {
+                    if (!refineNonzero(cf, idx)) return false
+                  } else if (r == 0) {
+                    if (newVal != 0) cf(idx) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0) return false // ran off band
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB run covers the REST of this band, but correction
+            // bits still flow for already-nonzero coefficients
+            while (k <= se) {
+              val idx = base + k
+              if (cf(idx) != 0 && !refineNonzero(cf, idx)) return false
+              k += 1
+            }
+            eobrun -= 1
+          }
+          true
+        }
+      }
+
+      var ok = true
+      var truncated = false
+      if (scanComp.length > 1) { // interleaved (DC scans)
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total && ok) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!reader.restart()) { ok = false; truncated = true }
+            java.util.Arrays.fill(dcPred, 0)
+            eobrun = 0
+          }
+          if (ok) {
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            var si = 0
+            while (si < scanComp.length && ok) {
+              val ci = scanComp(si)
+              val c = comps(ci)
+              var by = 0
+              while (by < c.v && ok) {
+                var bx = 0
+                while (bx < c.h && ok) {
+                  ok = decodeBlock(si, ci,
+                    (my * c.v + by) * blocksPerRow(ci) + (mx * c.h + bx))
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+          }
+          mcu += 1
+        }
+      } else { // non-interleaved: component block order, unpadded dims
+        val ci = scanComp(0)
+        val c = comps(ci)
+        val bw = ((w * c.h + hmax - 1) / hmax + 7) / 8
+        val bh = ((h * c.v + vmax - 1) / vmax + 7) / 8
+        var blk = 0
+        val total = bw * bh
+        while (blk < total && ok) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            if (!reader.restart()) { ok = false; truncated = true }
+            java.util.Arrays.fill(dcPred, 0)
+            eobrun = 0
+          }
+          if (ok)
+            ok = decodeBlock(0, ci, (blk / bw) * blocksPerRow(ci) + blk % bw)
+          blk += 1
+        }
+      }
+      if (!ok)
+        return if (truncated || reader.pos >= b.length) -2 else -1
+      // drain pad bits / stray bytes up to the next marker
+      while (!reader.hitMarker && reader.bit() >= 0) {}
+      if (reader.hitMarker) reader.pos else b.length
+    }
+
+    // ---- marker loop over the whole stream ----
+    while (true) {
+      while (pos < b.length && (b(pos) & 0xff) != 0xff)
+        return if (scansDone > 0) finalizeImage() else None
+      while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= b.length)
+        return if (scansDone > 0) finalizeImage() else None
+      val marker = b(pos) & 0xff
+      pos += 1
+      marker match {
+        case 0xd8 => // stray SOI — ignore
+        case 0xd9 => // EOI: the stream is complete
+          return finalizeImage()
+        case 0xc2 => // SOF2
+          if (comps != null) return None // second frame: corrupt
+          if (pos + 2 > b.length) return None
+          val len = be16(b, pos)
+          if (pos + len > b.length || len < 8) return None
+          val precision = b(pos + 2) & 0xff
+          h = be16(b, pos + 3); w = be16(b, pos + 5)
+          val nc = b(pos + 7) & 0xff
+          if (precision != 8 || w <= 0 || h <= 0) return None
+          if (nc != 1 && nc != 3) return None
+          if (w.toLong * h * nc > MaxPixelBytes) return None
+          if (len < 8 + 3 * nc) return None
+          comps = Array.tabulate(nc) { i =>
+            val o = pos + 8 + 3 * i
+            val cid = b(o) & 0xff
+            val hv = b(o + 1) & 0xff
+            Component(cid, hv >> 4, hv & 0xf, b(o + 2) & 0xff)
+          }
+          if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3))
+            return None
+          hmax = comps.map(_.h).max
+          vmax = comps.map(_.v).max
+          mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          // coefficient-buffer bound BEFORE allocation (frame-bomb
+          // discipline): padded planes are ≤ (w+15)(h+15) per
+          // component, ints are 4 bytes — cap the total at 4×
+          // MaxPixelBytes so a crafted SOF cannot allocate past the
+          // same order of memory the baseline path is allowed
+          val totalBlocks = comps.map(c =>
+            (mcusX * c.h).toLong * (mcusY * c.v)).sum
+          if (totalBlocks * 64L * 4L > 4L * MaxPixelBytes) return None
+          blocksPerRow = comps.map(c => mcusX * c.h)
+          coefs = comps.map(c => new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          pos += len
+        case m if m >= 0xc0 && m <= 0xcf && m != 0xc2 && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          return None // a second, non-progressive frame: corrupt
+        case 0xc4 =>
+          if (pos + 2 > b.length) return None
+          val len = be16(b, pos)
+          if (pos + len > b.length) return None
+          if (!parseDhtPayload(b, pos + 2, pos + len, dcTables, acTables))
+            return None
+          pos += len
+        case 0xdb =>
+          if (pos + 2 > b.length) return None
+          val len = be16(b, pos)
+          if (pos + len > b.length) return None
+          if (!parseDqtPayload(b, pos + 2, pos + len, quant, quantSeen))
+            return None
+          pos += len
+        case 0xdd =>
+          if (pos + 4 > b.length) return None
+          val len = be16(b, pos)
+          if (len != 4) return None
+          restartInterval = be16(b, pos + 2)
+          pos += len
+        case 0xda => // SOS: one progressive scan
+          if (comps == null) return None
+          if (pos + 2 > b.length) return None
+          val len = be16(b, pos)
+          if (pos + len > b.length) return None
+          val ns = b(pos + 2) & 0xff
+          if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return None
+          val scanComp = new Array[Int](ns)
+          val dcSel = new Array[Int](ns)
+          val acSel = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cs = b(pos + 3 + 2 * i) & 0xff
+            val tt = b(pos + 4 + 2 * i) & 0xff
+            val ci = comps.indexWhere(_.id == cs)
+            if (ci < 0) return None
+            scanComp(i) = ci
+            dcSel(i) = tt >> 4
+            acSel(i) = tt & 0xf
+            if (dcSel(i) > 3 || acSel(i) > 3) return None
+            i += 1
+          }
+          val ssB = b(pos + 3 + 2 * ns) & 0xff
+          val seB = b(pos + 4 + 2 * ns) & 0xff
+          val ahal = b(pos + 5 + 2 * ns) & 0xff
+          val ah = ahal >> 4; val al = ahal & 0xf
+          // T.81 scan-header constraints: DC band is exactly 0..0, AC
+          // bands are 1..63 single-component; approximation shifts ≤13
+          if (ssB > 63 || seB > 63 || seB < ssB) return None
+          if (ssB == 0 && seB != 0) return None
+          if (ssB > 0 && ns != 1) return None
+          if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1)) return None
+          // table presence per scan kind (DC refine needs none)
+          i = 0
+          while (i < ns) {
+            if (ssB == 0 && ah == 0 && dcTables(dcSel(i)) == null) return None
+            if (ssB > 0 && acTables(acSel(i)) == null) return None
+            i += 1
+          }
+          val next = runScan(scanComp, dcSel, acSel, ssB, seB, ah, al,
+            pos + len)
+          if (next == -1) return None
+          if (next == -2) // truncated mid-scan: keep COMPLETE scans only
+            return if (scansDone > 0) finalizeImage() else None
+          scansDone += 1
+          pos = next
+        case 0x01 => // TEM, no payload
+        case m if m >= 0xd0 && m <= 0xd7 => // RST outside scan: ignore
+        case _ =>
+          if (pos + 2 > b.length) return None
+          val len = be16(b, pos)
+          if (len < 2 || pos + len > b.length) return None
+          pos += len
+      }
+    }
+    None // unreachable
   }
 
   // =======================================================================

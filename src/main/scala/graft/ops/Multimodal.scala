@@ -129,6 +129,74 @@ object Multimodal {
       .toDF()
   }
 
+  /** Progressive-JPEG twin of [[syntheticJpegImages]]: the same pixel
+    * grid encoded as PROGRESSIVE (SOF2) JPEG through the JDK's ImageIO
+    * writer — an encoder sharing no code with [[JpegCodec]]'s decoder,
+    * so the distributed decode path is exercised against independent
+    * multi-scan streams (spectral selection + successive approximation
+    * with DC and AC refinement passes, the IJG scan script). Rotates
+    * color / grayscale by doc id. Like the baseline twin, pixels are
+    * lossy but STRUCTURE is exact: width/height/channels are header
+    * facts the `q_media_decode_prog` oracle replays arithmetically.
+    */
+  def syntheticProgressiveJpegImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 23) / 24))
+        val px = new Array[Byte](w * h * 3)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < px.length) { px(i) = bytes(i % bytes.length); i += 1 }
+        }
+        val gray = (id / 3) % 2 == 1
+        val payload = encodeProgressiveJpeg(w, h, px, gray)
+        MediaRow(id, "image", payload, w, h,
+          (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
+      }
+      .toDF()
+  }
+
+  /** Progressive JPEG encode via the JDK's ImageIO writer (raw raster
+    * writes — no colorspace conversion detour for the gray plane).
+    */
+  private def encodeProgressiveJpeg(w: Int, h: Int, rgb: Array[Byte],
+                                    gray: Boolean): Array[Byte] = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val bi = new java.awt.image.BufferedImage(w, h, t)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (gray) bi.getRaster.setSample(x, y, 0, rgb(o) & 0xff)
+        else bi.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+          ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** GIF twin of [[syntheticImages]]: text bytes become PALETTE
     * INDICES into a fixed deterministic 256-entry color table, encoded
     * GIF89a, alternating sequential/interlaced row order by doc id —

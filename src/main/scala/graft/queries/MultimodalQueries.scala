@@ -194,6 +194,36 @@ object MultimodalQueries {
       |  CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN 1 ELSE 3 END AS BIGINT) AS channels
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  // ---- q_media_decode_prog: ORACLE-CHECKED progressive JPEG decode ------
+
+  /** Progressive (SOF2) sibling of q_media_decode_jpeg: payloads are
+    * encoded by the JDK's ImageIO progressive writer — an encoder
+    * sharing NO code with the decoder under test — and decoded back by
+    * [[graft.ops.JpegCodec]]'s multi-scan path (spectral selection,
+    * successive approximation, EOB runs), rotating color/grayscale by
+    * doc id. The oracle replays format/dims/channels arithmetically
+    * from the text byte length and the documented 8-wide grid; a
+    * broken refinement pass, EOB-run slip, or failed scan handoff
+    * leaves rows "undecodable" and fails the hash.
+    */
+  def mediaDecodeProg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+        Multimodal.syntheticProgressiveJpegImages(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+
+  val mediaDecodeProgSql: String =
+    """SELECT doc_id AS media_id,
+      |  'jpeg' AS format,
+      |  CAST(8 AS BIGINT) AS width,
+      |  CAST(greatest(1, least(64,
+      |    (octet_length(encode(coalesce(text, ''))) + 23) // 24)) AS BIGINT) AS height,
+      |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 THEN 1 ELSE 3 END AS BIGINT) AS channels
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   // ---- q_media_decode_gif: ORACLE-CHECKED GIF decode --------------------
 
   /** GIF sibling of q_media_decode, with the strongest evidence class:

@@ -29,6 +29,36 @@ import graft.text.Normalize
   */
 object Streaming {
 
+  /** Spark's RocksDB state-store provider (public API, ships in the
+    * Spark distribution) — the bounded-memory option for 100 TB-scale
+    * intake. The default HDFS-backed provider keeps every key of every
+    * stateful operator's state ON-HEAP per executor; at corpus-scale
+    * key cardinalities (dedup hashes, session keys) that heap grows
+    * with the keyspace. RocksDB spills state to local disk with an
+    * in-memory working set, so executor memory stays flat while state
+    * grows. Same checkpoint contract — recovery/exactly-once semantics
+    * are identical (StreamingRocksDbSpec re-proves the restart suite's
+    * key scenarios under it).
+    */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's streaming state store switched to
+    * RocksDB, restoring the previous provider after. The conf is read
+    * per query START, so the toggle cleanly scopes to queries started
+    * inside `body`; queries already running are untouched.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProviderClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Open a JSONL landing directory as a stream with an explicit schema
     * (streams cannot infer; `maxFilesPerTrigger` bounds batch size).
     */

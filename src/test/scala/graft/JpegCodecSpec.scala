@@ -197,4 +197,161 @@ class JpegCodecSpec extends AnyFunSuite {
     val r = JpegCodec.decode(cut)
     r.foreach(img => assert(img.width === 16 && img.height === 16))
   }
+
+  // ---- progressive (SOF2) ------------------------------------------------
+
+  /** Progressive encode via the JDK's ImageIO — an INDEPENDENT encoder
+    * (IJG-derived scan script: spectral selection + successive
+    * approximation with DC and AC refinement passes), so the decoder is
+    * exercised against streams it shares no code with.
+    */
+  private def encodeProgressive(w: Int, h: Int, px: Array[Byte],
+                                gray: Boolean = false): Array[Byte] = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val bi = new java.awt.image.BufferedImage(w, h, t)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (gray) {
+          // raw raster write: setRGB on TYPE_BYTE_GRAY would convert
+          // sRGB -> linear gray and the JPEG would carry darkened
+          // samples (the decoder under test reports raw samples)
+          bi.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+        } else {
+          val o = (y * w + x) * 3
+          bi.setRGB(x, y, ((px(o) & 0xff) << 16) |
+            ((px(o + 1) & 0xff) << 8) | (px(o + 2) & 0xff))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  private def hasMarker(b: Array[Byte], m: Int): Boolean =
+    b.indices.dropRight(1).exists(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+
+  private def imageIoRgb(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val w = bi.getWidth; val h = bi.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = bi.getRGB(x, y)
+        val o = (y * w + x) * 3
+        out(o) = ((rgb >> 16) & 0xff).toByte
+        out(o + 1) = ((rgb >> 8) & 0xff).toByte
+        out(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  test("progressive: ImageIO-encoded color streams decode here (incl. odd dims)") {
+    for ((w, h) <- Seq((40, 28), (33, 21), (8, 8), (17, 64))) {
+      val px = gradient(w, h)
+      val jpg = encodeProgressive(w, h, px)
+      assert(hasMarker(jpg, 0xc2), "fixture must actually be SOF2 progressive")
+      val img = JpegCodec.decode(jpg)
+        .getOrElse(fail(s"decoder rejected a progressive stream ${w}x$h"))
+      assert(img.width === w && img.height === h && img.channels === 3)
+      // vs the source pixels: within the usual lossy budget
+      assert(meanAbsDiff(px, img.pixels) <= 8.0, s"${w}x$h vs source")
+      // vs the JDK's decode of the SAME stream: identical coefficients;
+      // the residual is IDCT rounding + chroma upsampling convention
+      // (nearest here, triangle filter in the JDK), which dominates on
+      // the single-MCU 8x8 case
+      val (iw, ih, ref) = imageIoRgb(jpg)
+      assert(iw === w && ih === h)
+      assert(meanAbsDiff(ref, img.pixels) <= 8.0, s"${w}x$h vs ImageIO")
+    }
+  }
+
+  test("progressive: grayscale stream decodes here") {
+    val w = 24; val h = 18
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = ((i * 7) % 256).toByte; i += 1 }
+    val jpg = encodeProgressive(w, h, px, gray = true)
+    assert(hasMarker(jpg, 0xc2))
+    val img = JpegCodec.decode(jpg)
+      .getOrElse(fail("decoder rejected a progressive grayscale stream"))
+    assert(img.width === w && img.height === h && img.channels === 1)
+    // vs the JDK's RASTER decode of the same stream (raw samples, no
+    // colorspace detour): only IDCT rounding apart
+    val refBi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    val ref = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        ref(y * w + x) = refBi.getRaster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    assert(meanAbsDiff(ref, img.pixels) <= 2.0)
+    assert(meanAbsDiff(px, img.pixels) <= 8.0)
+  }
+
+  test("progressive: truncation degrades to a coarser image or None, never a throw") {
+    val w = 32; val h = 32
+    val jpg = encodeProgressive(w, h, gradient(w, h))
+    // every prefix must decode without throwing; once at least one
+    // scan has landed, the result keeps the frame geometry
+    var sawSome = false
+    (4 to jpg.length by 97).foreach { n =>
+      val r = JpegCodec.decode(jpg.take(n)) // must not throw
+      r.foreach { img =>
+        sawSome = true
+        assert(img.width === w && img.height === h)
+      }
+    }
+    // dropping just the EOI finalizes from completed scans
+    val noEoi = JpegCodec.decode(jpg.dropRight(2))
+      .getOrElse(fail("EOI-less progressive stream must still decode"))
+    assert(noEoi.width === w && noEoi.height === h)
+    assert(sawSome, "some truncation point must yield a coarse image")
+    // and a full-resolution sanity: the coarse EOI-less decode matches
+    // the full decode (the dropped EOI carries no scan data)
+    val full = JpegCodec.decode(jpg).get
+    assert(maxAbsDiff(full.pixels, noEoi.pixels) === 0)
+  }
+
+  test("progressive: hostile mutations never throw, oversized frames rejected") {
+    val good = encodeProgressive(24, 24, gradient(24, 24))
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val r = JpegCodec.decode(b) // must not throw
+      r.foreach(img => assert(img.width > 0 && img.height > 0))
+    }
+    val big = good.clone()
+    val sof = big.indices.find(i => (big(i) & 0xff) == 0xff &&
+      (big(i + 1) & 0xff) == 0xc2).get
+    big(sof + 5) = 0xff.toByte; big(sof + 6) = 0xff.toByte
+    big(sof + 7) = 0xff.toByte; big(sof + 8) = 0xff.toByte
+    assert(JpegCodec.decode(big).isEmpty,
+      "65535x65535 progressive frame must be rejected before allocation")
+  }
 }

@@ -172,6 +172,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(magics === Set("png", "bmp", "ppm"))
   }
 
+  test("syntheticProgressiveJpegImages: SOF2 payloads, every one decodes with exact dims") {
+    import spark.implicits._
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, s"progressive doc $i " + ("lorem ipsum " * (i + 1))))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.syntheticProgressiveJpegImages(docs)
+      .select("media_id", "content", "width", "height").collect()
+    assert(rows.length === 4) // doc_id % 3 == 0: 0, 3, 6, 9
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      // the payload must really be multi-scan progressive (SOF2)
+      assert(b.indices.dropRight(1).exists(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc2),
+        s"payload $id is not SOF2")
+      val img = graft.ops.ImageCodec.decode(b)
+        .getOrElse(fail(s"progressive payload $id did not decode"))
+      assert(img.width === r.getInt(2) && img.height === r.getInt(3))
+      assert(img.channels === (if ((id / 3) % 2 == 1) 1 else 3),
+        s"gray/color rotation broken for $id")
+    }
+  }
+
   test("aspectBucket: nearest target aspect, square/portrait/landscape, no bytes read") {
     import spark.implicits._
     val media = Seq(
