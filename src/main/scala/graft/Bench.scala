@@ -124,7 +124,9 @@ object Bench {
       "q_quality_classifier", "q_kn_perplexity", "q_span_removal",
       "q_video_frames", "q_mojibake", "q_phrase_search",
       "q_kn_trigram", "q_source_drift", "q_apply_delta", "q_zorder_key",
-      "q_kmv_vocab", "q_epoch_shuffle", "q_curriculum_order")
+      "q_kmv_vocab", "q_epoch_shuffle", "q_curriculum_order",
+      "q_dd_buckets", "q_media_decode_prog", "q_flac_decode",
+      "q_simhash_md5")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()

@@ -139,7 +139,13 @@ object Kmv {
       when(size(x) < k, size(x).cast("double"))
         .otherwise(lit((k - 1).toDouble * HashRange) /
           element_at(x, least(lit(k), size(x))).cast("double"))
-    a.join(b, col("group_a") < col("group_b"))
+    // EXPLICIT broadcast: the sketch table is groups × O(k) BY
+    // CONSTRUCTION (aggregate output), but Spark's size ESTIMATE for
+    // it scales with the un-aggregated input, so at big file stats
+    // the non-equi join silently loses its BroadcastNestedLoopJoin
+    // plan and falls back to CartesianProduct — the 100× PlanSweep
+    // caught exactly that. The hint pins the always-correct shape.
+    a.join(broadcast(b), col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         estimateQ(col("sk_a"), k).as("est_a_q"),
         estimateQ(col("sk_b"), k).as("est_b_q"),

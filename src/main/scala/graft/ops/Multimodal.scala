@@ -35,6 +35,14 @@ object Multimodal {
   case class AudioDecode(media_id: Long, format: String, sample_rate: Int,
                          channels: Int, n_frames: Int, duration_ms: Long)
 
+  /** FLAC decode facts: like [[AudioDecode]] plus the position-weighted
+    * exact sample sum — FLAC is lossless, so unlike WAV's 16-bit
+    * amplitude quantization the SAMPLES themselves are oracle-checkable
+    * (the GIF-pixels evidence class, ported to audio).
+    */
+  case class FlacDecode(media_id: Long, format: String, sample_rate: Int,
+                        channels: Int, n_frames: Int, wsum: Long)
+
   /** Derive a deterministic media view from the documents table: the
     * UTF-8 text bytes stand in for an encoded payload, metadata derives
     * from byte length. This is the fixture adapter — a real deployment
@@ -337,6 +345,72 @@ object Multimodal {
             AudioDecode(id, "wav", a.sampleRate, a.channels, a.nFrames,
               a.nFrames.toLong * 1000L / a.sampleRate)
           case None => AudioDecode(id, "undecodable", 0, 0, 0, 0L)
+        }
+      }
+  }
+
+  /** FLAC twin of [[syntheticAudio]]: the same deterministic
+    * byte-derived samples, compressed through [[FlacCodec]] with the
+    * encoder rotation covering VERBATIM / FIXED-1 / FIXED-2 subframes,
+    * mid/side stereo and 2-partition residuals — so the distributed
+    * decode exercises every residual/predictor path. FLAC is lossless:
+    * the decoded samples are BIT-EXACT functions of the text bytes,
+    * which is what lets `q_flac_decode` hash-check a position-weighted
+    * sample sum (the GIF evidence class).
+    */
+  def syntheticFlacAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val nFrames = (bytes.length % 3000) + 200
+        val channels = ((id / 3) % 2 + 1).toInt
+        val rate = ((id / 3) % 3) match {
+          case 0 => 8000
+          case 1 => 16000
+          case _ => 44100
+        }
+        val samples = new Array[Int](nFrames * channels)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = ((bytes(i % bytes.length) & 0xff) - 128) * 64
+            i += 1
+          }
+        }
+        val rot = (id / 3).toInt
+        val payload = FlacCodec.encodeFlac16(rate, channels, samples,
+          subframe = rot % 3, midSide = rot % 4 >= 2,
+          partitions2 = rot % 2 == 0)
+        MediaRow(id, "audio", payload, 0, 0, rate, nFrames)
+      }
+      .toDF()
+  }
+
+  /** Decode facts straight off the FLAC payload, including the exact
+    * position-weighted sample sum the oracle replays; undecodable
+    * payloads report ("undecodable", 0, 0, 0, 0) instead of failing
+    * the stage.
+    */
+  def decodeFlacMeta(media: DataFrame): Dataset[FlacDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        FlacCodec.decode(bytes) match {
+          case Some(d) =>
+            var ws = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              ws += (i + 1L) * d.samples(i)
+              i += 1
+            }
+            FlacDecode(id, "flac", d.sampleRate, d.channels, d.nFrames, ws)
+          case None => FlacDecode(id, "undecodable", 0, 0, 0, 0L)
         }
       }
   }

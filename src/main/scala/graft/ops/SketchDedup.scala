@@ -328,9 +328,11 @@ object SketchDedup {
           .as("bands"))
   }
 
-  /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes; UDF —
-    * the per-bit majority vote is a tight scalar loop, not worth 64
-    * higher-order passes per row).
+  /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes) —
+    * the executable SPEC form; the production path compiles the same
+    * function as the codegen kernel [[graft.plans.Simhash64]]
+    * (SketchDedupSpec pins them bit-identical — the nfkc/tokenize
+    * differential-baseline pattern).
     */
   val simhash64 = udf { (s: String) =>
     if (s == null) 0L
@@ -373,8 +375,13 @@ object SketchDedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // the compiled kernel, not the UDF: the sketch is this query's
+    // corpus-linear scalar (parity-pinned to the UDF spec form). The
+    // kernel is null-intolerant (kernel convention); the spec UDF maps
+    // null -> 0L — the coalesce preserves that exact legacy semantic
+    // (null and blank docs sketch identically and pair up)
     val sketched = df.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("sig"))
+      coalesce(graft.plans.Simhash64(col(textCol)), lit(0L)).as("sig"))
       .withColumn("chunk", explode(array((0 until 4).map(i =>
         concat_ws("_", lit(i),
           shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xFFFFL)))): _*)))
@@ -385,6 +392,46 @@ object SketchDedup {
       .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Oracle-checked SimHash twin — the same graded-twin device as
+    * `q_minhash_md5` vs the seeded production sketch: [[simhashPairs]]
+    * runs FNV-1a token hashes (engine-private, rows-only), this runs
+    * the IDENTICAL banding + Hamming-verify pipeline over a 60-bit
+    * md5-prefix token hash that DuckDB replays byte-for-byte
+    * (`CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)` — 15 hex chars
+    * so the hash stays inside signed BIGINT on both engines). The
+    * per-bit majority vote is declarative here (60 integer partial
+    * sums in ONE keyed agg with map-side combine — exact arithmetic,
+    * so the oracle matches bit-for-bit), and banding is 4×15-bit
+    * chunks: Hamming ≤ 3 still pigeonholes into ≥1 shared chunk.
+    */
+  def simhashMd5Pairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val Bits = 60
+    val tok = df.select(col(idCol).as("id"),
+        explode(TextMetrics.tokens(col(textCol))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until Bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    val sig = tok.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until Bits).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    val chunked = sig.withColumn("chunk", explode(array((0 until 4).map(i =>
+      concat_ws("_", lit(i),
+        shiftright(col("sig"), 15 * i).bitwiseAND(lit(0x7FFFL)))): _*)))
+    val a = chunked.select(col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
   }
 
   /** Exact n-gram Jaccard pairs with first-k-token key blocking —

@@ -44,6 +44,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
     ext.injectFunction(
       (FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("simhash64"), Simhash64.info, Simhash64.builder))
     ext.injectOptimizerRule(_ => CollapseNfkc)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -83,6 +85,8 @@ object GraftFunctions {
       FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"), Simhash64.info, Simhash64.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc

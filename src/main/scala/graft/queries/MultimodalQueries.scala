@@ -383,6 +383,53 @@ object MultimodalQueries {
       |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
       |FROM a""".stripMargin
 
+  // ---- q_flac_decode: ORACLE-CHECKED lossless compressed-audio decode ----
+
+  /** The strongest audio evidence class: FLAC is LOSSLESS, so beyond
+    * the structural facts the query returns the position-weighted sum
+    * over the DECODED integer samples (Σ (p+1)·s(p) across interleaved
+    * positions), which DuckDB reproduces arithmetically from the text
+    * bytes and the documented sample law s(p) = (byte(p mod len) − 128)
+    * · 64. The position weighting makes the check ORDER-SENSITIVE and
+    * the encoder rotation (VERBATIM / FIXED-1 / FIXED-2, mid/side,
+    * 2-partition rice + escapes) means a wrong predictor
+    * reconstruction, rice slip, zigzag swap, or channel de-interleave
+    * bug lands samples at wrong values or positions and fails the
+    * hash. Corpus is ASCII, so DuckDB's ord() equals the tiled UTF-8
+    * byte (the sibling oracles' documented assumption).
+    */
+  def flacDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFlacMeta(
+        Multimodal.syntheticFlacAudio(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("wsum"))
+
+  val flacDecodeSql: String =
+    """WITH a AS (SELECT doc_id AS media_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS len,
+      |  (octet_length(encode(coalesce(text, ''))) % 3000) + 200 AS n_frames,
+      |  (doc_id // 3) % 2 + 1 AS channels,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |    ELSE 44100 END AS sample_rate
+      | FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT media_id, t, len,
+      |        unnest(generate_series(0, n_frames * channels - 1)) AS p
+      |      FROM a),
+      |w AS (SELECT media_id,
+      |        sum((p + 1) * CASE WHEN len = 0 THEN 0
+      |          ELSE (ord(substr(t, (p % len) + 1, 1)) - 128) * 64 END) AS wsum
+      |      FROM s GROUP BY media_id)
+      |SELECT a.media_id, 'flac' AS format,
+      |  CAST(a.sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(a.channels AS BIGINT) AS channels,
+      |  CAST(a.n_frames AS BIGINT) AS n_frames,
+      |  CAST(w.wsum AS BIGINT) AS wsum
+      |FROM a JOIN w USING (media_id)""".stripMargin
+
   // ---- q_media_features: partition-batched inference (rows-only) ---------
 
   // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —

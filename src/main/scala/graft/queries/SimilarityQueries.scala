@@ -828,4 +828,34 @@ object SimilarityQueries {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     SketchDedup.simhashPairs(Tables.documents(s, dir),
       idCol = "doc_id", textCol = "text", maxHamming = 3)
+
+  /** Graded twin of q_simhash_pairs (same banding + Hamming verify,
+    * md5-replayable token hash) — the correctness proof of the SimHash
+    * path, the way q_minhash_md5 proves the MinHash path.
+    */
+  def simhashMd5(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.simhashMd5Pairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", maxHamming = 3)
+
+  val simhashMd5Sql: String = {
+    val toks = OracleSql.toks("text")
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM t),
+       |bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+       |  GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM bits GROUP BY doc_id),
+       |ch AS (SELECT doc_id, sig, i, (sig >> (15 * i)) & 32767 AS chunk
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM ch a JOIN ch b ON a.i = b.i AND a.chunk = b.chunk
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
+  }
 }

@@ -430,4 +430,38 @@ class SketchDedupSpec extends SparkTestBase {
       .select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
     assert(math.abs(got - expected) < 1e-15)
   }
+
+  test("simhash64 kernel is bit-identical to the UDF spec form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val exotic = Seq(null, "", "   ", "\t\n x \r", "one",
+      "a b  cd", "edge middle ",
+      "line\u2028sep stays one token", // U+2028 is NOT java-regex \s
+      "naïve café über ¡hola! 中文 字", "a " * 500)
+    val docs = (exotic ++ (0 until 300).map { _ =>
+      (0 until rnd.nextInt(30))
+        .map(_ => ("word" + rnd.nextInt(40)) * (1 + rnd.nextInt(2)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4)))
+    }).toDF("t")
+    // null: the kernel is null-intolerant (kernel convention), the
+    // spec UDF maps null -> 0L; the production path coalesces the
+    // kernel to 0L, so THAT composition is what must equal the UDF
+    val both = docs.select(
+      coalesce(graft.plans.Simhash64(col("t")), lit(0L)).as("k"),
+      SketchDedup.simhash64(col("t")).as("u")).collect()
+    both.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getLong(0) === r.getLong(1),
+        "kernel/UDF signature divergence")
+    }
+    assert(spark.range(1)
+      .select(graft.plans.Simhash64(lit(null).cast("string")))
+      .head().isNullAt(0), "bare kernel stays null-intolerant")
+    // and the SQL registration answers
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT simhash64('hello world')").head().getLong(0)
+    val viaUdf = Seq("hello world").toDF("t")
+      .select(SketchDedup.simhash64(col("t"))).head().getLong(0)
+    assert(viaSql === viaUdf)
+  }
 }
