@@ -225,6 +225,85 @@ object PipelineQueries {
       xxhash64(to_json(t.getField("attention_mask"))).as("mask_hash"))
   }
 
+  // ---- q_token_ids: T1 graded twin, ORACLE-CHECKED ---------------------
+
+  /** The oracle-gated twin of [[tokenize]]: the SAME native scanner
+    * kernel ([[graft.plans.TokenizeText]]) — real token ids, real
+    * alternation order, real `String.hashCode` id mapping — made
+    * DuckDB-replayable by two input scrubs applied identically on both
+    * engines:
+    *
+    *   1. non-BMP codepoints removed, so Java's UTF-16-unit hash fold
+    *      and DuckDB's codepoint fold see the same unit sequence;
+    *   2. every whitespace-ish run (ASCII `\s`, the ``-``
+    *      separators Java counts as whitespace, and the Unicode space
+    *      family) collapsed to one literal space, which (a) reduces the
+    *      grammar's only lookahead branch `\s+(?!\S)` to "a single
+    *      space attaches to the next token" — expressible in RE2, which
+    *      has no lookahead — and (b) removes every char where Java's
+    *      `Character.isWhitespace` token filter disagrees with a plain
+    *      `<> ' '` list filter.
+    *
+    * After the scrub the oracle replays the grammar with ordered-
+    * alternation `regexp_extract_all` (RE2 is leftmost-first like
+    * Java), replays `String.hashCode` as a `list_reduce` 31-fold over
+    * codepoints with 32-bit wraparound, and replays `floorMod` +
+    * offset. Arrays are exposed as harness-sortable scalars: count +
+    * position-weighted id checksum (order-sensitive, so a permutation
+    * of correct ids still fails). [[tokenize]] stays the
+    * performance-representative unscrubbed form.
+    */
+  private val TokenScrubWs =
+    "[\\s\\x{1C}-\\x{1F}\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(coalesce(col("text"), lit("")),
+        lit("[\\x{10000}-\\x{10FFFF}]"), lit("")),
+      lit(TokenScrubWs), lit(" "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.Tokenize.native(scrubbed).as("t"))
+      .select(col("doc_id"),
+        col("t.n_tokens").cast("long").as("n_tokens"),
+        expr("""aggregate(t.input_ids,
+               |  named_struct('s', 0L, 'i', 0L),
+               |  (acc, x) -> named_struct('s', acc.s + x * (acc.i + 1L),
+               |                           'i', acc.i + 1L),
+               |  acc -> acc.s)""".stripMargin)
+          .as("id_checksum"))
+  }
+
+  val tokenIdsSql: String =
+    """WITH scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(coalesce(text, ''), '[\x{10000}-\x{10FFFF}]', '', 'g'),
+      |      '[\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+      |      ' ', 'g') AS t
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_extract_all(t,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+| '),
+      |      x -> x <> ' ') AS ts
+      |  FROM scrubbed),
+      |hs AS (
+      |  SELECT doc_id, list_transform(ts, tok ->
+      |    list_reduce(
+      |      list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS BIGINT)),
+      |      (a, b) -> (a * 31 + b) & 4294967295)) AS hs
+      |  FROM toks),
+      |ids AS (
+      |  SELECT doc_id, list_transform(hs, h ->
+      |    ((CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END) % 50000
+      |      + 50000) % 50000 + 256) AS ids
+      |  FROM hs)
+      |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(list_sum(list_transform(ids, (x, i) -> x * i)), 0) AS BIGINT)
+      |    AS id_checksum
+      |FROM ids""".stripMargin
+
   // ---- q_pipeline_graded: stages 2-5 fused, ORACLE-CHECKED --------------
 
   /** The graded twin of [[pipelineFull]]: the SAME fused stage chain

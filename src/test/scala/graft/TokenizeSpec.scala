@@ -58,4 +58,43 @@ class TokenizeSpec extends SparkTestBase {
         id < Tokenize.IdOffset + Tokenize.VocabSize))
     }
   }
+
+  test("q_token_ids twin: scrub + kernel checksums match a direct replay") {
+    // The oracle twin's contract: Spark-side scrub (non-BMP removal +
+    // whitespace-family collapse) feeds the REAL kernel; n_tokens and
+    // the position-weighted id checksum must equal a from-first-
+    // principles replay (same Java regexes + the grammar-spec encoder).
+    // Adversarial rows target every scrub clause: surrogate pairs,
+    // U+001C-1F separators, U+2028/2029, NBSP/NNBSP, ogham/ideographic
+    // space, multi-space runs, trailing/leading ws, contractions, null.
+    val texts = Seq(
+      "plain ascii with  double  spaces ",
+      "emoji 🎉 pair a🎉b tail🎉",
+      "sepcharshere",
+      "line sep para",
+      "nbsp and nnbsp",
+      "ogham space ideographic　space",
+      "don't we'll 'tis  \t\n mixed\fruns\r",
+      "ünïcödé 日本語 Ⅷ ① ²",
+      null, "", "   ", "  ")
+    val dir = java.nio.file.Files.createTempDirectory("tokids").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.queries.PipelineQueries.tokenIds(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val nonBmp = "[\\x{10000}-\\x{10FFFF}]".r
+    val wsFam = ("[\\s\\x{1C}-\\x{1F}\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+").r
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val scrubbed = wsFam.replaceAllIn(
+        nonBmp.replaceAllIn(Option(t).getOrElse(""), ""), " ")
+      val ids = Tokenize.encode(scrubbed)
+      val want = (ids.length.toLong,
+        ids.zipWithIndex.map { case (id, p) => id.toLong * (p + 1) }.sum)
+      assert(got(i.toLong) === want, s"doc $i: ${String.valueOf(t).take(60)}")
+    }
+  }
 }
