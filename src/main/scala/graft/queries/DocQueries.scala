@@ -797,6 +797,87 @@ object DocQueries {
         xxhash64(to_json(col("__sub"))).as("subword_hash"))
   }
 
+  // ---- q_bpe_merges: BPE TRAINING, ORACLE-CHECKED ------------------------
+
+  /** The oracle-gated twin of [[bpeVocab]]: the REAL training loop
+    * (`Bpe.train` — same corpus aggregation, same argmax tie-break, same
+    * leftmost-non-overlapping re-segmentation) over input scrubbed
+    * identically on both engines (non-BMP removed so Java-char and
+    * codepoint word splits agree and UTF-16 vs codepoint tie-break
+    * orders coincide; C0 controls + the Unicode space family collapsed
+    * to single spaces so Java `\s+` and RE2 `\s+` tokenize alike, and
+    * so U+0001 is free to act as the oracle's symbol separator).
+    *
+    * The oracle replays all `BpeMerges` training ROUNDS — not just a
+    * checksum — as a recursive CTE whose working table is the word
+    * segmentation state: each step cross-joins the previous state's
+    * argmax pair (sum-of-word-frequency pair counts, ties broken
+    * lexicographically, exactly `trainFromCounts`) and re-segments
+    * every word with a `list_reduce` fold over a chr(1)-separated
+    * symbol encoding. The fold is provably equivalent to the scanner's
+    * leftmost-non-overlapping pass because a just-merged symbol `a||b`
+    * is strictly longer than `a` and so can never re-match as a left
+    * element within the same round. Early exhaustion (no pairs left)
+    * terminates both loops identically: the recursion stops when the
+    * argmax subquery is empty, and `trainFromCounts` sets `exhausted`.
+    */
+  private val BpeScrubWs =
+    "[\\x00-\\x1F\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}\\s]+"
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scrubbed = Tables.documents(s, dir).select(
+      regexp_replace(
+        regexp_replace(coalesce(col("text"), lit("")),
+          lit("[\\x{10000}-\\x{10FFFF}]"), lit("")),
+        lit(BpeScrubWs), lit(" ")).as("text"))
+    val model = graft.text.Bpe.train(scrubbed, "text", numMerges = BpeMerges)
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+      .toDF("merge_rank", "lft", "rgt", "merged")
+  }
+
+  val bpeMergesSql: String =
+    s"""WITH RECURSIVE
+       |docs AS (
+       |  SELECT regexp_replace(regexp_replace(coalesce(text, ''),
+       |    '[\\x{10000}-\\x{10FFFF}]', '', 'g'),
+       |    '[\\x00-\\x1F\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}\\s]+',
+       |    ' ', 'g') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+       |                  ELSE string_split_regex(trim(t), '\\s+') END) AS word
+       |    FROM docs)
+       |  GROUP BY word ORDER BY n DESC, word LIMIT 100000),
+       |st(iter, n, syms) AS (
+       |  SELECT 0, n, regexp_extract_all(word, '.') FROM w
+       |  UNION ALL
+       |  SELECT iter + 1, st.n,
+       |    string_split(list_reduce(st.syms, (acc, x) -> CASE
+       |      WHEN (acc = bp.ba OR ends_with(acc, chr(1) || bp.ba)) AND x = bp.bb
+       |      THEN acc || x ELSE acc || chr(1) || x END), chr(1))
+       |  FROM st CROSS JOIN (
+       |    SELECT a AS ba, b AS bb FROM (
+       |      SELECT unnest(syms[:len(syms)-1]) AS a, unnest(syms[2:]) AS b, n
+       |      FROM st)
+       |    GROUP BY a, b ORDER BY sum(n) DESC, a, b LIMIT 1) bp
+       |  WHERE st.iter < ${BpeMerges - 1}),
+       |pairs AS (
+       |  SELECT iter, a, b, sum(n) AS cnt FROM (
+       |    SELECT iter, unnest(syms[:len(syms)-1]) AS a, unnest(syms[2:]) AS b, n
+       |    FROM st)
+       |  GROUP BY iter, a, b),
+       |best AS (
+       |  SELECT iter, a, b FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY iter ORDER BY cnt DESC, a, b) AS rk
+       |    FROM pairs) WHERE rk = 1)
+       |SELECT CAST(iter AS BIGINT) AS merge_rank, a AS lft, b AS rgt,
+       |  a || b AS merged
+       |FROM best""".stripMargin
+
   // ---- q_unigram_logprob: LM-style quality scoring -----------------------
 
   /** Corpus-unigram log-probability per doc (graft.ops.Score) — the

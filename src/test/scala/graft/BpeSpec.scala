@@ -150,4 +150,32 @@ class BpeSpec extends SparkTestBase {
       Bpe.loadVocabJson("""{"a": {"nested": 1}}""")
     }
   }
+
+  test("q_bpe_merges twin: scrub makes training invariant to exotic ws and non-BMP") {
+    import spark.implicits._
+    // The oracle twin's contract is that the scrub removes exactly the
+    // inputs where Java-side and codepoint-side training could diverge:
+    // after scrubbing, a corpus variant that differs only in exotic
+    // whitespace flavor / non-BMP noise must learn the IDENTICAL merge
+    // table through the twin.
+    val clean = Seq("low lower lowest", "new newer newest", "low low new")
+    val noisy = Seq("low lower lowest", "newnewer\tnewest",
+      "low🎉 low　new")
+    def mergesOf(texts: Seq[String]): Seq[(String, String, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory("bpetwin").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.queries.DocQueries.bpeMerges(spark, dir)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    }
+    val a = mergesOf(clean)
+    val b = mergesOf(noisy)
+    assert(a.nonEmpty)
+    // the emoji survives as its own word in neither corpus (non-BMP
+    // scrub), and every ws flavor collapses — identical learned tables
+    assert(a === b)
+    assert(a.forall { case (l, r, m) => m == l + r })
+  }
 }
