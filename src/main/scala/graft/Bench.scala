@@ -126,7 +126,7 @@ object Bench {
       "q_kn_trigram", "q_source_drift", "q_apply_delta", "q_zorder_key",
       "q_kmv_vocab", "q_epoch_shuffle", "q_curriculum_order",
       "q_dd_buckets", "q_media_decode_prog", "q_flac_decode",
-      "q_simhash_md5")
+      "q_simhash_md5", "q_token_ids", "q_bpe_merges")
     val head = headline.flatMap(k => results.get(k).map(k -> _))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()

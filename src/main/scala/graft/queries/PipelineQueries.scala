@@ -304,6 +304,59 @@ object PipelineQueries {
       |    AS id_checksum
       |FROM ids""".stripMargin
 
+  // ---- q_token_fertility: tokenizer budget per (lang, source) ----------
+
+  /** Tokenizer fertility — tokens per character by (lang, source) — the
+    * standard pre-training budget planner: which sources are
+    * token-expensive for a fixed tokenizer (CJK and code blow up,
+    * English prose compresses). One scan, one keyed agg; at 100 TB the
+    * group count is tiny (languages × sources) so the map-side partials
+    * carry everything. Runs over the same scrubbed input as
+    * [[tokenIds]] so the count is oracle-replayable; `length()` counts
+    * codepoints on both engines once non-BMP is scrubbed. The quotient
+    * is floor-quantized to 1e4 per the engine's double-parity rule.
+    */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(coalesce(col("text"), lit("")),
+        lit("[\\x{10000}-\\x{10FFFF}]"), lit("")),
+      lit(TokenScrubWs), lit(" "))
+    Tables.documents(s, dir)
+      .select(coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), lit("")).as("source"),
+        graft.text.Tokenize.native(scrubbed)
+          .getField("n_tokens").cast("long").as("nt"),
+        length(scrubbed).cast("long").as("nc"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("tok_sum"), sum("nc").as("char_sum"),
+        when(sum("nc") === 0, 0L)
+          .otherwise(floor(sum("nt") * lit(10000.0) / sum("nc")))
+          .cast("long").as("fert_q"))
+  }
+
+  val tokenFertilitySql: String =
+    """WITH scrubbed AS (
+      |  SELECT coalesce(lang, '') AS lang, coalesce(source, '') AS source,
+      |    regexp_replace(
+      |      regexp_replace(coalesce(text, ''), '[\x{10000}-\x{10FFFF}]', '', 'g'),
+      |      '[\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+      |      ' ', 'g') AS t
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT lang, source,
+      |    CAST(len(list_filter(regexp_extract_all(t,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+| '),
+      |      x -> x <> ' ')) AS BIGINT) AS nt,
+      |    CAST(len(t) AS BIGINT) AS nc
+      |  FROM scrubbed)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS tok_sum, CAST(sum(nc) AS BIGINT) AS char_sum,
+      |  CASE WHEN sum(nc) = 0 THEN 0
+      |       ELSE CAST(floor(sum(nt) * CAST(10000 AS DOUBLE) / sum(nc)) AS BIGINT)
+      |  END AS fert_q
+      |FROM per_doc GROUP BY lang, source""".stripMargin
+
   // ---- q_pipeline_graded: stages 2-5 fused, ORACLE-CHECKED --------------
 
   /** The graded twin of [[pipelineFull]]: the SAME fused stage chain
