@@ -878,6 +878,124 @@ object DocQueries {
        |  a || b AS merged
        |FROM best""".stripMargin
 
+  // ---- q_bpe_encode: BPE corpus re-encoding, ORACLE-CHECKED --------------
+
+  /** The oracle-gated twin of [[bpeTokenize]]: train on the scrubbed
+    * corpus (the [[bpeMerges]] twin's scrub) and re-encode every doc,
+    * exposing per-doc subword count + a position-weighted checksum of
+    * the subwords' token ids (the [[graft.text.Tokenize]] id mapping).
+    *
+    * The oracle composes three replays: (1) the [[bpeMergesSql]]
+    * recursive training loop; (2) a second recursion re-segmenting
+    * every DISTINCT corpus word by applying merge rank r at step r —
+    * valid because sequential-by-rank application equals the agenda
+    * encoder (BpeSpec pins that equivalence on randomized words), and
+    * total even under `maxWords` truncation since it re-derives
+    * segmentations rather than reading training state; (3) the
+    * `String.hashCode` fold from [[PipelineQueries.tokenIdsSql]] for
+    * the id checksum. Subword order is globally pinned by
+    * (token position, subword position) row numbering, so a wrong
+    * merge table, a wrong overlap rule, or a permuted flattening all
+    * hash-mismatch. Non-recursive CTE dependencies of the recursions
+    * are MATERIALIZED — DuckDB otherwise re-inlines the whole training
+    * recursion once per encode step (measured 39 s → 0.9 s).
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val scrub = regexp_replace(
+      regexp_replace(coalesce(col("text"), lit("")),
+        lit("[\\x{10000}-\\x{10FFFF}]"), lit("")),
+      lit(BpeScrubWs), lit(" "))
+    val docs = Tables.documents(s, dir).withColumn("__t", scrub)
+    val model = graft.text.Bpe.train(
+      docs.select(col("__t").as("text")), "text", numMerges = BpeMerges)
+    val enc = graft.text.Bpe.encodeUdf(model)
+    val vocab = graft.text.Tokenize.VocabSize
+    val offset = graft.text.Tokenize.IdOffset
+    val chk = udf { (subs: Seq[String]) =>
+      subs.zipWithIndex.map { case (w, i) =>
+        (math.floorMod(w.hashCode, vocab) + offset).toLong * (i + 1)
+      }.sum
+    }
+    docs.withColumn("__sub", enc(col("__t")))
+      .select(col("doc_id"),
+        size(col("__sub")).cast("long").as("n_subwords"),
+        chk(col("__sub")).as("sub_checksum"))
+  }
+
+  val bpeEncodeSql: String = {
+    val toksOf = (t: String) =>
+      s"CASE WHEN trim($t) = '' THEN CAST([] AS VARCHAR[]) " +
+        s"ELSE string_split_regex(trim($t), '\\s+') END"
+    s"""WITH RECURSIVE
+       |docs AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(regexp_replace(coalesce(text, ''),
+       |    '[\\x{10000}-\\x{10FFFF}]', '', 'g'),
+       |    '[\\x00-\\x1F\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}\\s]+',
+       |    ' ', 'g') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(${toksOf("t")}) AS word FROM docs)
+       |  GROUP BY word ORDER BY n DESC, word LIMIT 100000),
+       |st(iter, n, syms) AS (
+       |  SELECT 0, n, regexp_extract_all(word, '.') FROM w
+       |  UNION ALL
+       |  SELECT iter + 1, st.n,
+       |    string_split(list_reduce(st.syms, (acc, x) -> CASE
+       |      WHEN (acc = bp.ba OR ends_with(acc, chr(1) || bp.ba)) AND x = bp.bb
+       |      THEN acc || x ELSE acc || chr(1) || x END), chr(1))
+       |  FROM st CROSS JOIN (
+       |    SELECT a AS ba, b AS bb FROM (
+       |      SELECT unnest(syms[:len(syms)-1]) AS a, unnest(syms[2:]) AS b, n
+       |      FROM st)
+       |    GROUP BY a, b ORDER BY sum(n) DESC, a, b LIMIT 1) bp
+       |  WHERE st.iter < ${BpeMerges - 1}),
+       |best AS MATERIALIZED (
+       |  SELECT iter, a, b FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY iter ORDER BY cnt DESC, a, b) AS rk
+       |    FROM (SELECT iter, a, b, sum(n) AS cnt FROM (
+       |      SELECT iter, unnest(syms[:len(syms)-1]) AS a, unnest(syms[2:]) AS b, n
+       |      FROM st)
+       |      GROUP BY iter, a, b)) WHERE rk = 1),
+       |dw AS (
+       |  SELECT DISTINCT unnest(${toksOf("t")}) AS word FROM docs),
+       |enc(iter, word, syms) AS (
+       |  SELECT 0, word, regexp_extract_all(word, '.') FROM dw
+       |  UNION ALL
+       |  SELECT e.iter + 1, e.word,
+       |    string_split(list_reduce(e.syms, (acc, x) -> CASE
+       |      WHEN (acc = b.a OR ends_with(acc, chr(1) || b.a)) AND x = b.b
+       |      THEN acc || x ELSE acc || chr(1) || x END), chr(1))
+       |  FROM enc e JOIN best b ON b.iter = e.iter),
+       |ef AS (
+       |  SELECT word, syms FROM enc WHERE iter = (SELECT max(iter) FROM enc)),
+       |dt AS (
+       |  SELECT doc_id, unnest(toks) AS word, unnest(range(1, len(toks)+1)) AS pos
+       |  FROM (SELECT doc_id, ${toksOf("t")} AS toks FROM docs)),
+       |flat AS (
+       |  SELECT dt.doc_id, dt.pos,
+       |    unnest(ef.syms) AS subw, unnest(range(1, len(ef.syms)+1)) AS spos
+       |  FROM dt JOIN ef USING (word)),
+       |numbered AS (
+       |  SELECT doc_id, subw,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos, spos) AS rn
+       |  FROM flat),
+       |hashed AS (
+       |  SELECT doc_id, rn,
+       |    list_reduce(list_transform(regexp_extract_all(subw, '.'),
+       |      c -> CAST(unicode(c) AS BIGINT)),
+       |      (a, b2) -> (a * 31 + b2) & 4294967295) AS h
+       |  FROM numbered),
+       |chk AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+       |    CAST(sum((((CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
+       |        % 50000 + 50000) % 50000 + 256) * rn) AS BIGINT) AS sub_checksum
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(c.n_subwords, 0) AS n_subwords,
+       |  coalesce(c.sub_checksum, 0) AS sub_checksum
+       |FROM documents d LEFT JOIN chk c USING (doc_id)""".stripMargin
+  }
+
   // ---- q_unigram_logprob: LM-style quality scoring -----------------------
 
   /** Corpus-unigram log-probability per doc (graft.ops.Score) — the

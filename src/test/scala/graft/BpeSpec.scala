@@ -178,4 +178,27 @@ class BpeSpec extends SparkTestBase {
     assert(a === b)
     assert(a.forall { case (l, r, m) => m == l + r })
   }
+
+  test("q_bpe_encode twin: checksums are scrub-invariant and order-sensitive") {
+    import spark.implicits._
+    def encOf(texts: Seq[String]): Map[Long, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("bpeenc").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.queries.DocQueries.bpeEncode(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val base = encOf(Seq("low lower lowest", "new newer newest", null))
+    // same corpus through exotic whitespace — identical per-doc checksums
+    val noisy = encOf(Seq("low lower lowest",
+      "new\tnewer　newest", null))
+    assert(base === noisy)
+    assert(base(2L) === ((0L, 0L)), "null doc encodes to zero subwords")
+    // a token swap keeps n_subwords but must move the checksum —
+    // position-weighting is what pins the order
+    val swapped = encOf(Seq("lower low lowest", "new newer newest", null))
+    assert(swapped(0L)._1 === base(0L)._1)
+    assert(swapped(0L)._2 !== base(0L)._2)
+  }
 }
