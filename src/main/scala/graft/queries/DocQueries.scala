@@ -194,6 +194,101 @@ object DocQueries {
         avg(col("lang_score")).as("avg_score"))
       .orderBy("lang_pred")
 
+  // ---- q_langid_ct: Cavnar-Trenkle model, ORACLE-CHECKED ---------------
+
+  /** The oracle-gated twin of [[langIdModel]]: the REAL trained model
+    * ([[TrigramLangModel]] — same profiles, same out-of-place distance,
+    * same declared-order tie-break) over non-BMP-scrubbed text, scored
+    * per doc as (lang_pred, floor(score*1e4)).
+    *
+    * The oracle replays the ENTIRE model — training included — because
+    * every ingredient is deterministic rank arithmetic over an
+    * in-source corpus: the SQL inlines [[TrigramLangModel.Samples]]
+    * verbatim (generated from the same constants, so the training text
+    * is byte-identical by construction), rebuilds the 1..3-gram
+    * profiles with the (-count, gram) tie-break as a window rank,
+    * rebuilds each scrubbed document's capped profile the same way,
+    * and replays out-of-place distance + earliest-declared-language
+    * tie-break + the exact IEEE score expression. The scrub removes
+    * supplementary codepoints so Java's UTF-16 substring trigrams and
+    * DuckDB's codepoint substr agree; both engines' simple per-codepoint
+    * lowercase mappings (Character.toLowerCase / utf8proc) coincide on
+    * BMP input.
+    */
+  def langIdCt(s: SparkSession, dir: String): DataFrame = {
+    val scrub = regexp_replace(coalesce(col("text"), lit("")),
+      lit("[\\x{10000}-\\x{10FFFF}]"), lit(""))
+    val docs = Tables.documents(s, dir).withColumn("__t", scrub)
+    LangId.withLangColumnsModel(docs, col("__t"),
+        () => TrigramLangModel.default())
+      .select(col("doc_id"), col("lang_pred"),
+        floor(col("lang_score") * lit(10000.0)).cast("long").as("score_q"))
+  }
+
+  val langIdCtSql: String = {
+    val k = TrigramLangModel.ProfileSize
+    val samples = TrigramLangModel.Languages.zipWithIndex.map {
+      case (l, i) =>
+        val body = TrigramLangModel.Samples(l).replace("'", "''")
+        s"('$l', $i, '$body')"
+    }.mkString(",\n  ")
+    // normalize(t): '_' + lowercased letters with non-letter runs
+    // collapsed to single '_' (leading run dropped, trailing run kept),
+    // + trailing '_' after a final letter — the exact [[TrigramLangModel
+    // .normalize]] automaton, rebuilt from regexp_replace primitives.
+    // single-line on purpose: interpolated into a stripMargin template,
+    // where a line-leading '||' would lose a pipe to margin stripping
+    def norm(t: String): String = {
+      val r = s"regexp_replace(regexp_replace(lower($t), '[^\\p{L}]+', '_', 'g'), '^_', '')"
+      s"CASE WHEN $r = '' THEN '_' ELSE '_' || $r || " +
+        s"(CASE WHEN ends_with($r, '_') THEN '' ELSE '_' END) END"
+    }
+    s"""WITH samples(lang, lord, body) AS (VALUES
+       |  $samples),
+       |ln AS MATERIALIZED (SELECT lang, lord, ${norm("body")} AS s FROM samples),
+       |lg AS (
+       |  SELECT lang, lord, substr(s, u.i, v.n) AS g
+       |  FROM ln, unnest(range(1, len(s)+1)) AS u(i), unnest([1,2,3]) AS v(n)
+       |  WHERE u.i + v.n - 1 <= len(s)),
+       |lp AS MATERIALIZED (
+       |  SELECT lang, lord, g,
+       |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) - 1 AS r
+       |  FROM lg WHERE g NOT IN ('_', '__', '___') GROUP BY lang, lord, g
+       |  QUALIFY r < $k),
+       |docs AS MATERIALIZED (
+       |  SELECT doc_id, ${norm(
+      "regexp_replace(coalesce(text, ''), '[\\x{10000}-\\x{10FFFF}]', '', 'g')")} AS s
+       |  FROM documents),
+       |dg AS (
+       |  SELECT doc_id, substr(s, u.i, v.n) AS g
+       |  FROM docs, unnest(range(1, len(s)+1)) AS u(i), unnest([1,2,3]) AS v(n)
+       |  WHERE u.i + v.n - 1 <= len(s)),
+       |dp AS MATERIALIZED (
+       |  SELECT doc_id, g,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) - 1 AS r
+       |  FROM dg WHERE g NOT IN ('_', '__', '___') GROUP BY doc_id, g
+       |  QUALIFY r < ${TrigramLangModel.DocProfileSize}),
+       |dist AS (
+       |  SELECT dp.doc_id, l.lang, l.lord,
+       |    sum(CASE WHEN lp.r IS NULL THEN $k ELSE abs(lp.r - dp.r) END) AS dist,
+       |    count(*) AS dlen
+       |  FROM dp
+       |  CROSS JOIN (SELECT DISTINCT lang, lord FROM samples) l
+       |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+       |  GROUP BY dp.doc_id, l.lang, l.lord),
+       |pick AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor((1 - dist / CAST(dlen * $k AS DOUBLE)) * 10000) AS BIGINT)
+       |      AS score_q,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lord) AS rk
+       |  FROM dist)
+       |SELECT d.doc_id,
+       |  coalesce(p.lang, 'unk') AS lang_pred,
+       |  coalesce(p.score_q, 0) AS score_q
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM pick WHERE rk = 1) p USING (doc_id)""".stripMargin
+  }
+
   // ---- q_spam_exploded: A4 scalable max-token-frequency ----------------
 
   /** The explode->two-level-aggregate form of the spam ratio — the shape
