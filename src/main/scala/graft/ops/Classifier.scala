@@ -96,6 +96,27 @@ object Classifier {
     * @param lr       learning rate
     * @param l2       L2 penalty on weights (bias unpenalized)
     */
+  /** Row-count gate for the local fast path: at or below this many
+    * training rows the feature matrix is collected once and all
+    * `iters` gradient steps run on the driver — saving `iters` job
+    * launches, the dominant cost of small-sliver training (50 jobs ≈
+    * 2 s of pure scheduling at local[32]). BIT-IDENTICAL to the
+    * distributed path by construction: per-row contributions are
+    * quantized to longs before summation, and long addition is exact
+    * and associative, so driver-order and tree-order sums agree to
+    * the last bit (pinned in ClassifierSpec). Above the gate — or
+    * when the count is unknown-large — the treeAggregate path runs,
+    * preserving the O(√partitions × dim) combine shape at cluster
+    * scale. 65536 rows × dim≈1k doubles ≈ 0.5 GB driver footprint,
+    * the same order as the size-gated DupClusters fallback.
+    */
+  val LocalTrainGate = 65536L
+
+  // test seam: ClassifierSpec drops the gate to 0 to force the
+  // distributed path on a small fixture and pin local == distributed
+  private def localGate: Long =
+    java.lang.Long.getLong("graft.classifier.localGate", LocalTrainGate)
+
   def trainLogistic(df: DataFrame, featCol: String, labelCol: String,
       dim: Int, iters: Int = 50, lr: Double = 0.5,
       l2: Double = 1e-4): LogisticModel = {
@@ -103,8 +124,15 @@ object Classifier {
     val data = df.select(col(featCol), col(labelCol).cast("double"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = data.count().toDouble
+      val nRows = data.count()
+      val n = nRows.toDouble
       require(n > 0, "trainLogistic: empty training set")
+      if (nRows <= localGate) {
+        val rows = data.collect().map { row =>
+          (row.getSeq[Double](0).toArray, row.getDouble(1))
+        }
+        return trainLocal(rows, dim, iters, lr, l2, n)
+      }
       // per-row contribution scale: 2^30, a power of two so the
       // scaled-long grid is binary-clean; see the quantization-bound
       // note in the object doc
@@ -149,6 +177,42 @@ object Classifier {
       }
       LogisticModel(w, b)
     } finally data.unpersist()
+  }
+
+  /** Driver-side GD over the collected sliver — the same arithmetic,
+    * job-free. Every step mirrors the distributed path exactly: same
+    * per-row quantization `rint(e·xᵢ·Q)`, same long accumulation
+    * (order-free, so summing in collection order equals any tree
+    * order), same weight update expression. Kept private: the public
+    * contract is `trainLogistic`, which picks the path by size.
+    */
+  private def trainLocal(rows: Array[(Array[Double], Double)], dim: Int,
+      iters: Int, lr: Double, l2: Double, n: Double): LogisticModel = {
+    val Q = (1L << 30).toDouble
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val gl = new Array[Long](dim + 1)
+      var r = 0
+      while (r < rows.length) {
+        val (x, y) = rows(r)
+        var z = b
+        var i = 0
+        val m = math.min(x.length, w.length)
+        while (i < m) { z += w(i) * x(i); i += 1 }
+        val e = sigmoid(z) - y
+        i = 0
+        while (i < m) { gl(i) += math.rint(e * x(i) * Q).toLong; i += 1 }
+        gl(dim) += math.rint(e * Q).toLong
+        r += 1
+      }
+      var i = 0
+      while (i < dim) { w(i) -= lr * (gl(i) / Q / n + l2 * w(i)); i += 1 }
+      b -= lr * (gl(dim) / Q / n)
+      it += 1
+    }
+    LogisticModel(w, b)
   }
 
   /** Mean logistic loss of a model over a labeled frame — one

@@ -76,15 +76,37 @@ class ClassifierSpec extends SparkTestBase {
     // and repartitioning the training sliver cannot move a single bit
     // of the fitted model (a per-partition double fold, however the
     // partials are combined, could not make this promise: the
-    // IN-partition row sums would already differ)
+    // IN-partition row sums would already differ).
+    // Gate dropped to 0 so the fixture actually exercises the
+    // DISTRIBUTED path (the default gate would take the local one).
+    System.setProperty("graft.classifier.localGate", "0")
+    try {
+      val base = fixture(200).filter(col("id") % 10 < 7)
+      val p2 = base.repartition(2, col("id"))
+      val p13 = base.repartition(13, col("id"))
+      val a = Classifier.trainLogistic(p2, "x", "label", Dim, iters = 15)
+      val b = Classifier.trainLogistic(p13, "x", "label", Dim, iters = 15)
+      assert(a.bias === b.bias)
+      assert(a.weights.toSeq === b.weights.toSeq,
+        "2-partition and 13-partition training must agree bit-for-bit")
+    } finally System.clearProperty("graft.classifier.localGate")
+  }
+
+  test("size-gated local fast path is bit-identical to the distributed path") {
+    // the long-quantized contributions make the gradient sum order-free,
+    // so collecting the sliver and folding on the driver must reproduce
+    // the treeAggregate result to the last bit — the property that makes
+    // the fast path a pure optimization rather than a semantic fork
     val base = fixture(200).filter(col("id") % 10 < 7)
-    val p2 = base.repartition(2, col("id"))
-    val p13 = base.repartition(13, col("id"))
-    val a = Classifier.trainLogistic(p2, "x", "label", Dim, iters = 15)
-    val b = Classifier.trainLogistic(p13, "x", "label", Dim, iters = 15)
-    assert(a.bias === b.bias)
-    assert(a.weights.toSeq === b.weights.toSeq,
-      "2-partition and 13-partition training must agree bit-for-bit")
+      .repartition(5, col("id"))
+    val local = Classifier.trainLogistic(base, "x", "label", Dim, iters = 15)
+    System.setProperty("graft.classifier.localGate", "0")
+    val dist =
+      try Classifier.trainLogistic(base, "x", "label", Dim, iters = 15)
+      finally System.clearProperty("graft.classifier.localGate")
+    assert(local.bias === dist.bias)
+    assert(local.weights.toSeq === dist.weights.toSeq,
+      "local and distributed training must agree bit-for-bit")
   }
 
   test("held-out accuracy separates spam from clean") {
