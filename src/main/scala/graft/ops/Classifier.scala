@@ -82,6 +82,54 @@ object Classifier {
   def features(toks: Column, dim: Int): Column =
     HashedEmbed.hashedVector(toks, dim)
 
+  // -------------------------------------------------------------------
+  // Model persistence: train once, score many runs later. The engine's
+  // whole training story is BIT-reproducibility, so the serialized form
+  // must be too — weights are written as hex IEEE-754 bit patterns
+  // (doubleToLongBits), not decimal strings, making round-trips exact by
+  // construction and corrupt files loud (parse failures raise, matching
+  // the Bpe.loadMerges/loadVocabJson contract, instead of silently
+  // drifting a filter threshold on 100 TB of scoring).
+  // -------------------------------------------------------------------
+
+  private val ModelHeader = "graft-logistic-v1"
+
+  /** One-line textual form: `graft-logistic-v1 <dim> <biasHex> <wHex>*`. */
+  def modelToString(m: LogisticModel): String = {
+    val sb = new StringBuilder(ModelHeader)
+    sb.append(' ').append(m.dim)
+    sb.append(' ').append(java.lang.Long.toHexString(
+      java.lang.Double.doubleToRawLongBits(m.bias)))
+    var i = 0
+    while (i < m.dim) {
+      sb.append(' ').append(java.lang.Long.toHexString(
+        java.lang.Double.doubleToRawLongBits(m.weights(i))))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Strict inverse of [[modelToString]]; raises on any corruption. */
+  def modelFromString(s: String): LogisticModel = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"modelFromString: $msg")
+    val parts = s.trim.split("\\s+")
+    if (parts.length < 3 || parts(0) != ModelHeader)
+      fail(s"expected '$ModelHeader <dim> <biasHex> <wHex>*'")
+    val dim =
+      try parts(1).toInt
+      catch { case _: NumberFormatException => fail(s"bad dim '${parts(1)}'") }
+    if (dim < 0 || parts.length != dim + 3)
+      fail(s"dim $dim but ${parts.length - 3} weight fields")
+    def bits(h: String): Double =
+      try java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))
+      catch { case _: NumberFormatException => fail(s"bad hex '$h'") }
+    val w = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { w(i) = bits(parts(i + 3)); i += 1 }
+    LogisticModel(w, bits(parts(2)))
+  }
+
   private def sigmoid(z: Double): Double =
     if (z >= 0) 1.0 / (1.0 + math.exp(-z))
     else { val e = math.exp(z); e / (1.0 + e) }

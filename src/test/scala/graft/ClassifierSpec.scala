@@ -109,6 +109,36 @@ class ClassifierSpec extends SparkTestBase {
       "local and distributed training must agree bit-for-bit")
   }
 
+  test("model persistence round-trips bit-exactly and rejects corruption") {
+    val train = fixture(120).filter(col("id") % 10 < 7)
+    val m = Classifier.trainLogistic(train, "x", "label", Dim, iters = 10)
+    val s = Classifier.modelToString(m)
+    val back = Classifier.modelFromString(s)
+    // hex IEEE bit patterns make equality exact, not approximate —
+    // including negative zero and subnormals a decimal form could fold
+    assert(back.bias === m.bias)
+    assert(back.weights.toSeq === m.weights.toSeq)
+    assert(java.lang.Double.doubleToRawLongBits(back.bias) ===
+      java.lang.Double.doubleToRawLongBits(m.bias))
+    // special values survive
+    val odd = Classifier.LogisticModel(
+      Array(-0.0, Double.MinPositiveValue, 1.5e308), -3.25)
+    val oddBack = Classifier.modelFromString(Classifier.modelToString(odd))
+    assert(oddBack.weights.map(java.lang.Double.doubleToRawLongBits).toSeq ===
+      odd.weights.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    // corruption raises instead of silently drifting the filter
+    intercept[IllegalArgumentException] { Classifier.modelFromString("") }
+    intercept[IllegalArgumentException] {
+      Classifier.modelFromString("wrong-header 1 0 0")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.modelFromString(s + " deadbeef") // extra weight field
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.modelFromString(s.replaceFirst(" [0-9a-f]+$", " zz"))
+    }
+  }
+
   test("held-out accuracy separates spam from clean") {
     val all = fixture(400)
     val train = all.filter(col("id") % 10 < 7)
