@@ -179,6 +179,62 @@ class BpeSpec extends SparkTestBase {
     assert(a.forall { case (l, r, m) => m == l + r })
   }
 
+  test("oracle fold device: string-fold re-segmentation equals the scanner on random words") {
+    // The DuckDB twins re-segment words with a list_reduce fold over a
+    // chr(1)-separated encoding: merge when the accumulated string's
+    // LAST symbol equals `a` and the next element is `b`. The written
+    // justification is that a just-merged symbol a+b is strictly longer
+    // than `a`, so it can never re-match as a left element within the
+    // same round. This property drives randomized (word, pair) cases
+    // through both formulations — the scanner (trainFromCounts's
+    // leftmost-non-overlapping pass) and a faithful JVM mirror of the
+    // SQL fold — including the adversarial shapes: overlapping pairs
+    // (a == b), multi-char symbols from earlier rounds, and pairs whose
+    // concatenation re-appears later in the word.
+    val rnd = new scala.util.Random(20260814)
+    def scanner(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val Sep = ''
+    def fold(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val acc = syms.reduceLeft { (acc, x) =>
+        if ((acc == a || acc.endsWith(Sep + a)) && x == b) acc + x
+        else acc + Sep + x
+      }
+      acc.split(Sep).toVector
+    }
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "aa", "abc")
+    (1 to 2000).foreach { _ =>
+      val word = Vector.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length)))
+      val a = alphabet(rnd.nextInt(alphabet.length))
+      val b = alphabet(rnd.nextInt(alphabet.length))
+      assert(fold(word, a, b) === scanner(word, a, b),
+        s"word=$word pair=($a,$b)")
+    }
+    // several consecutive rounds with evolving multi-char symbols, the
+    // exact shape the recursive CTE runs 200 times
+    (1 to 300).foreach { _ =>
+      var syms = Vector.fill(2 + rnd.nextInt(10))(
+        Vector("a", "b", "c")(rnd.nextInt(3)))
+      (1 to 6).foreach { _ =>
+        val all = syms.distinct
+        val a = all(rnd.nextInt(all.length))
+        val b = all(rnd.nextInt(all.length))
+        assert(fold(syms, a, b) === scanner(syms, a, b),
+          s"syms=$syms pair=($a,$b)")
+        syms = scanner(syms, a, b)
+      }
+    }
+  }
+
   test("q_bpe_encode twin: checksums are scrub-invariant and order-sensitive") {
     import spark.implicits._
     def encOf(texts: Seq[String]): Map[Long, (Long, Long)] = {
