@@ -200,12 +200,177 @@ object TrigramLangModel {
     true
   }
 
-  /** One trained language profile: trigram -> rank (0-based). */
-  private final case class LangProfile(lang: String, rank: Map[String, Int])
+  // -------------------------------------------------------------------
+  // Hot-path gram representation: a 1..3-gram packs its UTF-16 units
+  // into one long (bits 48/32/16, zero-padded). UNSIGNED long order is
+  // exactly the string's UTF-16 lexicographic order — zero pads sort
+  // before every real unit ('_' and letters are never U+0000), and a
+  // prefix therefore sorts first, matching String#compareTo — so the
+  // (-count, gram) profile tie-break is preserved bit-for-bit while
+  // gram counting drops all substring allocation and string hashing
+  // ([[profile]], the String form, stays as the executable spec; a
+  // parity test holds the two equal on multilingual + surrogate
+  // inputs). Surrogate halves are packed like any other unit, which is
+  // precisely String order too.
+  // -------------------------------------------------------------------
+
+  /** Minimal open-addressed long->int counter (linear probe, power-of-2
+    * capacity). Key 0 is a safe empty sentinel: a gram's first unit is
+    * never U+0000. No boxing, no per-entry allocation — this map and
+    * the packed grams are the whole point of the fast path.
+    */
+  private[graft] final class GramCounts(initialCap: Int) {
+    private var mask = math.max(16, Integer.highestOneBit(initialCap * 2)) - 1
+    private var keys = new Array[Long](mask + 1)
+    private var vals = new Array[Int](mask + 1)
+    private var n = 0
+    def size: Int = n
+    // splitmix64 finalizer — packed grams keep their entropy in the TOP
+    // 48 bits (the low 16 are always zero, and java.lang.Long.hashCode's
+    // xor-fold would leave every 1-gram in slot 0 and cluster 3-grams by
+    // their middle unit: measured as a 2.3x end-to-end REGRESSION before
+    // this mixer, probe chains being the entire loss)
+    @inline private def mix(k: Long): Int = {
+      var z = k
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      (z ^ (z >>> 33)).toInt
+    }
+    def add(k: Long): Unit = {
+      var i = (mix(k) & mask)
+      while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
+      if (keys(i) == 0L) {
+        if ((n + 1) * 4 > (mask + 1) * 3) { grow(); add(k); return }
+        keys(i) = k; n += 1
+      }
+      vals(i) += 1
+    }
+    def get(k: Long): Int = {
+      var i = (mix(k) & mask)
+      while (keys(i) != 0L) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      -1
+    }
+    def put(k: Long, v: Int): Unit = {
+      var i = (mix(k) & mask)
+      while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
+      if (keys(i) == 0L) {
+        if ((n + 1) * 4 > (mask + 1) * 3) { grow(); put(k, v); return }
+        keys(i) = k; n += 1
+      }
+      vals(i) = v
+    }
+    def foreachEntry(f: (Long, Int) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (keys(i) != 0L) f(keys(i), vals(i)); i += 1 }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      mask = mask * 2 + 1
+      keys = new Array[Long](mask + 1)
+      vals = new Array[Int](mask + 1)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+  }
+
+  private val PadGram1 = '_'.toLong << 48
+  private val PadGram2 = PadGram1 | ('_'.toLong << 32)
+  private val PadGram3 = PadGram2 | ('_'.toLong << 16)
+
+  /** Packed-gram profile: identical content and order to [[profile]]
+    * (the parity-tested claim), ~an order of magnitude cheaper.
+    */
+  private[graft] def profileL(text: String, k: Int): Array[Long] = {
+    val s = normalize(text)
+    val counts = new GramCounts(math.min(4096, s.length * 2 + 16))
+    var i = 0
+    while (i < s.length) {
+      val g1 = s.charAt(i).toLong << 48
+      if (g1 != PadGram1) counts.add(g1)
+      if (i + 1 < s.length) {
+        val g2 = g1 | (s.charAt(i + 1).toLong << 32)
+        if (g2 != PadGram2) counts.add(g2)
+        if (i + 2 < s.length) {
+          val g3 = g2 | (s.charAt(i + 2).toLong << 16)
+          if (g3 != PadGram3) counts.add(g3)
+        }
+      }
+      i += 1
+    }
+    val m = counts.size
+    val ks = new Array[Long](m)
+    val vs = new Array[Int](m)
+    var j = 0
+    counts.foreachEntry { (key, v) => ks(j) = key; vs(j) = v; j += 1 }
+    // top-k by (-count, unsigned gram) via a primitive two-array sort:
+    // a comparator-based index sort would box an Integer per entry per
+    // doc, which is most of what the packed representation saves
+    val take = math.min(k, m)
+    sortByCountThenGram(ks, vs, m)
+    java.util.Arrays.copyOf(ks, take)
+  }
+
+  /** In-place quicksort of parallel arrays by (-count, unsigned gram).
+    * A handful of thousand entries per call; no boxing, no allocation.
+    */
+  private def sortByCountThenGram(ks: Array[Long], vs: Array[Int],
+      len: Int): Unit = {
+    @inline def less(ka: Long, va: Int, kb: Long, vb: Int): Boolean =
+      va > vb || (va == vb && java.lang.Long.compareUnsigned(ka, kb) < 0)
+    def swap(a: Int, b: Int): Unit = {
+      val tk = ks(a); ks(a) = ks(b); ks(b) = tk
+      val tv = vs(a); vs(a) = vs(b); vs(b) = tv
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 12) {
+        var i = lo + 1
+        while (i <= hi) {
+          val kk = ks(i); val vv = vs(i)
+          var j = i - 1
+          while (j >= lo && less(kk, vv, ks(j), vs(j))) {
+            ks(j + 1) = ks(j); vs(j + 1) = vs(j); j -= 1
+          }
+          ks(j + 1) = kk; vs(j + 1) = vv
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        // median-of-3 pivot to dodge the sorted/clustered worst case
+        if (less(ks(mid), vs(mid), ks(lo), vs(lo))) swap(lo, mid)
+        if (less(ks(hi), vs(hi), ks(lo), vs(lo))) swap(lo, hi)
+        if (less(ks(hi), vs(hi), ks(mid), vs(mid))) swap(mid, hi)
+        val pk = ks(mid); val pv = vs(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (less(ks(i), vs(i), pk, pv)) i += 1
+          while (less(pk, pv, ks(j), vs(j))) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (len > 1) sort(0, len - 1)
+  }
+
+  /** One trained language profile: packed gram -> rank (0-based). */
+  private final case class LangProfile(lang: String, rank: GramCounts)
 
   private lazy val trained: Vector[LangProfile] =
-    Languages.map(l => LangProfile(l,
-      profile(Samples(l), ProfileSize).zipWithIndex.toMap))
+    Languages.map { l =>
+      val p = profileL(Samples(l), ProfileSize)
+      val rank = new GramCounts(p.length * 2)
+      var i = 0
+      while (i < p.length) { rank.put(p(i), i); i += 1 }
+      LangProfile(l, rank)
+    }
 
   /** The model instance. Stateless after construction; thread-safe. */
   final class Model private[TrigramLangModel] (
@@ -219,7 +384,7 @@ object TrigramLangModel {
       */
     override def predict(text: String): (String, Double) = {
       if (text == null) return ("unk", 0.0)
-      val doc = profile(text, DocProfileSize)
+      val doc = profileL(text, DocProfileSize)
       if (doc.isEmpty) return ("unk", 0.0)
       val maxDist = doc.length.toLong * ProfileSize
       var bestLang = "unk"
@@ -230,10 +395,8 @@ object TrigramLangModel {
         var dist = 0L
         var di = 0
         while (di < doc.length) {
-          dist += (p.rank.get(doc(di)) match {
-            case Some(r) => math.abs(r - di).toLong
-            case None => ProfileSize.toLong
-          })
+          val r = p.rank.get(doc(di))
+          dist += (if (r >= 0) math.abs(r - di).toLong else ProfileSize.toLong)
           di += 1
         }
         if (dist < bestDist) { bestDist = dist; bestLang = p.lang }
