@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -29,11 +29,24 @@ object Pack {
     * for a deterministic result).
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valCol: String,
-                       name: String = "start_offset"): DataFrame = {
+                       name: String = "start_offset"): DataFrame =
+    withRunningTotalOrdered(df, Seq(col(orderCol)), valCol, name)
+
+  /** Multi-column / descending-order variant: the running total follows
+    * the lexicographic order of `orderCols` (Columns, so `desc` works —
+    * e.g. quality DESC tie-broken by id ASC for budget selection). The
+    * combination must be a total order for a deterministic result; the
+    * same two-pass partition-offset scheme applies unchanged because
+    * `repartitionByRange` + `sortWithinPartitions` accept the same
+    * ordering expressions.
+    */
+  def withRunningTotalOrdered(df: DataFrame, orderCols: Seq[Column],
+                              valCol: String,
+                              name: String = "start_offset"): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(df.rdd.getNumPartitions, 1)
-    val sorted = df.repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val valIdx = sorted.schema.fieldIndex(valCol)
     val rdd = sorted.rdd
     // pass 1: one partial sum per partition -> driver prefix sum

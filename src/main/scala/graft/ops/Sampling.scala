@@ -70,4 +70,26 @@ object Sampling {
       .orderBy(col("es_key_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** Token-budget-constrained selection — the data-constrained-corpus
+    * curation op: rank documents by (score DESC, id ASC) and keep the
+    * maximal quality-first prefix whose token total fits the budget.
+    * Prefix semantics (cut at the budget line) rather than
+    * skip-and-continue: the skip variant's keep-decision for row i
+    * depends on every earlier decision — sequential state that neither
+    * an oracle nor a cluster-parallel plan can replay — while the
+    * prefix is a pure function of the running total, which the engine
+    * computes with [[Pack.withRunningTotalOrdered]]'s two-pass
+    * partition-offset scheme: per-partition token sums → one
+    * O(#partitions) driver prefix → local running totals. No global
+    * window, no single-partition sort, at any corpus size.
+    *
+    * Output: input columns + `cum_before` (exclusive prefix token sum
+    * in selection order) + `kept` (this row fits the budget).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                   tokensCol: String, budget: Long): DataFrame =
+    Pack.withRunningTotalOrdered(df,
+        Seq(col(scoreCol).desc, col(idCol).asc), tokensCol, "cum_before")
+      .withColumn("kept", col("cum_before") + col(tokensCol) <= budget)
 }

@@ -453,6 +453,43 @@ object DocQueries {
        | 'web_sample' AS mixture_name
        |FROM q""".stripMargin
 
+  // ---- q_budget_select: token-budget-constrained selection --------------
+
+  private val SelectBudget = 10000L
+
+  /** Quality-first corpus selection under a global token budget
+    * ([[graft.ops.Sampling.budgetSelect]]): the standard
+    * data-constrained-pretraining move — sort by quality, cut at the
+    * token-budget line. Oracle-checked end to end because the running
+    * total is a pure function of the (quality DESC, doc_id) order,
+    * which DuckDB replays as a window sum over the same hash-exact
+    * quality chain ([[qualityCtesSql]]); the ENGINE computes it with
+    * the two-pass partition-offset scheme instead of a global-order
+    * window.
+    */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.budgetSelect(
+        qualityScore(s, dir).select("doc_id", "token_count", "quality_score"),
+        "doc_id", "quality_score", "token_count", SelectBudget)
+      .select(col("doc_id"),
+        col("token_count").cast("long").as("tokens"),
+        floor(col("quality_score") * 10000).cast("long").as("score_q"),
+        col("cum_before"),
+        col("kept"))
+
+  val budgetSelectSql: String =
+    s"""WITH $qualityCtesSql,
+       |o AS (SELECT doc_id, token_count, quality_score,
+       |  coalesce(sum(token_count) OVER (
+       |    ORDER BY quality_score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       | FROM q)
+       |SELECT doc_id, CAST(token_count AS BIGINT) AS tokens,
+       |  CAST(floor(quality_score * 10000) AS BIGINT) AS score_q,
+       |  CAST(cum_before AS BIGINT) AS cum_before,
+       |  cum_before + token_count <= $SelectBudget AS kept
+       |FROM o""".stripMargin
+
   // ---- q_dedup_tokens: order-preserving intra-doc token dedup -----------
 
   /** Within-document repeated-token removal, first occurrence kept in

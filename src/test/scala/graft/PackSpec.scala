@@ -22,6 +22,44 @@ class PackSpec extends SparkTestBase {
     }
   }
 
+  test("ordered running total follows (score DESC, id) across partition layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // scores engineered with heavy ties so the id tie-break is load-bearing
+    val rows = (1L to 500L).map(i => (i, (i % 7).toDouble / 7.0, (i * 13) % 97))
+    val expect = {
+      var run = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }.map { case (id, _, n) =>
+        val r = (id, run); run += n; r
+      }.toMap
+    }
+    Seq(1, 4, 17).foreach { parts =>
+      val df = rows.toDF("id", "score", "n").repartition(parts)
+      val got = Pack.withRunningTotalOrdered(df,
+          Seq(col("score").desc, col("id").asc), "n", "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("budget select keeps exactly the maximal quality-first prefix") {
+    import spark.implicits._
+    val rows = Seq( // (id, score, tokens)
+      (1L, 0.9, 40L), (2L, 0.9, 30L), (3L, 0.8, 50L),
+      (4L, 0.7, 10L), (5L, 0.6, 100L))
+    val df = rows.toDF("id", "score", "tokens").repartition(3)
+    val got = graft.ops.Sampling.budgetSelect(df, "id", "score", "tokens", 100L)
+      .select("id", "cum_before", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // order: 1 (40), 2 (70), 3 (120 > 100 -> cut), 4, 5 all out (prefix
+    // semantics: id=4's 10 tokens WOULD fit but the line is crossed)
+    assert(got(1L) === ((0L, true)))
+    assert(got(2L) === ((40L, true)))
+    assert(got(3L) === ((70L, false)))
+    assert(got(4L) === ((120L, false)))
+    assert(got(5L) === ((130L, false)))
+  }
+
   test("pack layout: boundaries, straddles, zero-token docs") {
     import spark.implicits._
     // capacity 10: doc layouts chosen to pin every edge case
