@@ -92,4 +92,25 @@ object Sampling {
     Pack.withRunningTotalOrdered(df,
         Seq(col(scoreCol).desc, col(idCol).asc), tokensCol, "cum_before")
       .withColumn("kept", col("cum_before") + col(tokensCol) <= budget)
+
+  /** Per-group token budgets — how multilingual / multi-source mixes
+    * are actually specified ("2 B tokens of each language, best docs
+    * first"). Same prefix semantics as [[budgetSelect]], but the
+    * running total is per group, so a PARTITIONED window is the right
+    * scale shape here (state per task = one group's rows, unlike the
+    * global variant where a single-partition window would serialize
+    * the corpus — which is why THAT one uses the two-pass scheme).
+    * Group skew is document-count skew per language/source; the
+    * window's sort is within-partition only.
+    */
+  def budgetSelectPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                           scoreCol: String, tokensCol: String,
+                           budgetPerGroup: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") + col(tokensCol) <= budgetPerGroup)
+  }
 }

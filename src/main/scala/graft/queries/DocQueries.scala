@@ -490,6 +490,46 @@ object DocQueries {
        |  cum_before + token_count <= $SelectBudget AS kept
        |FROM o""".stripMargin
 
+  // ---- q_lang_budget: per-language token budgets ------------------------
+
+  private val PerLangBudget = 2000L
+
+  /** Per-group budget selection ([[graft.ops.Sampling
+    * .budgetSelectPerGroup]]) keyed on language — "N tokens of each
+    * language, best documents first", the way multilingual pre-training
+    * mixes are specified. Rolled up per language so the output is
+    * small: docs kept, docs total, tokens kept (≤ budget by
+    * construction — asserted by the oracle hash).
+    */
+  def langBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.budgetSelectPerGroup(
+        qualityScored(Tables.documents(s, dir))
+          .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+            col("token_count"), col("quality_score")),
+        "lang", "doc_id", "quality_score", "token_count", PerLangBudget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("token_count")).otherwise(0L))
+          .as("tokens_kept"))
+
+  val langBudgetSql: String =
+    s"""WITH $qualityCtesSql,
+       |j AS (SELECT q.doc_id, coalesce(d.lang, '') AS lang, q.token_count,
+       |        q.quality_score
+       |      FROM q JOIN documents d USING (doc_id)),
+       |o AS (SELECT lang, token_count,
+       |  coalesce(sum(token_count) OVER (PARTITION BY lang
+       |    ORDER BY quality_score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       | FROM j)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cum_before + token_count <= $PerLangBudget
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN cum_before + token_count <= $PerLangBudget
+       |           THEN token_count ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM o GROUP BY lang""".stripMargin
+
   // ---- q_dedup_tokens: order-preserving intra-doc token dedup -----------
 
   /** Within-document repeated-token removal, first occurrence kept in
