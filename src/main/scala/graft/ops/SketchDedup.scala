@@ -528,6 +528,13 @@ object SketchDedup {
     pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // PPJoin's companion size filter: J(A,B) >= t forces
+      // min(|A|,|B|) >= t * max(|A|,|B|), so size-mismatched candidate
+      // pairs drop BEFORE the O(|A|+|B|) intersect — lossless by the
+      // inequality, and the pruned pairs are exactly the ones whose
+      // intersect work the threshold filter would discard anyway
+      .filter(size(col("sh_a")).cast("double") >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")).cast("double") >= lit(threshold) * size(col("sh_a")))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
