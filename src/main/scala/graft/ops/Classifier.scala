@@ -207,13 +207,15 @@ object Classifier {
             while (i < m) { z += ww(i) * x(i); i += 1 }
             val e = sigmoid(z) - y
             i = 0
-            while (i < m) { g(i) += math.rint(e * x(i) * Q).toLong; i += 1 }
-            g(dim) += math.rint(e * Q).toLong
+            // addExact: if a sliver's |e·x| mass ever exceeds the ~2^33
+            // quantization budget the sum must fail loudly, not wrap.
+            while (i < m) { g(i) = Math.addExact(g(i), math.rint(e * x(i) * Q).toLong); i += 1 }
+            g(dim) = Math.addExact(g(dim), math.rint(e * Q).toLong)
             g
           },
           combOp = (a, c) => {
             var i = 0
-            while (i <= dim) { a(i) += c(i); i += 1 }
+            while (i <= dim) { a(i) = Math.addExact(a(i), c(i)); i += 1 }
             a
           },
           depth = 2)

@@ -92,7 +92,9 @@ object FlacCodec {
       var q = 0
       while (bit() == 0) {
         q += 1
-        if (q > (b.length.toLong * 8).toInt) throw new Truncated
+        // Long-domain comparison: (len*8).toInt wraps negative past
+        // 256 MiB and would fire the guard on the first zero bit.
+        if (q.toLong > b.length.toLong * 8) throw new Truncated
       }
       q
     }

@@ -76,12 +76,54 @@ object Kmv {
   private class MinKDistinct(k: Int)
       extends Aggregator[Long, Hashes, Hashes] {
     override def zero: Hashes = Hashes(Vector.empty)
-    override def reduce(b: Hashes, a: Long): Hashes =
+    // Buffer invariant (zero/reduce/merge all preserve it): `hs` is
+    // ascending and distinct, length ≤ k. reduce is a binary-search
+    // insert; the old `(hs :+ a).distinct.sorted.take(k)` re-sorted
+    // the whole buffer per element while warming — O(k log k)
+    // allocation per row for an identical result.
+    override def reduce(b: Hashes, a: Long): Hashes = {
+      val hs = b.hs
+      val n = hs.length
       // warm-buffer fast path: full and a is no smaller than the max
-      if (b.hs.length >= k && a >= b.hs.last) b
-      else Hashes((b.hs :+ a).distinct.sorted.take(k))
-    override def merge(b1: Hashes, b2: Hashes): Hashes =
-      Hashes((b1.hs ++ b2.hs).distinct.sorted.take(k))
+      if (n >= k && a >= hs(n - 1)) b
+      else {
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (hs(mid) < a) lo = mid + 1 else hi = mid
+        }
+        if (lo < n && hs(lo) == a) b // already present
+        else {
+          val m = math.min(n + 1, k)
+          val out = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            out(i) = if (i < lo) hs(i) else if (i == lo) a else hs(i - 1)
+            i += 1
+          }
+          Hashes(out.toVector)
+        }
+      }
+    }
+    // Linear merge of two ascending-distinct buffers, stopping at k.
+    override def merge(b1: Hashes, b2: Hashes): Hashes = {
+      val x = b1.hs; val y = b2.hs
+      if (x.isEmpty) b2
+      else if (y.isEmpty) b1
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[Long](
+          math.min(x.length + y.length, k))
+        var i = 0; var j = 0
+        while (out.length < k && (i < x.length || j < y.length)) {
+          val v =
+            if (j >= y.length || (i < x.length && x(i) <= y(j))) {
+              val t = x(i); i += 1; t
+            } else { val t = y(j); j += 1; t }
+          if (out.isEmpty || out(out.length - 1) != v) out += v
+        }
+        Hashes(out.toVector)
+      }
+    }
     override def finish(r: Hashes): Hashes = r
     override def bufferEncoder: Encoder[Hashes] = Encoders.product[Hashes]
     override def outputEncoder: Encoder[Hashes] = Encoders.product[Hashes]

@@ -178,7 +178,10 @@ object Bpe {
           s.charAt(i + 1) match {
             case 'u' =>
               if (i + 6 > s.length) fail("short \\u escape")
-              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              val hex =
+                try Integer.parseInt(s.substring(i + 2, i + 6), 16)
+                catch { case _: NumberFormatException => fail("non-hex \\u escape digits") }
+              sb.append(hex.toChar)
               i += 6
             case 'n' => sb.append('\n'); i += 2
             case 't' => sb.append('\t'); i += 2
@@ -201,7 +204,8 @@ object Bpe {
       if (i < s.length && s.charAt(i) == '-') i += 1
       while (i < s.length && s.charAt(i).isDigit) i += 1
       if (i == start) fail("expected an integer id")
-      s.substring(start, i).toInt
+      try s.substring(start, i).toInt
+      catch { case _: NumberFormatException => fail("integer id out of Int range") }
     }
     ws(); expect('{'); ws()
     val out = Map.newBuilder[String, Int]

@@ -237,6 +237,10 @@ object TrigramLangModel {
       (z ^ (z >>> 33)).toInt
     }
     def add(k: Long): Unit = {
+      // 0L is the empty-slot sentinel; normalize() never emits U+0000 so
+      // a zero key here is caller error — fail loudly rather than let it
+      // inflate n (phantom grows) while get(0L) still reports absent.
+      require(k != 0L, "GramCounts: key 0 is reserved as the empty-slot sentinel")
       var i = (mix(k) & mask)
       while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
       if (keys(i) == 0L) {
@@ -254,6 +258,7 @@ object TrigramLangModel {
       -1
     }
     def put(k: Long, v: Int): Unit = {
+      require(k != 0L, "GramCounts: key 0 is reserved as the empty-slot sentinel")
       var i = (mix(k) & mask)
       while (keys(i) != 0L && keys(i) != k) i = (i + 1) & mask
       if (keys(i) == 0L) {

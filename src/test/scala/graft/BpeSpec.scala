@@ -149,6 +149,15 @@ class BpeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Bpe.loadVocabJson("""{"a": {"nested": 1}}""")
     }
+    // non-hex \u digits and Int-overflow ids must surface as the
+    // loader's documented IllegalArgumentException with offset
+    // context, not a bare NumberFormatException
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocabJson("{\"bad\\" + "uzzzz\": 1}")
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocabJson("""{"a": 99999999999999}""")
+    }
   }
 
   test("q_bpe_merges twin: scrub makes training invariant to exotic ws and non-BMP") {

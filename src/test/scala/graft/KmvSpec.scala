@@ -58,6 +58,31 @@ class KmvSpec extends SparkTestBase {
     assert(once.length === K && once === once.distinct.sorted)
   }
 
+  test("aggregator equals distinct.sorted.take(k) on adversarial shapes") {
+    // Exercises the binary-search insert (front/middle/back positions,
+    // duplicate hits, underfull buffers) and the linear sorted merge
+    // (early-stop at k, one side exhausted) against the one-line
+    // reference semantics, across ks straddling the universe size.
+    val rng = new scala.util.Random(0x5eed)
+    for (k <- Seq(1, 3, 64, 500); rep <- 0 until 3) {
+      val n = 200 + rng.nextInt(300)
+      // small value domain forces heavy duplication
+      val vals = Seq.fill(n)(rng.nextInt(120).toLong)
+      val expected = vals.distinct.sorted.take(k)
+      val got = vals.map(("g", _)).toDF("g", "h").repartition(11)
+        .groupBy("g").agg(Kmv.bottomK(k)(col("h")).as("skw"))
+        .select(col("skw.hs")).as[Seq[Long]].head()
+      assert(got === expected, s"k=$k rep=$rep")
+    }
+    // descending + ascending feed orders through ONE partition each:
+    // pins the reduce path alone (every insert lands at the front /
+    // the back respectively)
+    val desc = (500 to 1 by -1).map(v => ("g", v.toLong)).toDF("g", "h").coalesce(1)
+      .groupBy("g").agg(Kmv.bottomK(64)(col("h")).as("skw"))
+      .select(col("skw.hs")).as[Seq[Long]].head()
+    assert(desc === (1L to 64L))
+  }
+
   test("merged bottom-k of two sketches = sketch of the unioned universe") {
     val ua = (0 until 3000).map(i => s"tok_$i")
     val ub = (1500 until 4500).map(i => s"tok_$i")
