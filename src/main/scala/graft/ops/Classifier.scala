@@ -253,8 +253,10 @@ object Classifier {
         while (i < m) { z += w(i) * x(i); i += 1 }
         val e = sigmoid(z) - y
         i = 0
-        while (i < m) { gl(i) += math.rint(e * x(i) * Q).toLong; i += 1 }
-        gl(dim) += math.rint(e * Q).toLong
+        // addExact, matching the distributed path: overflow of the
+        // quantization budget fails loudly on both paths, never wraps.
+        while (i < m) { gl(i) = Math.addExact(gl(i), math.rint(e * x(i) * Q).toLong); i += 1 }
+        gl(dim) = Math.addExact(gl(dim), math.rint(e * Q).toLong)
         r += 1
       }
       var i = 0

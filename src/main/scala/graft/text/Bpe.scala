@@ -178,9 +178,16 @@ object Bpe {
           s.charAt(i + 1) match {
             case 'u' =>
               if (i + 6 > s.length) fail("short \\u escape")
-              val hex =
-                try Integer.parseInt(s.substring(i + 2, i + 6), 16)
-                catch { case _: NumberFormatException => fail("non-hex \\u escape digits") }
+              // per-char hex check: Integer.parseInt would accept a
+              // leading sign ("\u-1ff") and wrap through .toChar
+              var hex = 0
+              var j = i + 2
+              while (j < i + 6) {
+                val d = Character.digit(s.charAt(j), 16)
+                if (d < 0) fail("non-hex \\u escape digits")
+                hex = (hex << 4) | d
+                j += 1
+              }
               sb.append(hex.toChar)
               i += 6
             case 'n' => sb.append('\n'); i += 2

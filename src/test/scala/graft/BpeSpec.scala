@@ -155,6 +155,14 @@ class BpeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Bpe.loadVocabJson("{\"bad\\" + "uzzzz\": 1}")
     }
+    // a signed "hex" run like \u-1ff would satisfy Integer.parseInt and
+    // wrap through .toChar — the per-digit check must reject it
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocabJson("{\"bad\\" + "u-1ff\": 1}")
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocabJson("{\"bad\\" + "u+0ff\": 1}")
+    }
     intercept[IllegalArgumentException] {
       Bpe.loadVocabJson("""{"a": 99999999999999}""")
     }

@@ -109,6 +109,28 @@ class ClassifierSpec extends SparkTestBase {
       "local and distributed training must agree bit-for-bit")
   }
 
+  test("gradient overflow fails loudly on BOTH paths, never wraps") {
+    // features far beyond the ~2^33 quantization budget: each row's
+    // quantized contribution is ~0.5·1e10·2^30 ≈ 5.4e18, so two rows
+    // overflow a Long. The local and distributed paths must agree on
+    // the failure mode (ArithmeticException from addExact) — a silent
+    // wrap on one side would be a parity fork in exactly the case
+    // where the numbers are already garbage.
+    val hostile = Seq(
+      (0L, Seq.fill(4)(1e10), 0),
+      (1L, Seq.fill(4)(1e10), 0)
+    ).toDF("id", "x", "label")
+    intercept[ArithmeticException] {
+      Classifier.trainLogistic(hostile, "x", "label", 4, iters = 1)
+    }
+    System.setProperty("graft.classifier.localGate", "0")
+    try intercept[org.apache.spark.SparkException] {
+      // distributed: the executor-side addExact surfaces wrapped in
+      // Spark's task-failure envelope
+      Classifier.trainLogistic(hostile, "x", "label", 4, iters = 1)
+    } finally System.clearProperty("graft.classifier.localGate")
+  }
+
   test("model persistence round-trips bit-exactly and rejects corruption") {
     val train = fixture(120).filter(col("id") % 10 < 7)
     val m = Classifier.trainLogistic(train, "x", "label", Dim, iters = 10)
