@@ -993,7 +993,7 @@ object DocQueries {
     * terminates both loops identically: the recursion stops when the
     * argmax subquery is empty, and `trainFromCounts` sets `exhausted`.
     */
-  private val BpeScrubWs =
+  private[graft] val BpeScrubWs =
     "[\\x00-\\x1F\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
       "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}\\s]+"
 

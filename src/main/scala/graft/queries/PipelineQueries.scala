@@ -253,8 +253,8 @@ object PipelineQueries {
     * of correct ids still fails). [[tokenize]] stays the
     * performance-representative unscrubbed form.
     */
-  private val TokenScrubWs =
-    "[\\s\\x{1C}-\\x{1F}\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+  private[graft] val TokenScrubWs =
+    "[\\s\\x{0B}\\x{1C}-\\x{1F}\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
       "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
 
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
@@ -279,7 +279,7 @@ object PipelineQueries {
       |  SELECT doc_id,
       |    regexp_replace(
       |      regexp_replace(coalesce(text, ''), '[\x{10000}-\x{10FFFF}]', '', 'g'),
-      |      '[\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+      |      '[\s\x{0B}\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
       |      ' ', 'g') AS t
       |  FROM documents),
       |toks AS (
@@ -340,7 +340,7 @@ object PipelineQueries {
       |  SELECT coalesce(lang, '') AS lang, coalesce(source, '') AS source,
       |    regexp_replace(
       |      regexp_replace(coalesce(text, ''), '[\x{10000}-\x{10FFFF}]', '', 'g'),
-      |      '[\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+      |      '[\s\x{0B}\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
       |      ' ', 'g') AS t
       |  FROM documents),
       |per_doc AS (
@@ -371,21 +371,31 @@ object PipelineQueries {
     * doomed-rows-last windows, score propagation. q_pipeline_full
     * remains the performance-representative rows-only form.
     */
-  def pipelineGraded(s: SparkSession, dir: String): DataFrame = {
+  /** Stages 2-5 of the graded chain (shared by [[pipelineGraded]] and
+    * the stage-6/7 extension [[pipelineGradedFull]]).
+    */
+  private def gradedStaged(s: SparkSession, dir: String): DataFrame = {
     val raw = Pipeline.fromDocuments(Tables.documents(s, dir))
     val staged = Pipeline.deepCleanAndPii(
       Pipeline.cleanAndFilter(raw, applyNfkc = false),
       collapseRepeats = false)
     val deduped = graft.ops.Dedup.dedupStage(staged,
       textCol = "text_pii_masked", seqCol = "doc_id")
-    Pipeline.score(deduped).select(
+    Pipeline.score(deduped)
+  }
+
+  def pipelineGraded(s: SparkSession, dir: String): DataFrame =
+    gradedStaged(s, dir).select(
       col("doc_id"), col("drop_reason"), col("lang_pred"), col("lang_score"),
       col("token_count"), col("unique_token_ratio"), col("has_pii"),
       col("is_dup_exact"), col("is_dup_near"), col("dup_of"),
       col("quality_score"), col("subset"))
-  }
 
-  val pipelineGradedSql: String = {
+  /** The `WITH ... s5 AS (...)` CTE chain replaying stages 2-5; callers
+    * append their own final SELECT (or further CTEs introduced with a
+    * leading comma).
+    */
+  private val pipelineGradedCoreSql: String = {
     import graft.text.{LangId, Pii, TextMetrics, Toxicity}
     import graft.ops.{Dedup, Score}
     def toks(t: String) = OracleSql.toks(t)
@@ -494,13 +504,138 @@ object PipelineQueries {
        |s5 AS (SELECT *,
        |   coalesce(dup_of_e, CASE WHEN is_dup_near THEN fidn END) AS dup_of,
        |   coalesce(dr4, CASE WHEN is_dup_near THEN 'near_duplicate' END) AS drop_reason,
-       |   $scoreExpr AS quality_score FROM s4)
+       |   $scoreExpr AS quality_score FROM s4)""".stripMargin
+  }
+
+  val pipelineGradedSql: String = {
+    import graft.ops.Score
+    s"""$pipelineGradedCoreSql
        |SELECT doc_id, drop_reason, lang_pred, lang_score, token_count,
        | unique_token_ratio, has_pii, is_dup_exact, is_dup_near, dup_of,
        | quality_score,
        | CASE WHEN quality_score >= ${Score.HighQualityThreshold} THEN 'high_quality' ELSE 'rest' END AS subset
        |FROM s5""".stripMargin
   }
+
+  // ---- q_pipeline_graded_full: stages 2-7 end to end, ORACLE-CHECKED ----
+
+  /** Stage 6 of the graded chain: tokenise + F27/F28 token-length gates
+    * over [[gradedStaged]]'s output. The tokeniser input is the
+    * [[tokenIds]] scrub of `text_pii_masked` — non-BMP removed,
+    * whitespace family collapsed — so both engines tokenise the
+    * identical string and the gate thresholds fire on the identical
+    * counts; everything downstream (drop reason, shard membership) then
+    * replays exactly. First-match-wins masking means stage-6 reasons
+    * only land on rows stages 2-5 kept, same as the reference's
+    * physical split (`Tokenisation_JSONL_export.py:137-146`).
+    */
+  private def gradedFullGated(s: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(coalesce(col("text_pii_masked"), lit("")),
+        lit("[\\x{10000}-\\x{10FFFF}]"), lit("")),
+      lit(TokenScrubWs), lit(" "))
+    val tokked = gradedStaged(s, dir)
+      .withColumn("t", graft.text.Tokenize.native(scrubbed))
+      .withColumn("n_tokens", col("t.n_tokens").cast("long"))
+      .withColumn("id_checksum",
+        expr("""aggregate(t.input_ids,
+               |  named_struct('s', 0L, 'i', 0L),
+               |  (acc, x) -> named_struct('s', acc.s + x * (acc.i + 1L),
+               |                           'i', acc.i + 1L),
+               |  acc -> acc.s)""".stripMargin))
+      .drop("t")
+    graft.ops.Filters.applyRules(tokked,
+      graft.ops.Filters.tokenLengthRules(col("n_tokens")))
+  }
+
+  /** The ENTIRE reference workflow ingest→shard (`run_pipeline.py:24-49`
+    * + `Tokenisation_JSONL_export.py` + `sharding.py:104-148`) as one
+    * hash-checked chain: stages 2-5 ([[pipelineGraded]]'s frame),
+    * stage 6 tokenise + length gates, stage 7 shard assignment over the
+    * kept rows (two-pass partition-offset sequence, ingest order =
+    * doc_id per the graded chain's documented convention). Dropped rows
+    * surface with their first-match drop_reason and NULL shard columns,
+    * so the per-doc hash pins every stage interaction at once.
+    */
+  def pipelineGradedFull(s: SparkSession, dir: String): DataFrame = {
+    val gated = gradedFullGated(s, dir)
+    val kept = Shard.assignShards(graft.ops.Filters.kept(gated),
+        docsPerShard = QueryDocsPerShard)
+      .select(col("doc_id").as("kdoc"), col("global_seq"), col("shard_id"))
+    gated.join(kept, col("doc_id") === col("kdoc"), "left")
+      .select(col("doc_id"), col("drop_reason"), col("n_tokens"),
+        col("id_checksum"), col("global_seq"), col("shard_id"))
+  }
+
+  /** The DuckDB replay of stage 6: the [[tokenIdsSql]] scrub + grammar +
+    * `String.hashCode` fold over `s5.text_pii_masked`, ending in CTE
+    * `g6(doc_id, n_tokens, id_checksum, drop_reason)` with the F27/F28
+    * reasons coalesced in. Appended to [[pipelineGradedCoreSql]] with a
+    * leading comma by both stage-7 queries.
+    */
+  private val gradedTokenChainSql: String =
+    """t6 AS (SELECT doc_id, drop_reason,
+      |   regexp_replace(
+      |     regexp_replace(coalesce(text_pii_masked, ''), '[\x{10000}-\x{10FFFF}]', '', 'g'),
+      |     '[\s\x{0B}\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+      |     ' ', 'g') AS tt
+      |  FROM s5),
+      |t7 AS (SELECT doc_id, drop_reason,
+      |   list_filter(regexp_extract_all(tt,
+      |     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+| '),
+      |     x -> x <> ' ') AS ts
+      |  FROM t6),
+      |t8 AS (SELECT doc_id, drop_reason, list_transform(ts, tok ->
+      |   list_reduce(
+      |     list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS BIGINT)),
+      |     (a, b) -> (a * 31 + b) & 4294967295)) AS hs
+      |  FROM t7),
+      |t9 AS (SELECT doc_id, drop_reason, list_transform(hs, h ->
+      |   ((CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END) % 50000
+      |     + 50000) % 50000 + 256) AS ids
+      |  FROM t8),
+      |g6 AS (SELECT doc_id,
+      |   CAST(len(ids) AS BIGINT) AS n_tokens,
+      |   CAST(coalesce(list_sum(list_transform(ids, (x, i) -> x * i)), 0) AS BIGINT) AS id_checksum,
+      |   coalesce(drop_reason,
+      |     CASE WHEN len(ids) < 10 THEN 'too_few_tokens'
+      |          WHEN len(ids) > 2048 THEN 'too_many_tokens' END) AS drop_reason
+      |  FROM t9)""".stripMargin
+
+  val pipelineGradedFullSql: String =
+    s"""$pipelineGradedCoreSql,
+       |$gradedTokenChainSql,
+       |k7 AS (SELECT doc_id AS kdoc,
+       |   row_number() OVER (ORDER BY doc_id) - 1 AS global_seq
+       |  FROM g6 WHERE drop_reason IS NULL)
+       |SELECT g6.doc_id, g6.drop_reason, g6.n_tokens, g6.id_checksum,
+       | k7.global_seq,
+       | CAST(floor(k7.global_seq / $QueryDocsPerShard.0) AS BIGINT) AS shard_id
+       |FROM g6 LEFT JOIN k7 ON g6.doc_id = k7.kdoc""".stripMargin
+
+  // ---- q_pipeline_graded_shards: the chain's manifest rollup ------------
+
+  /** Per-shard doc/token totals of [[pipelineGradedFull]]'s output — the
+    * reference's manifest (`sharding.py:150-178`) computed from the full
+    * graded chain, so shard membership AND the summed token counts are
+    * hash-checked end to end.
+    */
+  def pipelineGradedShards(s: SparkSession, dir: String): DataFrame =
+    Shard.shardManifest(
+      Shard.assignShards(graft.ops.Filters.kept(gradedFullGated(s, dir)),
+        docsPerShard = QueryDocsPerShard))
+
+  val pipelineGradedShardsSql: String =
+    s"""$pipelineGradedCoreSql,
+       |$gradedTokenChainSql,
+       |k7 AS (SELECT
+       |   CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / $QueryDocsPerShard.0) AS BIGINT) AS shard_id,
+       |   n_tokens
+       |  FROM g6 WHERE drop_reason IS NULL)
+       |SELECT shard_id, count(*) AS num_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | printf('train_shard_%05d.jsonl', shard_id) AS filename
+       |FROM k7 GROUP BY shard_id""".stripMargin
 
   // ---- q_pipeline_full: stages 2-6 fused, end to end (rows-only) --------
 
