@@ -499,9 +499,15 @@ object RelationalQueries {
   /** Per-source p50/p90/p99 of document length through the DDSketch
     * aggregator (graft.ops.DdSketch) — the bounded-state mergeable
     * alternative to the exact `percentile` sort-agg of
-    * q_source_percentiles. Sketch estimates are engine-defined →
-    * rows-only driver check; DdSketchSpec pins the ≤α relative-error
-    * guarantee against exact ranks and partition-order-proof identity.
+    * q_source_percentiles. ORACLE-CHECKED end to end: the finisher is
+    * deterministic arithmetic — rank target ⌊q·(n−1)⌋+1, a cumulative
+    * walk over the (kind, idx) buckets in value order, and the bucket
+    * midpoint 2γ^i/(γ+1) — all of which DuckDB replays over the same
+    * bucket replay q_dd_buckets already proves. Estimates surface
+    * floor-quantized to 1e4 per the engine's double-parity rule (the
+    * only cross-libm residue is pow(γ, i), same ≤1-ulp fixed-fixture
+    * argument as the ln() in the bucket map). DdSketchSpec pins the
+    * ≤α relative-error guarantee against exact ranks.
     */
   // ---- q_zorder_key: Morton clustering key ------------------------------
 
@@ -591,8 +597,47 @@ object RelationalQueries {
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(graft.ops.DdSketch.quantiles().toColumn)
-      .map { case (src, q) => (src, q.n, q.p50, q.p90, q.p99) }
-      .toDF("source", "n", "p50", "p90", "p99")
+      .map { case (src, q) => (src, q.n,
+        math.floor(q.p50 * 10000).toLong,
+        math.floor(q.p90 * 10000).toLong,
+        math.floor(q.p99 * 10000).toLong) }
+      .toDF("source", "n", "p50_q", "p90_q", "p99_q")
+  }
+
+  val ddQuantilesSql: String = {
+    // the same γ literal as ddBucketsSql; the walk orders buckets in
+    // value order (neg desc |idx|, zero, pos asc idx) via a single
+    // integer key, takes the first bucket whose cumulative count
+    // reaches the DDSketch rank target, and reports its midpoint
+    val g = "CAST(1.02020202020202 AS DOUBLE)"
+    def tgt(pct: Int) =
+      s"CAST(floor(CAST($pct AS DOUBLE) / 100 * (n - 1)) AS BIGINT) + 1"
+    def pick(pct: Int, name: String) =
+      s"CAST(floor(min_by(est, ord) FILTER (WHERE cum >= ${tgt(pct)}) * 10000) AS BIGINT) AS $name"
+    s"""WITH v AS (SELECT coalesce(source, '') AS source,
+       |    CAST(coalesce(n_chars, 0) AS DOUBLE) AS v FROM documents),
+       |b AS (SELECT source,
+       |  CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' ELSE 'zero' END AS kind,
+       |  CAST(CASE WHEN v = 0 THEN 0
+       |       ELSE ceil(ln(abs(v)) / ln($g)) END AS INT) AS idx,
+       |  count(*) AS cnt
+       | FROM v GROUP BY 1, 2, 3),
+       |o AS (SELECT source, kind, idx, cnt,
+       |  (CASE kind WHEN 'neg' THEN 0 WHEN 'zero' THEN 1 ELSE 2 END) * 1000000
+       |    + (CASE kind WHEN 'neg' THEN -idx ELSE idx END) AS ord,
+       |  CASE kind WHEN 'zero' THEN CAST(0 AS DOUBLE)
+       |   WHEN 'pos' THEN CAST(2 AS DOUBLE) * pow($g, idx) / ($g + 1)
+       |   ELSE -(CAST(2 AS DOUBLE) * pow($g, idx) / ($g + 1)) END AS est
+       | FROM b),
+       |c AS (SELECT *, sum(cnt) OVER (PARTITION BY source ORDER BY ord
+       |        ROWS UNBOUNDED PRECEDING) AS cum,
+       |      CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       | FROM o)
+       |SELECT source, max(n) AS n,
+       | ${pick(50, "p50_q")},
+       | ${pick(90, "p90_q")},
+       | ${pick(99, "p99_q")}
+       |FROM c GROUP BY source""".stripMargin
   }
 
   /** The DDSketch ORACLE GATE — the same sketch as [[ddQuantiles]]
