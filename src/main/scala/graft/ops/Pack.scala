@@ -71,6 +71,65 @@ object Pack {
       sorted.schema.fields :+ StructField(name, LongType, nullable = false)))
   }
 
+  /** Per-group variant of [[withRunningTotalOrdered]]: an exclusive
+    * running total of `valCol` within each `groupCol` value, following
+    * the lexicographic order of `orderCols` inside the group. The skew
+    * escape hatch for grouped prefix sums: a `Window.partitionBy(group)`
+    * puts ONE GROUP'S ENTIRE ROW SET through a single task, so a
+    * 99%-one-language corpus serializes through one reducer — here the
+    * group is part of the RANGE partitioning key instead, so a dominant
+    * group spreads over many partitions and the driver only carries one
+    * (partition, group) partial per group-run (groups are contiguous in
+    * the sorted order: O(#groups + #partitions) entries, NOT #rows).
+    * Intended for low-cardinality/high-skew groups (languages, sources);
+    * for million-group keys the windowed form's per-task state is the
+    * better trade and the driver map here would be the bottleneck.
+    */
+  def withRunningTotalPerGroup(df: DataFrame, groupCol: String,
+                               orderCols: Seq[Column], valCol: String,
+                               name: String = "start_offset"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(df.rdd.getNumPartitions, 1)
+    val all = col(groupCol) +: orderCols
+    val sorted = df.repartitionByRange(parts, all: _*)
+      .sortWithinPartitions(all: _*)
+    val valIdx = sorted.schema.fieldIndex(valCol)
+    val grpIdx = sorted.schema.fieldIndex(groupCol)
+    val rdd = sorted.rdd
+    // pass 1: per-partition per-group partials (insertion-ordered —
+    // groups are contiguous runs within a sorted partition)
+    val partGroupSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(grpIdx)
+        sums.update(g, sums.getOrElse(g, 0L) + r.getAs[Number](valIdx).longValue())
+      }
+      sums.iterator.map { case (g, s) => (i, g, s) }
+    }.collect()
+    // driver: per group, prefix-sum its partials in partition order
+    val offsets: Map[(Int, Any), Long] = partGroupSums
+      .groupBy(_._2)
+      .flatMap { case (g, rows) =>
+        val inOrder = rows.sortBy(_._1)
+        val prefix = inOrder.scanLeft(0L)(_ + _._3)
+        inOrder.zip(prefix).map { case ((i, _, _), off) => (i, g) -> off }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: local running totals seeded with each group's offset
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      val local = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(grpIdx)
+        val run = local.getOrElse(g, bc.value.getOrElse((i, g), 0L))
+        val out = Row.fromSeq(r.toSeq :+ run)
+        local.update(g, run + r.getAs[Number](valIdx).longValue())
+        out
+      }
+    }
+    spark.createDataFrame(indexed, StructType(
+      sorted.schema.fields :+ StructField(name, LongType, nullable = false)))
+  }
+
   /** Concat-and-chop pack layout: each doc's first token lands at
     * `start_offset`; `pack_first`/`pack_last` are the context windows the
     * doc touches; `spans_packs` flags boundary-straddling docs (the rows
