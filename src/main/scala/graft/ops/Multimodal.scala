@@ -271,6 +271,51 @@ object Multimodal {
       .toDF()
   }
 
+  /** MJPEG-in-AVI twin of [[syntheticVideos]]: the same `video` ids
+    * wrapped in a REAL RIFF/AVI container ([[AviCodec.encodeAvi]])
+    * whose `00dc` chunks hold genuine JPEG frames from the engine's
+    * own encoder — so the distributed decode path walks an actual
+    * container format (word alignment, LIST nesting, avih facts) and
+    * re-uses the proven JPEG decoder per frame, the MJPEG convention.
+    * Structure is pure arithmetic for the oracle: 8-wide, height from
+    * the text byte length (the [[syntheticJpegImages]] formula),
+    * 1 + (id/3 mod 3) frames, gray/color by (id/3) mod 2, frame
+    * period 40000 + 1000·(id mod 5) µs. Frame PIXELS rotate the text
+    * bytes by 7·frameIdx so consecutive frames differ (lossy, so only
+    * structure is oracle-replayed, like the JPEG image twins).
+    */
+  def syntheticAviVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 23) / 24))
+        val nf = (1 + (id / 3) % 3).toInt
+        val gray = (id / 3) % 2 == 1
+        val us = (40000 + 1000 * (id % 5)).toInt
+        val frames = (0 until nf).map { f =>
+          val px = new Array[Byte](w * h * 3)
+          if (bytes.nonEmpty) {
+            var i = 0
+            while (i < px.length) { px(i) = bytes((i + f * 7) % bytes.length); i += 1 }
+          }
+          if (gray) {
+            val g = new Array[Byte](w * h)
+            var i = 0
+            while (i < g.length) { g(i) = px(i * 3); i += 1 }
+            JpegCodec.encodeJpegGray(w, h, g)
+          } else JpegCodec.encodeJpeg(w, h, px, subsample420 = f % 2 == 1)
+        }
+        MediaRow(id, "video", AviCodec.encodeAvi(w, h, us, frames),
+          w, h, us, nf)
+      }
+      .toDF()
+  }
+
   /** Fixed 256-entry palette for GIF fixtures: entry i = (i, 7i mod
     * 256, 13i mod 256) — full-rank and deterministic, so index→RGB is
     * invertible and a decode bug cannot alias two indices.

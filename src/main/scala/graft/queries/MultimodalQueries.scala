@@ -349,6 +349,58 @@ object MultimodalQueries {
       |  CAST(sum((p + 1) * ((13 * ci) % 256)) AS BIGINT) AS wsum_b
       |FROM i GROUP BY doc_id, nf, fi""".stripMargin
 
+  // ---- q_video_frames_avi: ORACLE-CHECKED MJPEG-in-AVI decode -----------
+
+  /** The second real video container: per-frame facts from a genuine
+    * RIFF/AVI walk ([[graft.ops.AviCodec]]) + the engine's JPEG
+    * decoder on each `00dc` payload. width/height/channels come from
+    * the DECODED JPEG frame (not the container header), so a broken
+    * chunk walk, a word-alignment slip on the odd-length frames the
+    * encoder naturally emits, or a per-frame decode failure surfaces
+    * as -1 dims / missing rows and fails the hash; `us_per_frame` is
+    * the avih container fact. The oracle replays the documented
+    * fixture arithmetic like the other lossy-codec twins.
+    */
+  def videoFramesAvi(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.syntheticAviVideos(Tables.documents(s, dir))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.ops.AviCodec.decode(bytes) match {
+          case Some((meta, frames)) =>
+            frames.zipWithIndex.map { case (jb, fi) =>
+              graft.ops.JpegCodec.decode(jb) match {
+                case Some(img) => (id, frames.size.toLong, fi.toLong,
+                  img.width.toLong, img.height.toLong, img.channels.toLong,
+                  meta.usPerFrame.toLong)
+                case None => (id, frames.size.toLong, fi.toLong,
+                  -1L, -1L, -1L, meta.usPerFrame.toLong)
+              }
+            }
+          case None => Seq((id, 0L, -1L, 0L, 0L, 0L, 0L))
+        }
+      }
+      .toDF("media_id", "n_frames", "frame_idx", "width", "height",
+        "channels", "us_per_frame")
+  }
+
+  val videoFramesAviSql: String =
+    """WITH v AS (SELECT doc_id,
+      |  CAST(1 + (doc_id // 3) % 3 AS BIGINT) AS nf,
+      |  greatest(1, least(64,
+      |    (octet_length(encode(coalesce(text, ''))) + 23) // 24)) AS h,
+      |  CASE WHEN (doc_id // 3) % 2 = 1 THEN 1 ELSE 3 END AS ch,
+      |  40000 + 1000 * (doc_id % 5) AS us
+      | FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, nf, h, ch, us, unnest(range(0, nf)) AS fi FROM v)
+      |SELECT doc_id AS media_id, nf AS n_frames,
+      |  CAST(fi AS BIGINT) AS frame_idx,
+      |  CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ch AS BIGINT) AS channels, CAST(us AS BIGINT) AS us_per_frame
+      |FROM f""".stripMargin
+
   /** Audio sibling of q_media_decode: document bytes become genuine
     * 16-bit PCM WAV payloads ([[graft.ops.Multimodal.syntheticAudio]],
     * structure rotating through mono/stereo × three sample rates), the
