@@ -494,6 +494,73 @@ object RelationalQueries {
     graft.ops.Report.sketchDistinct(Tables.documents(s, dir),
       keyCol = "doc_id", groupCol = "source")
 
+  // ---- q_hll_md5: ORACLE-CHECKED HLL graded twin ------------------------
+
+  /** The hash-exact graded twin of [[hllShards]] (the same twin
+    * pattern that proves MinHash via `q_minhash_md5`): per-source
+    * distinct-WORD HyperLogLog over the portable 60-bit md5 hash
+    * ([[graft.ops.Hll]]), built TWO-LEVEL — per-(source, shard)
+    * register arrays merged per source — exactly the shard-then-merge
+    * structure the Datasketches path uses. Because register merge is
+    * max (idempotent, associative), the two-level build is
+    * bit-identical to the flat build the oracle computes, so the hash
+    * check covers register assignment, rank extraction, the
+    * distributed merge AND the estimate arithmetic. State surfaces as
+    * exact integers (zero count, Σ2^(49−rank), an (idx+1)·rank
+    * checksum) — one flipped register anywhere is a mismatch.
+    */
+  def hllMd5(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.ops.Hll
+    val words = Tables.documents(s, dir)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(graft.text.TextMetrics.tokens(col("text"))).as("w"))
+      .select(col("source"), Hll.hash60(col("w")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .as[(String, Long, Long)]
+    val perShard = words.groupByKey(r => (r._1, r._3))
+      .mapValues(_._2).agg(Hll.registers.toColumn)
+    val merged = perShard.map { case ((src, _), regs) => (src, regs) }
+      .groupByKey(_._1).mapValues(_._2).agg(Hll.mergeRegisters.toColumn)
+    merged.map { case (src, regs) =>
+      val e = Hll.estimate(regs)
+      (src, e.v_zero, e.s49, e.reg_checksum, e.est_q)
+    }.toDF("source", "v_zero", "s49", "reg_checksum", "est_q")
+  }
+
+  val hllMd5Sql: String = {
+    val toks = graft.queries.OracleSql.toks("text")
+    // operation order mirrors Hll.estimate term-for-term; constants are
+    // exact-integer casts per the DECIMAL-literal gotcha
+    val alpha = "(CAST(7213 AS DOUBLE) / 10000) / (1 + (CAST(1079 AS DOUBLE) / 1000) / 4096)"
+    val eRaw = s"(($alpha * 4096) * 4096) * CAST(562949953421312 AS DOUBLE) / CAST(s49 AS DOUBLE)"
+    s"""WITH t AS (SELECT coalesce(source, '') AS source, $toks AS toks
+       |  FROM documents),
+       |w AS (SELECT source, unnest(toks) AS w FROM t),
+       |h AS (SELECT source,
+       |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+       |r AS (SELECT source, h >> 48 AS idx,
+       |    h & 281474976710655 AS rest FROM h),
+       |rk AS (SELECT source, idx,
+       |    max(CASE WHEN rest = 0 THEN 49
+       |         ELSE 49 - length(bin(rest)) END) AS rank
+       |  FROM r GROUP BY source, idx),
+       |agg AS (SELECT source,
+       |    4096 - count(*) AS v_zero,
+       |    CAST(sum(1::BIGINT << (49 - rank)) AS BIGINT)
+       |      + (4096 - count(*)) * (1::BIGINT << 49) AS s49,
+       |    CAST(sum((idx + 1) * rank) AS BIGINT) AS reg_checksum
+       |  FROM rk GROUP BY source),
+       |e AS (SELECT source, v_zero, s49, reg_checksum, $eRaw AS e_raw
+       |  FROM agg)
+       |SELECT source, CAST(v_zero AS BIGINT) AS v_zero, s49, reg_checksum,
+       |  CAST(floor((CASE WHEN e_raw <= CAST(10240 AS DOUBLE) AND v_zero > 0
+       |    THEN 4096 * ln(4096 / CAST(v_zero AS DOUBLE))
+       |    ELSE e_raw END) * 100) AS BIGINT) AS est_q
+       |FROM e""".stripMargin
+  }
+
   // ---- q_dd_quantiles: mergeable relative-error percentiles -------------
 
   /** Per-source p50/p90/p99 of document length through the DDSketch
