@@ -590,6 +590,35 @@ object SimilarityQueries {
       |SELECT id_a, id_b, inter / (szsum - inter) AS jaccard
       |FROM v WHERE inter / (szsum - inter) >= 0.8""".stripMargin
 
+  // ---- q_edit_neardup: PassJoin edit-distance near-dup join -------------
+
+  /** Word-level edit-distance near-dup pairs over the hashed-alphabet
+    * signature ([[graft.ops.EditDedup]]): PassJoin segment blocking +
+    * banded-Levenshtein verify. The blocking is lossless (pigeonhole
+    * over the d+1 segments), so the oracle computes the same result the
+    * DIRECT way — length-band pairs + levenshtein — which is feasible at
+    * oracle scale and is precisely the contract the Spark plan must
+    * reproduce without ever going all-pairs.
+    */
+  def editNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EditDedup.editNearDupPairs(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", d = 3)
+
+  val editNearDupSql: String = {
+    val toks = graft.queries.OracleSql.toks("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |sg AS (SELECT doc_id, coalesce(list_aggregate(
+       |    list_transform(toks, x -> substr(md5(x), 1, 1)),
+       |    'string_agg', ''), '') AS sig FROM t),
+       |f AS (SELECT doc_id, sig, length(sig) AS n FROM sg
+       |      WHERE length(sig) >= 4)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+       |FROM f a JOIN f b
+       |  ON b.n BETWEEN a.n - 3 AND a.n + 3 AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.sig, b.sig) <= 3""".stripMargin
+  }
+
   // ---- q_dup_clusters: connected components over near-dup pairs ---------
 
   /** Duplicate clusters from the Jaccard pair list: min-label-propagation
