@@ -561,6 +561,54 @@ object RelationalQueries {
        |FROM e""".stripMargin
   }
 
+  // ---- q_cms_freq: Count-Min point-frequency estimates ------------------
+
+  /** Count-Min sketch frequency estimates ([[graft.ops.CountMin]]):
+    * build the 4×256 cell grid over the whole token stream, then
+    * estimate the frequency of a deterministic vocab sliver (tokens
+    * whose md5 starts "00", ~1/256 of the vocabulary) and pair each
+    * estimate with its exact count — exact counting is confined to the
+    * already-filtered sliver, so the only vocabulary-wide structure
+    * anywhere is the bounded sketch itself. est ≥ exact by
+    * construction; the oracle replays cells, probes and the min-walk
+    * in exact integers.
+    */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CountMin
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.text.TextMetrics.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = CountMin.sketch(toks, "tok")
+    val probes = toks
+      .filter(substring(md5(col("tok")), 1, 1).isin("0", "1", "2", "3"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    CountMin.estimate(sk, probes, "tok")
+      .join(probes, Seq("tok"))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  val cmsFreqSql: String = {
+    val toks = graft.queries.OracleSql.toks("text")
+    s"""WITH t AS (SELECT $toks AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS tok FROM t),
+       |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       |cells AS (SELECT j,
+       |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 4)
+       |      AS BIGINT) % 256 AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM w CROSS JOIN js GROUP BY 1, 2),
+       |probes AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM w
+       |  WHERE substr(md5(tok), 1, 1) IN ('0', '1', '2', '3') GROUP BY tok),
+       |est AS (SELECT p.tok, CAST(min(c.c) AS BIGINT) AS est_cnt
+       |  FROM probes p CROSS JOIN js
+       |  JOIN cells c ON c.j = js.j AND c.b =
+       |    CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || p.tok), 1, 4)
+       |      AS BIGINT) % 256
+       |  GROUP BY p.tok)
+       |SELECT p.tok, p.exact_cnt, e.est_cnt
+       |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin
+  }
+
   // ---- q_dd_quantiles: mergeable relative-error percentiles -------------
 
   /** Per-source p50/p90/p99 of document length through the DDSketch
