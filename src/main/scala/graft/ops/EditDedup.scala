@@ -100,6 +100,13 @@ object EditDedup {
                        d: Int = 3): DataFrame = {
     require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
     val parts = d + 1
+    // The signature base feeds four subtrees (index keys, probe keys,
+    // both verify joins) UNPERSISTED — deliberately, unlike
+    // prefixJaccardPairs' shingle base: a persist variant was tried and
+    // REJECTED on min-of-3 A/B at sf0.1 (2.31 s -> 2.69 s). The base is
+    // one md5 per token over a narrow projection — cheaper to recompute
+    // inside each codegen stage than to materialize and re-read, and at
+    // 100 TB the recompute keeps the op checkpoint-free.
     val base = Skew.ensureParallelism(
       df.select(col(idCol).as("id"), wordSig(col(textCol)).as("sig")))
       .withColumn("n", length(col("sig")))

@@ -39,6 +39,7 @@ object ImageCodec {
       else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6')) decodePnm(bytes)
       else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
       else if (GifCodec.isGif(bytes)) GifCodec.decode(bytes)
+      else if (QoiCodec.isQoi(bytes)) QoiCodec.decode(bytes)
       else None
     } catch { case _: Exception => None }
 

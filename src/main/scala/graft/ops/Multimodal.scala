@@ -236,6 +236,39 @@ object Multimodal {
       .toDF()
   }
 
+  /** QOI twin of [[syntheticGifImages]]: the same palette arithmetic
+    * (pixel p = (v, 7v mod 256, 13v mod 256) for tiled text byte v)
+    * rendered to RGB and encoded QOI ([[QoiCodec.encode]]) over ALL
+    * documents — text tiling repeats bytes, so real corpora hit RUN,
+    * INDEX, DIFF, LUMA and RGB ops, and QOI is lossless, so decoded
+    * pixels are bit-exact and the oracle replays them arithmetically
+    * with the identical SQL the GIF twin uses.
+    */
+  def syntheticQoiImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 7) / 8))
+        val px = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val v = if (bytes.isEmpty) 0 else bytes(p % bytes.length) & 0xff
+          px(p * 3) = v.toByte
+          px(p * 3 + 1) = ((7 * v) % 256).toByte
+          px(p * 3 + 2) = ((13 * v) % 256).toByte
+          p += 1
+        }
+        val payload = QoiCodec.encode(w, h, 3, px)
+        MediaRow(id, "image", payload, w, h,
+          (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
+      }
+      .toDF()
+  }
+
   /** Video fixture adapter: the documents [[syntheticMedia]] labels
     * `video` (doc_id % 3 == 2) become REAL animated GIFs — 8×8 canvas,
     * 1 + (doc_id mod 4) full-canvas frames, palette index at raster

@@ -288,6 +288,66 @@ object MultimodalQueries {
       |  CAST(sum((p + 1) * ((13 * v) % 256)) AS BIGINT) AS wsum_b
       |FROM px GROUP BY doc_id, h""".stripMargin
 
+  // ---- q_media_decode_qoi: ORACLE-CHECKED QOI decode --------------------
+
+  /** QOI sibling of q_media_decode_gif, same evidence class: QOI is
+    * lossless, so the query emits position-weighted sums over DECODED
+    * RGB pixels, which DuckDB reproduces arithmetically from the text
+    * bytes and the documented fixture layout (pixel p =
+    * (v, 7v%256, 13v%256) for tiled byte v, 8-wide). Text tiling makes
+    * real corpora hit every QOI op (runs from repeats, INDEX from
+    * recurring colors, DIFF/LUMA from near bytes, RGB for jumps), and
+    * the position weighting is order-sensitive: a run-length slip, a
+    * stale recent-color slot, or wrong wrapping arithmetic shifts
+    * pixels and fails the hash.
+    */
+  def mediaDecodeQoi(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.syntheticQoiImages(Tables.documents(s, dir))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.ops.ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            var wr = 0L; var wg = 0L; var wb = 0L
+            var p = 0
+            val n = img.width * img.height
+            while (p < n) {
+              wr += (p + 1).toLong * (img.pixels(p * 3) & 0xff)
+              wg += (p + 1).toLong * (img.pixels(p * 3 + 1) & 0xff)
+              wb += (p + 1).toLong * (img.pixels(p * 3 + 2) & 0xff)
+              p += 1
+            }
+            (id, "qoi", img.width.toLong, img.height.toLong,
+              img.channels.toLong, wr, wg, wb)
+          case None => (id, "undecodable", 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "channels",
+        "wsum_r", "wsum_g", "wsum_b")
+  }
+
+  val mediaDecodeQoiSql: String =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS blen
+      | FROM documents),
+      |dims AS (SELECT doc_id, t, blen,
+      |  greatest(1, least(64, (blen + 7) // 8)) AS h FROM d),
+      |pos AS (SELECT doc_id, h, t, blen,
+      |  unnest(range(0, 8 * h)) AS p FROM dims),
+      |px AS (SELECT doc_id, h, p,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST(p % blen AS INT) + 1, 1)) END AS v
+      | FROM pos)
+      |SELECT doc_id AS media_id, 'qoi' AS format,
+      |  CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(sum((p + 1) * v) AS BIGINT) AS wsum_r,
+      |  CAST(sum((p + 1) * ((7 * v) % 256)) AS BIGINT) AS wsum_g,
+      |  CAST(sum((p + 1) * ((13 * v) % 256)) AS BIGINT) AS wsum_b
+      |FROM px GROUP BY doc_id, h""".stripMargin
+
   /** Video sibling of q_media_decode: ANIMATED decode. Video-labeled
     * documents become real multi-frame GIF89a payloads
     * ([[graft.ops.Multimodal.syntheticVideos]]); the engine walks
