@@ -609,6 +609,48 @@ object RelationalQueries {
        |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin
   }
 
+  // ---- q_ams_f2: AMS tug-of-war second-moment sketch ---------------------
+
+  /** Per-source AMS F2 ([[graft.ops.Ams]]): the 8 tug-of-war sums, the
+    * lower-median estimate, and the exact F2 = Σ count(tok)² it
+    * estimates (the token self-join size). The sums are the 100 TB
+    * path (8 longs of state, map-side combine); the exact side exists
+    * to oracle-check the guarantee in-data and is the vocabulary
+    * groupBy the sketch replaces.
+    */
+  def amsF2(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ams
+    val w = Tables.documents(s, dir)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(graft.text.TextMetrics.tokens(col("text"))).as("tok"))
+    val sk = Ams.estimateF2(Ams.sketch(w, "source", "tok"))
+    val exact = w.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(col("c") * col("c")).as("exact_f2"))
+    sk.join(exact, Seq("source"))
+  }
+
+  val amsF2Sql: String = {
+    val toks = graft.queries.OracleSql.toks("text")
+    val sums = (0 until 8).map(j =>
+      s"CAST(sum((CAST('0x' || substr(md5('$j:' || tok), 1, 1) AS BIGINT) % 2) * 2 - 1) AS BIGINT) AS s$j")
+      .mkString(",\n       |    ")
+    s"""WITH t AS (SELECT coalesce(source, '') AS source, $toks AS toks
+       |  FROM documents),
+       |w AS (SELECT source, unnest(toks) AS tok FROM t),
+       |sk AS (SELECT source,
+       |    $sums
+       |  FROM w GROUP BY source),
+       |est AS (SELECT source, s0, s1, s2, s3, s4, s5, s6, s7,
+       |    list_sort([s0*s0, s1*s1, s2*s2, s3*s3,
+       |               s4*s4, s5*s5, s6*s6, s7*s7])[4] AS est_f2
+       |  FROM sk),
+       |ex AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS exact_f2
+       |  FROM (SELECT source, tok, count(*) AS c FROM w GROUP BY source, tok)
+       |  GROUP BY source)
+       |SELECT e.source, s0, s1, s2, s3, s4, s5, s6, s7, est_f2, exact_f2
+       |FROM est e JOIN ex ON e.source = ex.source""".stripMargin
+  }
+
   // ---- q_dd_quantiles: mergeable relative-error percentiles -------------
 
   /** Per-source p50/p90/p99 of document length through the DDSketch
