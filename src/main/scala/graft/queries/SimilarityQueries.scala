@@ -590,6 +590,32 @@ object SimilarityQueries {
       |SELECT id_a, id_b, inter / (szsum - inter) AS jaccard
       |FROM v WHERE inter / (szsum - inter) >= 0.8""".stripMargin
 
+  // ---- q_tri_neardup: triangle counts over the near-dup graph -----------
+
+  /** Per-node triangle counts ([[graft.ops.Triangles]]) over the
+    * embedding near-dup pair graph: the cluster-quality diagnostic —
+    * triangle-dense components are real duplicate cliques; a component
+    * whose members have zero triangles is threshold chaining. The
+    * oracle composes the pair SQL and counts triangles the direct way
+    * (one ordered 3-way join over the canonical u<v edge list), which
+    * is independent of the engine's degree-ordered orientation — so a
+    * miscount from a wrong orientation or a double-counted wedge is a
+    * hash mismatch.
+    */
+  def triNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Triangles.perNode(embedNearDup(s, dir), "id_a", "id_b")
+
+  val triNearDupSql: String =
+    s"""WITH p AS ($embedNearDupSql),
+       |e AS (SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       |      FROM p WHERE id_a <> id_b GROUP BY 1, 2),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |        FROM e e1
+       |        JOIN e e2 ON e2.u = e1.v
+       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |n AS (SELECT unnest([a, b, c]) AS id FROM tri)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY id""".stripMargin
+
   // ---- q_edit_neardup: PassJoin edit-distance near-dup join -------------
 
   /** Word-level edit-distance near-dup pairs over the hashed-alphabet
