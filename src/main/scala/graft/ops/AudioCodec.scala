@@ -44,8 +44,16 @@ object AudioCodec {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   def decode(b: Array[Byte]): Option[DecodedAudio] =
-    try decodeImpl(b)
-    catch { case _: Exception => None }
+    try {
+      if (AiffCodec.isAiff(b))
+        // AIFF dispatch: integer samples normalized to the float view
+        AiffCodec.decode(b).map { d =>
+          val scale = if (d.bitsPerSample == 16) 32768.0f else 128.0f
+          DecodedAudio(d.sampleRate, d.channels, d.bitsPerSample,
+            d.nFrames, d.samples.map(_ / scale))
+        }
+      else decodeImpl(b)
+    } catch { case _: Exception => None }
 
   private def decodeImpl(b: Array[Byte]): Option[DecodedAudio] = {
     if (!isWav(b)) return None

@@ -468,6 +468,64 @@ object Multimodal {
       .toDF()
   }
 
+  /** AIFF twin of [[syntheticFlacAudio]]: the same deterministic
+    * sample law ((byte − 128)·64, tiled) behind the BIG-ENDIAN IFF
+    * container with its 80-bit extended-float sample rate — slightly
+    * different frame-count law so a query can't pass by echoing the
+    * FLAC twin's totals.
+    */
+  def syntheticAiffAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val nFrames = (bytes.length % 2500) + 150
+        val channels = ((id / 3) % 2 + 1).toInt
+        val rate = ((id / 3) % 3) match {
+          case 0 => 8000
+          case 1 => 16000
+          case _ => 44100
+        }
+        val samples = new Array[Int](nFrames * channels)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = ((bytes(i % bytes.length) & 0xff) - 128) * 64
+            i += 1
+          }
+        }
+        val payload = AiffCodec.encodeAiff16(rate, channels, samples)
+        MediaRow(id, "audio", payload, 0, 0, rate, nFrames)
+      }
+      .toDF()
+  }
+
+  /** Decode facts straight off the AIFF payload — position-weighted
+    * integer sample sum like the FLAC twin; undecodable → zeros row.
+    */
+  def decodeAiffMeta(media: DataFrame): Dataset[FlacDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        AiffCodec.decode(bytes) match {
+          case Some(d) =>
+            var ws = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              ws += (i + 1L) * d.samples(i)
+              i += 1
+            }
+            FlacDecode(id, "aiff", d.sampleRate, d.channels, d.nFrames, ws)
+          case None => FlacDecode(id, "undecodable", 0, 0, 0, 0L)
+        }
+      }
+  }
+
   /** Decode facts straight off the FLAC payload, including the exact
     * position-weighted sample sum the oracle replays; undecodable
     * payloads report ("undecodable", 0, 0, 0, 0) instead of failing

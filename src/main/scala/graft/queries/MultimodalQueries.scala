@@ -542,6 +542,49 @@ object MultimodalQueries {
       |  CAST(w.wsum AS BIGINT) AS wsum
       |FROM a JOIN w USING (media_id)""".stripMargin
 
+  // ---- q_aiff_decode: ORACLE-CHECKED big-endian PCM container ------------
+
+  /** AIFF sibling of q_flac_decode, same lossless evidence class: raw
+    * big-endian PCM behind the IFF chunk walk and the 80-bit
+    * extended-float sample rate. The decoded facts plus the
+    * position-weighted integer sample sum must equal DuckDB's
+    * arithmetic from the text bytes and the documented fixture law —
+    * an endianness slip, a wrong extended-float shift, a missed
+    * SSND offset preamble, or AIFF's signed-8-bit-vs-WAV trap would
+    * land samples at wrong values or rates and fail the hash.
+    */
+  def aiffDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAiffMeta(
+        Multimodal.syntheticAiffAudio(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("wsum"))
+
+  val aiffDecodeSql: String =
+    """WITH a AS (SELECT doc_id AS media_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS len,
+      |  (octet_length(encode(coalesce(text, ''))) % 2500) + 150 AS n_frames,
+      |  (doc_id // 3) % 2 + 1 AS channels,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |    ELSE 44100 END AS sample_rate
+      | FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT media_id, t, len,
+      |        unnest(generate_series(0, n_frames * channels - 1)) AS p
+      |      FROM a),
+      |w AS (SELECT media_id,
+      |        sum((p + 1) * CASE WHEN len = 0 THEN 0
+      |          ELSE (ord(substr(t, (p % len) + 1, 1)) - 128) * 64 END) AS wsum
+      |      FROM s GROUP BY media_id)
+      |SELECT a.media_id, 'aiff' AS format,
+      |  CAST(a.sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(a.channels AS BIGINT) AS channels,
+      |  CAST(a.n_frames AS BIGINT) AS n_frames,
+      |  CAST(w.wsum AS BIGINT) AS wsum
+      |FROM a JOIN w USING (media_id)""".stripMargin
+
   // ---- q_media_features: partition-batched inference (rows-only) ---------
 
   // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —
