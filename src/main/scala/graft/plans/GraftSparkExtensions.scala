@@ -34,6 +34,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder))
     ext.injectFunction(
+      (FunctionIdentifier("hilbert_key"), HilbertKey.info, HilbertKey.builder))
+    ext.injectFunction(
       (FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder))
     ext.injectFunction(
       (FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder))
@@ -74,6 +76,8 @@ object GraftFunctions {
       FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hilbert_key"), HilbertKey.info, HilbertKey.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder)
     spark.sessionState.functionRegistry.registerFunction(

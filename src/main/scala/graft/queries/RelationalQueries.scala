@@ -689,6 +689,46 @@ object RelationalQueries {
        |SELECT doc_id, ${Layout.zTermsSql("zx", "zy")} AS z_key FROM c""".stripMargin
   }
 
+  // ---- q_hilbert_key: Hilbert-curve layout key ---------------------------
+
+  /** Hilbert-curve clustering key over the same (n_chars, doc_id mod
+    * 2¹⁶) plane as q_zorder_key ([[graft.plans.HilbertKey]] codegen
+    * kernel). The oracle replays the 16-level rotate-and-accumulate
+    * walk as a DuckDB recursive CTE carrying (x, y, d, s) — every
+    * level's reflection, swap and quadrant term is integer-exact, so a
+    * wrong rotation case or off-by-one in the reflection is a hash
+    * mismatch on some row.
+    */
+  def hilbertKey(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.plans.HilbertKey(col("n_chars"),
+          pmod(col("doc_id"), lit(65536L))).as("h_key"))
+
+  val hilbertKeySql: String =
+    """WITH RECURSIVE c AS (SELECT doc_id,
+      |  greatest(0, least(65535, coalesce(CAST(n_chars AS BIGINT), 0))) AS x,
+      |  greatest(0, least(65535,
+      |    CAST(((doc_id % 65536) + 65536) % 65536 AS BIGINT))) AS y
+      | FROM documents),
+      |h(doc_id, x, y, d, s) AS (
+      |  SELECT doc_id, x, y, CAST(0 AS BIGINT), CAST(32768 AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    CASE WHEN ry = 0 THEN
+      |      CASE WHEN rx = 1 THEN s - 1 - y ELSE y END
+      |    ELSE x END,
+      |    CASE WHEN ry = 0 THEN
+      |      CASE WHEN rx = 1 THEN s - 1 - x ELSE x END
+      |    ELSE y END,
+      |    d + s * s * xor(3 * rx, ry),
+      |    s // 2
+      |  FROM (SELECT doc_id, x, y, d, s,
+      |          CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+      |          CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+      |        FROM h WHERE s > 0) t)
+      |SELECT doc_id, d AS h_key FROM h WHERE s = 0""".stripMargin
+
   // ---- q_source_drift: batch EWMA drift report --------------------------
 
   /** Per-event-type hourly drift report (graft.ops.Drift.sourceDrift) —
