@@ -330,6 +330,35 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("term"), col("n"))
 
+  /** Per-window Count-Min cell grid ([[graft.ops.CountMin]]) — the
+    * frequency monitor whose STATE STORE footprint is independent of
+    * vocabulary: [[trendingTerms]] keeps one state row per
+    * (window, term), which on an open crawl vocabulary grows without
+    * bound inside the state store; this keeps ≤ depth×width cells per
+    * window, each a plain partial-merging SUM, no matter how many
+    * distinct tokens stream through. Downstream point estimates join
+    * the cells exactly as in the batch path — and because the cells
+    * are the same deterministic md5-bucket sums, a processed window's
+    * grid is BIT-EQUAL to `CountMin.sketch` run in batch over the same
+    * rows (spec-pinned streaming≡batch parity).
+    */
+  def sketchedTermFreq(docs: DataFrame, tsCol: String = "ts",
+                       textCol: String = "text",
+                       window_ : String = "10 minutes",
+                       watermark: String = "20 minutes"): DataFrame = {
+    import graft.ops.CountMin
+    val jb = explode(array((0 until CountMin.Depth).map(j =>
+      struct(lit(j).as("j"), CountMin.bucket(j, col("term")).as("b"))): _*)).as("jb")
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.text.TextMetrics.tokens(col(textCol))).as("term"))
+      .select(col(tsCol), jb)
+      .groupBy(window(col(tsCol), window_), col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"),
+        col("j"), col("b"), col("c"))
+  }
+
   /** Streaming intake monitor — the data-card as a watermarked tumbling
     * window: per window, document count, token/byte mass, blank share,
     * and within-window approximate duplicate mass (docs minus HLL++

@@ -33,6 +33,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed Count-Min grid equals the batch sketch per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val sk = Streaming.sketchedTermFreq(in.toDF().toDF("ts", "text"),
+      window_ = "30 minutes")
+    val q = sk.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts(1), "alpha beta alpha"), (ts(7), "beta gamma"),
+        (ts(40), "alpha alpha"), (ts(45), "delta"))
+      q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .as[(Timestamp, Int, Long, Long)].collect()
+        .groupBy(_._1).map { case (w, rows) =>
+          w -> rows.map(r => (r._2, r._3) -> r._4).toMap
+        }
+      // batch twin per window, same cells bit-for-bit
+      def batch(texts: Seq[String]) =
+        graft.ops.CountMin.sketch(
+          texts.flatMap(_.split(" ")).toDF("tok"), "tok")
+          .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got(ts(0)) == batch(Seq("alpha beta alpha", "beta gamma")))
+      assert(got(ts(30)) == batch(Seq("alpha alpha", "delta")))
+      // bounded state: never more than Depth x Width cells per window
+      got.values.foreach(cells =>
+        assert(cells.size <= graft.ops.CountMin.Depth * graft.ops.CountMin.Width))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups exact text within horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
