@@ -129,6 +129,17 @@ object Hll {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, Int]]()
     }
 
+  /** Driver-free register-table merge (idempotent max) — the state
+    * update of the incremental path ([[Incremental.mergeHllStates]]):
+    * old state ⊔ batch state, never a history rescan.
+    */
+  def mergeMaps(a: Map[Int, Int], b: Map[Int, Int]): Map[Int, Int] = {
+    val m = new MMap()
+    m ++= a
+    b.foreach { case (i, r) => bump(m, i, r) }
+    m.toMap
+  }
+
   /** The finisher — deterministic arithmetic a foreign engine replays
     * term-for-term (operation ORDER mirrored in the oracle SQL: IEEE
     * multiplication is not associative).

@@ -119,4 +119,27 @@ object Incremental {
       .join(guarded.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(guarded)
   }
+
+  /** Incremental distinct tracking: merge a NEW batch's per-group HLL
+    * register table into the persisted state table — the "how many
+    * distinct documents has this source ever sent us" monitor that at
+    * 100 TB must never rescan history. Registers merge by idempotent
+    * max ([[Hll.mergeMaps]]), so state(batches 1..n) is bit-identical
+    * to a flat build over the union — which is exactly what the
+    * q_incr_hll oracle computes. The join is group-keyed (state tables
+    * are group-cardinality-sized, i.e. tiny next to the corpus);
+    * either side may lack a group (new source / quiet source).
+    */
+  def mergeHllStates(state: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state.toDF("g", "ra")
+      .join(batch.toDF("g", "rb"), Seq("g"), "full_outer")
+      .as[(String, Map[Int, Int], Map[Int, Int])]
+      .map { case (g, ra, rb) =>
+        (g, Hll.mergeMaps(Option(ra).getOrElse(Map.empty),
+          Option(rb).getOrElse(Map.empty)))
+      }
+      .toDF("g", "regs")
+  }
 }

@@ -561,6 +561,64 @@ object RelationalQueries {
        |FROM e""".stripMargin
   }
 
+  // ---- q_incr_hll: incremental distinct-document state -------------------
+
+  /** Incremental HLL state ([[graft.ops.Incremental.mergeHllStates]]):
+    * per-source distinct-DOCUMENT registers built batch-by-batch (the
+    * corpus split on doc_id parity plays two intake batches) and merged
+    * into the running state table without rescanning batch 1. Because
+    * register merge is idempotent max, the merged state is bit-equal to
+    * a flat build over the union — the oracle computes that flat build,
+    * so the hash proves the incremental path loses/dupes nothing.
+    */
+  def incrHll(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    import graft.ops.{Hll, Incremental}
+    val docs = Tables.documents(s, dir)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        Hll.hash60(coalesce(col("text"), lit(""))).as("h"), col("doc_id"))
+    def state(f: DataFrame) =
+      f.select(col("source"), col("h")).as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2).agg(Hll.registers.toColumn)
+        .toDF("g", "regs")
+    val merged = Incremental.mergeHllStates(
+      state(docs.filter(col("doc_id") % 2 === 0)),
+      state(docs.filter(col("doc_id") % 2 === 1)))
+    merged.as[(String, Map[Int, Int])]
+      .map { case (g, regs) =>
+        val e = Hll.estimate(regs)
+        (g, e.v_zero, e.s49, e.reg_checksum, e.est_q)
+      }.toDF("source", "v_zero", "s49", "reg_checksum", "est_q")
+  }
+
+  val incrHllSql: String = {
+    val alpha = "(CAST(7213 AS DOUBLE) / 10000) / (1 + (CAST(1079 AS DOUBLE) / 1000) / 4096)"
+    val eRaw = s"(($alpha * 4096) * 4096) * CAST(562949953421312 AS DOUBLE) / CAST(s49 AS DOUBLE)"
+    s"""WITH h AS (SELECT coalesce(source, '') AS source,
+       |    CAST('0x' || substr(md5(coalesce(text, '')), 1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (SELECT source, h >> 48 AS idx,
+       |    h & 281474976710655 AS rest FROM h),
+       |rk AS (SELECT source, idx,
+       |    max(CASE WHEN rest = 0 THEN 49
+       |         ELSE 49 - length(bin(rest)) END) AS rank
+       |  FROM r GROUP BY source, idx),
+       |agg AS (SELECT source,
+       |    4096 - count(*) AS v_zero,
+       |    CAST(sum(1::BIGINT << (49 - rank)) AS BIGINT)
+       |      + (4096 - count(*)) * (1::BIGINT << 49) AS s49,
+       |    CAST(sum((idx + 1) * rank) AS BIGINT) AS reg_checksum
+       |  FROM rk GROUP BY source),
+       |e AS (SELECT source, v_zero, s49, reg_checksum, $eRaw AS e_raw
+       |  FROM agg)
+       |SELECT source, CAST(v_zero AS BIGINT) AS v_zero, s49, reg_checksum,
+       |  CAST(floor((CASE WHEN e_raw <= CAST(10240 AS DOUBLE) AND v_zero > 0
+       |    THEN 4096 * ln(4096 / CAST(v_zero AS DOUBLE))
+       |    ELSE e_raw END) * 100) AS BIGINT) AS est_q
+       |FROM e""".stripMargin
+  }
+
   // ---- q_cms_freq: Count-Min point-frequency estimates ------------------
 
   /** Count-Min sketch frequency estimates ([[graft.ops.CountMin]]):

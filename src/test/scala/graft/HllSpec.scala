@@ -78,4 +78,26 @@ class HllSpec extends SparkTestBase {
         .agg(Hll.registers.toColumn).collect().head._2
     assert(run(1) === run(13))
   }
+
+  test("incremental state merge equals the flat build, incl. one-sided groups") {
+    def state(rows: Seq[(String, String)]) =
+      rows.toDF("g", "w").select(col("g"), Hll.hash60(col("w")).as("h"))
+        .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(Hll.registers.toColumn).toDF("g", "regs")
+    // batch 1: groups a+b; batch 2: groups b+c (a quiet, c new) + overlap
+    val b1 = (0 until 400).map(i => ("a", s"x$i")) ++
+      (0 until 300).map(i => ("b", s"y$i"))
+    val b2 = (100 until 500).map(i => ("b", s"y$i")) ++
+      (0 until 200).map(i => ("c", s"z$i"))
+    val merged = graft.ops.Incremental
+      .mergeHllStates(state(b1), state(b2))
+      .as[(String, Map[Int, Int])].collect().toMap
+    val flat = state(b1 ++ b2).as[(String, Map[Int, Int])].collect().toMap
+    assert(merged == flat)
+    // and mergeMaps alone: idempotent, commutative, empty-identity
+    val r = flat("b")
+    assert(Hll.mergeMaps(r, r) == r)
+    assert(Hll.mergeMaps(Map.empty, r) == r)
+    assert(Hll.mergeMaps(flat("a"), flat("c")) == Hll.mergeMaps(flat("c"), flat("a")))
+  }
 }
