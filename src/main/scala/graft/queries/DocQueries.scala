@@ -1306,6 +1306,65 @@ object DocQueries {
        |  END AS corr_q
        |FROM a""".stripMargin
 
+  /** Flesch reading-ease (Flesch 1948 — the classic readability
+    * heuristic curation stacks keep next to length/stopword ratios):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences = [.!?]+ runs (floor 1) and syllables = vowel-group
+    * count per word (floor 1 — the standard cheap approximation).
+    * All three counts are integers both engines extract with the same
+    * RE2-safe patterns; the final expression is mirrored IEEE
+    * arithmetic, floor-quantized ×100. Contract: docs with ≥1 word
+    * (division domain); per-row, shuffle-free — at 100 TB this is a
+    * scan-speed column like the other quality features.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(graft.Tables.documents(s, dir))
+
+  /** The column logic over any (doc_id, text) frame — split out so the
+    * spec can pin hand-computed rows and hostile text directly.
+    */
+  def readabilityOf(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val toks = graft.text.TextMetrics.tokens(t)
+    val nWords = size(toks).cast("long")
+    val nSent = greatest(lit(1L), regexp_count(t, lit("[.!?]+")).cast("long"))
+    val nSyl = aggregate(
+      transform(toks, w =>
+        greatest(lit(1L), regexp_count(lower(w), lit("[aeiouy]+")).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+    val score = lit(206.835) -
+      lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+      lit(84.6) * (nSyl.cast("double") / nWords.cast("double"))
+    // contract filter FIRST: under ANSI mode the score's divisions must
+    // never see a 0-word row (DIVIDE_BY_ZERO is an error, not a NULL)
+    docs.filter(size(toks) >= 1)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"),
+        floor(score * lit(100.0)).cast("long").as("flesch_q"))
+  }
+
+  val readabilitySql: String = {
+    val toks = graft.queries.OracleSql.toks("coalesce(text, '')")
+    s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS txt, $toks AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    greatest(1, CAST(len(regexp_extract_all(txt, '[.!?]+')) AS BIGINT))
+       |      AS n_sentences,
+       |    CAST(list_aggregate(list_transform(toks, w ->
+       |      greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))),
+       |      'sum') AS BIGINT) AS n_syllables
+       |  FROM t)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CAST(floor((CAST(206835 AS DOUBLE) / 1000
+       |    - (CAST(1015 AS DOUBLE) / 1000)
+       |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    - (CAST(846 AS DOUBLE) / 10)
+       |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+       |    * 100) AS BIGINT) AS flesch_q
+       |FROM c WHERE n_words >= 1""".stripMargin
+  }
+
   val domainCapSql: String =
     s"""WITH u AS (SELECT doc_id,
        |             'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url
