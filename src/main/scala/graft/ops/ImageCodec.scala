@@ -12,9 +12,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * fall back to the documented hash stub).
   *
   * Scope (documented, spec-pinned): PNG 8-bit depth, color types 0
-  * (gray), 2 (RGB), 6 (RGBA), non-interlaced, all five scanline
-  * filters; BMP uncompressed 24-bpp (bottom-up and top-down); PPM `P6`
-  * / PGM `P5` binary with comments. Matching fixture *encoders* are
+  * (gray), 2 (RGB), 6 (RGBA), all five scanline filters, BOTH
+  * interlace modes (progressive Adam7 closed the last documented PNG
+  * scope gap in r9 — each pass unfilters against ITS OWN neighbors,
+  * then scatters to the canvas grid); BMP uncompressed 24-bpp
+  * (bottom-up and top-down); PPM `P6` / PGM `P5` binary with comments. Matching fixture *encoders* are
   * provided so specs and the synthetic-media adapter can build genuine
   * payloads deterministically. Anything else → None, never a throw —
   * a malformed payload in a 100 TB corpus must degrade, not kill the
@@ -57,6 +59,7 @@ object ImageCodec {
   private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
     var off = 8
     var w = 0; var h = 0; var channels = 0; var headerOk = false
+    var interlaced = false
     val idat = new ByteArrayOutputStream()
     var done = false
     while (!done && off + 8 <= b.length) {
@@ -76,8 +79,9 @@ object ImageCodec {
             case 6 => 4
             case _ => return None // palette/gray+alpha out of scope
           }
-          if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+          if (bitDepth != 8 || interlace > 1 || w <= 0 || h <= 0) return None
           if (w.toLong * h * channels > MaxPixelBytes) return None
+          interlaced = interlace == 1
           headerOk = true
         case "IDAT" => idat.write(b, off + 8, len)
         case "IEND" => done = true
@@ -86,15 +90,81 @@ object ImageCodec {
       off += 12 + len
     }
     if (!headerOk || idat.size() == 0) return None
-    val stride = w * channels
-    val raw = inflate(idat.toByteArray, (stride + 1) * h)
-    if (raw.length < (stride + 1) * h) return None
-    val out = new Array[Byte](stride * h)
-    // unfilter: a = left pixel's byte, bU = same byte one row up
+    if (!interlaced) {
+      val stride = w * channels
+      val raw = inflate(idat.toByteArray, (stride + 1) * h)
+      unfilterPass(raw, 0, w, h, channels).map { case (out, _) =>
+        DecodedImage(w, h, channels, out)
+      }
+    } else decodeAdam7(idat.toByteArray, w, h, channels)
+  }
+
+  /** Adam7 pass geometry: (xstart, ystart, xstep, ystep) per the PNG
+    * spec's interlace grid.
+    */
+  private val Adam7 =
+    Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7Dims(w: Int, h: Int): Seq[(Int, Int, Int, Int, Int, Int)] =
+    Adam7.map { case (xs, ys, dx, dy) =>
+      val wp = if (w > xs) (w - xs + dx - 1) / dx else 0
+      val hp = if (h > ys) (h - ys + dy - 1) / dy else 0
+      (xs, ys, dx, dy, wp, hp)
+    }
+
+  /** Interlaced decode: each pass is its own independently-filtered
+    * scanline block (filters reference neighbors WITHIN the pass — the
+    * spec's rule, and the part a naive deinterlacer gets wrong); pixels
+    * then scatter to the canvas at the pass grid positions.
+    */
+  private def decodeAdam7(idat: Array[Byte], w: Int, h: Int,
+                          channels: Int): Option[DecodedImage] = {
+    val dims = adam7Dims(w, h)
+    val expected = dims.map { case (_, _, _, _, wp, hp) =>
+      if (wp > 0 && hp > 0) (wp * channels + 1) * hp else 0
+    }.sum
+    val raw = inflate(idat, expected)
+    val out = new Array[Byte](w * h * channels)
+    var pos = 0
+    dims.foreach { case (xs, ys, dx, dy, wp, hp) =>
+      if (wp > 0 && hp > 0) {
+        unfilterPass(raw, pos, wp, hp, channels) match {
+          case None => return None
+          case Some((sub, used)) =>
+            pos += used
+            var j = 0
+            while (j < hp) {
+              var i = 0
+              while (i < wp) {
+                val src = (j * wp + i) * channels
+                val dst = ((ys + j * dy) * w + (xs + i * dx)) * channels
+                var k = 0
+                while (k < channels) { out(dst + k) = sub(src + k); k += 1 }
+                i += 1
+              }
+              j += 1
+            }
+        }
+      }
+    }
+    Some(DecodedImage(w, h, channels, out))
+  }
+
+  /** Unfilter one scanline block of `hPix` rows × `wPix` pixels starting
+    * at `raw(start)`; returns the pixel bytes and the raw bytes consumed.
+    * a = left pixel's byte, bU = same byte one row up (within the block).
+    */
+  private def unfilterPass(raw: Array[Byte], start: Int, wPix: Int,
+                           hPix: Int, channels: Int): Option[(Array[Byte], Int)] = {
+    val stride = wPix * channels
+    val need = (stride + 1) * hPix
+    if (raw.length - start < need) return None
+    val out = new Array[Byte](stride * hPix)
     var y = 0
-    while (y < h) {
-      val filter = raw(y * (stride + 1)) & 0xff
-      val src = y * (stride + 1) + 1
+    while (y < hPix) {
+      val filter = raw(start + y * (stride + 1)) & 0xff
+      val src = start + y * (stride + 1) + 1
       val dst = y * stride
       var x = 0
       while (x < stride) {
@@ -115,7 +185,7 @@ object ImageCodec {
       }
       y += 1
     }
-    Some(DecodedImage(w, h, channels, out))
+    Some((out, need))
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -228,6 +298,69 @@ object ImageCodec {
       y += 1
     }
     writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Adam7-INTERLACED RGB PNG fixture encoder: interlace byte 1, the
+    * seven passes emitted in spec order, each pass filtered
+    * independently (filter per row: pass index mod 5 — so every
+    * Sub/Up/Average/Paeth path also runs WITHIN passes, where its
+    * neighbors differ from the deinterlaced ones; a decoder that
+    * unfilters against canvas neighbors instead of pass neighbors
+    * fails loudly).
+    */
+  def encodePngInterlaced(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 bytes")
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    val ihdr = new Array[Byte](13)
+    writeBe32(ihdr, 0, w); writeBe32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(12) = 1 // interlace: Adam7
+    writeChunk(out, "IHDR", ihdr)
+    val raw = new ByteArrayOutputStream()
+    adam7Dims(w, h).zipWithIndex.foreach {
+      case ((xs, ys, dx, dy, wp, hp), pi) =>
+        if (wp > 0 && hp > 0) {
+          val stride = wp * 3
+          // gather the pass's pixels
+          val sub = new Array[Byte](stride * hp)
+          var j = 0
+          while (j < hp) {
+            var i = 0
+            while (i < wp) {
+              val src = ((ys + j * dy) * w + (xs + i * dx)) * 3
+              System.arraycopy(rgb, src, sub, (j * wp + i) * 3, 3)
+              i += 1
+            }
+            j += 1
+          }
+          // forward-filter within the pass
+          val f = pi % 5
+          j = 0
+          while (j < hp) {
+            raw.write(f)
+            var x = 0
+            while (x < stride) {
+              val cur = sub(j * stride + x) & 0xff
+              val a = if (x >= 3) sub(j * stride + x - 3) & 0xff else 0
+              val b = if (j > 0) sub((j - 1) * stride + x) & 0xff else 0
+              val c = if (x >= 3 && j > 0) sub((j - 1) * stride + x - 3) & 0xff else 0
+              val enc = f match {
+                case 0 => cur
+                case 1 => cur - a
+                case 2 => cur - b
+                case 3 => cur - (a + b) / 2
+                case _ => cur - paeth(a, b, c)
+              }
+              raw.write(enc & 0xff)
+              x += 1
+            }
+            j += 1
+          }
+        }
+    }
+    writeChunk(out, "IDAT", deflate(raw.toByteArray))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

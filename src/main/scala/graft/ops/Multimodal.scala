@@ -236,6 +236,37 @@ object Multimodal {
       .toDF()
   }
 
+  /** Adam7 twin of [[syntheticQoiImages]]: the identical pixel law
+    * behind an INTERLACED PNG ([[ImageCodec.encodePngInterlaced]]) —
+    * all seven passes and all five filters run against distributed
+    * data, and a wrong pass geometry or canvas scatter shifts pixels
+    * into wrong positions, which the position-weighted oracle catches.
+    */
+  def syntheticAdam7Images(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val w = 8
+        val h = math.max(1, math.min(64, (bytes.length + 7) / 8))
+        val px = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val v = if (bytes.isEmpty) 0 else bytes(p % bytes.length) & 0xff
+          px(p * 3) = v.toByte
+          px(p * 3 + 1) = ((7 * v) % 256).toByte
+          px(p * 3 + 2) = ((13 * v) % 256).toByte
+          p += 1
+        }
+        val payload = ImageCodec.encodePngInterlaced(w, h, px)
+        MediaRow(id, "image", payload, w, h,
+          (payload.length % 8 + 1) * 4, payload.length % 120 + 1)
+      }
+      .toDF()
+  }
+
   /** QOI twin of [[syntheticGifImages]]: the same palette arithmetic
     * (pixel p = (v, 7v mod 256, 13v mod 256) for tiled text byte v)
     * rendered to RGB and encoded QOI ([[QoiCodec.encode]]) over ALL

@@ -542,6 +542,46 @@ object MultimodalQueries {
       |  CAST(w.wsum AS BIGINT) AS wsum
       |FROM a JOIN w USING (media_id)""".stripMargin
 
+  // ---- q_media_decode_adam7: ORACLE-CHECKED interlaced PNG ---------------
+
+  /** Adam7-interlaced PNG sibling of q_media_decode_qoi — identical
+    * pixel law and oracle, but the payload routes through the
+    * seven-pass deinterlacer with per-pass filtering (the fixture
+    * rotates all five filters across passes). A wrong pass geometry,
+    * a filter unapplied against pass-local neighbors, or a canvas
+    * scatter off-by-one moves pixels and fails the position-weighted
+    * hash.
+    */
+  def mediaDecodeAdam7(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.syntheticAdam7Images(Tables.documents(s, dir))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.ops.ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            var wr = 0L; var wg = 0L; var wb = 0L
+            var p = 0
+            val n = img.width * img.height
+            while (p < n) {
+              wr += (p + 1).toLong * (img.pixels(p * 3) & 0xff)
+              wg += (p + 1).toLong * (img.pixels(p * 3 + 1) & 0xff)
+              wb += (p + 1).toLong * (img.pixels(p * 3 + 2) & 0xff)
+              p += 1
+            }
+            (id, "png_adam7", img.width.toLong, img.height.toLong,
+              img.channels.toLong, wr, wg, wb)
+          case None => (id, "undecodable", 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "channels",
+        "wsum_r", "wsum_g", "wsum_b")
+  }
+
+  val mediaDecodeAdam7Sql: String =
+    mediaDecodeQoiSql.replace("'qoi' AS format", "'png_adam7' AS format")
+
   // ---- q_aiff_decode: ORACLE-CHECKED big-endian PCM container ------------
 
   /** AIFF sibling of q_flac_decode, same lossless evidence class: raw

@@ -108,6 +108,32 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("codec: Adam7 interlaced PNG round-trips at adversarial dims, ImageIO agrees") {
+    // dims straddling pass boundaries: 1x1 (only pass 1 fires), 1x2,
+    // 2x1, 7x3 (passes with empty rows/cols), 8x8 (all passes square),
+    // 9x5, 16x17 — every pass-geometry edge in one sweep
+    for ((w, h) <- Seq((1, 1), (1, 2), (2, 1), (7, 3), (8, 8), (9, 5), (16, 17))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 7) % 249).toByte)
+      val payload = ImageCodec.encodePngInterlaced(w, h, rgb)
+      val img = ImageCodec.decode(payload).getOrElse(fail(s"${w}x$h no decode"))
+      assert((img.width, img.height) === ((w, h)), s"${w}x$h")
+      assert(img.pixels.toSeq === rgb.toSeq, s"${w}x$h pixels")
+      // external evidence: the JDK's own PNG reader on the same bytes
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(bi != null, s"${w}x$h ImageIO rejected")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = bi.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff) ===
+          ((rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff)),
+          s"${w}x$h ImageIO pixel ($x,$y)")
+      }
+    }
+    // truncated interlaced payload degrades to None, never throws
+    val good = ImageCodec.encodePngInterlaced(9, 5, new Array[Byte](135))
+    assert(ImageCodec.decode(good.take(good.length / 2)).isEmpty)
+  }
+
   test("codec: garbage, truncated, and out-of-scope payloads return None") {
     assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
     assert(ImageCodec.decode(Array[Byte]()).isEmpty)
