@@ -61,6 +61,7 @@ object AudioCodec {
     var sampleRate = 0
     var channels = 0
     var bits = 0
+    var g711 = 1
     var fmtSeen = false
     var dataOff = -1
     var dataLen = 0
@@ -75,7 +76,11 @@ object AudioCodec {
           channels = le16(b, pos + 10)
           sampleRate = le32(b, pos + 12)
           bits = le16(b, pos + 22)
-          if (audioFormat != 1) return None // integer PCM only
+          // 1 = integer PCM; 6/7 = G.711 A-law/µ-law (8-bit companded)
+          if (audioFormat != 1 && audioFormat != 6 && audioFormat != 7)
+            return None
+          if (audioFormat != 1 && bits != 8) return None
+          g711 = audioFormat
           if (channels < 1 || channels > 2) return None
           if (sampleRate <= 0) return None
           if (bits != 8 && bits != 16) return None
@@ -98,7 +103,17 @@ object AudioCodec {
     if (nFrames == 0) return None
     val out = new Array[Float](nFrames * channels)
     var i = 0
-    if (bits == 16) {
+    if (g711 == 7) {
+      while (i < out.length) {
+        out(i) = ulawToLinear(b(dataOff + i)) / 32768.0f
+        i += 1
+      }
+    } else if (g711 == 6) {
+      while (i < out.length) {
+        out(i) = alawToLinear(b(dataOff + i)) / 32768.0f
+        i += 1
+      }
+    } else if (bits == 16) {
       while (i < out.length) {
         val v = (le16(b, dataOff + i * 2) << 16) >> 16 // sign-extend
         out(i) = v / 32768.0f
@@ -110,7 +125,58 @@ object AudioCodec {
         i += 1
       }
     }
-    Some(DecodedAudio(sampleRate, channels, bits, nFrames, out))
+    Some(DecodedAudio(sampleRate, channels,
+      if (g711 == 1) bits else 16, nFrames, out))
+  }
+
+  /** G.711 µ-law byte → 16-bit linear (ITU-T G.711, public standard).
+    * Verified byte-for-byte against the JDK's own ULAW→PCM16 codec in
+    * AudioCodecSpec; pure integer arithmetic, so the oracle replays it
+    * in SQL. `bitsPerSample` for G.711 payloads reports 16 — the
+    * LINEAR domain the samples land in.
+    */
+  def ulawToLinear(b: Byte): Int = {
+    val c = (~b) & 0xff
+    val t = (((c & 0xf) << 3) + 0x84) << ((c >> 4) & 7)
+    if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → 16-bit linear (same contract as [[ulawToLinear]]). */
+  def alawToLinear(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val e = (a >> 4) & 7
+    val m = a & 0xf
+    val t = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Fixture: a G.711 WAV (audioFormat 7 = µ-law, 6 = A-law) whose data
+    * chunk is the raw companded bytes handed in — lets a fixture derive
+    * the payload directly from text bytes so the oracle can replay the
+    * decode law arithmetically.
+    */
+  def encodeWavG711(sampleRate: Int, channels: Int, companded: Array[Byte],
+                    aLaw: Boolean): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels $channels")
+    val dataLen = companded.length
+    val out = new Array[Byte](44 + dataLen)
+    def putStr(off: Int, s: String): Unit =
+      s.indices.foreach(i => out(off + i) = s(i).toByte)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    putStr(0, "RIFF"); put32(4, 36 + dataLen); putStr(8, "WAVE")
+    putStr(12, "fmt "); put32(16, 16)
+    put16(20, if (aLaw) 6 else 7); put16(22, channels)
+    put32(24, sampleRate); put32(28, sampleRate * channels)
+    put16(32, channels); put16(34, 8)
+    putStr(36, "data"); put32(40, dataLen)
+    System.arraycopy(companded, 0, out, 44, dataLen)
+    out
   }
 
   // ---- fixture encoder ---------------------------------------------------

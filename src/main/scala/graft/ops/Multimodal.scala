@@ -534,6 +534,67 @@ object Multimodal {
       .toDF()
   }
 
+  /** G.711 twin of [[syntheticAudio]]: the companded bytes ARE the
+    * tiled text bytes (µ-law for odd doc ids, A-law for even), so the
+    * oracle replays the complete decode law — complement/xor, segment
+    * shift, bias, sign — in pure SQL integer arithmetic over ord().
+    */
+  def syntheticG711Audio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val nFrames = (bytes.length % 2000) + 100
+        val channels = ((id / 3) % 2 + 1).toInt
+        val rate = ((id / 3) % 3) match {
+          case 0 => 8000
+          case 1 => 16000
+          case _ => 44100
+        }
+        val companded = new Array[Byte](nFrames * channels)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < companded.length) {
+            companded(i) = bytes(i % bytes.length); i += 1
+          }
+        }
+        val payload = AudioCodec.encodeWavG711(rate, channels, companded,
+          aLaw = id % 2 == 0)
+        MediaRow(id, "audio", payload, 0, 0, rate, nFrames)
+      }
+      .toDF()
+  }
+
+  /** Decode facts off the G.711 payload: law sniffed from the fmt tag,
+    * position-weighted INTEGER sample sum over the 16-bit linear
+    * domain (decoded floats are t/32768 with |t| < 2^24, so the
+    * round-trip back to ints is exact).
+    */
+  def decodeG711Meta(media: DataFrame): Dataset[FlacDecode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        AudioCodec.decode(bytes) match {
+          case Some(d) =>
+            val law =
+              if (bytes.length > 21 && bytes(20) == 6) "alaw" else "ulaw"
+            var ws = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              ws += (i + 1L) * math.round(d.samples(i) * 32768.0f)
+              i += 1
+            }
+            FlacDecode(id, law, d.sampleRate, d.channels, d.nFrames, ws)
+          case None => FlacDecode(id, "undecodable", 0, 0, 0, 0L)
+        }
+      }
+  }
+
   /** Decode facts straight off the AIFF payload — position-weighted
     * integer sample sum like the FLAC twin; undecodable → zeros row.
     */

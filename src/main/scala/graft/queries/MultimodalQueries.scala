@@ -625,6 +625,68 @@ object MultimodalQueries {
       |  CAST(w.wsum AS BIGINT) AS wsum
       |FROM a JOIN w USING (media_id)""".stripMargin
 
+  // ---- q_g711_decode: ORACLE-CHECKED telephony audio ---------------------
+
+  /** G.711 µ-law/A-law WAV decode (the telephony companding real call
+    * audio carries; audioFormat 7/6 in the same RIFF walker). The
+    * companded bytes are the tiled text bytes, so DuckDB replays the
+    * COMPLETE decode law — complement/xor 0x55, segment shift, the
+    * 0x84/0x108 biases, the sign branch — in integer SQL; the decode
+    * tables themselves are pinned byte-for-byte against the JDK's own
+    * G.711 codec in AudioCodecSpec, so this hash ties the engine to
+    * the real ITU standard, not a private reading of it.
+    */
+  def g711Decode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeG711Meta(
+        Multimodal.syntheticG711Audio(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("wsum"))
+
+  val g711DecodeSql: String =
+    """WITH a AS (SELECT doc_id AS media_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS len,
+      |  (octet_length(encode(coalesce(text, ''))) % 2000) + 100 AS n_frames,
+      |  (doc_id // 3) % 2 + 1 AS channels,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |    ELSE 44100 END AS sample_rate,
+      |  doc_id % 2 = 0 AS is_alaw
+      | FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT media_id, t, len, is_alaw,
+      |        unnest(generate_series(0, n_frames * channels - 1)) AS p
+      |      FROM a),
+      |v AS (SELECT media_id, p, is_alaw,
+      |        CASE WHEN len = 0 THEN 0
+      |             ELSE ord(substr(t, (p % len) + 1, 1)) END AS b
+      |      FROM s),
+      |lin AS (SELECT media_id, p,
+      |  CASE WHEN is_alaw THEN
+      |    (CASE WHEN (xor(b, 85) & 128) <> 0 THEN 1 ELSE -1 END) *
+      |    (CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+      |          THEN (xor(b, 85) & 15) * 16 + 8
+      |          ELSE ((xor(b, 85) & 15) * 16 + 264)
+      |               << (((xor(b, 85) >> 4) & 7) - 1) END)
+      |  ELSE
+      |    (CASE WHEN ((255 - b) & 128) <> 0 THEN 132 -
+      |      ((((255 - b) & 15) * 8 + 132) << (((255 - b) >> 4) & 7))
+      |    ELSE
+      |      ((((255 - b) & 15) * 8 + 132) << (((255 - b) >> 4) & 7)) - 132
+      |    END)
+      |  END AS s16
+      | FROM v),
+      |w AS (SELECT media_id, sum((p + 1) * s16) AS wsum
+      |      FROM lin GROUP BY media_id)
+      |SELECT a.media_id,
+      |  CASE WHEN a.is_alaw THEN 'alaw' ELSE 'ulaw' END AS format,
+      |  CAST(a.sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(a.channels AS BIGINT) AS channels,
+      |  CAST(a.n_frames AS BIGINT) AS n_frames,
+      |  CAST(w.wsum AS BIGINT) AS wsum
+      |FROM a JOIN w USING (media_id)""".stripMargin
+
   // ---- q_media_features: partition-batched inference (rows-only) ---------
 
   // Image rows carry REAL encoded payloads (PNG/BMP/PPM rotating —

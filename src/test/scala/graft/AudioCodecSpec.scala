@@ -116,6 +116,46 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decode(fiveCh).isEmpty)
   }
 
+  test("G.711 decode tables match the JDK's own codec on all 256 bytes, both laws") {
+    import javax.sound.sampled._
+    import java.io.ByteArrayInputStream
+    for ((enc, mine) <- Seq(
+        AudioFormat.Encoding.ULAW -> ((b: Byte) => AudioCodec.ulawToLinear(b)),
+        AudioFormat.Encoding.ALAW -> ((b: Byte) => AudioCodec.alawToLinear(b)))) {
+      val encoded = Array.tabulate(256)(_.toByte)
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = AudioSystem.getAudioInputStream(dst,
+        new AudioInputStream(new ByteArrayInputStream(encoded), src, 256))
+      val out = pcm.readAllBytes()
+      (0 until 256).foreach { i =>
+        val jdk = ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt
+        assert(mine(i.toByte) == jdk, s"$enc byte $i")
+      }
+    }
+  }
+
+  test("G.711 WAV: decode facts, linear values, truncation, mono/stereo") {
+    val companded = Array.tabulate(300)(i => (i * 7 % 256).toByte)
+    for (aLaw <- Seq(false, true); ch <- Seq(1, 2)) {
+      val wav = AudioCodec.encodeWavG711(8000, ch, companded, aLaw)
+      val d = AudioCodec.decode(wav).get
+      assert((d.sampleRate, d.channels, d.bitsPerSample, d.nFrames) ==
+        (8000, ch, 16, 300 / ch), s"alaw=$aLaw ch=$ch")
+      val decode: Byte => Int =
+        if (aLaw) AudioCodec.alawToLinear else AudioCodec.ulawToLinear
+      companded.indices.take(d.nFrames * ch).foreach { i =>
+        assert(math.round(d.samples(i) * 32768.0f) == decode(companded(i)))
+      }
+      // truncated mid-header: no data chunk -> None; truncated
+      // mid-data: the WAV walker's documented tolerance decodes what
+      // is actually present (6 companded bytes -> 6/ch frames)
+      assert(AudioCodec.decode(wav.take(40)).isEmpty)
+      assert(AudioCodec.decode(wav.take(50)).exists(_.nFrames == 6 / ch))
+    }
+  }
+
   test("audio features: bounded, deterministic, silence vs tone separate") {
     val tone = AudioCodec.decode(AudioCodec.encodeWav16(8000, 1, sine(4096, 1))).get
     val silence = AudioCodec.decode(
