@@ -52,6 +52,20 @@ object CountMin {
     * 100 TB the probes stream against it with no shuffle of their own
     * beyond the probe table's.
     */
+  /** Join-size estimate via the sketch inner product (Cormode &
+    * Muthukrishnan §4.2): |A ⋈ B on k| = Σ_k cA(k)·cB(k), estimated as
+    * min_j Σ_b cmA[j][b]·cmB[j][b] — one-sided (≥ true; collisions only
+    * add) with additive error ≤ |A|·|B|/width per row w.h.p. The 100 TB
+    * use: bound a join's output BEFORE running it from two KB-sized
+    * sketches built in one scan each — no key shuffle anywhere. Returns
+    * one row (est over the min of depth rows).
+    */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.select(col("j"), col("b"), col("c").as("ca"))
+      .join(skB.select(col("j"), col("b"), col("c").as("cb")), Seq("j", "b"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+
   def estimate(sk: DataFrame, probes: DataFrame, tokCol: String,
                depth: Int = Depth, width: Int = Width): DataFrame = {
     val jb = explode(array((0 until depth).map(j =>

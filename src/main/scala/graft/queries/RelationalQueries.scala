@@ -667,6 +667,49 @@ object RelationalQueries {
        |FROM probes p JOIN est e ON p.tok = e.tok""".stripMargin
   }
 
+  // ---- q_cms_join_size: sketch inner-product join-size estimate ----------
+
+  /** Join-size estimation WITHOUT the join ([[graft.ops.CountMin
+    * .joinSizeEstimate]]): sketch lineitem.l_orderkey and
+    * orders.o_orderkey (width 4096 — the additive error term
+    * |A|·|B|/w needs width against 60k×15k), min over the depth rows
+    * of the cell inner products, next to the exact join count it
+    * bounds. est ≥ exact always; both integers the oracle replays.
+    */
+  def cmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CountMin
+    val w = 4096
+    val skL = CountMin.sketch(
+      Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k")),
+      "k", width = w)
+    val skO = CountMin.sketch(
+      Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("k")),
+      "k", width = w)
+    val est = CountMin.joinSizeEstimate(skL, skO)
+    val exact = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_join"))
+    est.crossJoin(exact)
+  }
+
+  val cmsJoinSizeSql: String = {
+    def cells(table: String, key: String) =
+      s"""SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+         |      CAST($key AS VARCHAR)), 1, 4) AS BIGINT) % 4096 AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM $table CROSS JOIN js GROUP BY 1, 2""".stripMargin
+    s"""WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       |ca AS (${cells("lineitem", "l_orderkey")}),
+       |cb AS (${cells("orders", "o_orderkey")}),
+       |ip AS (SELECT ca.j, CAST(sum(ca.c * cb.c) AS BIGINT) AS ip
+       |  FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b GROUP BY ca.j),
+       |e AS (SELECT CAST(min(ip) AS BIGINT) AS est_join FROM ip),
+       |x AS (SELECT count(*) AS exact_join FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT est_join, exact_join FROM e CROSS JOIN x""".stripMargin
+  }
+
   // ---- q_ams_f2: AMS tug-of-war second-moment sketch ---------------------
 
   /** Per-source AMS F2 ([[graft.ops.Ams]]): the 8 tug-of-war sums, the
