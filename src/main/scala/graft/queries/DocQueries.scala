@@ -1306,6 +1306,95 @@ object DocQueries {
        |  END AS corr_q
        |FROM a""".stripMargin
 
+  /** The composed curation gauntlet, end to end in ONE hash-checked
+    * artifact: Gopher gate → C4 gate → exact dedup among survivors →
+    * quality-ordered token-budget cut over what remains — the
+    * literature-stack analogue of q_pipeline_graded_full, turning four
+    * independently-green stage checks into one end-to-end proof that
+    * the stages COMPOSE (the dedup windows see only gate survivors;
+    * the budget's running total orders only post-dedup docs). Output:
+    * one row per input document with its final disposition
+    * (first-cut-wins: gopher:<reason> / c4:<reason> / dup_exact /
+    * over_budget / kept) and the tokens it contributes if kept.
+    */
+  def curationE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Curation, Dedup, Sampling}
+    val docs = Tables.documents(s, dir)
+    // STRUCTURAL Gopher subset: the stopword rule is last in the
+    // first-match-wins chain and would cut the ENTIRE synthetic corpus
+    // (its vocabulary contains no English stopwords), leaving the
+    // downstream dedup/budget stages unexercised — so the composed
+    // gauntlet gates on the corpus-independent structural rules and
+    // the stopword rule stays proven by q_gopher_rules itself. Being
+    // last in the chain, masking it cannot hide a structural reason.
+    val g = Curation.gopherRules(Curation.gopherSignals(docs, "text"))
+      .select(col("doc_id"),
+        when(col("gopher_reason") === "insufficient_stopwords", lit(null))
+          .otherwise(col("gopher_reason")).as("gopher_reason"))
+    val c = Curation.c4Rules(docs).select(col("doc_id"), col("c4_reason"))
+    val gates = docs.select("doc_id").join(g, Seq("doc_id"))
+      .join(c, Seq("doc_id"))
+    val survivors = gates
+      .filter(col("gopher_reason").isNull && col("c4_reason").isNull)
+      .select("doc_id")
+    val dd = Dedup.exactDedup(docs.join(survivors, Seq("doc_id")), textCol = "text")
+      .select(col("doc_id"), col("is_dup_exact"))
+    val scored = qualityScore(s, dir)
+      .select("doc_id", "token_count", "quality_score")
+      .join(dd.filter(!col("is_dup_exact")).select("doc_id"), Seq("doc_id"))
+    val sel = Sampling.budgetSelect(scored, "doc_id", "quality_score",
+      "token_count", SelectBudget)
+      .select(col("doc_id"), col("token_count"), col("kept"))
+    gates
+      .join(dd, Seq("doc_id"), "left")
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("gopher_reason").isNotNull,
+          concat(lit("gopher:"), col("gopher_reason")))
+          .when(col("c4_reason").isNotNull,
+            concat(lit("c4:"), col("c4_reason")))
+          .when(col("is_dup_exact"), lit("dup_exact"))
+          .when(!col("kept"), lit("over_budget"))
+          .otherwise(lit("kept")).as("disposition"),
+        when(col("kept"), col("token_count")).otherwise(lit(0L))
+          .cast("long").as("tokens_kept"))
+  }
+
+  val curationE2eSql: String =
+    s"""WITH gop AS (SELECT doc_id,
+       |    CASE WHEN gopher_reason = 'insufficient_stopwords' THEN NULL
+       |         ELSE gopher_reason END AS gopher_reason
+       |  FROM (${graft.queries.CurationQueries.gopherRulesSql})),
+       |c4g AS (SELECT doc_id, c4_reason
+       |  FROM (${graft.queries.CurationQueries.c4FiltersSql})),
+       |surv AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN gop USING (doc_id) JOIN c4g USING (doc_id)
+       |  WHERE gopher_reason IS NULL AND c4_reason IS NULL),
+       |dd AS (SELECT doc_id, row_number() OVER (
+       |    PARTITION BY sha256(trim(regexp_replace(lower(coalesce(text, '')),
+       |      '\\s+', ' ', 'g')))
+       |    ORDER BY doc_id) AS rn FROM surv),
+       |$qualityCtesSql,
+       |sel AS (SELECT q.doc_id, q.token_count,
+       |    coalesce(sum(q.token_count) OVER (
+       |      ORDER BY q.quality_score DESC, q.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM q JOIN dd ON q.doc_id = dd.doc_id AND dd.rn = 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN gop.gopher_reason IS NOT NULL THEN 'gopher:' || gop.gopher_reason
+       |       WHEN c4g.c4_reason IS NOT NULL THEN 'c4:' || c4g.c4_reason
+       |       WHEN dd.rn > 1 THEN 'dup_exact'
+       |       WHEN sel.cum_before + sel.token_count > $SelectBudget
+       |         THEN 'over_budget'
+       |       ELSE 'kept' END AS disposition,
+       |  CAST(CASE WHEN gop.gopher_reason IS NULL AND c4g.c4_reason IS NULL
+       |         AND dd.rn = 1
+       |         AND sel.cum_before + sel.token_count <= $SelectBudget
+       |       THEN sel.token_count ELSE 0 END AS BIGINT) AS tokens_kept
+       |FROM documents d
+       |JOIN gop USING (doc_id) JOIN c4g USING (doc_id)
+       |LEFT JOIN dd USING (doc_id) LEFT JOIN sel USING (doc_id)""".stripMargin
+
   /** Flesch reading-ease (Flesch 1948 — the classic readability
     * heuristic curation stacks keep next to length/stopword ratios):
     * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
