@@ -752,6 +752,88 @@ object RelationalQueries {
        |FROM est e JOIN ex ON e.source = ex.source""".stripMargin
   }
 
+  // ---- q_heavy_hitters: Misra-Gries frequent-items invariants -----------
+
+  /** Misra-Gries heavy hitters ([[graft.ops.HeavyHitters]]) over the
+    * character trigrams of the corpus (377 distinct, Zipf-skewed —
+    * vocabulary ≫ the k=128 counters, so the summary genuinely trims).
+    * The summary CONTENTS are merge-order-sensitive (which of two
+    * equal low counters survives a trim depends on association), so
+    * this query hash-checks the order-proof GUARANTEES instead: for
+    * every item the exact counts say is heavy (true·(k+1) > n), the
+    * sketch must have retained it (the row exists at all — a missed
+    * heavy item is a missing row), must not overcount it, and must
+    * undercount by at most n/(k+1). DuckDB derives the same heavy set
+    * from exact counts and emits the bounds as the constants they are
+    * guaranteed to be. Exact counting is confined to the ≤k retained
+    * keys (broadcast semi-join); the only vocabulary-wide structure is
+    * the bounded summary itself.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HeavyHitters
+    val k = 128
+    val grams = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("text").substr(col("i"), lit(3)).as("tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val retained = grams.agg(HeavyHitters.mgTopK(k)(col("tg")).as("hh"))
+      .select(explode(col("hh.items")).as("it"))
+      .select(col("it.tok").as("tg"), col("it.est").as("est"))
+    val nDf = grams.agg(count(lit(1)).as("n_grams"))
+    grams.join(broadcast(retained), Seq("tg"))
+      .groupBy(col("tg"), col("est"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      // one-row total: explicit broadcast so the cross join can never
+      // fall back to CartesianProduct when file stats grow (the KMV
+      // 100x sweep lesson)
+      .crossJoin(broadcast(nDf))
+      .filter(col("exact_cnt") * (k + 1) > col("n_grams"))
+      .select(col("tg"), col("exact_cnt"), col("n_grams"),
+        when(col("est") <= col("exact_cnt"), 1L).otherwise(0L)
+          .as("no_overcount"),
+        when((col("exact_cnt") - col("est")) * (k + 1) <= col("n_grams"),
+          1L).otherwise(0L).as("undercount_bounded"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH g AS (SELECT substr(text, i, 3) AS tg
+      |  FROM documents, unnest(range(1, length(text) - 1)) AS r(i)
+      |  WHERE text IS NOT NULL),
+      |c AS (SELECT tg, CAST(count(*) AS BIGINT) AS exact_cnt
+      |  FROM g GROUP BY tg),
+      |n AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n_grams FROM c)
+      |SELECT tg, exact_cnt, n_grams,
+      |  CAST(1 AS BIGINT) AS no_overcount,
+      |  CAST(1 AS BIGINT) AS undercount_bounded
+      |FROM c CROSS JOIN n
+      |WHERE exact_cnt * 129 > n_grams""".stripMargin
+
+  // ---- q_heavy_hitters_raw: the summary itself, per source --------------
+
+  /** The raw per-source Misra-Gries summaries (k=128 against a
+    * 377-trigram universe, so every source's summary has trimmed) —
+    * the reviewable "what dominates each source?" artifact. Rows-only
+    * by design: retained-set composition depends on merge order, which
+    * no foreign engine can replay; q_heavy_hitters IS this operator's
+    * correctness proof (same aggregator, hash-checked guarantees), and
+    * HeavyHittersSpec pins the bounds under adversarial merge trees.
+    */
+  def heavyHittersRaw(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HeavyHitters
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(coalesce(col("source"), lit("")).as("source"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("source"), col("text").substr(col("i"), lit(3)).as("tg"))
+      .groupBy("source")
+      .agg(HeavyHitters.mgTopK(128)(col("tg")).as("hh"))
+      .select(col("source"), explode(col("hh.items")).as("it"))
+      .select(col("source"), col("it.tok").as("tg"),
+        col("it.est").as("est_cnt"))
+  }
+
   // ---- q_dd_quantiles: mergeable relative-error percentiles -------------
 
   /** Per-source p50/p90/p99 of document length through the DDSketch
