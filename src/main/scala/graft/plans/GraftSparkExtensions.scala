@@ -30,6 +30,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder))
     ext.injectFunction(
+      (FunctionIdentifier("deflate_stored_len"),
+        DeflateStoredLength.info, DeflateStoredLength.builder))
+    ext.injectFunction(
       (FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder))
     ext.injectFunction(
       (FunctionIdentifier("l2sq"), L2SqDistance.info, L2SqDistance.builder))
@@ -72,6 +75,9 @@ object GraftFunctions {
       FunctionIdentifier("ngram_rep_stats"), NgramRepStats.info, NgramRepStats.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("deflate_len"), DeflateLength.info, DeflateLength.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("deflate_stored_len"),
+      DeflateStoredLength.info, DeflateStoredLength.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("phrase_hits"), PhraseHits.info, PhraseHits.builder)
     spark.sessionState.functionRegistry.registerFunction(

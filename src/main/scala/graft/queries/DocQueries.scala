@@ -804,6 +804,49 @@ object DocQueries {
         when(col("n_bytes") > 0,
           col("deflate_len").cast("double") / col("n_bytes").cast("double")))
 
+  // ---- q_compress_stored: the oracle-checked stored-block twin -----------
+
+  /** Graded twin of q_compress_ratio ([[graft.plans
+    * .DeflateStoredLength]]): zlib STORED-block (level 0) lengths are
+    * fixed by RFC 1950/1951 alone — 2 + 5·⌈n/65535⌉ + n + 4 — so
+    * DuckDB replays them arithmetically, hash-checking the plumbing
+    * the level-6 kernel shares (UTF-8 byte length, framing, expression
+    * wiring). Each doc is measured twice: as-is (single block) and
+    * repeated past 65535 bytes (`repeat` to ≥70000), so the multi-
+    * block framing is exercised on every row. The compression LEVEL
+    * itself stays covered by DeflateSpec, incl. the Inflater
+    * round-trip proving the stored encoding is valid zlib.
+    */
+  def compressStored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      // floor() both sides: Spark CAST(double AS INT) truncates where
+      // DuckDB rounds, so the repeat count must be floored explicitly
+      .withColumn("big",
+        expr("repeat(t, 1 + CAST(floor(70000 / greatest(octet_length(t), 1)) AS INT))"))
+      .select(col("doc_id"),
+        expr("octet_length(t)").cast("long").as("n_bytes"),
+        graft.plans.DeflateStoredLength(col("t")).cast("long")
+          .as("stored_len"),
+        expr("octet_length(big)").cast("long").as("n_bytes_big"),
+        graft.plans.DeflateStoredLength(col("big")).cast("long")
+          .as("stored_len_big"))
+
+  val compressStoredSql: String = {
+    def storedLen(c: String) =
+      s"CAST(2 + 5 * greatest(1, CAST(ceil(CAST(strlen($c) AS DOUBLE) / CAST(65535 AS DOUBLE)) AS BIGINT)) + strlen($c) + 4 AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+       |b AS (SELECT doc_id, t,
+       |    repeat(t, 1 + CAST(floor(70000 / greatest(strlen(t), 1)) AS INT)) AS big
+       |  FROM d)
+       |SELECT doc_id,
+       |  CAST(strlen(t) AS BIGINT) AS n_bytes,
+       |  ${storedLen("t")} AS stored_len,
+       |  CAST(strlen(big) AS BIGINT) AS n_bytes_big,
+       |  ${storedLen("big")} AS stored_len_big
+       |FROM b""".stripMargin
+  }
+
   // ---- q_token_entropy: per-doc token-distribution entropy ---------------
 
   /** Shannon entropy of each doc's token distribution (TextMetrics),
