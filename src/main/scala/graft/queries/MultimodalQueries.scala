@@ -705,4 +705,96 @@ object MultimodalQueries {
       .select(col("media_id"), col("kind"), size(col("embedding")).as("dim"),
         xxhash64(to_json(col("embedding"))).as("emb_hash"), col("decoded"))
   }
+
+  // ---- q_media_feature_stats: ORACLE-CHECKED image feature math ---------
+
+  /** Graded twin for the feature level above q_media_decode: per-image
+    * channel sums/means and an 8-bucket integer-luminance histogram
+    * over the DECODED pixels of the lossless PNG/BMP/PPM fixtures —
+    * the q_media_decode trick extended one level up, covering the
+    * feature arithmetic q_media_features can only rows-only-check
+    * through its hash-stub embeddings. Everything is integer: luma
+    * milli-weights 299/587/114 (the ITU-R BT.601 integer convention),
+    * bucket = min(7, luma/31875), means floor-quantized ×1000 — so
+    * DuckDB replays sums, means AND histogram exactly from the text
+    * bytes and the documented tiled-pixel layout. Decode + feature
+    * extraction happen per-row in the same scan pass (the 100 TB
+    * shape: no pixel ever shuffles).
+    */
+  def mediaFeatureStats(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.syntheticImages(Tables.documents(s, dir))
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.ops.ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            val fmt =
+              if ((bytes(0) & 0xff) == 0x89) "png"
+              else if (bytes(0) == 'B') "bmp"
+              else "ppm"
+            val npx = img.width * img.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            val hist = new Array[Long](8)
+            var p = 0
+            while (p < npx) {
+              val r = img.pixels(p * 3) & 0xff
+              val g = img.pixels(p * 3 + 1) & 0xff
+              val b = img.pixels(p * 3 + 2) & 0xff
+              sr += r; sg += g; sb += b
+              hist(math.min(7, (299 * r + 587 * g + 114 * b) / 31875)) += 1
+              p += 1
+            }
+            (id, fmt, npx.toLong, sr, sg, sb,
+              sr * 1000 / npx, sg * 1000 / npx, sb * 1000 / npx,
+              hist(0), hist(1), hist(2), hist(3),
+              hist(4), hist(5), hist(6), hist(7))
+          case None =>
+            (id, "undecodable", 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+      .toDF("media_id", "format", "n_px", "sum_r", "sum_g", "sum_b",
+        "mean_r_q", "mean_g_q", "mean_b_q",
+        "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+  }
+
+  val mediaFeatureStatsSql: String =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS blen
+      | FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (SELECT doc_id, t, blen,
+      |  greatest(1, least(64, (blen + 23) // 24)) AS h FROM d),
+      |pos AS (SELECT doc_id, h, t, blen,
+      |  unnest(range(0, 8 * h)) AS p FROM dims),
+      |px AS (SELECT doc_id, h,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST((3 * p) % blen AS INT) + 1, 1)) END AS r,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST((3 * p + 1) % blen AS INT) + 1, 1)) END AS g,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST((3 * p + 2) % blen AS INT) + 1, 1)) END AS b
+      | FROM pos),
+      |lm AS (SELECT doc_id, h, r, g, b,
+      |  least(7, (299 * r + 587 * g + 114 * b) // 31875) AS bucket FROM px)
+      |SELECT doc_id AS media_id,
+      |  CASE (doc_id // 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+      |    ELSE 'ppm' END AS format,
+      |  CAST(8 * h AS BIGINT) AS n_px,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(r) * 1000 // (8 * h) AS BIGINT) AS mean_r_q,
+      |  CAST(sum(g) * 1000 // (8 * h) AS BIGINT) AS mean_g_q,
+      |  CAST(sum(b) * 1000 // (8 * h) AS BIGINT) AS mean_b_q,
+      |  CAST(count(*) FILTER (bucket = 0) AS BIGINT) AS h0,
+      |  CAST(count(*) FILTER (bucket = 1) AS BIGINT) AS h1,
+      |  CAST(count(*) FILTER (bucket = 2) AS BIGINT) AS h2,
+      |  CAST(count(*) FILTER (bucket = 3) AS BIGINT) AS h3,
+      |  CAST(count(*) FILTER (bucket = 4) AS BIGINT) AS h4,
+      |  CAST(count(*) FILTER (bucket = 5) AS BIGINT) AS h5,
+      |  CAST(count(*) FILTER (bucket = 6) AS BIGINT) AS h6,
+      |  CAST(count(*) FILTER (bucket = 7) AS BIGINT) AS h7
+      |FROM lm GROUP BY doc_id, h""".stripMargin
 }
