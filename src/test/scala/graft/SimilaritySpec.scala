@@ -87,6 +87,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(recallTrained >= 0.35, s"trained-codebook recall $recallTrained")
   }
 
+  test("residual IVF-PQ (trained coarse + residual codes) beats the label-mean arrangement") {
+    import graft.ops.Pq
+    val exact = Similarity.annTopK(emb, nQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val residual = Pq.ivfPqResidualTopK(emb, nQueries = 10, k = 5,
+        probes = 4, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & residual).size.toDouble / exact.size
+    println(s"SIM ivfpq residual recall probes=4 shortlist=50 = $recall")
+    // label-mean cells capped the composite at their 0.6 coarse ceiling
+    // (0.58 measured = 97% of it, so sharper codes alone could not
+    // help); the trained coarse quantizer lifts the ceiling to 0.76
+    // (measured below) and residual codes keep the shortlist
+    // near-lossless under it: 0.74 measured at the same budget
+    assert(recall >= 0.7, s"residual IVF-PQ recall degraded to $recall")
+    // the arrangement must strictly beat the label-mean composite at
+    // the identical probe/shortlist budget
+    val labelMean = Pq.ivfPqTopK(emb, nQueries = 10, k = 5,
+        probes = 4, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallLabel = (exact & labelMean).size.toDouble / exact.size
+    assert(recall > recallLabel,
+      s"residual arrangement did not improve recall: $recall vs $recallLabel")
+    // near-ceiling: widening the shortlist to the whole probed
+    // population (500-vector fixture) isolates the coarse stage; the
+    // budget composite must sit within 0.06 of that ceiling — i.e. the
+    // residual ADC shortlist is where the loss is NOT
+    val ceiling = Pq.ivfPqResidualTopK(emb, nQueries = 10, k = 5,
+        probes = 4, shortlist = 500)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallCeiling = (exact & ceiling).size.toDouble / exact.size
+    println(s"SIM ivfpq residual coarse ceiling probes=4 = $recallCeiling")
+    assert(recall >= recallCeiling - 0.06,
+      s"shortlist stage lost recall: $recall vs ceiling $recallCeiling")
+    // one probe step up clears 0.8 on the fixture's weak clusters
+    val p6 = Pq.ivfPqResidualTopK(emb, nQueries = 10, k = 5,
+        probes = 6, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall6 = (exact & p6).size.toDouble / exact.size
+    println(s"SIM ivfpq residual recall probes=6 shortlist=50 = $recall6")
+    assert(recall6 >= 0.8, s"residual IVF-PQ probes=6 recall $recall6")
+  }
+
   test("Lloyd-trained PQ codebooks cut reconstruction error vs label means") {
     import graft.ops.Pq
     val label = Pq.codebooks(emb, m = 4, dim = 64)
