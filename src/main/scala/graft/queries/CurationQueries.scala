@@ -619,6 +619,121 @@ object CurationQueries {
       .orderBy("label", "predicted")
   }
 
+  // ---- q_classifier_fp: ORACLE-CHECKED fixed-point classifier twin ------
+
+  private val FpIters = 30
+  private val FpLrDen = 16L
+
+  /** Graded twin of q_quality_classifier ([[graft.ops.Classifier
+    * .trainFixedPoint]]): the same model class (full-batch GD, same
+    * hashed-BoW features, same spam-twin task and 70/30 split) with
+    * the transcendental sigmoid replaced by the hard sigmoid and every
+    * quantity a bounded integer in µ-units — so DuckDB replays ALL 30
+    * training rounds in a recursive CTE (the q_bpe_merges pattern:
+    * weight state as one row per dimension, the per-round gradient an
+    * aggregate over the materialized train sliver joined with the
+    * previous round's weights) and then the held-out scoring, margin
+    * sums included, hash-exactly. Divisions TRUNCATE toward zero on
+    * both engines (Scala Long `/` ≡ DuckDB `//`). Held-out accuracy
+    * 0.953 on the fixture task (ClassifierSpec-pinned ≥ 0.9); the
+    * production model stays the libm-sigmoid q_quality_classifier.
+    */
+  def classifierFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Classifier
+    import graft.text.TextMetrics
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val spamArr = array(SpamPhrases.map(lit): _*)
+    val neg = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          element_at(spamArr, (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+          .as("text"))
+      .withColumn("label", lit(1))
+    val pos = docs.withColumn("label", lit(0))
+    val feat = pos.unionByName(neg).select(col("doc_id"), col("label"),
+      Classifier.features(TextMetrics.tokens(col("text")), ClassifierDim)
+        .cast("array<long>").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTrain = pmod(col("doc_id"), lit(10)) < 7
+    // the labeled sliver collects once (bounded by the same argument as
+    // trainLogistic's local gate); integer gradients are order-free, so
+    // the collected row order is immaterial (spec-pinned by shuffling)
+    val trainRows = feat.filter(isTrain).select(col("x"), col("label"))
+      .collect()
+      .map(r => (r.getSeq[Long](0).toArray, r.getInt(1)))
+    val w = Classifier.trainFixedPoint(trainRows, ClassifierDim,
+      FpIters, FpLrDen)
+    feat.filter(!isTrain)
+      .select(col("label").cast("long").as("label"),
+        Classifier.fpMargin(col("x"), w).as("m"))
+      .select(col("label"),
+        (Classifier.fpProbCol(col("m")) >= 500000L).cast("long")
+          .as("predicted"),
+        col("m"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("margin_sum"))
+  }
+
+  val classifierFpSql: String = {
+    val dim = ClassifierDim
+    val spamArr = "[" + SpamPhrases.map(p => s"'$p'").mkString(",") + "]"
+    def hx(n: Int) = s"(instr('0123456789abcdef', substr(h, $n, 1)) - 1)"
+    val toks = graft.queries.OracleSql.toks("t")
+    s"""WITH RECURSIVE
+       |raw AS MATERIALIZED (
+       |  SELECT doc_id, 0 AS label, coalesce(text, '') AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS label,
+       |    coalesce(text, '') || ' ' || $spamArr[CAST(doc_id % 4 AS INT) + 1] AS t
+       |  FROM documents),
+       |prs AS MATERIALIZED (
+       |  SELECT doc_id, label,
+       |    list_transform(list_transform($toks, tk -> md5(tk)), h -> struct_pack(
+       |      b := CAST((${hx(1)} * 16 + ${hx(2)}) % $dim AS INT),
+       |      s := CASE WHEN ${hx(3)} % 2 = 0 THEN CAST(1 AS BIGINT)
+       |                ELSE CAST(-1 AS BIGINT) END)) AS prs
+       |  FROM raw),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, label,
+       |    list_transform(generate_series(0, ${dim - 1}), i ->
+       |      CAST(coalesce(list_sum(list_transform(prs, p ->
+       |        CASE WHEN p.b = i THEN p.s ELSE CAST(0 AS BIGINT) END)), 0)
+       |        AS BIGINT)) AS x
+       |  FROM prs),
+       |train AS MATERIALIZED (
+       |  SELECT doc_id * 2 + label AS did, label, x FROM feat
+       |  WHERE doc_id % 10 < 7),
+       |ntr AS MATERIALIZED (SELECT count(*) AS n FROM train),
+       |st(iter, d, wd) AS (
+       |  SELECT 0, d, CAST(0 AS BIGINT) FROM generate_series(1, $dim) g(d)
+       |  UNION ALL
+       |  SELECT st.iter + 1, st.d,
+       |    CAST(st.wd - g.g // ($FpLrDen * (SELECT n FROM ntr)) AS BIGINT)
+       |  FROM st JOIN (
+       |    SELECT dd.d AS d, sum(e.e * e.x[dd.d]) AS g
+       |    FROM (
+       |      SELECT t.did,
+       |        least(1000000, greatest(0,
+       |          500000 + (sum(s2.wd * t.x[s2.d]) // 4)))
+       |          - any_value(t.label) * 1000000 AS e,
+       |        any_value(t.x) AS x
+       |      FROM train t CROSS JOIN st s2
+       |      GROUP BY t.did) e
+       |    CROSS JOIN generate_series(1, $dim) dd(d)
+       |    GROUP BY dd.d) g ON g.d = st.d
+       |  WHERE st.iter < $FpIters),
+       |w AS MATERIALIZED (SELECT d, wd FROM st WHERE iter = $FpIters),
+       |scored AS (
+       |  SELECT f.label,
+       |    (SELECT CAST(sum(w.wd * f.x[w.d]) AS BIGINT) FROM w) AS m
+       |  FROM feat f WHERE f.doc_id % 10 >= 7)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(CASE WHEN least(1000000, greatest(0, 500000 + (m // 4))) >= 500000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(m) AS BIGINT) AS margin_sum
+       |FROM scored GROUP BY label, predicted""".stripMargin
+  }
+
   // ---- q_kn_perplexity: Kneser–Ney LM score + CCNet tertile buckets -----
 
   /** Interpolated Kneser–Ney bigram scoring (graft.ops.Score

@@ -529,7 +529,7 @@ object PipelineQueries {
     * only land on rows stages 2-5 kept, same as the reference's
     * physical split (`Tokenisation_JSONL_export.py:137-146`).
     */
-  private def gradedFullGated(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gradedFullGated(s: SparkSession, dir: String): DataFrame = {
     val scrubbed = regexp_replace(
       regexp_replace(coalesce(col("text_pii_masked"), lit("")),
         lit("[\\x{10000}-\\x{10FFFF}]"), lit("")),

@@ -215,4 +215,88 @@ class ClassifierSpec extends SparkTestBase {
       .head()
     assert(n.isNullAt(0))
   }
+
+  // ---- fixed-point graded twin -----------------------------------------
+
+  /** Independent reference: same contract re-derived functionally with
+    * BigInt arithmetic (quotient via BigInt / which truncates toward
+    * zero, like Long /) — shares no code with the production loop.
+    */
+  private def fpReference(rows: Seq[(Seq[Long], Int)], dim: Int,
+                          iters: Int, lrDen: Long): Seq[Long] = {
+    val n = BigInt(rows.size)
+    (0 until iters).foldLeft(Seq.fill(dim)(BigInt(0))) { (w, _) =>
+      val grads = rows.foldLeft(Seq.fill(dim)(BigInt(0))) { (g, row) =>
+        val (x, y) = row
+        val m = w.zip(x).map { case (wi, xi) => wi * xi }.sum
+        val p = (BigInt(500000) + m / 4).max(0).min(1000000)
+        val e = p - BigInt(y) * 1000000
+        g.zip(x).map { case (gi, xi) => gi + e * xi }
+      }
+      w.zip(grads).map { case (wi, gi) => wi - gi / (BigInt(lrDen) * n) }
+    }.map(_.toLong)
+  }
+
+  test("fixed-point trainer matches an independent BigInt re-derivation") {
+    val rows: Array[(Array[Long], Int)] = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) cleanText(i) else spamText(i)
+      val x = new Array[Long](16)
+      t.split(" ").foreach { tk =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(tk.getBytes("UTF-8"))
+        x((h(0) & 0xff) % 16) += (if ((h(1) & 1) == 0) 1L else -1L)
+      }
+      (x, i % 2)
+    }.toArray
+    val got = Classifier.trainFixedPoint(rows, 16, iters = 12, lrDen = 16L)
+    val want = fpReference(rows.toSeq.map { case (x, y) => (x.toSeq, y) },
+      16, 12, 16L)
+    assert(got.toSeq === want)
+  }
+
+  test("fixed-point training is row-order-proof (integer sums are order-free)") {
+    val rows: Array[(Array[Long], Int)] = (0 until 80).map { i =>
+      val x = Array.tabulate(8)(d => ((i * 13 + d * 7) % 9 - 4).toLong)
+      (x, i % 2)
+    }.toArray
+    val w1 = Classifier.trainFixedPoint(rows, 8, 10, 16L)
+    val w2 = Classifier.trainFixedPoint(
+      new scala.util.Random(5).shuffle(rows.toSeq).toArray, 8, 10, 16L)
+    assert(w1.toSeq === w2.toSeq)
+  }
+
+  test("fpProbCol truncates toward zero like fpProb, clamps both rails") {
+    val margins = Seq(-2000001L, -2000000L, -7L, -4L, -3L, -1L, 0L, 1L,
+      3L, 4L, 7L, 1999999L, 2000000L, 2000001L, -50000000L, 50000000L)
+    val got = margins.toDF("m")
+      .select(Classifier.fpProbCol(col("m"))).as[Long].collect()
+    assert(got.toSeq === margins.map(Classifier.fpProb))
+    // the rails really clamp
+    assert(Classifier.fpProb(50000000L) === 1000000L)
+    assert(Classifier.fpProb(-50000000L) === 0L)
+    // trunc-vs-floor disagreement point: -3/4 must be 0, not -1
+    assert(Classifier.fpProb(-3L) === 500000L)
+  }
+
+  test("fixed-point twin query: held-out accuracy >= 0.9 on the fixture task") {
+    val conf = graft.queries.CurationQueries
+      .classifierFp(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    val total = conf.values.sum
+    val correct = conf.getOrElse((0L, 0L), 0L) + conf.getOrElse((1L, 1L), 0L)
+    val acc = correct.toDouble / total
+    println(s"CLS fixed-point heldout acc = $acc ($conf)")
+    assert(acc >= 0.9, s"fixed-point twin accuracy degraded to $acc")
+  }
+
+  test("fixed-point trainer fails loudly on overflow, never wraps") {
+    val rows = Array((Array.fill(4)(Long.MaxValue / 2), 0),
+      (Array.fill(4)(Long.MaxValue / 2), 1))
+    intercept[ArithmeticException] {
+      Classifier.trainFixedPoint(
+        rows.map { case (x, y) => (x, y) }, 4, 3, 16L)
+    }
+  }
 }
