@@ -117,4 +117,36 @@ object HeavyHitters {
     * est>>), usable globally or per-group.
     */
   def mgTopK(k: Int) = udaf(new MisraGries(k), Encoders.STRING)
+
+  /** The Agarwal-et-al merge as a TABLE op, for incremental cross-batch
+    * state (the frequent-items member of the incremental family next to
+    * exact hashes, MinHash band keys, and HLL registers): two (tok, est)
+    * summaries union, counts add pointwise, and if more than k counters
+    * survive, the (k+1)-th largest is subtracted from all with only the
+    * positive remainder kept — exactly [[MisraGries.merge]], so a state
+    * folded batch-by-batch carries the same (n−R)/(k+1) guarantees as
+    * one flat summary (HeavyHittersSpec pins table-op ≡ aggregator
+    * merge). Everything is ≤2k rows: the trim threshold folds from a
+    * bounded collect_list, never a window; history is never re-counted —
+    * only its k-row summary participates.
+    */
+  def mergeSummaries(a: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame,
+                     k: Int): org.apache.spark.sql.DataFrame = {
+    val summed = a.select(col("tok"), col("est"))
+      .unionByName(b.select(col("tok"), col("est")))
+      .groupBy("tok").agg(sum(col("est")).as("est"))
+    // (k+1)-th largest count, 0 when ≤ k counters survive (no trim);
+    // the summed table is ≤ 2k rows by construction, so the list fold
+    // is bounded and the one-row threshold broadcasts
+    // try_element_at: ≤ k surviving counters means no (k+1)-th largest
+    // exists — that is the no-trim case, not an ANSI index error
+    val d = summed.agg(coalesce(
+      try_element_at(reverse(array_sort(collect_list(col("est")))),
+        lit(k + 1)),
+      lit(0L)).as("d"))
+    summed.crossJoin(broadcast(d))
+      .filter(col("est") > col("d"))
+      .select(col("tok"), (col("est") - col("d")).as("est"))
+  }
 }

@@ -810,6 +810,60 @@ object RelationalQueries {
       |FROM c CROSS JOIN n
       |WHERE exact_cnt * 129 > n_grams""".stripMargin
 
+  // ---- q_incr_heavy: incremental cross-batch heavy-hitter state ---------
+
+  /** Incremental frequent-items state ([[graft.ops.HeavyHitters
+    * .mergeSummaries]]): the corpus arrives as three ingest batches
+    * (doc_id mod 3), each batch is summarized ONCE, and the running
+    * state folds batch-by-batch through the mergeable-summaries rule —
+    * history is never re-counted, only its ≤k-row summary participates
+    * (the frequent-items member of the incremental family next to
+    * q_incr_neardup's band keys and q_incr_hll's registers). The
+    * folded state is merge-order-defined in CONTENTS but order-proof
+    * in GUARANTEES, so the invariant tail is identical to
+    * q_heavy_hitters: every globally-heavy trigram must be retained by
+    * the folded state, within the no-overcount / n/(k+1) undercount
+    * bounds — and the oracle is the SAME exact-count replay, which is
+    * the point: the two-level batch fold must answer exactly like a
+    * flat build.
+    */
+  def incrHeavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HeavyHitters
+    val k = 128
+    val grams = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(pmod(col("doc_id"), lit(3)).as("batch"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("batch"), col("text").substr(col("i"), lit(3)).as("tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBatch = grams.groupBy("batch")
+      .agg(HeavyHitters.mgTopK(k)(col("tg")).as("hh"))
+      .select(col("batch"), explode(col("hh.items")).as("it"))
+      .select(col("batch"), col("it.tok").as("tok"), col("it.est").as("est"))
+    def batchSummary(b: Int) =
+      perBatch.filter(col("batch") === b).select(col("tok"), col("est"))
+    val state = HeavyHitters.mergeSummaries(
+      HeavyHitters.mergeSummaries(batchSummary(0), batchSummary(1), k),
+      batchSummary(2), k)
+    val retained = state.select(col("tok").as("tg"), col("est"))
+    val nDf = grams.agg(count(lit(1)).as("n_grams"))
+    grams.join(broadcast(retained), Seq("tg"))
+      .groupBy(col("tg"), col("est"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("exact_cnt") * (k + 1) > col("n_grams"))
+      .select(col("tg"), col("exact_cnt"), col("n_grams"),
+        when(col("est") <= col("exact_cnt"), 1L).otherwise(0L)
+          .as("no_overcount"),
+        when((col("exact_cnt") - col("est")) * (k + 1) <= col("n_grams"),
+          1L).otherwise(0L).as("undercount_bounded"))
+  }
+
+  /** Same oracle as q_heavy_hitters by design: the exact-count heavy
+    * set and bounds do not depend on how the engine folded its state.
+    */
+  val incrHeavySql: String = heavyHittersSql
+
   // ---- q_heavy_hitters_raw: the summary itself, per source --------------
 
   /** The raw per-source Misra-Gries summaries (k=128 against a
