@@ -760,6 +760,122 @@ object MultimodalQueries {
         "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
   }
 
+  // ---- q_media_e2e: composed media curation chain, ORACLE-CHECKED -------
+
+  /** The multimodal analogue of q_curation_e2e: decode gate → exact
+    * content dedup among decodables → luminance quality gates → shape
+    * assignment for keepers, composed into ONE hash-checked artifact
+    * (first-cut-wins: undecodable / dup_exact / too_dark / too_bright /
+    * kept). A deterministic id-rule subset (media_id % 7 = 0) ships
+    * TRUNCATED payloads so the decode gate genuinely fires — and
+    * because decode failure degrades to None, the chain also proves
+    * the malformed path composes (one corrupt blob drops one row, not
+    * a stage). Dedup keys on the content md5 among DECODED rows only;
+    * luma gates run on decoded pixels (integer BT.601 milli-weights);
+    * everything is per-row in one scan pass except the bounded
+    * (content-hash → first id) dedup join. DuckDB replays all five
+    * dispositions arithmetically from the text bytes, the documented
+    * tiled layout and the id rules.
+    */
+  /** Planted-duplicate text for the media_id % 11 = 3 rows — the corpus
+    * has no exact text duplicates, so the dedup stage would be
+    * vacuously composed without self-seeding (the q_invisible_scrub
+    * precedent: plant the condition, prove the machinery).
+    */
+  private val PlantedDupText = "planted duplicate pixel payload "
+
+  def mediaE2e(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val seeded = Tables.documents(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(11)) === 3, lit(PlantedDupText))
+        .otherwise(col("text")))
+    val decoded = Multimodal.syntheticImages(seeded)
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val payload = if (id % 7 == 0) bytes.take(10) else bytes
+        graft.ops.ImageCodec.decode(payload) match {
+          case Some(img) =>
+            val npx = img.width * img.height
+            var luma = 0L
+            var p = 0
+            while (p < npx) {
+              luma += 299L * (img.pixels(p * 3) & 0xff) +
+                587L * (img.pixels(p * 3 + 1) & 0xff) +
+                114L * (img.pixels(p * 3 + 2) & 0xff)
+              p += 1
+            }
+            val shape =
+              if (img.height < img.width) "landscape"
+              else if (img.height == img.width) "square"
+              else "portrait"
+            (id, true, luma / npx, shape)
+          case None => (id, false, 0L, "")
+        }
+      }
+      .toDF("media_id", "decoded", "luma_mq", "shape")
+    val keyed = decoded.join(
+      seeded
+        .select(col("doc_id").as("media_id"),
+          md5(coalesce(col("text"), lit(""))).as("ck")),
+      Seq("media_id"))
+    // keep-first among decodables: (content hash -> first id) is
+    // bounded by distinct contents; broadcast back
+    val firstIds = keyed.filter(col("decoded"))
+      .groupBy("ck").agg(min(col("media_id")).as("kept_id"))
+    keyed.join(broadcast(firstIds), Seq("ck"), "left")
+      .select(col("media_id"),
+        when(!col("decoded"), lit("undecodable"))
+          .when(col("media_id") =!= col("kept_id"), lit("dup_exact"))
+          .when(col("luma_mq") < 93000L, lit("too_dark"))
+          .when(col("luma_mq") > 98000L, lit("too_bright"))
+          .otherwise(lit("kept")).as("disposition"),
+        col("luma_mq"),
+        when(col("decoded"), col("shape")).otherwise(lit(""))
+          .as("shape"))
+  }
+
+  val mediaE2eSql: String =
+    s"""WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 3 THEN '$PlantedDupText'
+      |       ELSE coalesce(text, '') END AS t,
+      |  octet_length(encode(CASE WHEN doc_id % 11 = 3 THEN '$PlantedDupText'
+      |       ELSE coalesce(text, '') END)) AS blen
+      | FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (SELECT doc_id, t, blen,
+      |  greatest(1, least(64, (blen + 23) // 24)) AS h FROM d),
+      |pos AS (SELECT doc_id, h, t, blen,
+      |  unnest(range(0, 8 * h)) AS p FROM dims),
+      |px AS (SELECT doc_id, h,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST((3 * p) % blen AS INT) + 1, 1)) END AS r,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST((3 * p + 1) % blen AS INT) + 1, 1)) END AS g,
+      |  CASE WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST((3 * p + 2) % blen AS INT) + 1, 1)) END AS b
+      | FROM pos),
+      |lm AS (SELECT doc_id, h,
+      |  CAST(sum(299 * r + 587 * g + 114 * b) // (8 * h) AS BIGINT) AS luma_mq
+      | FROM px GROUP BY doc_id, h),
+      |dec AS (SELECT dims.doc_id, dims.h, md5(dims.t) AS ck, lm.luma_mq,
+      |  dims.doc_id % 7 <> 0 AS decoded
+      | FROM dims JOIN lm ON dims.doc_id = lm.doc_id),
+      |fk AS (SELECT ck, min(doc_id) AS kept_id FROM dec
+      |  WHERE decoded GROUP BY ck)
+      |SELECT dec.doc_id AS media_id,
+      |  CASE WHEN NOT decoded THEN 'undecodable'
+      |       WHEN dec.doc_id <> fk.kept_id THEN 'dup_exact'
+      |       WHEN luma_mq < 93000 THEN 'too_dark'
+      |       WHEN luma_mq > 98000 THEN 'too_bright'
+      |       ELSE 'kept' END AS disposition,
+      |  CASE WHEN decoded THEN luma_mq ELSE CAST(0 AS BIGINT) END AS luma_mq,
+      |  CASE WHEN NOT decoded THEN ''
+      |       WHEN h < 8 THEN 'landscape'
+      |       WHEN h = 8 THEN 'square'
+      |       ELSE 'portrait' END AS shape
+      |FROM dec LEFT JOIN fk ON dec.ck = fk.ck""".stripMargin
+
   val mediaFeatureStatsSql: String =
     """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
       |  octet_length(encode(coalesce(text, ''))) AS blen
