@@ -359,6 +359,35 @@ object Streaming {
         col("j"), col("b"), col("c"))
   }
 
+  /** Per-window Misra-Gries heavy hitters ([[graft.ops.HeavyHitters]])
+    * — "what dominates the live stream RIGHT NOW" with state
+    * independent of vocabulary, completing the bounded-state streaming
+    * monitor pair: [[sketchedTermFreq]] answers point frequencies of
+    * KNOWN probes from its cell grid, this surfaces the dominant terms
+    * themselves with ≤ k counters per window (where [[trendingTerms]]
+    * keeps one state row per (window, term) — unbounded on an open
+    * crawl vocabulary). The typed aggregator partial-merges, so the
+    * state store holds one ≤k-entry buffer per window; summary
+    * CONTENTS are merge-order-defined as everywhere, but every emitted
+    * window obeys the no-overcount / n/(k+1)-undercount / total-recall
+    * guarantees against that window's exact counts (spec-pinned,
+    * streaming vs in-test exact).
+    */
+  def heavyTermsStream(docs: DataFrame, tsCol: String = "ts",
+                       textCol: String = "text",
+                       window_ : String = "10 minutes",
+                       watermark: String = "20 minutes",
+                       k: Int = 64): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.text.TextMetrics.tokens(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), window_))
+      .agg(graft.ops.HeavyHitters.mgTopK(k)(col("term")).as("hh"))
+      .select(col("window.start").as("window_start"),
+        explode(col("hh.items")).as("it"))
+      .select(col("window_start"), col("it.tok").as("term"),
+        col("it.est").as("est"))
+
   /** Streaming intake monitor — the data-card as a watermarked tumbling
     * window: per window, document count, token/byte mass, blank share,
     * and within-window approximate duplicate mass (docs minus HLL++

@@ -64,6 +64,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters: per-window MG guarantees, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val K = 4
+    val hh = Streaming.heavyTermsStream(in.toDF().toDF("ts", "text"),
+      window_ = "30 minutes", k = K)
+    val q = hh.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // window 1: 'alpha' dominates a 9-term vocabulary (> K counters)
+      val w1 = Seq.fill(30)("alpha") ++ (0 until 12).map(i => s"t$i" * 1 + (i % 6).toString)
+      // window 2: 'beta' dominates a different mix
+      val w2 = Seq.fill(20)("beta") ++ (0 until 10).map(i => s"u${i % 7}")
+      in.addData((ts(1), w1.mkString(" ")), (ts(40), w2.mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("hh_stream")
+        .as[(Timestamp, String, Long)].collect()
+        .groupBy(_._1).map { case (w, rows) =>
+          w -> rows.map(r => r._2 -> r._3).toMap
+        }
+      def check(w: Timestamp, terms: Seq[String]): Unit = {
+        val exact = terms.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+        val n = terms.size.toLong
+        val sum = got(w)
+        assert(sum.size <= K, s"window $w state ${sum.size} > k")
+        sum.foreach { case (t, est) =>
+          val tru = exact.getOrElse(t, 0L)
+          assert(est <= tru && (tru - est) * (K + 1) <= n,
+            s"window $w: $t est=$est true=$tru n=$n")
+        }
+        exact.filter(_._2 * (K + 1) > n).keys.foreach(t =>
+          assert(sum.contains(t), s"window $w: heavy $t missing"))
+      }
+      check(ts(0), w1)
+      check(ts(30), w2)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups exact text within horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
