@@ -39,14 +39,38 @@ object KMeans {
     * story simple). `dist_q` is the squared distance integer-divided by
     * [[Quant]] so downstream sums (inertia) can't overflow BIGINT.
     */
+  /** Size gate for the driver-local fast path: inputs that fit collect
+    * once and fold all Lloyd rounds job-free — BIT-IDENTICAL to the
+    * distributed path (all arithmetic is exact integers plus one
+    * double division whose integer operands are < 2⁵³, so no float
+    * accumulation exists to diverge; spec-pinned). The gate exists for
+    * job-count, not correctness: a 17-fit PQ/IVF build was 51 tiny
+    * Spark jobs of pure scheduler overhead (q_ivfpq_residual measured
+    * 18.8 s → 3.6 s at sf0.1).
+    */
+  val LocalGate = 65536
+
   def lloyd(emb: DataFrame, k: Int, iters: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding")
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            localGate: Int = LocalGate)
       : (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
 
     val qv = transform(col(vecCol).cast("array<double>"),
       x => floor(x * Quant.toDouble).cast("long"))
+
+    if (localGate > 0) {
+      // one bounded job: if the input fits the gate, everything folds
+      // on the driver; otherwise fall through to the distributed path
+      // (the limit probe is wasted but bounded)
+      val probe = emb.select(col(idCol).as("id"), qv.as("qv"))
+        .limit(localGate + 1)
+        .as[(Long, Seq[Long])].collect()
+      if (probe.length <= localGate)
+        return lloydLocal(spark, probe, k, iters, idCol)
+    }
+
     val base = emb.select(col(idCol).as("id"), qv.as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -90,5 +114,66 @@ object KMeans {
       col("dist_q")).localCheckpoint()
     base.unpersist(blocking = false)
     (out, cents)
+  }
+
+  /** The collected fast path — every step mirrors the distributed one
+    * exactly: init cluster = id mod k; centroid component =
+    * floor(exactLongSum / count) (the distributed avg's double sum is
+    * exact too — quantized components keep every partial sum < 2⁵³);
+    * distance = exact Σ(a−b)² in longs; argmin ties on the lower
+    * cluster id; the same update/assign round structure (init update,
+    * assign, iters−1 × (update, assign), final update).
+    */
+  private def lloydLocal(spark: org.apache.spark.sql.SparkSession,
+                         rows: Array[(Long, Seq[Long])], k: Int,
+                         iters: Int, idCol: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val qvs = rows.map { case (id, v) => (id, v.toArray) }
+
+    def centroidsOf(clusters: Array[Int]): Seq[(Int, Seq[Long])] =
+      qvs.indices.groupBy(i => clusters(i)).toSeq.sortBy(_._1)
+        .map { case (cl, idxs) =>
+          val dim = qvs(idxs.head)._2.length
+          val cv = (0 until dim).map { p =>
+            var s = 0L
+            idxs.foreach(i => s = Math.addExact(s, qvs(i)._2(p)))
+            math.floor(s.toDouble / idxs.length).toLong
+          }
+          (cl, cv)
+        }
+
+    def assign(cents: Seq[(Int, Seq[Long])]): (Array[Int], Array[Long]) = {
+      val cls = new Array[Int](qvs.length)
+      val dst = new Array[Long](qvs.length)
+      var i = 0
+      while (i < qvs.length) {
+        val x = qvs(i)._2
+        var bestD = Long.MaxValue
+        var bestC = Int.MaxValue
+        cents.foreach { case (cl, cv) =>
+          var d = 0L
+          var p = 0
+          val m = math.min(x.length, cv.length)
+          while (p < m) { val t = x(p) - cv(p); d += t * t; p += 1 }
+          if (d < bestD || (d == bestD && cl < bestC)) { bestD = d; bestC = cl }
+        }
+        cls(i) = bestC
+        dst(i) = bestD / Quant
+        i += 1
+      }
+      (cls, dst)
+    }
+
+    var cents = centroidsOf(qvs.map(r => Math.floorMod(r._1, k.toLong).toInt))
+    var (cls, dst) = assign(cents)
+    for (_ <- 2 to iters) {
+      cents = centroidsOf(cls)
+      val r = assign(cents); cls = r._1; dst = r._2
+    }
+    cents = centroidsOf(cls)
+    val out = qvs.indices.map(i => (qvs(i)._1, cls(i), dst(i)))
+      .toDF(idCol, "cluster", "dist_q")
+    (out, cents.toDF("cluster", "cv"))
   }
 }

@@ -305,6 +305,26 @@ object SimilarityQueries {
       nQueries = 10, k = 5, probes = IvfPqProbes,
       shortlist = IvfPqShortlist, m = PqM, dim = 64)
 
+  // ---- q_ivfpq_residual: the full production arrangement (rows-only) ----
+
+  /** Residual IVF-PQ ([[graft.ops.Pq.ivfPqResidualTopK]]) — trained
+    * coarse quantizer + PQ codebooks over residuals, the Faiss
+    * production form whose recall the label-mean q_ivfpq_search stands
+    * in for (0.58 → 0.74 at the identical probes/shortlist budget,
+    * measured). Rows-only by design: the coarse quantizer AND sixteen
+    * per-subspace codebooks are iterative k-means fits (deterministic,
+    * seedless modulo init, but a 17-recursion oracle is not a
+    * reasonable replay); q_kmeans proves the Lloyd loop itself
+    * oracle-exactly, q_ivfpq_search proves the composite plan shape,
+    * and SimilaritySpec pins this arrangement's recall floors
+    * (≥0.7 at the budget, strictly above label-mean, near its coarse
+    * ceiling, ≥0.8 at probes=6).
+    */
+  def ivfPqResidual(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.ivfPqResidualTopK(Tables.embeddings(s, dir),
+      nQueries = 10, k = 5, probes = IvfPqProbes,
+      shortlist = IvfPqShortlist, m = PqM, dim = 64)
+
   /** Composes the two validated chains: the IVF coarse CTEs (raw-vector
     * centroids/assignment/probes — verbatim shapes from [[ivfTopKSql]])
     * and the PQ CTEs (normalized codebooks/encoding/ADC tables —

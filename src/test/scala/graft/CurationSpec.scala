@@ -129,6 +129,23 @@ class CurationSpec extends SparkTestBase {
     assert(c2.collect().map(_.toSeq).toSet === c1.collect().map(_.toSeq).toSet)
   }
 
+  test("kmeans lloyd: local fast path is bit-identical to the distributed path") {
+    import spark.implicits._
+    // irregular blobs + interleaved ids so assignments genuinely move
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 120L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(5)(d =>
+        (c * 4 + rnd.nextGaussian() * 0.7 + d * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(7)
+    val (aL, cL) = KMeans.lloyd(df, k = 4, iters = 3) // gated -> local
+    val (aD, cD) = KMeans.lloyd(df, k = 4, iters = 3, localGate = 0) // forced distributed
+    assert(aL.collect().map(_.toSeq).toSet === aD.collect().map(_.toSeq).toSet)
+    assert(cL.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toMap ===
+      cD.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toMap)
+  }
+
   test("kmeans lloyd: inertia never increases across an extra round") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
