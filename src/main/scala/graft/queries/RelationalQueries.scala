@@ -835,7 +835,11 @@ object RelationalQueries {
       .select(pmod(col("doc_id"), lit(3)).as("batch"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
       .select(col("batch"), col("text").substr(col("i"), lit(3)).as("tg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deliberately NOT persisted: the trigram explode is cheap to
+    // recompute and materializing ~15M rows at sf0.1 lost the A/B
+    // (5.14 s persisted vs 4.59 s recomputed; q_heavy_hitters' single
+    // global aggregate reuses grams more and keeps its persist, 2.91
+    // vs 4.83 s — measured both ways per the round-9 persist lesson)
     val perBatch = grams.groupBy("batch")
       .agg(HeavyHitters.mgTopK(k)(col("tg")).as("hh"))
       .select(col("batch"), explode(col("hh.items")).as("it"))
