@@ -1,0 +1,200 @@
+package graft.queries
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Warc
+import graft.text.Normalize
+
+/** WARC ingest queries — the Common Crawl container, oracle-checked.
+  *
+  * Evidence class (the `q_media_decode` trick applied to the archive
+  * container): fixture WARC files are FABRICATED from the documents
+  * table row-by-row (per-record gzip members concatenated into
+  * multi-record blobs, exactly the Common Crawl `.warc.gz` layout),
+  * parsed back through the real [[graft.sources.Warc]] reader, and the
+  * extracted facts — type, URI, date, HTTP status, content type, body
+  * text, body byte length — must hash-match what DuckDB derives
+  * directly from the same documents rows. A wrong Content-Length
+  * computation, a CRLF slip, a gzip member boundary bug, or a broken
+  * HTTP split all surface as a hash mismatch.
+  *
+  * Scale note: the groupBy that assembles multi-record blobs exists
+  * only to FABRICATE archive files from row-wise fixtures inside a
+  * read-only graded query. The production 100 TB path is
+  * [[graft.sources.Warc.readWarcFiles]]: one streamed parse per file,
+  * no shuffle anywhere between the archive bytes and the record rows.
+  */
+object WarcQueries {
+
+  private val DateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  private def warcDate(id: Long): String =
+    LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(id % 86400).format(DateFmt)
+
+  /** Concatenate the gzip members of a bucket (ordered by doc id) into
+    * one multi-record `.warc.gz` blob, then parse it back with the real
+    * reader. Shared fixture path of the graded queries below.
+    */
+  private def parsedRecords(s: SparkSession, dir: String,
+      mkRecord: (Long, String, String) => Warc.WarcRecord): DataFrame = {
+    import s.implicits._
+    val members = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        (id / 16, id, Warc.encodeGzipMember(mkRecord(id, src, text)))
+      }
+      .toDF("bucket", "doc_id", "member")
+    val blobs = members
+      .groupBy("bucket")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("doc_id"), col("member")))),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x.getField("member"))).as("blob"))
+    blobs.select(col("blob")).as[Array[Byte]]
+      .flatMap(Warc.parseAll(_))
+      .toDF()
+  }
+
+  // ---- q_warc_roundtrip: encode -> gzip members -> parse -> HTTP split ----
+
+  /** `response` records wrapping each document as an HTTP/1.1 200
+    * text/plain message. Output is everything the parse recovered,
+    * keyed by the doc id embedded in the target URI.
+    */
+  def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = parsedRecords(s, dir, { (id, src, text) =>
+      val body = Option(text).getOrElse("").getBytes("UTF-8")
+      Warc.WarcRecord(
+        warcType = "response",
+        recordId = s"<urn:graft:$id>",
+        warcDate = warcDate(id),
+        targetUri = s"https://$src.example.org/doc/$id",
+        contentType = "application/http;msgtype=response",
+        contentLength = -1L,
+        payload = Warc.encodeHttpResponse(200, "text/plain; charset=utf-8", body))
+    })
+    recs.as[Warc.WarcRecord]
+      .flatMap { r =>
+        Warc.httpResponse(r.payload).map { h =>
+          val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+          (id, r.warcType, r.targetUri, r.warcDate, h.status, h.contentType,
+            new String(h.body, "UTF-8"), h.body.length.toLong)
+        }
+      }
+      .toDF("doc_id", "warc_type", "target_uri", "warc_date", "http_status",
+        "content_type", "body_text", "body_bytes")
+  }
+
+  val warcRoundtripSql: String =
+    """SELECT doc_id, 'response' AS warc_type,
+      |  'https://' || source || '.example.org/doc/' || doc_id AS target_uri,
+      |  strftime(TIMESTAMP '2024-01-01 00:00:00'
+      |           + (doc_id % 86400) * INTERVAL 1 SECOND,
+      |           '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+      |  CAST(200 AS INT) AS http_status,
+      |  'text/plain; charset=utf-8' AS content_type,
+      |  coalesce(text, '') AS body_text,
+      |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS body_bytes
+      |FROM documents""".stripMargin
+
+  // ---- q_warc_ingest: archive -> HTTP body -> HTML strip -> clean text ----
+
+  /** The full crawl-ingest composition: `response` records carrying an
+    * HTML page, parsed, HTTP-split, tag-stripped and whitespace-
+    * normalised — the first pipeline stage a real crawl snapshot goes
+    * through. The oracle rebuilds the same HTML wrapper in SQL and
+    * applies the identical strip/collapse regexes (both dialects run
+    * `<[^>]+>` and `\s+`, shared with the established P1/P2 oracles).
+    */
+  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = parsedRecords(s, dir, { (id, src, text) =>
+      val html = "<html><head><title>doc " + id + "</title></head><body><p>" +
+        Option(text).getOrElse("") + "</p></body></html>"
+      Warc.WarcRecord(
+        warcType = "response",
+        recordId = s"<urn:graft:$id>",
+        warcDate = warcDate(id),
+        targetUri = s"https://$src.example.org/doc/$id",
+        contentType = "application/http;msgtype=response",
+        contentLength = -1L,
+        payload = Warc.encodeHttpResponse(200, "text/html; charset=utf-8",
+          html.getBytes("UTF-8")))
+    })
+    val bodies = recs.as[Warc.WarcRecord]
+      .flatMap { r =>
+        Warc.httpResponse(r.payload)
+          .filter(_.contentType.startsWith("text/html"))
+          .map { h =>
+            val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+            (id, new String(h.body, "UTF-8"))
+          }
+      }
+      .toDF("doc_id", "raw_html")
+    bodies.select(
+      col("doc_id"),
+      trim(regexp_replace(Normalize.stripHtml(col("raw_html")), "\\s+", " "))
+        .as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+  }
+
+  val warcIngestSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>doc ' || doc_id ||
+      |    '</title></head><body><p>' || coalesce(text, '') ||
+      |    '</p></body></html>' AS raw_html
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(raw_html, '<[^>]+>', ' ', 'g'),
+      |                        '\s+', ' ', 'g')) AS clean_text
+      |  FROM pages)
+      |SELECT doc_id, clean_text,
+      |  CAST(length(clean_text) AS BIGINT) AS n_chars
+      |FROM stripped""".stripMargin
+
+  // ---- q_wet_domains: WET conversion records -> per-host corpus stats ----
+
+  /** WET extracts (`conversion` records, text/plain payload = the
+    * extracted text itself), aggregated per host — the "what does this
+    * crawl slice contain per domain" inventory query that drives
+    * per-domain caps and blocklists downstream.
+    */
+  def wetDomains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = parsedRecords(s, dir, { (id, _, text) =>
+      Warc.WarcRecord(
+        warcType = "conversion",
+        recordId = s"<urn:graft:wet:$id>",
+        warcDate = warcDate(id),
+        targetUri = s"https://d${id % 50}.example.org/page/$id",
+        contentType = "text/plain",
+        contentLength = -1L,
+        payload = Option(text).getOrElse("").getBytes("UTF-8"))
+    })
+    recs
+      .filter(col("warcType") === "conversion")
+      .withColumn("host", substring_index(col("targetUri"), "/", 3))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("contentLength")).as("total_bytes"),
+        max(col("contentLength")).as("max_bytes"))
+  }
+
+  val wetDomainsSql: String =
+    """SELECT 'https://d' || (doc_id % 50) || '.example.org' AS host,
+      |  count(*) AS n_pages,
+      |  CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+      |    AS total_bytes,
+      |  CAST(max(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+      |    AS max_bytes
+      |FROM documents GROUP BY 1""".stripMargin
+}

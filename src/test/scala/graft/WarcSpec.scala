@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Warc
+import graft.sources.Warc.{HttpResponse, WarcRecord}
+
+/** WARC (ISO 28500) reader/writer: spec-exact framing, gzip-member
+  * layout, streamed file reads, HTTP payload split, and the
+  * malformed→stop-never-throw contract.
+  */
+class WarcSpec extends SparkTestBase {
+
+  private def rec(i: Int, body: String = null,
+      wtype: String = "response"): WarcRecord = {
+    val payload = Option(body).getOrElse(s"payload body $i").getBytes("UTF-8")
+    WarcRecord(wtype, s"<urn:test:$i>", "2024-01-01T00:00:00Z",
+      s"https://example.org/p/$i", "text/plain", payload.length.toLong, payload)
+  }
+
+  test("encode/parse roundtrip: plain concatenation, all fields survive") {
+    val recs = (0 until 5).map(rec(_))
+    val bytes = recs.map(Warc.encodeRecord).reduce(_ ++ _)
+    val back = Warc.parseAll(bytes)
+    assert(back.length === 5)
+    back.zip(recs).foreach { case (b, r) =>
+      assert(b.warcType === r.warcType)
+      assert(b.recordId === r.recordId)
+      assert(b.warcDate === r.warcDate)
+      assert(b.targetUri === r.targetUri)
+      assert(b.contentType === r.contentType)
+      assert(b.contentLength === r.payload.length.toLong)
+      assert(b.payload.toSeq === r.payload.toSeq)
+    }
+  }
+
+  test("gzip members: per-record members concatenate into one valid file") {
+    val recs = (0 until 4).map(rec(_))
+    val gz = recs.map(Warc.encodeGzipMember).reduce(_ ++ _)
+    val back = Warc.parseAll(gz)
+    assert(back.map(_.recordId) === recs.map(_.recordId))
+    assert(back.map(_.payload.toSeq) === recs.map(_.payload.toSeq))
+  }
+
+  test("payload bytes are opaque: CRLFCRLF and fake WARC headers inside " +
+    "a payload do not break framing (Content-Length is authoritative)") {
+    val evil = "\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n"
+    val recs = Seq(rec(0, evil), rec(1, "after"))
+    val back = Warc.parseAll(recs.map(Warc.encodeRecord).reduce(_ ++ _))
+    assert(back.length === 2)
+    assert(new String(back(0).payload, "UTF-8") === evil)
+    assert(new String(back(1).payload, "UTF-8") === "after")
+  }
+
+  test("malformed: truncated payload yields the records before it, no throw") {
+    val good = Warc.encodeRecord(rec(0))
+    val bad = Warc.encodeRecord(rec(1)).dropRight(10)
+    assert(Warc.parseAll(good ++ bad).map(_.recordId) === Seq("<urn:test:0>"))
+  }
+
+  test("malformed: bad version line / missing length / negative length / " +
+    "oversized length / garbage bytes / empty / null all parse to Nil") {
+    assert(Warc.parseAll("HTTP/1.1 200 OK\r\n\r\n".getBytes) === Nil)
+    assert(Warc.parseAll(
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes) === Nil)
+    assert(Warc.parseAll(
+      "WARC/1.0\r\nContent-Length: -5\r\n\r\n".getBytes) === Nil)
+    assert(Warc.parseAll(
+      s"WARC/1.0\r\nContent-Length: ${Long.MaxValue}\r\n\r\n".getBytes) === Nil)
+    assert(Warc.parseAll(Array.fill[Byte](64)(0x41)) === Nil)
+    assert(Warc.parseAll(Array.emptyByteArray) === Nil)
+    assert(Warc.parseAll(null) === Nil)
+  }
+
+  test("bomb guard: a header line that never terminates stops the parse " +
+    "at MaxHeaderBytes instead of buffering unboundedly") {
+    val huge = ("WARC/1.0\r\nX-Pad: " + "a" * (Warc.MaxHeaderBytes + 100))
+      .getBytes("UTF-8")
+    assert(Warc.parseAll(huge) === Nil)
+  }
+
+  test("bomb guard: truncated gzip stream yields records before the cut") {
+    val gz = (0 until 3).map(i => Warc.encodeGzipMember(rec(i))).reduce(_ ++ _)
+    val cut = gz.dropRight(8)
+    val back = Warc.parseAll(cut)
+    assert(back.length <= 3 && !back.exists(_.recordId == "<urn:test:99>"))
+  }
+
+  test("LF-only line endings are tolerated in headers") {
+    val lf = ("WARC/1.0\nWARC-Type: resource\nWARC-Record-ID: <urn:x>\n" +
+      "Content-Type: text/plain\nContent-Length: 2\n\nhi\r\n\r\n").getBytes
+    val back = Warc.parseAll(lf)
+    assert(back.length === 1)
+    assert(back.head.warcType === "resource")
+    assert(new String(back.head.payload) === "hi")
+  }
+
+  test("httpResponse: status, case-insensitive Content-Type, exact body") {
+    val body = "the body é文".getBytes("UTF-8")
+    val msg = Warc.encodeHttpResponse(404, "text/html; charset=utf-8", body)
+    val Some(HttpResponse(status, ct, b)) = Warc.httpResponse(msg)
+    assert(status === 404)
+    assert(ct === "text/html; charset=utf-8")
+    assert(b.toSeq === body.toSeq)
+    // lower-case header variant
+    val lower = ("HTTP/1.1 200 OK\r\ncontent-type: a/b\r\n\r\nx").getBytes
+    assert(Warc.httpResponse(lower).map(_.contentType) === Some("a/b"))
+  }
+
+  test("httpResponse: malformed messages -> None, never throw") {
+    assert(Warc.httpResponse(null) === None)
+    assert(Warc.httpResponse("no blank line".getBytes) === None)
+    assert(Warc.httpResponse("junk\r\n\r\nbody".getBytes) === None)
+    assert(Warc.httpResponse("HTTP/1.1\r\n\r\n".getBytes) === None)
+    assert(Warc.httpResponse("HTTP/1.1 abc OK\r\n\r\n".getBytes) === None)
+  }
+
+  test("file-level roundtrip: writeWarcFiles -> readWarcFiles, " +
+    ".warc.gz, multi-partition, record set survives exactly") {
+    import spark.implicits._
+    val recs = (0 until 64).map(rec(_))
+    val ds = spark.createDataset(recs).repartition(4)
+    val dir = Files.createTempDirectory("warc").toString
+    Warc.writeWarcFiles(ds, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length === 4)
+    val back = Warc.readWarcFiles(spark, s"$dir/*.warc.gz")
+    assert(back.count() === 64L)
+    val ids = back.select("record_id").as[String].collect().sorted
+    assert(ids.toSeq === recs.map(_.recordId).sorted)
+    val lens = back.select("content_length").as[Long].collect().sum
+    assert(lens === recs.map(_.contentLength).sum)
+    // payloads byte-exact
+    val bodies = back.select("record_id", "payload")
+      .as[(String, Array[Byte])].collect().toMap
+    recs.foreach(r => assert(bodies(r.recordId).toSeq === r.payload.toSeq))
+  }
+
+  test("readWarcFiles: plain .warc files (no gzip) read identically") {
+    val recs = (0 until 8).map(rec(_))
+    val dir = Files.createTempDirectory("warcplain").toString
+    val f = new java.io.FileOutputStream(s"$dir/a.warc")
+    recs.foreach(r => f.write(Warc.encodeRecord(r)))
+    f.close()
+    val back = Warc.readWarcFiles(spark, s"$dir/a.warc")
+    assert(back.count() === 8L)
+  }
+}
