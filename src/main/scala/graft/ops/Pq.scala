@@ -406,7 +406,7 @@ object Pq {
                         probes: Int = 2, shortlist: Int = 50,
                         m: Int = 16, dim: Int = 64,
                         coarseK: Int = 10, codesK: Int = 10,
-                        iters: Int = 3): DataFrame = {
+                        iters: Int = 3, assign: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -441,12 +441,31 @@ object Pq {
           .getField("label").as("assigned_centroid"), col("__vn"))
       .select(col("vec_id"), col("assigned_centroid"),
         residualOf(col("__vn"), col("assigned_centroid")).as("__res"))
-    // PQ codebooks over the residuals (no re-normalization)
+    // PQ codebooks over the residuals (no re-normalization); trained on
+    // PRIMARY-cell residuals only — the model is "offset from own cell",
+    // and secondary entries (multi-assignment below) reuse it
     val cbRows = collectCodebook(
       lloydCodebooksOver(staged.select(col("vec_id"),
         col("__res").as("__vec")), m, dim, codesK, iters), m)
     val cbl = codebookLiteral(cbRows)
-    val encoded = staged.select(col("vec_id"), col("assigned_centroid"),
+    // Multi-assignment (Faiss's IVF trick for raising the coarse
+    // ceiling without more probes): index each corpus vector in its
+    // `assign` nearest cells, so a neighbor whose best cell the query
+    // does not probe stays reachable through its second cell. Index
+    // size scales ×assign; probe cost per list is unchanged; the plan
+    // is the same one projection (probeLabels(…,1) ≡ bestCentroid —
+    // shared comparator — so assign=1 keeps the original plan).
+    val cells =
+      if (assign <= 1) staged
+      else emb
+        .select(col("vec_id"),
+          normalized(asDouble(col("embedding"))).as("__vn"))
+        .select(col("vec_id"), col("__vn"),
+          explode(Similarity.probeLabels(col("__vn"), cents, assign))
+            .as("assigned_centroid"))
+        .select(col("vec_id"), col("assigned_centroid"),
+          residualOf(col("__vn"), col("assigned_centroid")).as("__res"))
+    val encoded = cells.select(col("vec_id"), col("assigned_centroid"),
       graft.plans.PqCodes(col("__res"), codebookFlat(cbRows), sub)
         .as("__codes"))
     // query side: probe cells from the normalized vector; the ADC table
@@ -476,7 +495,15 @@ object Pq {
           element_at(col("__codes"), mi + 1) + 1)).reduce(_ + _))
       .select(col("query_id"), col("vec_id"),
         (-col("dist_q").cast("double")).as("cosine"))
-    val short = TopK.perQuery(cand, shortlist).select("query_id", "vec_id")
+    // multi-assignment can reach the same (query, vec) through two
+    // probed cells; keep its best ADC score so duplicates cannot eat
+    // shortlist slots (map-side partial max, tiny keyed shuffle)
+    val candUniq =
+      if (assign <= 1) cand
+      else cand.groupBy("query_id", "vec_id")
+        .agg(max(col("cosine")).as("cosine"))
+    val short = TopK.perQuery(candUniq, shortlist)
+      .select("query_id", "vec_id")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -161,6 +161,127 @@ object WarcQueries {
       |  CAST(length(clean_text) AS BIGINT) AS n_chars
       |FROM stripped""".stripMargin
 
+  // ---- q_cdx_roundtrip: CDXJ index lines -> parse -> typed fields --------
+
+  /** CDXJ index roundtrip: each document becomes one index line
+    * (SURT key + 14-digit timestamp + JSON block), composed and parsed
+    * back by [[graft.sources.Cdx]]. The fixture URL is deliberately
+    * messy (mixed case, `www.` label, explicit `:443` port) so the
+    * SURT kernel's lowercase/port-strip/label-reversal all fire; the
+    * oracle re-derives the key from the same URL with DuckDB's own
+    * regex/list functions — general replay of the kernel logic, not of
+    * the fixture's shape.
+    */
+  def cdxRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Domains
+    import graft.sources.Cdx
+    val docs = Tables.documents(s, dir)
+    val url = concat(lit("https://WWW."), col("source"),
+      lit(".Example.org:443/Doc/"), col("doc_id").cast("string"), lit("?q=1"))
+    val secs = col("doc_id") % 86400
+    def pad2(c: org.apache.spark.sql.Column) =
+      lpad(c.cast("int").cast("string"), 2, "0")
+    val ts14 = concat(lit("20240101"), pad2(floor(secs / 3600)),
+      pad2(floor((secs % 3600) / 60)), pad2(secs % 60))
+    val lines = docs.select(
+      Cdx.toCdxjLine(Domains.surtKey(url), ts14, url, lit("text/html"),
+        lit("200"), octet_length(coalesce(col("text"), lit("")))).as("line"))
+    Cdx.parseCdxj(lines, "line")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "/Doc/([0-9]+)", 1).cast("long"))
+  }
+
+  val cdxRoundtripSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://WWW.' || source || '.Example.org:443/Doc/' || doc_id
+      |      || '?q=1' AS url,
+      |    octet_length(encode(coalesce(text, ''))) AS nb
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, url, nb,
+      |    regexp_replace(lower(url),
+      |      '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?', '') AS rest
+      |  FROM u)
+      |SELECT doc_id,
+      |  array_to_string(list_reverse(string_split(
+      |      regexp_extract(rest, '^([^/:?#]+)', 1), '.')), ',')
+      |    || ')' || regexp_replace(rest, '^[^/:?#]+(:[0-9]+)?', '') AS surt,
+      |  '20240101' || lpad(CAST((doc_id % 86400) // 3600 AS VARCHAR), 2, '0')
+      |    || lpad(CAST(((doc_id % 86400) % 3600) // 60 AS VARCHAR), 2, '0')
+      |    || lpad(CAST((doc_id % 86400) % 60 AS VARCHAR), 2, '0') AS cdx_ts,
+      |  url, 'text/html' AS mime, CAST(200 AS INT) AS status,
+      |  CAST(nb AS BIGINT) AS n_bytes
+      |FROM s""".stripMargin
+
+  // ---- q_robots_gate: RFC 9309 longest-match compliance gate -------------
+
+  /** Robots compliance gate over the crawl: per-host rule tables
+    * (the extracted form of each origin's robots.txt) gated against
+    * every document URL with [[graft.ops.Robots.gate]] — one broadcast
+    * prefix join + a struct-max argmax, no corpus shuffle. The fixture
+    * rule set is built so every RFC 9309 precedence clause is
+    * decisive somewhere: `/doc/x…` matches both `/doc/x` (disallow,
+    * len 6) and `/doc/` (allow, len 5) — longest wins, disallowed;
+    * every-5th host carries an equal-length allow/disallow pair on
+    * `/doc/` — the tie resolves to ALLOW; `/page/` is disallowed only
+    * on even hosts — odd-host pages match nothing and default-allow.
+    * DuckDB replays the same join + lexicographic list-max.
+    */
+  def robotsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Robots
+    val rules = (0 until 50).flatMap { h =>
+      val base = Seq(("/private/", false), ("/doc/x", false), ("/doc/", true))
+      val even = if (h % 2 == 0) Seq(("/page/", false)) else Nil
+      val tie = if (h % 5 == 0) Seq(("/doc/", false)) else Nil
+      (base ++ even ++ tie).map { case (p, a) =>
+        (s"d$h.example.org", p, a)
+      }
+    }.toDF("host", "rule_path", "allow")
+    val urls = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("d"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org")).as("host"),
+      concat(
+        element_at(
+          array(lit("/doc/"), lit("/private/"), lit("/page/"), lit("/doc/x")),
+          (col("doc_id") % 4).cast("int") + 1),
+        col("doc_id").cast("string")).as("path"))
+    Robots.gate(urls, rules)
+  }
+
+  val robotsGateSql: String =
+    """WITH hosts AS (SELECT unnest(generate_series(0, 49)) AS h),
+      |rules AS (
+      |  SELECT 'd' || h || '.example.org' AS host,
+      |         '/private/' AS rule_path, false AS allow FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/x', false
+      |    FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/', true
+      |    FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/page/', false
+      |    FROM hosts WHERE h % 2 = 0
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/', false
+      |    FROM hosts WHERE h % 5 = 0),
+      |urls AS (
+      |  SELECT doc_id, 'd' || (doc_id % 50) || '.example.org' AS host,
+      |    (CASE doc_id % 4 WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
+      |      WHEN 2 THEN '/page/' ELSE '/doc/x' END) || doc_id AS path
+      |  FROM documents),
+      |m AS (
+      |  SELECT u.doc_id, u.host, u.path, r.rule_path, r.allow
+      |  FROM urls u LEFT JOIN rules r
+      |    ON u.host = r.host AND starts_with(u.path, r.rule_path)),
+      |v AS (
+      |  SELECT doc_id, host, path,
+      |    max(CASE WHEN rule_path IS NOT NULL THEN
+      |      [length(rule_path), CAST(allow AS INT)] END) AS best
+      |  FROM m GROUP BY 1, 2, 3)
+      |SELECT doc_id, host, path,
+      |  coalesce(best[2] = 1, true) AS allowed
+      |FROM v""".stripMargin
+
   // ---- q_wet_domains: WET conversion records -> per-host corpus stats ----
 
   /** WET extracts (`conversion` records, text/plain payload = the

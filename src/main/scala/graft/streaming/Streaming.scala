@@ -59,6 +59,44 @@ object Streaming {
     }
   }
 
+  /** Streaming WARC intake: watch a landing directory for crawl
+    * archives (`.warc` / `.warc.gz`) and emit parsed records as they
+    * arrive — the incremental counterpart of
+    * [[graft.sources.Warc.readWarcFiles]] for continuous crawl drops.
+    *
+    * Shape: the `binaryFile` file-stream source tracks arrivals
+    * (checkpointable, exactly-once per file), `maxFilesPerTrigger`
+    * bounds batch size, and the same bomb-guarded parser used by the
+    * batch path turns each archive into record rows — a malformed drop
+    * yields its prefix instead of killing the stream. Intake archives
+    * should follow the crawl convention of bounded file sizes (the
+    * source materialises one file per row); the per-record caps bound
+    * everything downstream.
+    */
+  def readWarc(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    // the binaryFile source's fixed schema (streams cannot infer)
+    val binaryFileSchema = StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.sources.Warc.parseAll(bytes).map { r =>
+          (path, r.warcType, r.recordId, r.warcDate, r.targetUri,
+            r.contentType, r.contentLength, r.payload)
+        }
+      }
+      .toDF("file", "warc_type", "record_id", "warc_date", "target_uri",
+        "content_type", "content_length", "payload")
+  }
+
   /** Open a JSONL landing directory as a stream with an explicit schema
     * (streams cannot infer; `maxFilesPerTrigger` bounds batch size).
     */

@@ -133,6 +133,21 @@ class SimilaritySpec extends SparkTestBase {
     val recall6 = (exact & p6).size.toDouble / exact.size
     println(s"SIM ivfpq residual recall probes=6 shortlist=50 = $recall6")
     assert(recall6 >= 0.8, s"residual IVF-PQ probes=6 recall $recall6")
+    // multi-assignment (assign=2) raises the COARSE ceiling at the
+    // same probe budget: a neighbor whose best cell the query does not
+    // probe stays reachable through its second cell. Index ×2, probe
+    // cost unchanged — the cheap knob when the ceiling, not the codes,
+    // is the loss (measured 0.74 -> 0.86 at probes=4/shortlist=50 —
+    // above even probes=6's 0.84 at two-thirds the probe cost).
+    val ma = Pq.ivfPqResidualTopK(emb, nQueries = 10, k = 5,
+        probes = 4, shortlist = 50, assign = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallMa = (exact & ma).size.toDouble / exact.size
+    println(s"SIM ivfpq residual assign=2 recall probes=4 shortlist=50 = $recallMa")
+    assert(recallMa >= 0.8, s"multi-assign recall $recallMa")
+    assert(recallMa > recall,
+      s"assign=2 did not lift the probes=4 ceiling: $recallMa vs $recall")
   }
 
   test("Lloyd-trained PQ codebooks cut reconstruction error vs label means") {

@@ -15,6 +15,43 @@ class StreamingSpec extends SparkTestBase {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("WARC intake stream: archives dropped into the landing dir " +
+    "arrive as parsed records, incrementally per file") {
+    import java.nio.file.Files
+    import graft.sources.Warc
+    import spark.implicits._
+    def rec(i: Int, wtype: String): Warc.WarcRecord = {
+      val p = s"body $i".getBytes("UTF-8")
+      Warc.WarcRecord(wtype, s"<urn:s:$i>", "2024-01-01T00:00:00Z",
+        s"https://example.org/$i", "text/plain", p.length.toLong, p)
+    }
+    def drop(dir: String, name: String, recs: Seq[Warc.WarcRecord]): Unit = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      recs.foreach(r => f.write(Warc.encodeGzipMember(r)))
+      f.close()
+    }
+    val dir = Files.createTempDirectory("warcstream").toString
+    drop(dir, "a.warc.gz", (0 until 3).map(rec(_, "response")))
+    drop(dir, "b.warc.gz", (3 until 5).map(rec(_, "conversion")))
+    val agg = Streaming.readWarc(spark, dir)
+      .groupBy("warc_type")
+      .agg(count(lit(1)).as("n"), sum("content_length").as("bytes"))
+    val q = agg.writeStream.format("memory").queryName("warc_intake")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("warc_intake")
+        .select("warc_type", "n").as[(String, Long)].collect().toMap
+      assert(first === Map("response" -> 3L, "conversion" -> 2L))
+      // a later drop is picked up incrementally, prior files not re-read
+      drop(dir, "c.warc.gz", (5 until 9).map(rec(_, "response")))
+      q.processAllAvailable()
+      val second = spark.table("warc_intake")
+        .select("warc_type", "n").as[(String, Long)].collect().toMap
+      assert(second === Map("response" -> 7L, "conversion" -> 2L))
+    } finally q.stop()
+  }
+
   test("tumbling window aggregates per event type (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

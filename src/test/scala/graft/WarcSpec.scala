@@ -137,6 +137,45 @@ class WarcSpec extends SparkTestBase {
     recs.foreach(r => assert(bodies(r.recordId).toSeq === r.payload.toSeq))
   }
 
+  test("surtKey: label reversal, scheme/userinfo/port drop, lowercase, " +
+    "query kept, degenerate inputs don't throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val in = Seq(
+      "https://www.Example.ORG/page/1",
+      "http://user:pw@a.b.co:8080/x?q=2",
+      "https://single/",
+      "ftp://f.example.com",
+      "not a url",
+      "").toDF("u")
+    val out = in.select(graft.ops.Domains.surtKey(col("u"))).as[String].collect()
+    assert(out(0) === "org,example,www)/page/1")
+    assert(out(1) === "co,b,a)/x?q=2")
+    assert(out(2) === "single)/")
+    assert(out(3) === "com,example,f)")
+    assert(out(4) === "not a url)") // non-URLs: host regex eats up to first /:?#
+    assert(out(5) === ")")
+  }
+
+  test("CDXJ: compose/parse roundtrip + malformed lines yield nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.Cdx
+    val lines = Seq(("org,example)/p 20240101000000",
+      """{"url":"https://example.org/p","mime":"text/html","status":"200","length":"42"}"""))
+      .map { case (a, b) => s"$a $b" }
+      .toDF("line")
+    val parsed = Cdx.parseCdxj(lines, "line")
+      .select("surt", "cdx_ts", "url", "mime", "status", "n_bytes")
+      .as[(String, String, String, String, Int, Long)].collect()
+    assert(parsed.head === (("org,example)/p", "20240101000000",
+      "https://example.org/p", "text/html", 200, 42L)))
+    val bad = Seq("no-json-here", "a b {not json}", "").toDF("line")
+    val badParsed = Cdx.parseCdxj(bad, "line").collect()
+    assert(badParsed.length === 3)
+    assert(badParsed.forall(_.isNullAt(2))) // url null on every malformed line
+  }
+
   test("readWarcFiles: plain .warc files (no gzip) read identically") {
     val recs = (0 until 8).map(rec(_))
     val dir = Files.createTempDirectory("warcplain").toString
