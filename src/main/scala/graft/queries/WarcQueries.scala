@@ -113,11 +113,26 @@ object WarcQueries {
     * applies the identical strip/collapse regexes (both dialects run
     * `<[^>]+>` and `\s+`, shared with the established P1/P2 oracles).
     */
-  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+  def warcIngest(s: SparkSession, dir: String): DataFrame =
+    ingestHtml(s, dir, plantDups = false)
+
+  /** Shared HTML-ingest fixture path; `plantDups` swaps every
+    * (id % 11 == 7) body for a constant page so the e2e chain's dedup
+    * stage genuinely fires (the q_media_e2e self-seeding trick).
+    */
+  private def ingestHtml(s: SparkSession, dir: String,
+      plantDups: Boolean): DataFrame = {
     import s.implicits._
     val recs = parsedRecords(s, dir, { (id, src, text) =>
-      val html = "<html><head><title>doc " + id + "</title></head><body><p>" +
-        Option(text).getOrElse("") + "</p></body></html>"
+      // the title carries the doc id, so a planted page must be
+      // constant END TO END (title included) or stripping leaves every
+      // copy unique
+      val html =
+        if (plantDups && id % 11 == 7)
+          "<html><head><title>dup</title></head><body><p>" +
+            "planted duplicate page</p></body></html>"
+        else "<html><head><title>doc " + id + "</title></head><body><p>" +
+          Option(text).getOrElse("") + "</p></body></html>"
       Warc.WarcRecord(
         warcType = "response",
         recordId = s"<urn:graft:$id>",
@@ -281,6 +296,119 @@ object WarcQueries {
       |SELECT doc_id, host, path,
       |  coalesce(best[2] = 1, true) AS allowed
       |FROM v""".stripMargin
+
+  // ---- q_crawl_e2e: WARC -> HTML strip -> robots gate -> dedup, ONE oracle
+
+  /** The crawl-stack composition, end to end as one graded artifact
+    * (the crawl analogue of q_curation_e2e): archives parsed by the
+    * real WARC reader, HTTP bodies HTML-stripped, every URL gated by the
+    * RFC 9309 longest-match robots verdict, survivors exact-deduped on
+    * the canon hash (first doc id kept), and every document assigned a
+    * first-match-wins disposition: `robots_blocked` → `duplicate` →
+    * `kept`. DuckDB replays the ENTIRE chain as composed CTEs — the
+    * same strip regexes, the same rules join + lexicographic list-max,
+    * the same md5-canon window — so one hash checks that the stages
+    * compose, not just that each works alone.
+    *
+    * Scale shape: ingest is shuffle-free (records flow from the
+    * archive scan), the robots side broadcasts (per-host dim state),
+    * and the single corpus-keyed shuffle is the dedup groupBy on the
+    * canon hash — exactly the minimum the semantics require.
+    */
+  def crawlE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Robots
+    // planted duplicates (id % 11 == 7 shares one body) make the dedup
+    // stage decisive, not vacuously green
+    val ingested = ingestHtml(s, dir, plantDups = true)
+    val rules = {
+      import s.implicits._
+      (0 until 50).flatMap { h =>
+        val base = Seq(("/private/", false), ("/doc/x", false), ("/doc/", true))
+        val even = if (h % 2 == 0) Seq(("/page/", false)) else Nil
+        val tie = if (h % 5 == 0) Seq(("/doc/", false)) else Nil
+        (base ++ even ++ tie).map { case (p, a) => (s"d$h.example.org", p, a) }
+      }.toDF("host", "rule_path", "allow")
+    }
+    val urls = ingested.select(
+      col("doc_id"),
+      concat(lit("d"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org")).as("host"),
+      concat(
+        element_at(
+          array(lit("/doc/"), lit("/private/"), lit("/page/"), lit("/doc/x")),
+          (col("doc_id") % 4).cast("int") + 1),
+        col("doc_id").cast("string")).as("path"))
+    val gated = Robots.gate(urls, rules).select("doc_id", "allowed")
+    val canon = ingested.join(gated, Seq("doc_id"))
+      .withColumn("__canon", md5(Normalize.canonExact(col("clean_text"))))
+    val winners = canon.filter(col("allowed"))
+      .groupBy("__canon").agg(min(col("doc_id")).as("__winner"))
+    canon.join(winners, Seq("__canon"), "left")
+      .select(col("doc_id"),
+        when(!col("allowed"), lit("robots_blocked"))
+          .when(col("doc_id") =!= col("__winner"), lit("duplicate"))
+          .otherwise(lit("kept")).as("disposition"),
+        col("n_chars"))
+  }
+
+  val crawlE2eSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 7 THEN
+      |      '<html><head><title>dup</title></head><body><p>' ||
+      |      'planted duplicate page</p></body></html>'
+      |    ELSE
+      |      '<html><head><title>doc ' || doc_id ||
+      |      '</title></head><body><p>' || coalesce(text, '') ||
+      |      '</p></body></html>'
+      |    END AS raw_html
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(raw_html, '<[^>]+>', ' ', 'g'),
+      |                        '\s+', ' ', 'g')) AS clean_text
+      |  FROM pages),
+      |hosts AS (SELECT unnest(generate_series(0, 49)) AS h),
+      |rules AS (
+      |  SELECT 'd' || h || '.example.org' AS host,
+      |         '/private/' AS rule_path, false AS allow FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/x', false
+      |    FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/', true
+      |    FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/page/', false
+      |    FROM hosts WHERE h % 2 = 0
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/', false
+      |    FROM hosts WHERE h % 5 = 0),
+      |urls AS (
+      |  SELECT doc_id, 'd' || (doc_id % 50) || '.example.org' AS host,
+      |    (CASE doc_id % 4 WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
+      |      WHEN 2 THEN '/page/' ELSE '/doc/x' END) || doc_id AS path
+      |  FROM stripped),
+      |m AS (
+      |  SELECT u.doc_id, r.rule_path, r.allow
+      |  FROM urls u LEFT JOIN rules r
+      |    ON u.host = r.host AND starts_with(u.path, r.rule_path)),
+      |gate AS (
+      |  SELECT doc_id,
+      |    coalesce(max(CASE WHEN rule_path IS NOT NULL THEN
+      |      [length(rule_path), CAST(allow AS INT)] END)[2] = 1, true)
+      |      AS allowed
+      |  FROM m GROUP BY doc_id),
+      |canon AS (
+      |  SELECT s.doc_id, g.allowed,
+      |    md5(trim(regexp_replace(lower(coalesce(s.clean_text, '')),
+      |                            '\s+', ' ', 'g'))) AS c,
+      |    length(s.clean_text) AS n_chars
+      |  FROM stripped s JOIN gate g USING (doc_id)),
+      |w AS (
+      |  SELECT c, min(doc_id) AS winner FROM canon WHERE allowed GROUP BY c)
+      |SELECT canon.doc_id,
+      |  CASE WHEN NOT canon.allowed THEN 'robots_blocked'
+      |       WHEN canon.doc_id <> w.winner THEN 'duplicate'
+      |       ELSE 'kept' END AS disposition,
+      |  CAST(canon.n_chars AS BIGINT) AS n_chars
+      |FROM canon LEFT JOIN w USING (c)""".stripMargin
 
   // ---- q_wet_domains: WET conversion records -> per-host corpus stats ----
 

@@ -125,6 +125,107 @@ object Sinks {
     writePartitionedParquet(graft.ops.Retrieval.splitAssign(df)
       .drop("bucket"), outDir, Seq("split"))
 
+  /** Maximum tokens per sequence the binary token reader will allocate
+    * for — a corrupt index row cannot force an unbounded buffer.
+    */
+  val MaxTokensPerSeq: Int = 16 << 20
+
+  /** Binary token-shard export — the Megatron-LM-style layout
+    * large-scale training loaders actually consume: one `part-N.bin`
+    * per partition holding every sequence's token ids concatenated as
+    * little-endian uint32, plus a PARQUET index (seq_id, file,
+    * byte offset, token count). A parquet index instead of the
+    * classic binary `.idx` keeps the manifest queryable/joinable like
+    * every other table here (and partition-prunable at 100 TB); the
+    * `.bin` payload is byte-identical in spirit: tokens back to back,
+    * zero framing, mmap-ready.
+    *
+    * Scale shape: each task streams its partition into one file
+    * (size-tune with repartition upstream, same as every sink); the
+    * index rows are EMITTED BY the same pass that writes the bytes, so
+    * the export is one job, no second scan. Returns nothing; read back
+    * with [[readTokenBin]].
+    */
+  def writeTokenBin(df: DataFrame, outDir: String,
+      seqCol: String = "seq_id", tokensCol: String = "input_ids"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val index = df.select(col(seqCol).cast("long"),
+        col(tokensCol).cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.bin")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = new java.io.BufferedOutputStream(fs.create(path, true))
+          var offset = 0L
+          val rows = Vector.newBuilder[(Long, String, Long, Long)]
+          try it.foreach { case (id, toks) =>
+            val ts = Option(toks).getOrElse(Seq.empty)
+            ts.foreach { t =>
+              out.write(t & 0xff); out.write((t >>> 8) & 0xff)
+              out.write((t >>> 16) & 0xff); out.write((t >>> 24) & 0xff)
+            }
+            rows += ((id, path.toString, offset, ts.length.toLong))
+            offset += 4L * ts.length
+          } finally out.close()
+          rows.result().iterator
+        }
+      }
+      .toDF("seq_id", "file", "byte_offset", "n_tokens")
+    // writing the index IS the action that streams the .bin bytes
+    index.write.mode("overwrite").parquet(s"$outDir/index")
+  }
+
+  /** Read a [[writeTokenBin]] export back to (seq_id, input_ids).
+    * One task per shard file (the index groups by file, each group
+    * replays its slices in offset order through one sequential stream
+    * — no per-sequence reopen, no seek storm).
+    */
+  def readTokenBin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/index")
+      .select(col("seq_id").cast("long"), col("file"),
+        col("byte_offset").cast("long"), col("n_tokens").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (file, rows) =>
+        val path = new org.apache.hadoop.fs.Path(file)
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(path)))
+        var pos = 0L
+        val sorted = rows.toVector.sortBy(_._3)
+        val out = sorted.iterator.map { case (id, _, off, n) =>
+          require(n >= 0 && n <= MaxTokensPerSeq, s"index row oversized: $n")
+          require(off >= pos, s"overlapping index rows at offset $off")
+          in.skipNBytes(off - pos)
+          val toks = new Array[Int](n.toInt)
+          var i = 0
+          while (i < toks.length) {
+            val a = in.read(); val b = in.read(); val c = in.read()
+            val d = in.read()
+            if ((a | b | c | d) < 0) throw new java.io.EOFException(file)
+            toks(i) = a | (b << 8) | (c << 16) | (d << 24)
+            i += 1
+          }
+          pos = off + 4L * n
+          (id, toks.toSeq)
+        }
+        new Iterator[(Long, Seq[Int])] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): (Long, Seq[Int]) = out.next()
+        }
+      }
+      .toDF("seq_id", "input_ids")
+  }
+
   /** S6: small aggregate to a single headered CSV (reports are tiny —
     * one row per reason/shard — so coalesce(1) is deliberate).
     */

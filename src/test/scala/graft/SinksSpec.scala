@@ -22,6 +22,35 @@ class SinksSpec extends SparkTestBase {
       "mixture_name", "quality_score", "shard_id")
   }
 
+  test("token-bin export: multi-partition round trip, 32-bit ids, " +
+    "empty sequences, LE byte layout") {
+    import spark.implicits._
+    // ids exercise the full 32-bit range (×65537 wraps negative)
+    val data = (0L until 100L).map(i =>
+      (i, (0 until (i % 7).toInt).map(j => (i * 31 + j).toInt * 65537)))
+    val dir = tmpDir("tokbin")
+    Sinks.writeTokenBin(data.toDF("seq_id", "input_ids").repartition(4), dir)
+    val back = Sinks.readTokenBin(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back.size === 100)
+    data.foreach { case (id, toks) => assert(back(id) === toks, s"seq $id") }
+    // shard count tracks partitions; bytes are raw LE uint32 (mmap-ready)
+    val bins = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+    assert(bins.length === 4)
+    val idx = spark.read.parquet(s"$dir/index")
+      .select("seq_id", "file", "byte_offset", "n_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    val first = idx.filter(r => r._3 === 0L && r._4 > 0).head
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.net.URI(first._2).getPath).toPath)
+    val t0 = (bytes(0) & 0xff) | ((bytes(1) & 0xff) << 8) |
+      ((bytes(2) & 0xff) << 16) | ((bytes(3) & 0xff) << 24)
+    assert(t0 === back(first._1).head)
+    // total payload bytes = 4 * total tokens
+    assert(bins.map(_.length).sum === 4L * data.map(_._2.size).sum)
+  }
+
   test("S5 training JSONL: fixed field order, parseable, null-free lines") {
     val lines = Sinks.trainingJsonLine(trainingDf).collect().map(_.getString(0))
     assert(lines.length === 3)
