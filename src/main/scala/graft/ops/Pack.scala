@@ -45,8 +45,17 @@ object Pack {
                               name: String = "start_offset"): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(df.rdd.getNumPartitions, 1)
+    // Persisted because BOTH passes consume it: without the cache the
+    // entire upstream executes twice. Matters when the upstream is a
+    // real pipeline (curation budget stage at the 100x layout:
+    // 81.2 -> 67.9 s, q_curation_e2e 218.7 -> 197.5 s min-of-3); a
+    // cheap-scan upstream (q_budget_select at 10x) measures flat — the
+    // cache write-out roughly prices one extra scan. Catalog-managed
+    // (MEMORY_AND_DISK) so the harness's clearCache releases it, same
+    // contract as the sketch caches (SketchDedup.scala).
     val sorted = df.repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valIdx = sorted.schema.fieldIndex(valCol)
     val rdd = sorted.rdd
     // pass 1: one partial sum per partition -> driver prefix sum
@@ -91,8 +100,10 @@ object Pack {
     val spark = df.sparkSession
     val parts = math.max(df.rdd.getNumPartitions, 1)
     val all = col(groupCol) +: orderCols
+    // persisted for the same two-pass reason as withRunningTotalOrdered
     val sorted = df.repartitionByRange(parts, all: _*)
       .sortWithinPartitions(all: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valIdx = sorted.schema.fieldIndex(valCol)
     val grpIdx = sorted.schema.fieldIndex(groupCol)
     val rdd = sorted.rdd

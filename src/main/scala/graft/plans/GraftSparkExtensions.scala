@@ -46,6 +46,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("token_dist_stats"),
         TokenDistStats.info, TokenDistStats.builder))
     ext.injectFunction(
+      (FunctionIdentifier("char_class_stats"),
+        CharClassStats.info, CharClassStats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("token_set_stats"),
+        TokenSetStats.info, TokenSetStats.builder))
+    ext.injectFunction(
       (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
     ext.injectFunction(
       (FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder))

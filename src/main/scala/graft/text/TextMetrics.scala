@@ -32,16 +32,46 @@ object TextMetrics {
   /** M1' (compute_quality_metrics n_chars): null -> 0. */
   def nChars(c: Column): Column = coalesce(length(c), lit(0))
 
-  /** M3: alphabetic chars / total chars; 0 when empty. Python isalpha ~ \p{L}. */
+  /** M3: alphabetic chars / total chars; 0 when empty. Python isalpha ~ \p{L}.
+    * Letter units come from the compiled one-pass kernel
+    * ([[graft.plans.CharClassStats]]) — bit-equal to the
+    * `length(regexp_replace(c, "[^\p{L}]", ""))` form it replaced
+    * (parity-pinned in TextOpsSpec), without that form's per-row
+    * filtered-copy allocation (62% of cleanAndFilter profiled at 10×,
+    * together with [[nonLatinRatio]]'s double strip).
+    */
   def alphaRatio(c: Column): Column = {
+    val n = length(c)
+    when(n > 0,
+      element_at(graft.plans.CharClassStats(c), 1).cast("double")
+        / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The regex form [[alphaRatio]] replaced — kept for the parity spec
+    * and as the oracle-SQL documentation of the semantics.
+    */
+  private[graft] def alphaRatioRegex(c: Column): Column = {
     val n = length(c)
     when(n > 0,
       length(regexp_replace(c, "[^\\p{L}]", "")).cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
-  /** M4: 1 - unique_words/n_words; 0 when no words. */
+  /** M4: 1 - unique_words/n_words; 0 when no words. Distinct count via
+    * the one-pass [[graft.plans.TokenSetStats]] kernel (integer count —
+    * parity with `size(array_distinct(t))` is equality, TextOpsSpec).
+    */
   def repetitionRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      lit(1.0) - element_at(graft.plans.TokenSetStats(t, Nil), 1).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The array_distinct form [[repetitionRatio]] replaced — parity anchor. */
+  private[graft] def repetitionRatioHof(c: Column): Column = {
     val t = tokens(c)
     when(size(t) > 0,
       lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
@@ -61,15 +91,33 @@ object TextMetrics {
     */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  def uniqueTokens(c: Column): Column = size(array_distinct(tokens(c)))
+  def uniqueTokens(c: Column): Column =
+    element_at(graft.plans.TokenSetStats(tokens(c), Nil), 1).cast("int")
 
   def uniqueTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      element_at(graft.plans.TokenSetStats(t, Nil), 1).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      element_at(graft.plans.TokenSetStats(t, EnStopwords), 2).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The HOF forms the kernel versions replaced — parity anchors. */
+  private[graft] def uniqueTokenRatioHof(c: Column): Column = {
     val t = tokens(c)
     when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t).cast("double"))
       .otherwise(lit(0.0))
   }
 
-  def stopwordRatio(c: Column): Column = {
+  private[graft] def stopwordRatioHof(c: Column): Column = {
     val t = tokens(c)
     val stops = typedlit(EnStopwords)
     when(size(t) > 0,
@@ -78,8 +126,20 @@ object TextMetrics {
       .otherwise(lit(0.0))
   }
 
-  /** M6: non-ASCII alphabetic chars / alphabetic chars; 0 if no letters. */
+  /** M6: non-ASCII alphabetic chars / alphabetic chars; 0 if no letters.
+    * Same one-pass kernel as [[alphaRatio]] (the regex form built TWO
+    * filtered copies per row); parity-pinned in TextOpsSpec.
+    */
   def nonLatinRatio(c: Column): Column = {
+    val k = graft.plans.CharClassStats(coalesce(c, lit("")))
+    val total = element_at(k, 1)
+    when(total > 0,
+      element_at(k, 2).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The regex form [[nonLatinRatio]] replaced — parity-spec anchor. */
+  private[graft] def nonLatinRatioRegex(c: Column): Column = {
     val letters = regexp_replace(coalesce(c, lit("")), "[^\\p{L}]", "")
     val total = length(letters)
     when(total > 0,
@@ -140,21 +200,24 @@ object TextMetrics {
   def withTokenStats(df: org.apache.spark.sql.DataFrame,
                      c: Column): org.apache.spark.sql.DataFrame = {
     val staged = df.withColumn("__toks", tokens(c))
+      // distinct + stopword counts in one compiled pass, staged as an
+      // attribute so the four stats below share it (the HOF forms this
+      // replaced re-ran array_distinct twice and an interpreted,
+      // codegen-breaking filter lambda once per row — parity-pinned)
+      .withColumn("__tss", graft.plans.TokenSetStats(col("__toks"), EnStopwords))
     val t = col("__toks")
-    val stops = typedlit(EnStopwords)
     staged
       .withColumn("token_count", size(t).cast("long"))
-      .withColumn("unique_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("unique_tokens", element_at(col("__tss"), 1))
       .withColumn("unique_token_ratio",
         when(size(t) > 0,
-          size(array_distinct(t)).cast("double") / size(t).cast("double"))
+          element_at(col("__tss"), 1).cast("double") / size(t).cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
         when(size(t) > 0,
-          size(filter(t, tok => array_contains(stops, lower(tok)))).cast("double")
-            / size(t).cast("double"))
+          element_at(col("__tss"), 2).cast("double") / size(t).cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("max_token_freq_ratio", maxTokenFreqFromTokens(t))
-      .drop("__toks")
+      .drop("__toks", "__tss")
   }
 }

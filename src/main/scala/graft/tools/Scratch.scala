@@ -38,7 +38,77 @@ object Scratch {
 
     import graft.queries.{DocQueries, PipelineQueries}
 
+    // focused mode: only the curation budget/full prefixes (A/B of the
+    // two-pass running-total persist)
+    val curationOnly = args.contains("--curation-budget")
+
+    // focused mode: decompose cleanAndFilter itself (the dominant s2-5
+    // sub-stage) into its per-row kernel families
+    if (args.contains("--clean-profile")) {
+      import graft.{Pipeline, Tables}
+      import graft.text.{LangId, Normalize, TextMetrics, Toxicity}
+      def mat(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.mode("overwrite").format("noop").save(); 0L
+      }
+      def raw = Pipeline.fromDocuments(Tables.documents(spark, dir))
+      def n1 = raw.withColumn("text_norm",
+        Normalize.normalizeText(col("text"), applyNfkc = false))
+      def n2 = n1
+        .withColumn("char_len", TextMetrics.charLen(col("text_norm")))
+        .withColumn("word_count", TextMetrics.wordCount(col("text_norm")))
+      def n3 = Toxicity.withToxicityColumns(
+        LangId.withLangColumns(n2, col("text_norm")), col("text_norm"))
+      def n4 = n3
+        .withColumn("alpha_ratio", TextMetrics.alphaRatio(col("text_norm")))
+        .withColumn("repetition_ratio",
+          TextMetrics.repetitionRatio(col("text_norm")))
+        .withColumn("non_latin_ratio",
+          TextMetrics.nonLatinRatio(col("text_norm")))
+      def n5 = Pipeline.cleanAndFilter(raw, applyNfkc = false)
+      mat(n5) // warm-up
+      val p1 = minOf3("P1 normalize only") { mat(n1) }
+      val p2 = minOf3("+char/word metrics") { mat(n2) }
+      val p3 = minOf3("+langid+toxicity") { mat(n3) }
+      val p4 = minOf3("+ratio metrics") { mat(n4) }
+      val p5 = minOf3("full cleanAndFilter") { mat(n5) }
+      println(f"CLEAN PROFILE: norm $p1%.2f | cw ${p2 - p1}%.2f | " +
+        f"lang+tox ${p3 - p2}%.2f | ratios ${p4 - p3}%.2f | " +
+        f"filters+pii ${p5 - p4}%.2f | total $p5%.2f")
+      spark.stop()
+      return
+    }
+
+    // focused mode: decompose the graded chain's dominant s2-5 prefix
+    // into its sub-stages (clean -> deepclean/PII -> dedup -> score)
+    if (args.contains("--graded-substages")) {
+      import graft.{Pipeline, Tables}
+      def raw = Pipeline.fromDocuments(Tables.documents(spark, dir))
+      def c1 = Pipeline.cleanAndFilter(raw, applyNfkc = false)
+      def c2 = Pipeline.deepCleanAndPii(c1, collapseRepeats = false)
+      def c3 = graft.ops.Dedup.dedupStage(c2,
+        textCol = "text_pii_masked", seqCol = "doc_id")
+      def c4 = Pipeline.score(c3)
+      // noop sink, not count(): count() lets Catalyst prune the whole
+      // scalar chain out of the prefix stages (c1/c2 would measure as a
+      // bare scan), while the dedup stage's persist forces it — the
+      // noop write makes every prefix pay its honest per-row cost
+      def mat(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.mode("overwrite").format("noop").save(); 0L
+      }
+      mat(c4) // warm-up at the measured dir (JIT + codegen)
+      val t1 = minOf3("s2 clean+filter") { mat(c1) }
+      val t2 = minOf3("s2-3 +deepclean/PII") { mat(c2) }
+      val t3 = minOf3("s2-4 +dedup") { mat(c3) }
+      val t4 = minOf3("s2-5 +score") { mat(c4) }
+      println(f"S2-5 SUBSTAGES: clean $t1%.2f s | deepclean/pii " +
+        f"${t2 - t1}%.2f s | dedup ${t3 - t2}%.2f s | score ${t4 - t3}%.2f s" +
+        f" | total $t4%.2f s")
+      spark.stop()
+      return
+    }
+
     // ---- graded chain prefixes (stages 2-5 / +6 / +7) ----
+    if (!curationOnly) {
     PipelineQueries.pipelineGradedFull(spark, warm).count() // warm-up
     val g25 = minOf3("graded s2-5 (pipelineGraded)") {
       PipelineQueries.pipelineGraded(spark, dir).count()
@@ -51,6 +121,7 @@ object Scratch {
     }
     println(f"GRADED stages: s2-5 $g25%.2f s | s6 ${g26 - g25}%.2f s | " +
       f"s7 ${g27 - g26}%.2f s | total $g27%.2f s")
+    }
 
     // ---- curation gauntlet prefixes (mirrors DocQueries.curationE2e) ----
     DocQueries.curationE2e(spark, warm).count() // warm-up
@@ -78,14 +149,22 @@ object Scratch {
       Sampling.budgetSelect(scored, "doc_id", "quality_score",
         "token_count", 10000L)
     }
-    val cA = minOf3("curation gates (gopher+C4)") { gates.count() }
     val cB = minOf3("curation +dedup") { dd.count() }
     val cC = minOf3("curation +budget") { sel.count() }
-    val cD = minOf3("curation full (curationE2e)") {
-      DocQueries.curationE2e(spark, dir).count()
+    if (!curationOnly) {
+      val cA = minOf3("curation gates (gopher+C4)") { gates.count() }
+      val cD = minOf3("curation full (curationE2e)") {
+        DocQueries.curationE2e(spark, dir).count()
+      }
+      println(f"CURATION stages: gates $cA%.2f s | dedup ${cB - cA}%.2f s | " +
+        f"budget ${cC - cB}%.2f s | assemble ${cD - cC}%.2f s | total $cD%.2f s")
+    } else {
+      val cD = minOf3("curation full (curationE2e)") {
+        DocQueries.curationE2e(spark, dir).count()
+      }
+      println(f"CURATION A/B: dedup-prefix $cB%.2f s | budget stage " +
+        f"${cC - cB}%.2f s | full $cD%.2f s")
     }
-    println(f"CURATION stages: gates $cA%.2f s | dedup ${cB - cA}%.2f s | " +
-      f"budget ${cC - cB}%.2f s | assemble ${cD - cC}%.2f s | total $cD%.2f s")
 
     spark.stop()
   }
