@@ -318,8 +318,12 @@ object WarcQueries {
   def crawlE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Robots
     // planted duplicates (id % 11 == 7 shares one body) make the dedup
-    // stage decisive, not vacuously green
+    // stage decisive, not vacuously green.
+    // persisted: consumed twice (the robots-gate URL build and the
+    // canon hash), and recomputing it means re-parsing every gzip
+    // member; canon below is likewise consumed twice (winners + final)
     val ingested = ingestHtml(s, dir, plantDups = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rules = {
       import s.implicits._
       (0 until 50).flatMap { h =>
@@ -341,6 +345,7 @@ object WarcQueries {
     val gated = Robots.gate(urls, rules).select("doc_id", "allowed")
     val canon = ingested.join(gated, Seq("doc_id"))
       .withColumn("__canon", md5(Normalize.canonExact(col("clean_text"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = canon.filter(col("allowed"))
       .groupBy("__canon").agg(min(col("doc_id")).as("__winner"))
     canon.join(winners, Seq("__canon"), "left")
