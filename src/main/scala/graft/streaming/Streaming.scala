@@ -97,6 +97,34 @@ object Streaming {
         "content_type", "content_length", "payload")
   }
 
+  /** The streaming crawl front door: [[readWarc]] records narrowed to
+    * the raw-doc shape the batch pipeline ingests — `response` records
+    * HTTP-split (non-2xx and non-text payloads dropped), `conversion`
+    * (WET) records taken as-is — so the SAME stage transforms run on a
+    * live crawl drop as on a parquet corpus:
+    * `cleanStream(warcDocs(spark, dir))` is stages 2–3 on arriving
+    * archives. Stateless per record; bounded by the per-record caps.
+    */
+  def warcDocs(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    readWarc(spark, dir, maxFilesPerTrigger)
+      .select(col("warc_type"), col("target_uri"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .flatMap {
+        case ("conversion", uri, payload) =>
+          Some((uri, new String(payload, "UTF-8")))
+        case ("response", uri, payload) =>
+          graft.sources.Warc.httpResponse(payload).collect {
+            case h if h.status / 100 == 2 &&
+              (h.contentType.startsWith("text/") || h.contentType.isEmpty) =>
+              (uri, new String(h.body, "UTF-8"))
+          }
+        case _ => None
+      }
+      .toDF("url", "text")
+  }
+
   /** Open a JSONL landing directory as a stream with an explicit schema
     * (streams cannot infer; `maxFilesPerTrigger` bounds batch size).
     */

@@ -52,6 +52,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("WARC -> pipeline composition: crawl drops flow through the " +
+    "batch cleaning stages unchanged (response split + WET passthrough, " +
+    "non-2xx and non-text dropped)") {
+    import java.nio.file.Files
+    import graft.sources.Warc
+    import spark.implicits._
+    def resp(i: Int, status: Int, ct: String, body: String): Warc.WarcRecord = {
+      val p = Warc.encodeHttpResponse(status, ct, body.getBytes("UTF-8"))
+      Warc.WarcRecord("response", s"<urn:c:$i>", "2024-01-01T00:00:00Z",
+        s"https://example.org/$i", "application/http;msgtype=response",
+        p.length.toLong, p)
+    }
+    val wet = Warc.WarcRecord("conversion", "<urn:c:9>",
+      "2024-01-01T00:00:00Z", "https://example.org/wet", "text/plain",
+      9L, "wet  text extracted from the page body here".getBytes("UTF-8"))
+    val dir = Files.createTempDirectory("warcpipe").toString
+    val f = new java.io.FileOutputStream(s"$dir/drop.warc.gz")
+    Seq(
+      resp(1, 200, "text/html", "<p>Hello   crawl world</p>"),
+      resp(2, 404, "text/html", "not found page"),
+      resp(3, 200, "image/png", "binarybinary"),
+      wet).foreach(r => f.write(Warc.encodeGzipMember(r)))
+    f.close()
+    val cleaned = Streaming.cleanStream(Streaming.warcDocs(spark, dir))
+      .select("url", "text_deep_clean", "drop_reason")
+    val q = cleaned.writeStream.format("memory").queryName("warc_pipe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("warc_pipe")
+        .select("url", "text_deep_clean").as[(String, String)].collect().toMap
+      // only the 2xx text response and the WET conversion survive intake
+      assert(rows.keySet === Set("https://example.org/1",
+        "https://example.org/wet"))
+      // and the BATCH stage transforms ran: HTML stripped, spaces
+      // collapsed, exactly as Pipeline.cleanAndFilter does on parquet
+      assert(rows("https://example.org/1") === "Hello crawl world")
+      assert(rows("https://example.org/wet")
+        === "wet text extracted from the page body here")
+    } finally q.stop()
+  }
+
   test("tumbling window aggregates per event type (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
