@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   *    `robotstxt` records a crawl snapshot ships.
   *  - [[gate]]: the DISTRIBUTED shape — rules already extracted to a
   *    (host, rule_path, allow) table (robots files are a per-host dim
-  *    table, thousands of rows where the crawl has billions), gated
-  *    against the corpus with one broadcast prefix-match join and an
-  *    argmax by (match length, allow): no shuffle on the corpus side,
-  *    fully declarative, Catalyst-optimizable, and replayable in SQL —
-  *    which is what makes [[graft.queries.WarcQueries]]'s robots gate
-  *    oracle-checkable. Wildcard rules are the rare case in real
-  *    robots data; route hosts that use them through [[isAllowed]].
+  *    table, thousands of rows where the crawl has billions). The dim
+  *    collapses to ONE rule-array row per host, that array broadcasts,
+  *    and the RFC longest-match/allow-ties verdict is an in-row
+  *    `filter`/`transform`/`array_max` fold — ZERO Exchange on the
+  *    corpus side (no prefix-join fan-out, no verdict groupBy, no
+  *    join-back), fully declarative, Catalyst-optimizable, and
+  *    replayable in SQL — which is what makes
+  *    [[graft.queries.WarcQueries]]'s robots gate oracle-checkable.
+  *    Wildcard rules are the rare case in real robots data; route
+  *    hosts that use them through [[isAllowed]].
   */
 object Robots {
 
@@ -37,34 +40,37 @@ object Robots {
   val MaxBytes: Int = 512 * 1024
 
   /** Parse a robots.txt body into the rule list for `agent`: groups
-    * are runs of `User-agent:` lines followed by rules; the group
-    * whose agent token is the LONGEST case-insensitive substring of
-    * our agent wins, `*` is the fallback, and multiple user-agent
-    * lines naming the same group share its rules (RFC 9309 §2.2.1).
-    * Unknown directives are ignored; malformed input yields whatever
-    * rules parse — never throws.
+    * are runs of `User-agent:` lines followed by rules; matching is by
+    * PRODUCT TOKEN (the agent string up to the first `/`, so
+    * `graftbot/1.2` matches a `User-agent: graftbot` group but a
+    * `User-agent: bot` group does NOT capture every agent containing
+    * "bot"), `*` is the fallback, multiple user-agent lines naming the
+    * same group share its rules, and — per RFC 9309 §2.2.1 — rules
+    * from ALL groups matching the selected agent are COMBINED (a
+    * second `User-agent: *` group later in the file adds to the
+    * first, in document order). Unknown directives are ignored;
+    * malformed input yields whatever rules parse — never throws.
     */
   def parse(robotsTxt: String, agent: String): Seq[Rule] = {
     if (robotsTxt == null) return Nil
     val body =
       if (robotsTxt.length > MaxBytes) robotsTxt.substring(0, MaxBytes)
       else robotsTxt
-    val agentLc = Option(agent).getOrElse("*").toLowerCase
-    // (specificity, rules) per group; specificity = matched UA length,
-    // -1 for groups that do not apply, 0 for the `*` group
-    var best = -1
-    var bestRules = List.empty[Rule]
+    val agentTok =
+      Option(agent).getOrElse("*").toLowerCase.takeWhile(_ != '/').trim
+    // (specificity, rules) per group; specificity = -1 group does not
+    // apply, 0 = the `*` group, >0 = exact product-token match
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, List[Rule])]
     var curSpec = -1
     var curRules = List.empty[Rule]
+    var nRules = 0
     var inAgentRun = false
+    var groupOpen = false
     def closeGroup(): Unit = {
-      if (curSpec > best ||
-        (curSpec == best && curSpec >= 0 && bestRules.isEmpty)) {
-        best = curSpec; bestRules = curRules.reverse
-      }
-      curSpec = -1; curRules = Nil
+      if (groupOpen) groups += ((curSpec, curRules.reverse))
+      curSpec = -1; curRules = Nil; groupOpen = false
     }
-    body.split("\r?\n").iterator.takeWhile(_ => curRules.size < MaxRules)
+    body.split("\r?\n").iterator.takeWhile(_ => nRules < MaxRules)
       .foreach { raw =>
         val line = raw.takeWhile(_ != '#').trim
         val i = line.indexOf(':')
@@ -73,24 +79,28 @@ object Robots {
           val value = line.substring(i + 1).trim
           key match {
             case "user-agent" =>
-              if (!inAgentRun) { closeGroup(); inAgentRun = true }
-              val tok = value.toLowerCase
+              if (!inAgentRun) { closeGroup(); inAgentRun = true; groupOpen = true }
+              val tok = value.toLowerCase.takeWhile(_ != '/').trim
               val spec =
                 if (tok == "*") 0
-                else if (agentLc.contains(tok)) tok.length
+                else if (tok.nonEmpty && tok == agentTok) tok.length
                 else -1
               if (spec > curSpec) curSpec = spec
             case "allow" | "disallow" =>
               inAgentRun = false
               // empty pattern = no rule (an empty Disallow allows all)
-              if (value.nonEmpty && curSpec >= 0)
+              if (value.nonEmpty && groupOpen && curSpec >= 0) {
                 curRules ::= Rule(value, key == "allow")
+                nRules += 1
+              }
             case _ => inAgentRun = false
           }
         }
       }
     closeGroup()
-    bestRules
+    val best = groups.iterator.map(_._1).foldLeft(-1)(math.max)
+    if (best < 0) Nil
+    else groups.iterator.filter(_._1 == best).flatMap(_._2).toList
   }
 
   /** RFC 9309 pattern match: literal except `*` (any run, including
@@ -151,33 +161,32 @@ object Robots {
 
   /** Distributed robots gate over literal-prefix rules: `urls`
     * (…, hostCol, pathCol) gated against `rules`
-    * (hostCol, `rule_path`, `allow`) — broadcast prefix join, then the
-    * per-URL longest match via one struct-max aggregate (allow breaks
-    * ties per the RFC). URLs whose host has no matching rule are
-    * allowed. Output: `urls`' columns + `allowed`.
+    * (hostCol, `rule_path`, `allow`). The rules dim collapses to one
+    * `array<struct<rule_path,allow>>` row per host (a dim-sized
+    * groupBy, done once), that host→rules map BROADCASTS, and the
+    * RFC longest-match verdict (allow breaks ties) is an in-row
+    * `filter`/`transform`/`array_max` fold over the matching prefixes
+    * — struct ordering compares (len, allow) lexicographically, which
+    * IS the RFC precedence. URLs whose host has no matching rule are
+    * allowed. Output: all of `urls`' columns + `allowed`, row-for-row.
     *
-    * 100 TB shape: robots rules are per-HOST state (a dim table),
-    * so the corpus never shuffles — the rules broadcast, the prefix
-    * condition runs in the join, and the aggregate's key is the URL
-    * row id. Wildcard-using hosts (rare) go through [[isAllowed]].
+    * 100 TB shape: robots rules are per-HOST state (a dim table), so
+    * the corpus side has ZERO Exchange — no prefix-join row fan-out,
+    * no per-URL groupBy to collapse it, no join-back; the only
+    * shuffle in the plan is the dim-sized rule collapse. Callers keep
+    * every corpus column through the gate (no re-join on a row id).
+    * Wildcard-using hosts (rare) go through [[isAllowed]].
     */
   def gate(urls: DataFrame, rules: DataFrame, hostCol: String = "host",
-      pathCol: String = "path", idCol: String = "doc_id"): DataFrame = {
-    val matched = urls
-      .join(broadcast(rules),
-        urls(hostCol) === rules(hostCol) &&
-          startswith(col(pathCol), col("rule_path")),
-        "left")
-      .drop(rules(hostCol))
-    val verdict: Column = max(
-      when(col("rule_path").isNotNull,
-        struct(length(col("rule_path")).as("len"),
-          col("allow").cast("int").as("allow_i"))))
-    matched
-      .groupBy(idCol, hostCol, pathCol)
-      .agg(verdict.as("__best"))
-      .withColumn("allowed",
-        coalesce(col("__best.allow_i") === 1, lit(true)))
-      .drop("__best")
+      pathCol: String = "path"): DataFrame = {
+    val hostRules = rules.groupBy(hostCol)
+      .agg(collect_list(struct(col("rule_path"), col("allow"))).as("__rules"))
+    val best: Column = array_max(transform(
+      filter(col("__rules"), r => startswith(col(pathCol), r("rule_path"))),
+      r => struct(length(r("rule_path")).as("len"),
+        r("allow").cast("int").as("allow_i"))))
+    val gated = urls.join(broadcast(hostRules), Seq(hostCol), "left")
+      .withColumn("allowed", coalesce(best("allow_i") === 1, lit(true)))
+    gated.select(urls.columns.map(col).toSeq :+ col("allowed"): _*)
   }
 }

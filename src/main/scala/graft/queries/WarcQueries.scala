@@ -233,8 +233,9 @@ object WarcQueries {
 
   /** Robots compliance gate over the crawl: per-host rule tables
     * (the extracted form of each origin's robots.txt) gated against
-    * every document URL with [[graft.ops.Robots.gate]] — one broadcast
-    * prefix join + a struct-max argmax, no corpus shuffle. The fixture
+    * every document URL with [[graft.ops.Robots.gate]] — per-host rule
+    * arrays broadcast, the longest-match verdict an in-row array fold,
+    * ZERO corpus-side Exchange. The fixture
     * rule set is built so every RFC 9309 precedence clause is
     * decisive somewhere: `/doc/x…` matches both `/doc/x` (disallow,
     * len 6) and `/doc/` (allow, len 5) — longest wins, disallowed;
@@ -311,19 +312,17 @@ object WarcQueries {
     * compose, not just that each works alone.
     *
     * Scale shape: ingest is shuffle-free (records flow from the
-    * archive scan), the robots side broadcasts (per-host dim state),
-    * and the single corpus-keyed shuffle is the dedup groupBy on the
-    * canon hash — exactly the minimum the semantics require.
+    * archive scan), the robots verdict rides IN-ROW through the
+    * broadcast per-host rule arrays (`allowed` stays attached — no
+    * per-URL groupBy, no doc_id join-back), and the single
+    * corpus-keyed shuffle is the dedup groupBy on the canon hash —
+    * exactly the minimum the semantics require.
     */
   def crawlE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Robots
     // planted duplicates (id % 11 == 7 shares one body) make the dedup
     // stage decisive, not vacuously green.
-    // persisted: consumed twice (the robots-gate URL build and the
-    // canon hash), and recomputing it means re-parsing every gzip
-    // member; canon below is likewise consumed twice (winners + final)
     val ingested = ingestHtml(s, dir, plantDups = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rules = {
       import s.implicits._
       (0 until 50).flatMap { h =>
@@ -333,17 +332,21 @@ object WarcQueries {
         (base ++ even ++ tie).map { case (p, a) => (s"d$h.example.org", p, a) }
       }.toDF("host", "rule_path", "allow")
     }
-    val urls = ingested.select(
-      col("doc_id"),
-      concat(lit("d"), (col("doc_id") % 50).cast("string"),
-        lit(".example.org")).as("host"),
-      concat(
-        element_at(
-          array(lit("/doc/"), lit("/private/"), lit("/page/"), lit("/doc/x")),
-          (col("doc_id") % 4).cast("int") + 1),
-        col("doc_id").cast("string")).as("path"))
-    val gated = Robots.gate(urls, rules).select("doc_id", "allowed")
-    val canon = ingested.join(gated, Seq("doc_id"))
+    val withUrl = ingested
+      .withColumn("host",
+        concat(lit("d"), (col("doc_id") % 50).cast("string"),
+          lit(".example.org")))
+      .withColumn("path",
+        concat(
+          element_at(
+            array(lit("/doc/"), lit("/private/"), lit("/page/"), lit("/doc/x")),
+            (col("doc_id") % 4).cast("int") + 1),
+          col("doc_id").cast("string")))
+    // gate keeps every column + allowed, so the parse→verdict→canon
+    // chain is ONE shuffle-free pass; persisted because consumed twice
+    // (winners + final), and recomputing means re-parsing every gzip
+    // member
+    val canon = Robots.gate(withUrl, rules)
       .withColumn("__canon", md5(Normalize.canonExact(col("clean_text"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = canon.filter(col("allowed"))

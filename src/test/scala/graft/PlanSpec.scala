@@ -232,6 +232,36 @@ class PlanSpec extends SparkTestBase {
     assert(static.contains("nfkc"), s"NfkcNormalize missing:\n$static")
   }
 
+  test("robots gate: rule arrays broadcast, zero corpus-side exchange") {
+    val p = plan(graft.queries.WarcQueries.robotsGate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"host→rules map must broadcast:\n$p")
+    // the ONLY hash shuffle is the dim-sized rule collapse; the corpus
+    // flows scan → project → broadcast join → in-row fold, no Exchange
+    val exchanges = """Arguments: hashpartitioning\(([^,#]+)""".r
+      .findAllMatchIn(p).map(_.group(1).trim).toList
+    assert(exchanges === List("host"),
+      s"only the rules-dim collapse may shuffle, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("crawl e2e: robots verdict rides in-row — no doc_id/host exchange") {
+    // the old shape paid a per-URL groupBy + a doc_id join-back (two
+    // corpus-sized exchanges); with the verdict computed in-row over
+    // broadcast rule arrays, the only CORPUS-keyed shuffle left is the
+    // dedup groupBy on the canon hash (bucket is the fixture-fabrication
+    // key, host the dim-sized rule collapse)
+    val df = graft.queries.WarcQueries.crawlE2e(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val keys = """[+:]- Exchange hashpartitioning\(([^,#]+)""".r
+      .findAllMatchIn(finalPlan).map(_.group(1).trim).toList
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.startsWith("bucket") || k.startsWith("__canon") || k == "host"),
+      s"robots stage must not shuffle the corpus, got $keys:\n$finalPlan")
+    spark.catalog.clearCache()
+  }
+
   test("domain cap ranks by bounded aggregate, never a per-domain window") {
     // same trap as ANN ranking: row_number over partitionBy(domain) sorts
     // a mega-domain in one task. The keep set must plan as partial
