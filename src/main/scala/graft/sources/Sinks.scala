@@ -145,38 +145,97 @@ object Sinks {
     * index rows are EMITTED BY the same pass that writes the bytes, so
     * the export is one job, no second scan. Returns nothing; read back
     * with [[readTokenBin]].
+    *
+    * Task-commit protocol: the bytes stream to an ATTEMPT-UNIQUE temp
+    * path and rename into `part-N.bin` only on success — with
+    * speculative execution or an overlapping retry, two attempts of
+    * the same partition each write their own temp file and exactly one
+    * rename wins (the loser deletes its temp; a killed attempt's temp
+    * is reaped by its completion listener), so the final file is
+    * always one attempt's intact bytes and the parquet index's offsets
+    * always point into real data. Both attempts produce identical
+    * bytes (the upstream partition iterator is deterministic), so
+    * WHICH attempt wins is immaterial.
     */
   def writeTokenBin(df: DataFrame, outDir: String,
       seqCol: String = "seq_id", tokensCol: String = "input_ids"): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    cleanShardDir(outDir, ".bin")
     val index = df.select(col(seqCol).cast("long"),
         col(tokensCol).cast("array<int>"))
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.bin")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val out = new java.io.BufferedOutputStream(fs.create(path, true))
-          var offset = 0L
-          val rows = Vector.newBuilder[(Long, String, Long, Long)]
-          try it.foreach { case (id, toks) =>
-            val ts = Option(toks).getOrElse(Seq.empty)
-            ts.foreach { t =>
-              out.write(t & 0xff); out.write((t >>> 8) & 0xff)
-              out.write((t >>> 16) & 0xff); out.write((t >>> 24) & 0xff)
-            }
-            rows += ((id, path.toString, offset, ts.length.toLong))
-            offset += 4L * ts.length
-          } finally out.close()
-          rows.result().iterator
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = if (tc != null) tc.partitionId()
+            else org.apache.spark.TaskContext.getPartitionId()
+          val attempt = if (tc != null) tc.taskAttemptId() else 0L
+          writeTokenShard(outDir, pid, attempt, it).iterator
         }
       }
       .toDF("seq_id", "file", "byte_offset", "n_tokens")
     // writing the index IS the action that streams the .bin bytes
     index.write.mode("overwrite").parquet(s"$outDir/index")
+  }
+
+  /** One partition's [[writeTokenBin]] work: stream the sequences to
+    * `.part-P.bin.attempt-A.tmp`, then commit by atomic rename.
+    * Package-private so SinksSpec can drive two attempts of the same
+    * partition directly and assert the commit protocol.
+    */
+  private[graft] def writeTokenShard(outDir: String, pid: Int, attempt: Long,
+      it: Iterator[(Long, Seq[Int])]): Vector[(Long, String, Long, Long)] = {
+    val fin = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.bin")
+    val tmp = new org.apache.hadoop.fs.Path(outDir,
+      f".part-$pid%05d.bin.attempt-$attempt.tmp")
+    val fs = fin.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    var committed = false
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      // a failed/killed attempt must not leave its temp behind
+      if (!committed) { try fs.delete(tmp, false) catch { case _: Exception => () } }
+    }
+    val out = new java.io.BufferedOutputStream(fs.create(tmp, true))
+    var offset = 0L
+    val rows = Vector.newBuilder[(Long, String, Long, Long)]
+    try it.foreach { case (id, toks) =>
+      val ts = Option(toks).getOrElse(Seq.empty)
+      ts.foreach { t =>
+        out.write(t & 0xff); out.write((t >>> 8) & 0xff)
+        out.write((t >>> 16) & 0xff); out.write((t >>> 24) & 0xff)
+      }
+      rows += ((id, fin.toString, offset, ts.length.toLong))
+      offset += 4L * ts.length
+    } finally out.close()
+    // commit: the rename is the ONLY action that can land bytes at the
+    // final path (no pre-delete — a crash mid-protocol must never
+    // remove a winner's file). POSIX renames overwrite atomically;
+    // HDFS renames onto an existing dest fail, which here means
+    // another attempt already committed identical bytes — drop ours.
+    if (!fs.rename(tmp, fin)) {
+      if (fs.exists(fin)) fs.delete(tmp, false)
+      else throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+    }
+    committed = true
+    rows.result()
+  }
+
+  /** Driver-side pre-clean for the binary sinks' overwrite semantics:
+    * stale shard files from a PREVIOUS run must go before the new job
+    * starts, or (on rename-fails-if-dest-exists filesystems) a new
+    * attempt would mistake last run's file for a sibling attempt's
+    * commit and discard its own bytes.
+    */
+  private[sources] def cleanShardDir(outDir: String, suffix: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(suffix) || (n.contains(suffix) && n.endsWith(".tmp")))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** Read a [[writeTokenBin]] export back to (seq_id, input_ids).
@@ -196,6 +255,13 @@ object Sinks {
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(fs.open(path)))
+        // a downstream limit()/take()/task abort never exhausts the
+        // iterator — the completion listener closes the handle anyway
+        // (close is idempotent, so the EOF close below still stands)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: Exception => () }
+        }
         var pos = 0L
         val sorted = rows.toVector.sortBy(_._3)
         val out = sorted.iterator.map { case (id, _, off, n) =>

@@ -276,7 +276,15 @@ object Warc {
         val raw = pds.open()
         val in: InputStream =
           if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
-        // One closeable chain per task; the iterator closes it at EOF.
+        // One closeable chain per file; the iterator closes it at EOF,
+        // and the completion listener covers every other exit — a
+        // downstream limit()/take() or a task abort would otherwise
+        // leak the FS handle on long-running executors (close is
+        // idempotent, so double-close is harmless).
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: Exception => () }
+        }
         new Iterator[(String, WarcRecord)] {
           private val it = parseStream(in)
           private var closed = false
@@ -297,23 +305,45 @@ object Warc {
   }
 
   /** Write one `.warc.gz` per partition (records in partition order,
-    * one gzip member per record — the Common Crawl layout). Returns the
-    * file paths. Export-side counterpart of [[readWarcFiles]]; each
-    * task streams its partition through one output file, so driver
-    * memory is untouched and file count = partition count (size-tune
-    * upstream with repartition/coalesce, exactly like any other sink).
+    * one gzip member per record — the Common Crawl layout). Export-side
+    * counterpart of [[readWarcFiles]]; each task streams its partition
+    * through one output file, so driver memory is untouched and file
+    * count = partition count (size-tune upstream with
+    * repartition/coalesce, exactly like any other sink).
+    *
+    * Task-commit protocol (same as [[Sinks.writeTokenBin]]): bytes go
+    * to an attempt-unique temp path and rename into place on success,
+    * so a speculative sibling or overlapping retry can never interleave
+    * with the winner's file; a losing/killed attempt's temp is deleted.
     */
   def writeWarcFiles(records: org.apache.spark.sql.Dataset[WarcRecord],
-      outDir: String): Unit =
+      outDir: String): Unit = {
+    Sinks.cleanShardDir(outDir, ".warc.gz")
     records.foreachPartition { it: Iterator[WarcRecord] =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val fs = path.getFileSystem(conf)
-        val out = fs.create(path, true)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = if (tc != null) tc.partitionId()
+          else org.apache.spark.TaskContext.getPartitionId()
+        val attempt = if (tc != null) tc.taskAttemptId() else 0L
+        val fin = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.warc.gz")
+        val tmp = new org.apache.hadoop.fs.Path(outDir,
+          f".part-$pid%05d.warc.gz.attempt-$attempt.tmp")
+        val fs = fin.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        var committed = false
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (!committed) {
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+          }
+        }
+        val out = fs.create(tmp, true)
         try it.foreach(r => out.write(encodeGzipMember(r)))
         finally out.close()
+        if (!fs.rename(tmp, fin)) {
+          if (fs.exists(fin)) fs.delete(tmp, false)
+          else throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        }
+        committed = true
       }
     }
+  }
 }

@@ -51,6 +51,35 @@ class SinksSpec extends SparkTestBase {
     assert(bins.map(_.length).sum === 4L * data.map(_._2.size).sum)
   }
 
+  test("token-bin commit protocol: two attempts of one partition leave " +
+    "exactly one intact file, no temps; rerun overwrites cleanly") {
+    import graft.sources.Sinks
+    val dir = tmpDir("tokbin-commit")
+    val rows = (0L until 10L).map(i => (i, Seq(i.toInt, i.toInt + 1)))
+    // overlapping retry/speculative sibling: same partition, two
+    // attempt ids, both run the full write+commit path
+    val idx1 = Sinks.writeTokenShard(dir, 0, attempt = 1L, rows.iterator)
+    val idx2 = Sinks.writeTokenShard(dir, 0, attempt = 2L, rows.iterator)
+    assert(idx1 === idx2) // identical offsets into the same final path
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted // local-FS checksum sidecars
+    assert(files.toSeq === Seq("part-00000.bin"), files.mkString(","))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000.bin"))
+    assert(bytes.length === 4 * rows.map(_._2.size).sum)
+    // stale temp from a dead attempt + a full rerun: pre-clean reaps it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".part-00000.bin.attempt-9.tmp"),
+      Array[Byte](1, 2, 3))
+    import spark.implicits._
+    Sinks.writeTokenBin(rows.toDF("seq_id", "input_ids").coalesce(1), dir)
+    val after = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(!after.exists(_.endsWith(".tmp")), after.mkString(","))
+    val back = Sinks.readTokenBin(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.foreach { case (id, toks) => assert(back(id) === toks) }
+  }
+
   test("S5 training JSONL: fixed field order, parseable, null-free lines") {
     val lines = Sinks.trainingJsonLine(trainingDf).collect().map(_.getString(0))
     assert(lines.length === 3)
