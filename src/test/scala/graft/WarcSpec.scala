@@ -185,4 +185,31 @@ class WarcSpec extends SparkTestBase {
     val back = Warc.readWarcFiles(spark, s"$dir/a.warc")
     assert(back.count() === 8L)
   }
+
+  test("cdx pruned fetch: per-domain lookup opens 1 of 50 index files") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.queries.WarcQueries.cdxPrunedFetch(spark, sfDir)
+    val n = df.collect().length
+    assert(n > 0)
+    // planning-time pruning: the domain predicate sits in PartitionFilters
+    val p = df.queryExecution.executedPlan.toString
+    val pf = """PartitionFilters: \[[^\]]*\]""".r.findAllIn(p)
+      .mkString("\n")
+    assert(pf.contains("d7.example.org"),
+      s"domain predicate not pruned at the partition level:\n$p")
+    // runtime proof: the executed scan's numFiles metric — one host's
+    // file opened, the other 49 directories never reach the scan
+    val idxDir = graft.queries.WarcQueries.cdxIndexDir(sfDir)
+    val total = spark.read.parquet(idxDir).inputFiles.length
+    assert(total >= 50, s"expected one file per host, got $total")
+    val pruned = spark.read.parquet(idxDir)
+      .filter(col("host") === "d7.example.org")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail(s"no file scan in:\n${pruned.queryExecution.executedPlan}"))
+    assert(scan.metrics("numFiles").value === 1L,
+      s"pruned scan opened ${scan.metrics("numFiles").value} of $total files")
+  }
 }
