@@ -54,10 +54,20 @@ object Pq {
     * Per-partition partial sums fold in the same scan order either way,
     * so the means are bit-stable against the previous form.
     */
-  def codebooks(emb: DataFrame, m: Int = 16, dim: Int = 64): DataFrame = {
+  def codebooks(emb: DataFrame, m: Int = 16, dim: Int = 64): DataFrame =
+    meanCodebooksOver(emb.select(col("label"),
+      normalized(asDouble(col("embedding"))).as("__vec")), m, dim)
+
+  /** Label-mean codebooks over an ALREADY-PREPARED vector column
+    * `__vec` (no normalization — shared by [[codebooks]] and the
+    * residual-fixed path, whose centered vectors must stay centered).
+    * Same aggregation shape and scan order as the inlined form it was
+    * factored from, so the means are bit-stable.
+    */
+  private def meanCodebooksOver(vecs: DataFrame, m: Int, dim: Int): DataFrame = {
     val sub = dim / m
-    val avgCols = (1 to dim).map(p => avg(element_at(col("__vn"), p)).as(s"c$p"))
-    emb.select(col("label"), normalized(asDouble(col("embedding"))).as("__vn"))
+    val avgCols = (1 to dim).map(p => avg(element_at(col("__vec"), p)).as(s"c$p"))
+    vecs
       .groupBy("label")
       .agg(avgCols.head, avgCols.tail: _*)
       .select(col("label").as("code"),
@@ -447,6 +457,80 @@ object Pq {
     val cbRows = collectCodebook(
       lloydCodebooksOver(staged.select(col("vec_id"),
         col("__res").as("__vec")), m, dim, codesK, iters), m)
+    residualAdcSearch(emb, cents, centsN, cbRows, staged,
+      nQueries, k, probes, shortlist, m, dim, assign)
+  }
+
+  /** Fixed-quantizer twin of [[ivfPqResidualTopK]]: the identical
+    * residual arrangement — in-row residual centering against the
+    * assigned cell, per-(query, probed cell) ADC tables at 1e-8 ticks,
+    * multi-assignment with best-score dedup, exact rerank — but with
+    * BOTH trained artifacts swapped for their deterministic label-mean
+    * stand-ins (coarse centroids = per-label means of the normalized
+    * vectors; residual codebooks = per-label mean residual subvectors).
+    * That removes the 1 + m Lloyd fits, so every number in the chain is
+    * closed-form integer/IEEE arithmetic a SQL oracle can replay — the
+    * q_kmeans unroll trick applied one level up: q_ivfpq_residual keeps
+    * the trained recall, this twin hash-checks the residual MACHINERY.
+    */
+  def ivfPqResidualFixedTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                             probes: Int = 2, shortlist: Int = 50,
+                             m: Int = 16, dim: Int = 64,
+                             assign: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // label-mean coarse centroids over the NORMALIZED vectors (the
+    // residual path's search geometry; labels are dense 0..k-1)
+    val centDf = Similarity.labelCentroids(
+      emb.select(col("vec_id"), col("label"),
+        normalized(asDouble(col("embedding"))).as("embedding")))
+    val centRows = centDf.collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val cents = Similarity.centroidLiteral(
+      centRows.toDF("centroid_label", "cv"))
+    val centsN: Column = {
+      import org.apache.spark.sql.types._
+      org.apache.spark.sql.GraftSqlBridge.literal(
+        centRows.map(_._2),
+        ArrayType(ArrayType(DoubleType, containsNull = false),
+          containsNull = false))
+    }
+    def residualOf(vn: Column, cell: Column): Column =
+      zip_with(vn, element_at(centsN, cell + 1), (a, b) => a - b)
+    // one corpus projection: cell + residual (both literal folds);
+    // label rides along to key the mean codebooks
+    val staged = emb
+      .select(col("vec_id"), col("label"),
+        normalized(asDouble(col("embedding"))).as("__vn"))
+      .select(col("vec_id"), col("label"),
+        Similarity.bestCentroid(col("__vn"), cents)
+          .getField("label").as("assigned_centroid"), col("__vn"))
+      .select(col("vec_id"), col("label"), col("assigned_centroid"),
+        residualOf(col("__vn"), col("assigned_centroid")).as("__res"))
+    // residual codebooks: per-label mean residual subvectors over the
+    // PRIMARY-cell residuals (same contract as the trained form)
+    val cbRows = collectCodebook(
+      meanCodebooksOver(staged.select(col("label"),
+        col("__res").as("__vec")), m, dim), m)
+    residualAdcSearch(emb, cents, centsN, cbRows,
+      staged.select("vec_id", "assigned_centroid", "__res"),
+      nQueries, k, probes, shortlist, m, dim, assign)
+  }
+
+  /** Shared search tail of the residual IVF-PQ arrangements: encode the
+    * (possibly multi-assigned) cells, probe, ADC-rank at 1e-8 ticks,
+    * dedup multi-assignment duplicates by best score, shortlist, exact
+    * rerank. `staged` carries the primary (vec_id, assigned_centroid,
+    * __res) projection; trained vs fixed callers differ only in how
+    * `cents`/`centsN`/`cbRows` were produced.
+    */
+  private def residualAdcSearch(emb: DataFrame, cents: Column,
+      centsN: Column, cbRows: Seq[Seq[(Int, Seq[Double])]],
+      staged: DataFrame, nQueries: Int, k: Int, probes: Int,
+      shortlist: Int, m: Int, dim: Int, assign: Int): DataFrame = {
+    val sub = dim / m
+    def residualOf(vn: Column, cell: Column): Column =
+      zip_with(vn, element_at(centsN, cell + 1), (a, b) => a - b)
     val cbl = codebookLiteral(cbRows)
     // Multi-assignment (Faiss's IVF trick for raising the coarse
     // ceiling without more probes): index each corpus vector in its

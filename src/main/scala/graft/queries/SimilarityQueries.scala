@@ -325,6 +325,104 @@ object SimilarityQueries {
       nQueries = 10, k = 5, probes = IvfPqProbes,
       shortlist = IvfPqShortlist, m = PqM, dim = 64)
 
+  // ---- q_ivfpq_residual_fixed: the residual machinery, hash-checked ----
+
+  /** [[graft.ops.Pq.ivfPqResidualFixedTopK]] with multi-assignment
+    * (assign=2): every moving part of the residual arrangement —
+    * in-row centering, per-(query, cell) ADC tables at 1e-8 ticks,
+    * the best-score dedup of multi-assigned candidates, shortlist,
+    * exact rerank — with the two Lloyd fits swapped for label-mean
+    * stand-ins, making the whole chain closed-form arithmetic DuckDB
+    * replays CTE by CTE. q_ivfpq_residual stays rows-only for the
+    * trained recall; THIS twin is the hash gate on the machinery.
+    */
+  def ivfPqResidualFixed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pq.ivfPqResidualFixedTopK(Tables.embeddings(s, dir),
+      nQueries = 10, k = 5, probes = IvfPqProbes,
+      shortlist = IvfPqShortlist, m = PqM, dim = 64, assign = 2)
+
+  /** Replays the fixed-quantizer residual chain: normalized label-mean
+    * cells, per-vector top-2 cell assignment, per-cell residuals,
+    * label-mean residual codebooks from PRIMARY residuals, per-cell
+    * encoding, per-(query, probed cell) ADC tables, min-over-cells
+    * candidate dedup, shortlist, exact rerank.
+    */
+  val ivfPqResidualFixedSql: String =
+    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |e AS (SELECT vec_id, label,
+       |  CASE WHEN sqrt(list_reduce(list_transform(v0, y -> y * y), (a, b) -> a + b)) > 0
+       |    THEN list_transform(v0,
+       |      x -> x / sqrt(list_reduce(list_transform(v0, y -> y * y), (a, b) -> a + b)))
+       |    ELSE v0 END AS v
+       | FROM e0),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS p),
+       |cent AS (
+       | SELECT label AS centroid_label, list(cx ORDER BY p) AS cv
+       | FROM (SELECT label, p, avg(v[p]) AS cx FROM e CROSS JOIN pos GROUP BY label, p)
+       | GROUP BY label),
+       |cells AS (
+       | SELECT vec_id, centroid_label AS cell, rn FROM (
+       |  SELECT e.vec_id, cent.centroid_label,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.centroid_label) AS rn
+       |  FROM e CROSS JOIN cent)
+       | WHERE rn <= 2),
+       |res AS (
+       | SELECT c.vec_id, c.cell, c.rn,
+       |   list_transform(generate_series(1, 64), i -> e.v[i] - cent.cv[i]) AS rv
+       | FROM cells c JOIN e USING (vec_id)
+       | JOIN cent ON cent.centroid_label = c.cell),
+       |cb AS (
+       | SELECT CAST((p - 1) // $PqSub AS INT) AS m_idx, label AS code,
+       |        list(cx ORDER BY p) AS cv
+       | FROM (SELECT e.label, p, avg(r.rv[p]) AS cx
+       |       FROM res r JOIN e USING (vec_id) CROSS JOIN pos
+       |       WHERE r.rn = 1 GROUP BY e.label, p)
+       | GROUP BY 1, 2),
+       |d AS (SELECT r.vec_id, r.cell, cb.m_idx, cb.code,
+       |        ${pqL2Sql("r.rv")} AS dist
+       |      FROM res r CROSS JOIN cb),
+       |enc AS (SELECT vec_id, cell, m_idx, code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, cell, m_idx
+       |    ORDER BY dist, code) AS rn2 FROM d) WHERE rn2 = 1),
+       |qr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |probes AS (
+       | SELECT query_id, centroid_label AS cell FROM (
+       |  SELECT qr.query_id, cent.centroid_label,
+       |   row_number() OVER (PARTITION BY qr.query_id
+       |     ORDER BY list_cosine_similarity(qr.qv, cent.cv) DESC, cent.centroid_label) AS pr
+       |  FROM qr CROSS JOIN cent)
+       | WHERE pr <= $IvfPqProbes),
+       |qres AS (
+       | SELECT p.query_id, p.cell,
+       |   list_transform(generate_series(1, 64), i -> qr.qv[i] - cent.cv[i]) AS qrv
+       | FROM probes p JOIN qr USING (query_id)
+       | JOIN cent ON cent.centroid_label = p.cell),
+       |qtab AS (SELECT q.query_id, q.cell, cb.m_idx, cb.code,
+       |    CAST(floor(${pqL2Sql("q.qrv")} * CAST(100000000 AS DOUBLE)) AS BIGINT) AS dq
+       |  FROM qres q CROSS JOIN cb),
+       |cand0 AS (SELECT t.query_id, enc.vec_id, enc.cell,
+       |    CAST(sum(t.dq) AS BIGINT) AS dist_cell
+       |  FROM enc
+       |  JOIN qtab t ON t.cell = enc.cell AND t.m_idx = enc.m_idx
+       |    AND t.code = enc.code
+       |  WHERE enc.vec_id <> t.query_id
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, vec_id, min(dist_cell) AS dist_q
+       |  FROM cand0 GROUP BY 1, 2),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist_q, vec_id) AS srank FROM cand) WHERE srank <= $IvfPqShortlist),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |    list_cosine_similarity(q2.qv0, ev.v0) AS cosine
+       |  FROM short s
+       |  JOIN e0 ev ON ev.vec_id = s.vec_id
+       |  JOIN (SELECT vec_id AS query_id, v0 AS qv0 FROM e0 WHERE vec_id < 10) q2
+       |    ON q2.query_id = s.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM rr)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
   /** Composes the two validated chains: the IVF coarse CTEs (raw-vector
     * centroids/assignment/probes — verbatim shapes from [[ivfTopKSql]])
     * and the PQ CTEs (normalized codebooks/encoding/ADC tables —
