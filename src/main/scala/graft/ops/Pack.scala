@@ -50,14 +50,18 @@ object Pack {
     // real pipeline (curation budget stage at the 100x layout:
     // 81.2 -> 67.9 s, q_curation_e2e 218.7 -> 197.5 s min-of-3); a
     // cheap-scan upstream (q_budget_select at 10x) measures flat — the
-    // cache write-out roughly prices one extra scan. Catalog-managed
-    // (MEMORY_AND_DISK) so the harness's clearCache releases it, same
-    // contract as the sketch caches (SketchDedup.scala).
+    // cache write-out roughly prices one extra scan. RDD-level persist
+    // (not catalog/DataFrame-level) so the blocks' lifetime follows
+    // the RESULT frame's: ContextCleaner unpersists automatically once
+    // the caller drops the returned DataFrame (whose lineage is the
+    // only reference) — a library caller can't accumulate cache
+    // entries across calls the way a catalog persist would without an
+    // external clearCache.
     val sorted = df.repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valIdx = sorted.schema.fieldIndex(valCol)
     val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: one partial sum per partition -> driver prefix sum
     val partSums = rdd
       .mapPartitionsWithIndex { (i, it) =>
@@ -101,12 +105,13 @@ object Pack {
     val parts = math.max(df.rdd.getNumPartitions, 1)
     val all = col(groupCol) +: orderCols
     // persisted for the same two-pass reason as withRunningTotalOrdered
+    // (and at the RDD level for the same ContextCleaner lifecycle)
     val sorted = df.repartitionByRange(parts, all: _*)
       .sortWithinPartitions(all: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val valIdx = sorted.schema.fieldIndex(valCol)
     val grpIdx = sorted.schema.fieldIndex(groupCol)
     val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition per-group partials (insertion-ordered —
     // groups are contiguous runs within a sorted partition)
     val partGroupSums = rdd.mapPartitionsWithIndex { (i, it) =>
