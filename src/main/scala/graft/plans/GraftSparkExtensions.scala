@@ -52,6 +52,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("token_set_stats"),
         TokenSetStats.info, TokenSetStats.builder))
     ext.injectFunction(
+      (FunctionIdentifier("token_text_stats"),
+        TokenTextStats.info, TokenTextStats.builder))
+    ext.injectFunction(
       (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
     ext.injectFunction(
       (FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder))
@@ -97,6 +100,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_dist_stats"),
       TokenDistStats.info, TokenDistStats.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("token_text_stats"),
+      TokenTextStats.info, TokenTextStats.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
     spark.sessionState.functionRegistry.registerFunction(

@@ -26,8 +26,17 @@ object TextMetrics {
   /** M1 on text_norm: length; stays NULL for null input (pandas .str.len). */
   def charLen(c: Column): Column = length(c)
 
-  /** M2: whitespace token count; null -> 0 (reference fillna("")). */
-  def wordCount(c: Column): Column = size(tokens(c))
+  /** M2: whitespace token count; null -> 0 (reference fillna("")).
+    * Counted by the string-walking [[graft.plans.TokenTextStats]]
+    * kernel — no token array, no regex; bit-equal to the
+    * `size(split(trim(c), "\\s+"))` form (parity anchor below).
+    */
+  def wordCount(c: Column): Column =
+    element_at(graft.plans.TokenTextStats(coalesce(c, lit("")), Nil), 1)
+      .cast("int")
+
+  /** The split form [[wordCount]] replaced — parity anchor. */
+  private[graft] def wordCountSplit(c: Column): Column = size(tokens(c))
 
   /** M1' (compute_quality_metrics n_chars): null -> 0. */
   def nChars(c: Column): Column = coalesce(length(c), lit(0))
@@ -58,15 +67,19 @@ object TextMetrics {
       .otherwise(lit(0.0))
   }
 
-  /** M4: 1 - unique_words/n_words; 0 when no words. Distinct count via
-    * the one-pass [[graft.plans.TokenSetStats]] kernel (integer count —
-    * parity with `size(array_distinct(t))` is equality, TextOpsSpec).
+  /** M4: 1 - unique_words/n_words; 0 when no words. Tokenized AND
+    * distinct-counted by the one-pass string-walking
+    * [[graft.plans.TokenTextStats]] kernel — the split+array form this
+    * replaces built a full token array per row just to count it
+    * (integer counts, so parity with the kernel-over-split form is
+    * equality, TextOpsSpec). Shares its kernel call with [[wordCount]]
+    * through codegen subexpression elimination when both are projected.
     */
   def repetitionRatio(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) > 0,
-      lit(1.0) - element_at(graft.plans.TokenSetStats(t, Nil), 1).cast("double")
-        / size(t).cast("double"))
+    val k = graft.plans.TokenTextStats(coalesce(c, lit("")), Nil)
+    val n = element_at(k, 1)
+    when(n > 0,
+      lit(1.0) - element_at(k, 2).cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
