@@ -55,6 +55,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("token_text_stats"),
         TokenTextStats.info, TokenTextStats.builder))
     ext.injectFunction(
+      (FunctionIdentifier("text_profile_stats"),
+        TextProfileStats.info, TextProfileStats.builder))
+    ext.injectFunction(
       (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
     ext.injectFunction(
       (FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder))
@@ -103,6 +106,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_text_stats"),
       TokenTextStats.info, TokenTextStats.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("text_profile_stats"),
+      TextProfileStats.info, TextProfileStats.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
     spark.sessionState.functionRegistry.registerFunction(

@@ -80,20 +80,60 @@ object LangId {
     (pred, score)
   }
 
-  /** Staged variant: materializes the letter-token array, per-language
-    * hit counts and the CJK char count as intermediate columns, then
-    * scores from attributes. The inline form duplicates the
-    * regexp_extract_all subtree once per reference (8x per row — HOF
-    * lambdas carry fresh variable ids, so subexpression elimination
-    * never fires on them; measured ~5x the whole query at sf0.1).
-    * Hit counts run through the native WordlistHits kernel: one codegen'd
-    * pass with hashed lookups instead of 4 interpreted HOF traversals
-    * with linear array_contains scans (value-identical counts).
-    * Value-identical to [[detect]]: same arithmetic, same types.
+  /** Staged variant: one compiled [[graft.plans.TextProfileStats]]
+    * pass extracts letter-token count, all four language hit counts
+    * and the CJK codepoint count from the raw string — no lowered
+    * copy, no regexp_extract_all token array, no CJK regex strip (the
+    * three per-row allocations the previous WordlistHits staging still
+    * paid; that form survives as [[withLangColumnsArr]], the parity
+    * anchor). Scoring reads the counts as attributes.
+    * Value-identical to [[detect]]: same arithmetic, same decisions.
     */
   def withLangColumns(df: org.apache.spark.sql.DataFrame, c: Column,
                       predName: String = "lang_pred",
                       scoreName: String = "lang_score"): org.apache.spark.sql.DataFrame = {
+    val s = coalesce(c, lit(""))
+    val staged = df
+      .withColumn("__lang_k", graft.plans.TextProfileStats(s, "langid"))
+      .withColumn("__ln", element_at(col("__lang_k"), 1))
+      .withColumn("__he", element_at(col("__lang_k"), 2))
+      .withColumn("__hd", element_at(col("__lang_k"), 3))
+      .withColumn("__hs", element_at(col("__lang_k"), 4))
+      .withColumn("__hf", element_at(col("__lang_k"), 5))
+      .withColumn("__cjk", element_at(col("__lang_k"), 6))
+    val (cjk, he, hd, hs, hf, n) = (col("__cjk"), col("__he"), col("__hd"),
+      col("__hs"), col("__hf"), col("__ln"))
+    val nch = length(s)
+    val isZh = (cjk > 0) &&
+      (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
+    val maxHits = greatest(he, hd, hs, hf)
+    val empty = c.isNull || trim(c) === ""
+    val pred =
+      when(empty, "unk")
+        .when(isZh, "zh")
+        .when(n === 0 || maxHits === 0, "unk")
+        .when(he === maxHits, "en")
+        .when(hd === maxHits, "de")
+        .when(hs === maxHits, "es")
+        .otherwise("fr")
+    val score =
+      when(empty, 0.0)
+        .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
+        .when(n === 0 || maxHits === 0, 0.0)
+        .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
+    staged
+      .withColumn(predName, pred)
+      .withColumn(scoreName, score)
+      .drop("__lang_k", "__cjk", "__he", "__hd", "__hs", "__hf", "__ln")
+  }
+
+  /** The WordlistHits-over-token-array staging [[withLangColumns]]
+    * replaced — kept as the kernel's parity anchor (LangIdModelSpec /
+    * TextOpsSpec pin value-equality of pred and score).
+    */
+  private[graft] def withLangColumnsArr(df: org.apache.spark.sql.DataFrame,
+      c: Column, predName: String = "lang_pred",
+      scoreName: String = "lang_score"): org.apache.spark.sql.DataFrame = {
     val s = coalesce(c, lit(""))
     val staged = df
       .withColumn("__lang_toks", letterTokens(c))

@@ -62,6 +62,30 @@ object Toxicity {
   def withToxicityColumns(df: org.apache.spark.sql.DataFrame,
                           c: Column): org.apache.spark.sql.DataFrame = {
     val staged = df
+      .withColumn("__tox_k",
+        graft.plans.TextProfileStats(coalesce(c, lit("")), "toxicity"))
+      .withColumn("__tox_n",
+        greatest(lit(1L), element_at(col("__tox_k"), 1)).cast("double"))
+    val n = col("__tox_n")
+    def hit(i: Int) = element_at(col("__tox_k"), i + 1).cast("double")
+    val (bad, ins, thr, sex, slr) = (hit(1), hit(2), hit(3), hit(4), hit(5))
+    val toxicity = least(lit(1.0), (bad + ins + thr + sex + slr) / n * 5.0)
+    staged
+      .withColumn("toxicity", toxicity)
+      .withColumn("severe_toxicity", when(toxicity >= 0.9, 1.0).otherwise(0.0))
+      .withColumn("insult", least(lit(1.0), ins / n * 5.0))
+      .withColumn("threat", least(lit(1.0), thr / n * 5.0))
+      .withColumn("identity_attack", least(lit(1.0), slr / n * 5.0))
+      .withColumn("sexual_explicit", least(lit(1.0), sex / n * 5.0))
+      .drop("__tox_k", "__tox_n")
+  }
+
+  /** The WordlistHits-over-token-array staging [[withToxicityColumns]]
+    * replaced — kept as the TextProfileStats kernel's parity anchor.
+    */
+  private[graft] def withToxicityColumnsArr(df: org.apache.spark.sql.DataFrame,
+      c: Column): org.apache.spark.sql.DataFrame = {
+    val staged = df
       .withColumn("__tox_toks", toxTokens(c))
       .withColumn("__tox_hits",
         graft.plans.WordlistHits(col("__tox_toks"), "toxicity"))
