@@ -40,6 +40,19 @@ object WarcQueries {
     * one multi-record `.warc.gz` blob, then parse it back with the real
     * reader. Shared fixture path of the graded queries below.
     */
+  private def assembleAndParse(s: SparkSession, members: DataFrame): DataFrame = {
+    import s.implicits._
+    val blobs = members
+      .groupBy("bucket")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("doc_id"), col("member")))),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x.getField("member"))).as("blob"))
+    blobs.select(col("blob")).as[Array[Byte]]
+      .flatMap(Warc.parseAll(_))
+      .toDF()
+  }
+
   private def parsedRecords(s: SparkSession, dir: String,
       mkRecord: (Long, String, String) => Warc.WarcRecord): DataFrame = {
     import s.implicits._
@@ -50,15 +63,7 @@ object WarcQueries {
         (id / 16, id, Warc.encodeGzipMember(mkRecord(id, src, text)))
       }
       .toDF("bucket", "doc_id", "member")
-    val blobs = members
-      .groupBy("bucket")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("doc_id"), col("member")))),
-        lit(Array.emptyByteArray),
-        (acc, x) => concat(acc, x.getField("member"))).as("blob"))
-    blobs.select(col("blob")).as[Array[Byte]]
-      .flatMap(Warc.parseAll(_))
-      .toDF()
+    assembleAndParse(s, members)
   }
 
   // ---- q_warc_roundtrip: encode -> gzip members -> parse -> HTTP split ----
@@ -518,4 +523,184 @@ object WarcQueries {
       |  CAST(max(octet_length(encode(coalesce(text, '')))) AS BIGINT)
       |    AS max_bytes
       |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- q_cdx_collapse: Internet Archive collapse=digest over captures ----
+
+  /** CDX digest collapse — the Internet Archive/Common Crawl index
+    * operation behind "show me each page's DISTINCT versions": within
+    * one SURT's capture timeline, a capture is kept only when its
+    * content digest differs from the previous capture's (consecutive
+    * identical digests collapse to the first). The fixture gives every
+    * URL three monthly captures whose digest changes at capture 2 for
+    * every 3rd doc — so capture 0 always survives, capture 1 never
+    * does, and capture 2 survives exactly when the content changed.
+    *
+    * Scale shape: the window partitions by SURT — billions of tiny
+    * per-URL groups, the skew-free windowing case (state per task is
+    * one URL's handful of captures); the capture table is already laid
+    * out SURT-contiguous (see q_cdx_pruned_fetch), so the sort inside
+    * each partition is near-free after the exchange.
+    */
+  def cdxCollapse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(array(lit(0), lit(1), lit(2))).as("k"))
+      .select(
+        col("doc_id"), col("k"),
+        concat(lit("org,example,d"), (col("doc_id") % 50).cast("string"),
+          lit(")/doc/"), col("doc_id").cast("string")).as("surt"),
+        concat(lit("2024"), lpad((col("k") + 1).cast("string"), 2, "0"),
+          lit("01000000")).as("cdx_ts"),
+        md5(when(col("k") === 2 && col("doc_id") % 3 === 0,
+            concat(lit("changed "), coalesce(col("text"), lit(""))))
+          .otherwise(coalesce(col("text"), lit("")))).as("digest"))
+    val w = Window.partitionBy("surt").orderBy("cdx_ts")
+    caps.withColumn("__prev", lag(col("digest"), 1).over(w))
+      .filter(col("__prev").isNull || col("digest") =!= col("__prev"))
+      .select("doc_id", "k", "surt", "cdx_ts", "digest")
+  }
+
+  val cdxCollapseSql: String =
+    """WITH caps AS (
+      |  SELECT doc_id, k,
+      |    'org,example,d' || (doc_id % 50) || ')/doc/' || doc_id AS surt,
+      |    '2024' || lpad(CAST(k + 1 AS VARCHAR), 2, '0') || '01000000'
+      |      AS cdx_ts,
+      |    md5(CASE WHEN k = 2 AND doc_id % 3 = 0
+      |      THEN 'changed ' || coalesce(text, '')
+      |      ELSE coalesce(text, '') END) AS digest
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+      |x AS (SELECT *,
+      |  lag(digest) OVER (PARTITION BY surt ORDER BY cdx_ts) AS prev
+      |  FROM caps)
+      |SELECT doc_id, k, surt, cdx_ts, digest
+      |FROM x WHERE prev IS NULL OR digest <> prev""".stripMargin
+
+  // ---- q_crawl_schedule: per-host politeness schedule, skew-safe ---------
+
+  /** Politeness scheduling — the frontier operation a compliant crawler
+    * runs after the robots gate: URLs of one host must fetch
+    * sequentially with the host's crawl-delay between requests, so each
+    * URL's fetch time is `(its position within the host) × delay`.
+    *
+    * Scale shape: the per-host position is the classic skewed grouped
+    * rank — a `row_number() OVER (PARTITION BY host)` serializes a
+    * mega-host's entire row set through ONE task, exactly what a
+    * 90%-one-domain crawl slice would hit. The engine's skew-safe
+    * grouped prefix machinery ([[graft.ops.Pack.withRunningTotalPerGroup]]:
+    * range-partition by (host, doc_id), per-partition group partials,
+    * driver prefix-merge) spreads a dominant host over many partitions
+    * — counting is a running total of 1.
+    */
+  def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pack
+    val urls = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("d"), (col("doc_id") % 20).cast("string"),
+        lit(".example.org")).as("host"),
+      (lit(1) + (col("doc_id") % 20) % 5).cast("long").as("crawl_delay"),
+      lit(1L).as("__one"))
+    Pack.withRunningTotalPerGroup(urls, "host", Seq(col("doc_id")),
+        "__one", "seq")
+      .select(col("doc_id"), col("host"), col("seq"),
+        (col("seq") * col("crawl_delay")).as("fetch_at_sec"))
+  }
+
+  val crawlScheduleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, 'd' || (doc_id % 20) || '.example.org' AS host,
+      |    1 + (doc_id % 20) % 5 AS delay
+      |  FROM documents)
+      |SELECT doc_id, host,
+      |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+      |    AS BIGINT) AS seq,
+      |  CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+      |    * delay AS BIGINT) AS fetch_at_sec
+      |FROM u""".stripMargin
+
+  // ---- q_warc_revisit: digest-based revisit records across snapshots -----
+
+  /** WARC `revisit` records (ISO 28500 §6.7.2) — how a recrawl stores
+    * dedup-at-crawl-time: a page whose content digest matches the
+    * previous snapshot's becomes a payload-less `revisit` record
+    * instead of a full `response` (Common Crawl's biggest storage
+    * lever). The fixture's new snapshot changes every 4th document;
+    * the digest verdict is a real frame join (previous snapshot's
+    * digest index ⋈ current capture on URL key), the verdict drives
+    * which record gets ENCODED (empty revisit vs full HTTP response),
+    * and the graded output is what the real parser recovers from the
+    * round-tripped archive — type, URI, and the split HTTP body size.
+    *
+    * Scale shape: the digest index is per-URL state; the join is the
+    * one keyed shuffle (or a broadcast when the recrawl slice is a
+    * delta), the verdict and encoding are per-row, and the archive
+    * assembly is the fixture's groupBy (production writes stream
+    * per-partition through writeWarcFiles).
+    */
+  def warcRevisit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val prev = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("digest_prev"))
+    val cur = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("updated "), coalesce(col("text"), lit(""))))
+        .otherwise(coalesce(col("text"), lit(""))).as("text_cur"))
+    val verdict = cur.join(prev, Seq("doc_id"))
+      .withColumn("changed", md5(col("text_cur")) =!= col("digest_prev"))
+    val members = verdict
+      .select(col("doc_id").cast("long"), col("source"), col("text_cur"),
+        col("changed"))
+      .as[(Long, String, String, Boolean)]
+      .map { case (id, src, curText, changed) =>
+        val uri = s"https://$src.example.org/doc/$id"
+        val rec =
+          if (changed) Warc.WarcRecord(
+            warcType = "response",
+            recordId = s"<urn:graft:rev:$id>",
+            warcDate = warcDate(id),
+            targetUri = uri,
+            contentType = "application/http;msgtype=response",
+            contentLength = -1L,
+            payload = Warc.encodeHttpResponse(200,
+              "text/plain; charset=utf-8", curText.getBytes("UTF-8")))
+          else Warc.WarcRecord(
+            warcType = "revisit",
+            recordId = s"<urn:graft:rev:$id>",
+            warcDate = warcDate(id),
+            targetUri = uri,
+            contentType = "message/http",
+            contentLength = -1L,
+            payload = Array.emptyByteArray)
+        (id / 16, id, Warc.encodeGzipMember(rec))
+      }
+      .toDF("bucket", "doc_id", "member")
+    assembleAndParse(s, members).as[Warc.WarcRecord]
+      .map { r =>
+        val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+        val bodyBytes =
+          if (r.warcType == "response")
+            Warc.httpResponse(r.payload).map(_.body.length.toLong).getOrElse(-1L)
+          else 0L
+        (id, r.warcType, r.targetUri, bodyBytes)
+      }
+      .toDF("doc_id", "warc_type", "target_uri", "body_bytes")
+  }
+
+  val warcRevisitSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'updated ' || coalesce(text, '')
+      |      ELSE coalesce(text, '') END AS cur,
+      |    md5(CASE WHEN doc_id % 4 = 0 THEN 'updated ' || coalesce(text, '')
+      |      ELSE coalesce(text, '') END)
+      |      <> md5(coalesce(text, '')) AS changed
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN changed THEN 'response' ELSE 'revisit' END AS warc_type,
+      |  'https://' || source || '.example.org/doc/' || doc_id AS target_uri,
+      |  CAST(CASE WHEN changed THEN octet_length(encode(cur)) ELSE 0 END
+      |    AS BIGINT) AS body_bytes
+      |FROM v""".stripMargin
 }
