@@ -313,10 +313,12 @@ object WarcQueries {
     * on even hosts — odd-host pages match nothing and default-allow.
     * DuckDB replays the same join + lexicographic list-max.
     */
-  def robotsGate(s: SparkSession, dir: String): DataFrame = {
+  /** The 50-host rule fixture every robots query shares (see
+    * [[robotsGate]]'s docstring for why each clause exists).
+    */
+  private def fixtureRules(s: SparkSession): DataFrame = {
     import s.implicits._
-    import graft.ops.Robots
-    val rules = (0 until 50).flatMap { h =>
+    (0 until 50).flatMap { h =>
       val base = Seq(("/private/", false), ("/doc/x", false), ("/doc/", true))
       val even = if (h % 2 == 0) Seq(("/page/", false)) else Nil
       val tie = if (h % 5 == 0) Seq(("/doc/", false)) else Nil
@@ -324,6 +326,11 @@ object WarcQueries {
         (s"d$h.example.org", p, a)
       }
     }.toDF("host", "rule_path", "allow")
+  }
+
+  def robotsGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Robots
+    val rules = fixtureRules(s)
     val urls = Tables.documents(s, dir).select(
       col("doc_id"),
       concat(lit("d"), (col("doc_id") % 50).cast("string"),
@@ -392,15 +399,7 @@ object WarcQueries {
     // planted duplicates (id % 11 == 7 shares one body) make the dedup
     // stage decisive, not vacuously green.
     val ingested = ingestHtml(s, dir, plantDups = true)
-    val rules = {
-      import s.implicits._
-      (0 until 50).flatMap { h =>
-        val base = Seq(("/private/", false), ("/doc/x", false), ("/doc/", true))
-        val even = if (h % 2 == 0) Seq(("/page/", false)) else Nil
-        val tie = if (h % 5 == 0) Seq(("/doc/", false)) else Nil
-        (base ++ even ++ tie).map { case (p, a) => (s"d$h.example.org", p, a) }
-      }.toDF("host", "rule_path", "allow")
-    }
+    val rules = fixtureRules(s)
     val withUrl = ingested
       .withColumn("host",
         concat(lit("d"), (col("doc_id") % 50).cast("string"),
@@ -541,9 +540,11 @@ object WarcQueries {
     * out SURT-contiguous (see q_cdx_pruned_fetch), so the sort inside
     * each partition is near-free after the exchange.
     */
-  def cdxCollapse(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val caps = Tables.documents(s, dir)
+  /** Three monthly captures per URL; the digest changes at capture 2
+    * for every 3rd doc. Shared by [[cdxCollapse]] and [[frontierE2e]].
+    */
+  private def captures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         explode(array(lit(0), lit(1), lit(2))).as("k"))
       .select(
@@ -555,8 +556,11 @@ object WarcQueries {
         md5(when(col("k") === 2 && col("doc_id") % 3 === 0,
             concat(lit("changed "), coalesce(col("text"), lit(""))))
           .otherwise(coalesce(col("text"), lit("")))).as("digest"))
+
+  def cdxCollapse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("surt").orderBy("cdx_ts")
-    caps.withColumn("__prev", lag(col("digest"), 1).over(w))
+    captures(s, dir).withColumn("__prev", lag(col("digest"), 1).over(w))
       .filter(col("__prev").isNull || col("digest") =!= col("__prev"))
       .select("doc_id", "k", "surt", "cdx_ts", "digest")
   }
@@ -703,4 +707,111 @@ object WarcQueries {
       |  CAST(CASE WHEN changed THEN octet_length(encode(cur)) ELSE 0 END
       |    AS BIGINT) AS body_bytes
       |FROM v""".stripMargin
+
+  // ---- q_frontier_e2e: change-driven recrawl frontier, ONE oracle --------
+
+  /** The recrawl-frontier composition: CDX digest collapse finds the
+    * URLs whose content CHANGED in the latest capture (the
+    * change-rate-driven recrawl candidates), the RFC 9309 gate drops
+    * the robots-blocked ones, and the survivors get per-host politeness
+    * fetch times — collapse → gate → schedule as one graded artifact,
+    * DuckDB replaying the whole chain as composed CTEs (the crawl
+    * analogue of what q_curation_e2e does for the curation stack,
+    * pointed at the INDEX side).
+    *
+    * Scale shape: collapse windows by SURT (tiny per-URL groups), the
+    * gate is the zero-corpus-shuffle broadcast fold, scheduling runs
+    * the skew-safe grouped prefix machinery over the ALLOWED sliver
+    * only, and blocked rows rejoin by union — no join-back anywhere.
+    */
+  def frontierE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.{Pack, Robots}
+    val w = Window.partitionBy("surt").orderBy("cdx_ts")
+    val changed = captures(s, dir)
+      .withColumn("__prev", lag(col("digest"), 1).over(w))
+      .filter(col("k") === 2 && col("__prev").isNotNull &&
+        col("digest") =!= col("__prev"))
+      .select("doc_id")
+    val urls = changed.select(
+      col("doc_id"),
+      concat(lit("d"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org")).as("host"),
+      concat(
+        element_at(
+          array(lit("/doc/"), lit("/private/"), lit("/page/"), lit("/doc/x")),
+          (col("doc_id") % 4).cast("int") + 1),
+        col("doc_id").cast("string")).as("path"))
+    val gated = Robots.gate(urls, fixtureRules(s))
+    val allowed = gated.filter(col("allowed"))
+      .withColumn("crawl_delay",
+        (lit(1) + (col("doc_id") % 50) % 5).cast("long"))
+      .withColumn("__one", lit(1L))
+    val scheduled = Pack.withRunningTotalPerGroup(allowed, "host",
+        Seq(col("doc_id")), "__one", "seq")
+      .select(col("doc_id"), col("host"), col("path"),
+        lit("scheduled").as("disposition"), col("seq"),
+        (col("seq") * col("crawl_delay")).as("fetch_at_sec"))
+    val blocked = gated.filter(!col("allowed"))
+      .select(col("doc_id"), col("host"), col("path"),
+        lit("robots_blocked").as("disposition"),
+        lit(null).cast("long").as("seq"),
+        lit(null).cast("long").as("fetch_at_sec"))
+    scheduled.unionByName(blocked)
+  }
+
+  val frontierE2eSql: String =
+    """WITH caps AS (
+      |  SELECT doc_id, k,
+      |    'org,example,d' || (doc_id % 50) || ')/doc/' || doc_id AS surt,
+      |    '2024' || lpad(CAST(k + 1 AS VARCHAR), 2, '0') || '01000000'
+      |      AS cdx_ts,
+      |    md5(CASE WHEN k = 2 AND doc_id % 3 = 0
+      |      THEN 'changed ' || coalesce(text, '')
+      |      ELSE coalesce(text, '') END) AS digest
+      |  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+      |x AS (SELECT *,
+      |  lag(digest) OVER (PARTITION BY surt ORDER BY cdx_ts) AS prev
+      |  FROM caps),
+      |cand AS (SELECT doc_id FROM x
+      |  WHERE k = 2 AND prev IS NOT NULL AND digest <> prev),
+      |urls AS (
+      |  SELECT doc_id, 'd' || (doc_id % 50) || '.example.org' AS host,
+      |    (CASE doc_id % 4 WHEN 0 THEN '/doc/' WHEN 1 THEN '/private/'
+      |      WHEN 2 THEN '/page/' ELSE '/doc/x' END) || doc_id AS path
+      |  FROM cand),
+      |hosts AS (SELECT unnest(generate_series(0, 49)) AS h),
+      |rules AS (
+      |  SELECT 'd' || h || '.example.org' AS host,
+      |         '/private/' AS rule_path, false AS allow FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/x', false
+      |    FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/', true
+      |    FROM hosts
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/page/', false
+      |    FROM hosts WHERE h % 2 = 0
+      |  UNION ALL SELECT 'd' || h || '.example.org', '/doc/', false
+      |    FROM hosts WHERE h % 5 = 0),
+      |m AS (
+      |  SELECT u.doc_id, r.rule_path, r.allow
+      |  FROM urls u LEFT JOIN rules r
+      |    ON u.host = r.host AND starts_with(u.path, r.rule_path)),
+      |gate AS (
+      |  SELECT doc_id,
+      |    coalesce(max(CASE WHEN rule_path IS NOT NULL THEN
+      |      [length(rule_path), CAST(allow AS INT)] END)[2] = 1, true)
+      |      AS allowed
+      |  FROM m GROUP BY doc_id),
+      |sched AS (
+      |  SELECT u.doc_id,
+      |    row_number() OVER (PARTITION BY u.host ORDER BY u.doc_id) - 1
+      |      AS seq
+      |  FROM urls u JOIN gate g USING (doc_id) WHERE g.allowed)
+      |SELECT u.doc_id, u.host, u.path,
+      |  CASE WHEN g.allowed THEN 'scheduled' ELSE 'robots_blocked' END
+      |    AS disposition,
+      |  CAST(s.seq AS BIGINT) AS seq,
+      |  CAST(s.seq * (1 + (u.doc_id % 50) % 5) AS BIGINT) AS fetch_at_sec
+      |FROM urls u JOIN gate g USING (doc_id)
+      |LEFT JOIN sched s USING (doc_id)""".stripMargin
 }
