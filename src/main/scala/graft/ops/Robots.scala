@@ -52,23 +52,51 @@ object Robots {
     * malformed input yields whatever rules parse — never throws.
     */
   def parse(robotsTxt: String, agent: String): Seq[Rule] = {
+    val groups = parseGroups(robotsTxt, agent)
+    val best = groups.iterator.map(_._1).foldLeft(-1)(math.max)
+    if (best < 0) Nil
+    else groups.iterator.filter(_._1 == best).flatMap(_._2).toList
+  }
+
+  /** The `Crawl-delay` of the group(s) matching `agent` (seconds; a
+    * de-facto directive RFC 9309 leaves unstandardized but most
+    * robots.txt files carry): among the groups at the selected
+    * specificity, the first parseable value in document order.
+    * None when absent/unmatched/malformed — callers fall back to
+    * their own politeness default (see
+    * [[graft.queries.WarcQueries.crawlSchedule]] for the scheduling
+    * shape the value feeds).
+    */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] = {
+    val groups = parseGroups(robotsTxt, agent)
+    val best = groups.iterator.map(_._1).foldLeft(-1)(math.max)
+    if (best < 0) None
+    else groups.iterator.filter(_._1 == best).flatMap(_._3).nextOption()
+  }
+
+  /** Shared group collector: one (specificity, rules, crawl-delay)
+    * tuple per group; specificity = -1 group does not apply, 0 = the
+    * `*` group, >0 = exact product-token match.
+    */
+  private def parseGroups(robotsTxt: String,
+      agent: String): Seq[(Int, List[Rule], Option[Double])] = {
     if (robotsTxt == null) return Nil
     val body =
       if (robotsTxt.length > MaxBytes) robotsTxt.substring(0, MaxBytes)
       else robotsTxt
     val agentTok =
       Option(agent).getOrElse("*").toLowerCase.takeWhile(_ != '/').trim
-    // (specificity, rules) per group; specificity = -1 group does not
-    // apply, 0 = the `*` group, >0 = exact product-token match
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, List[Rule])]
+    val groups =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, List[Rule], Option[Double])]
     var curSpec = -1
     var curRules = List.empty[Rule]
+    var curDelay: Option[Double] = None
     var nRules = 0
     var inAgentRun = false
     var groupOpen = false
     def closeGroup(): Unit = {
-      if (groupOpen) groups += ((curSpec, curRules.reverse))
-      curSpec = -1; curRules = Nil; groupOpen = false
+      if (groupOpen) groups += ((curSpec, curRules.reverse, curDelay))
+      curSpec = -1; curRules = Nil; curDelay = None; groupOpen = false
     }
     body.split("\r?\n").iterator.takeWhile(_ => nRules < MaxRules)
       .foreach { raw =>
@@ -93,14 +121,16 @@ object Robots {
                 curRules ::= Rule(value, key == "allow")
                 nRules += 1
               }
+            case "crawl-delay" =>
+              inAgentRun = false
+              if (groupOpen && curSpec >= 0 && curDelay.isEmpty)
+                curDelay = value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
             case _ => inAgentRun = false
           }
         }
       }
     closeGroup()
-    val best = groups.iterator.map(_._1).foldLeft(-1)(math.max)
-    if (best < 0) Nil
-    else groups.iterator.filter(_._1 == best).flatMap(_._2).toList
+    groups.toSeq
   }
 
   /** RFC 9309 pattern match: literal except `*` (any run, including

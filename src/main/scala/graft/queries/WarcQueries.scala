@@ -708,6 +708,58 @@ object WarcQueries {
       |    AS BIGINT) AS body_bytes
       |FROM v""".stripMargin
 
+  // ---- q_sitemap_parse: urlset XML -> typed frontier rows ----------------
+
+  /** Sitemap ingestion ([[graft.sources.Sitemap]]): documents
+    * fabricated into multi-entry `<urlset>` XML payloads (16 entries
+    * per sitemap file, the q_warc_roundtrip bucketing trick), parsed
+    * back by the real column-expression parser — loc (with `&amp;`
+    * entity decode), lastmod, changefreq, and typed priority must
+    * hash-match DuckDB's direct derivation. This is the crawl
+    * DISCOVERY input: the frontier seeds a crawler fetches before any
+    * WARC exists.
+    */
+  def sitemapParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sitemap
+    val docs = Tables.documents(s, dir)
+    val entry = concat(
+      lit("<url><loc>https://d"), (col("doc_id") % 50).cast("string"),
+      lit(".example.org/doc/"), col("doc_id").cast("string"),
+      lit("?a=1&amp;b=2</loc><lastmod>2024-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("</lastmod><changefreq>"),
+      element_at(
+        array(lit("daily"), lit("weekly"), lit("monthly"), lit("never")),
+        (col("doc_id") % 4).cast("int") + 1),
+      lit("</changefreq><priority>0."), (col("doc_id") % 10).cast("string"),
+      lit("</priority></url>"))
+    val sitemaps = docs
+      .select((col("doc_id") / 16).cast("long").as("bucket"),
+        col("doc_id"), entry.as("e"))
+      .groupBy("bucket")
+      .agg(concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        aggregate(sort_array(collect_list(struct(col("doc_id"), col("e")))),
+          lit(""), (acc, x) => concat(acc, x.getField("e"))),
+        lit("</urlset>")).as("xml"))
+    Sitemap.parseUrlset(sitemaps, "xml")
+      .withColumn("doc_id",
+        regexp_extract(col("loc"), "/doc/([0-9]+)", 1).cast("long"))
+      .select("doc_id", "loc", "lastmod", "changefreq", "priority")
+  }
+
+  val sitemapParseSql: String =
+    """SELECT doc_id,
+      |  'https://d' || (doc_id % 50) || '.example.org/doc/' || doc_id
+      |    || '?a=1&b=2' AS loc,
+      |  '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+      |    AS lastmod,
+      |  (CASE doc_id % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+      |    WHEN 2 THEN 'monthly' ELSE 'never' END) AS changefreq,
+      |  CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority
+      |FROM documents""".stripMargin
+
   // ---- q_frontier_e2e: change-driven recrawl frontier, ONE oracle --------
 
   /** The recrawl-frontier composition: CDX digest collapse finds the

@@ -215,6 +215,69 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // ---- streaming CDX digest collapse -------------------------------------
+
+  case class CapEvent(surt: String, cdx_ts: Timestamp, digest: String)
+  case class CapKept(surt: String, cdx_ts: Timestamp, digest: String)
+
+  /** Streaming twin of the batch CDX digest collapse (q_cdx_collapse /
+    * the Internet Archive `collapse=digest`): per-SURT state is the
+    * LAST SEEN capture's digest, and a capture is emitted only when
+    * its digest differs from the previous capture's — so an index
+    * stream materializes each URL's distinct VERSIONS continuously,
+    * the recrawl-frontier feed arriving as captures land instead of a
+    * nightly batch pass. Within a micro-batch, captures process in
+    * (event time, digest) order — the deterministic stand-in for the
+    * batch window's `ORDER BY cdx_ts`; state expires `ttlMs` past the
+    * SURT's last capture (a URL not captured for that long restarts
+    * its timeline, which collapse semantics tolerate: the first
+    * capture after a gap is always kept).
+    *
+    * Scale shape: state is one digest string per ACTIVE surt —
+    * watermark-bounded, RocksDB-spillable; the only shuffle is the
+    * keyed groupBy every stateful operator pays.
+    */
+  def collapseStream(caps: DataFrame, surtCol: String = "surt",
+                     tsCol: String = "cdx_ts", digestCol: String = "digest",
+                     watermark: String = "1 hour",
+                     ttlMs: Long = 3600000L): Dataset[CapKept] = {
+    implicit val evEnc: Encoder[CapEvent] = Encoders.product[CapEvent]
+    implicit val keptEnc: Encoder[CapKept] = Encoders.product[CapKept]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+
+    def fn(surt: String, batch: Iterator[CapEvent],
+           state: GroupState[String]): Iterator[CapKept] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var prev = state.getOption.orNull
+        var maxTs = Long.MinValue
+        val out = batch.toArray
+          .sortBy(e => (e.cdx_ts.getTime, e.digest))
+          .flatMap { e =>
+            maxTs = math.max(maxTs, e.cdx_ts.getTime)
+            val keep = prev == null || e.digest != prev
+            prev = e.digest
+            if (keep) Some(CapKept(surt, e.cdx_ts, e.digest)) else None
+          }
+        if (prev != null) {
+          state.update(prev)
+          val horizon = math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1)
+          state.setTimeoutTimestamp(horizon)
+        }
+        out.iterator
+      }
+    }
+
+    caps
+      .select(col(surtCol).as("surt"),
+        col(tsCol).cast("timestamp").as("cdx_ts"),
+        col(digestCol).as("digest"))
+      .withWatermark("cdx_ts", watermark)
+      .as[CapEvent]
+      .groupByKey(_.surt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Continuous incremental dedup against a PERSISTENT hash corpus: each
     * micro-batch runs [[graft.ops.Dedup.incrementalExactDedup]] against a
     * parquet state table of (exact_hash, dedup_id), then appends its own

@@ -227,8 +227,11 @@ class PlanSpec extends SparkTestBase {
     assert(finalPlan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
       s"parquet scan must prune to source columns:\n$finalPlan")
     // the custom codegen expressions stay inlined in the fused plan
+    // (r11: lang/toxicity signals moved from wordlist_hits-over-array
+    // to the one-pass text_profile_stats string kernel)
     val static = plan(df)
-    assert(static.contains("wordlist_hits"), s"WordlistHits kernel missing:\n$static")
+    assert(static.contains("text_profile_stats"),
+      s"TextProfileStats kernel missing:\n$static")
     assert(static.contains("nfkc"), s"NfkcNormalize missing:\n$static")
   }
 

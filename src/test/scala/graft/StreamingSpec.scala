@@ -234,6 +234,34 @@ class StreamingSpec extends SparkTestBase {
     } finally { qf.stop(); qb.stop() }
   }
 
+  test("streaming CDX collapse: kept captures match the batch lag-window " +
+    "semantics across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, String)]
+    val kept = Streaming.collapseStream(
+      in.toDF().toDF("surt", "cdx_ts", "digest"))
+    val q = kept.writeStream.format("memory").queryName("collapse")
+      .outputMode("append").start()
+    try {
+      // u1: digest changes at every capture; u2: constant; u3: changes
+      // only at its 3rd capture, which arrives in the NEXT micro-batch
+      in.addData(
+        ("u1", ts(0), "a"), ("u1", ts(1), "b"),
+        ("u2", ts(0), "x"), ("u2", ts(1), "x"),
+        ("u3", ts(0), "p"), ("u3", ts(1), "p"))
+      q.processAllAvailable()
+      in.addData(("u1", ts(2), "c"), ("u2", ts(2), "x"), ("u3", ts(2), "q"))
+      q.processAllAvailable()
+      val got = spark.table("collapse")
+        .select("surt", "digest").as[(String, String)].collect().toSet
+      // batch semantics: lag(digest) over (partition by surt order by ts)
+      assert(got === Set(("u1", "a"), ("u1", "b"), ("u1", "c"),
+        ("u2", "x"), ("u3", "p"), ("u3", "q")))
+      assert(spark.table("collapse").count() === 6)
+    } finally q.stop()
+  }
+
   test("foreachBatch dedup against a persistent parquet corpus state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -186,6 +186,44 @@ class WarcSpec extends SparkTestBase {
     assert(back.count() === 8L)
   }
 
+  test("sitemap: urlset fields, entity decode, index locs, malformed XML") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Sitemap
+    val urlset =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> https://a.example/x?p=1&amp;q=2 </loc>
+        |<lastmod>2024-03-05</lastmod><changefreq>daily</changefreq>
+        |<priority>0.8</priority></url>
+        |<url><loc>https://a.example/&quot;quoted&quot;&amp;lt;</loc></url>
+        |<url><lastmod>2024-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val rows = Sitemap.parseUrlset(Seq(urlset).toDF("xml"), "xml")
+      .select("loc", "lastmod", "changefreq", "priority").collect()
+    // the loc-less entry is dropped (the protocol requires a loc)
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "https://a.example/x?p=1&q=2")
+    assert(rows(0).getString(1) === "2024-03-05")
+    assert(rows(0).getString(2) === "daily")
+    assert(rows(0).getDouble(3) === 0.8)
+    // &amp; decodes LAST: &amp;lt; -> the literal &lt;
+    assert(rows(1).getString(0) === "https://a.example/\"quoted\"&lt;")
+    assert(rows(1).isNullAt(3)) // absent priority -> null
+    // index file: child sitemap locations
+    val idx = """<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>
+      |</sitemap><sitemap><loc> https://a.example/s2.xml?x=1&amp;y=2 </loc>
+      |</sitemap></sitemapindex>""".stripMargin
+    val locs = Seq(idx).toDF("xml")
+      .select(Sitemap.sitemapLocs(col("xml")).as("l"))
+      .as[Seq[String]].collect().head
+    assert(locs === Seq("https://a.example/s1.xml",
+      "https://a.example/s2.xml?x=1&y=2"))
+    // malformed: junk, empty, null -> zero rows, never a throw
+    val bad = Seq("not xml at all", "<urlset><url></url>", "", null)
+      .toDF("xml")
+    assert(Sitemap.parseUrlset(bad, "xml").count() === 0L)
+  }
+
   test("cdx pruned fetch: per-domain lookup opens 1 of 50 index files") {
     import org.apache.spark.sql.functions.col
     val sfDir = "/root/testdata/sf0.001"
