@@ -154,6 +154,50 @@ object Score {
         coalesce(col("blp_sum_q"), lit(0L)).as("blp_sum_q"))
   }
 
+  /** PMI collocations — corpus-level phrase mining (Church & Hanks '90,
+    * the standard bigram-association measure): for adjacent token pairs
+    * seen at least `minCount` times,
+    * `pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )` with pair probability over
+    * the bigram total and token probabilities over the unigram total.
+    * High-PMI pairs are the multi-word units ("San Francisco") a
+    * tokenizer or phrase-aware dedup wants as atoms; the min-count
+    * floor removes the degenerate rare-pair spikes PMI is known for.
+    *
+    * Scale shape: two corpus explodes → two keyed count aggs (both
+    * vocab-bounded); the totals fold from the COUNT tables, not a
+    * third corpus pass; the min-count filter shrinks the pair table to
+    * a sliver BEFORE the two unigram enrich joins (counts-table keyed
+    * — never a corpus shuffle). PMI is quantized `floor(·*1e4)` per
+    * pair, the established log-parity contract with the oracle.
+    * Both count tables persist (each feeds its total + a join);
+    * released by the caller's clearCache, same contract as
+    * [[bigramLogprobs]]'s `cb`.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Int = 5): DataFrame = {
+    val toksDf = df
+      .withColumn("__toks", graft.text.TextMetrics.tokens(col(textCol)))
+    val uni = toksDf.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = uni.agg(sum("c1").as("__n1"))
+    val cb = toksDf
+      .select(explode(ngramStructs(col("__toks"), 2)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = cb.agg(sum("c12").as("__n2"))
+    cb.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi_q",
+        floor(log((col("c12").cast("double") / col("__n2")) /
+          ((col("c1a").cast("double") / col("__n1")) *
+            (col("c1b").cast("double") / col("__n1")))) * 10000).cast("long"))
+      .select(col("w1"), col("w2"), col("c12").as("n12"), col("pmi_q"))
+  }
+
   val KnDiscount = 0.75
 
   /** Interpolated Kneser–Ney TRIGRAM log-probability — the full

@@ -1233,6 +1233,36 @@ object DocQueries {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        |GROUP BY d.doc_id""".stripMargin
 
+  // ---- q_pmi_bigrams: PMI collocation mining -----------------------------
+
+  /** Corpus-level PMI phrase mining ([[graft.ops.Score.pmiCollocations]]):
+    * adjacent-pair association over the whole corpus with a min-count
+    * floor, quantized per the log-parity contract. The oracle rebuilds
+    * both count tables and the identical ln-ratio expression.
+    */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Score.pmiCollocations(Tables.documents(s, dir), "text",
+      minCount = 5)
+
+  val pmiBigramsSql: String =
+    s"""WITH c AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |t AS (SELECT unnest(toks) AS tok FROM c),
+       |u AS (SELECT tok, count(*) AS c1 FROM t GROUP BY tok),
+       |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM u),
+       |b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+       |      FROM c WHERE len(toks) >= 2),
+       |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c12
+       |       FROM b GROUP BY 1, 2),
+       |n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc),
+       |f AS (SELECT * FROM bc WHERE c12 >= 5)
+       |SELECT f.w1, f.w2, CAST(f.c12 AS BIGINT) AS n12,
+       |  CAST(floor(ln((CAST(f.c12 AS DOUBLE) / n2.n) /
+       |    ((CAST(ua.c1 AS DOUBLE) / n1.n) * (CAST(ub.c1 AS DOUBLE) / n1.n)))
+       |    * 10000) AS BIGINT) AS pmi_q
+       |FROM f JOIN u ua ON ua.tok = f.w1 JOIN u ub ON ub.tok = f.w2
+       |CROSS JOIN n1 CROSS JOIN n2""".stripMargin
+
   // ---- q_url_canon: URL canonicalization for dedup keys ------------------
 
   /** Canonicalize a deterministically-messied URL (tracking params,
