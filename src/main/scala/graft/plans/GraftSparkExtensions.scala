@@ -58,6 +58,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("text_profile_stats"),
         TextProfileStats.info, TextProfileStats.builder))
     ext.injectFunction(
+      (FunctionIdentifier("collapse_repeats"),
+        CollapseRepeats.info, CollapseRepeats.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("strip_tags"), StripTags.info, StripTags.builder))
+    ext.injectFunction(
       (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder))
     ext.injectFunction(
       (FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder))
@@ -109,6 +114,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("text_profile_stats"),
       TextProfileStats.info, TextProfileStats.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("collapse_repeats"),
+      CollapseRepeats.info, CollapseRepeats.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("strip_tags"), StripTags.info, StripTags.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
     spark.sessionState.functionRegistry.registerFunction(

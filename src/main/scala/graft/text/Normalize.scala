@@ -43,8 +43,20 @@ object Normalize {
     nullif(cleaned, lit(""))
   }
 
-  /** P2: drop anything that looks like an HTML tag. Null passes through. */
-  def stripHtml(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
+  /** P2: drop anything that looks like an HTML tag. Null passes
+    * through. Evaluated by the one-pass [[graft.plans.StripTags]]
+    * kernel — bit-equal to the `regexp_replace(c, "<[^>]+>", " ")`
+    * form below (parity-pinned; the DuckDB oracles keep running the
+    * regex verbatim), without rebuilding the document through the
+    * regex engine per row.
+    */
+  def stripHtml(c: Column): Column = graft.plans.StripTags(c)
+
+  /** The regex form [[stripHtml]] replaced — parity anchor and the
+    * oracle-SQL documentation of the semantics.
+    */
+  private[graft] def stripHtmlRegex(c: Column): Column =
+    regexp_replace(c, "<[^>]+>", " ")
 
   /** Invisible characters scraped text smuggles past every other
     * filter: zero-widths (ZWSP/ZWNJ/ZWJ/word-joiner), the BOM, soft
@@ -111,9 +123,18 @@ object Normalize {
 
   /** P4: `([!?.,])\1{2,}` -> `$1$1`; `(.)\1{3,}` -> `$1$1$1`.
     * Backreference patterns — Java regex only (RE2/DuckDB can't run
-    * these, so P4 is excluded from oracle-checked columns).
+    * these, so P4 is excluded from oracle-checked columns). Evaluated
+    * by the one-pass [[graft.plans.CollapseRepeats]] run-length kernel
+    * — bit-equal to the sequential regex pair below (parity-pinned),
+    * without two backtracking passes + two string copies per row.
     */
   def normalizeRepeatedChars(c: Column): Column =
+    graft.plans.CollapseRepeats(c)
+
+  /** The backref-regex form [[normalizeRepeatedChars]] replaced —
+    * parity anchor (the executable spec of P4's semantics).
+    */
+  private[graft] def normalizeRepeatedCharsRegex(c: Column): Column =
     regexp_replace(
       regexp_replace(c, "([!?.,])\\1{2,}", "$1$1"),
       "(.)\\1{3,}", "$1$1$1")
