@@ -412,6 +412,10 @@ object Pq {
     * fit — spec-pinned (SimilaritySpec measures recall against brute
     * force and against the label-mean arrangement), not oracle-replayed.
     */
+  /** In-row residual centering against the assigned cell: vn − centsN[cell]. */
+  private def residualOf(centsN: Column)(vn: Column, cell: Column): Column =
+    zip_with(vn, element_at(centsN, cell + 1), (a, b) => a - b)
+
   def ivfPqResidualTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                         probes: Int = 2, shortlist: Int = 50,
                         m: Int = 16, dim: Int = 64,
@@ -440,8 +444,7 @@ object Pq {
         ArrayType(ArrayType(DoubleType, containsNull = false),
           containsNull = false))
     }
-    def residualOf(vn: Column, cell: Column): Column =
-      zip_with(vn, element_at(centsN, cell + 1), (a, b) => a - b)
+    val residualOf = Pq.residualOf(centsN) _
     // one corpus projection: cell + residual (both literal folds)
     val staged = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("__v"),
@@ -495,8 +498,7 @@ object Pq {
         ArrayType(ArrayType(DoubleType, containsNull = false),
           containsNull = false))
     }
-    def residualOf(vn: Column, cell: Column): Column =
-      zip_with(vn, element_at(centsN, cell + 1), (a, b) => a - b)
+    val residualOf = Pq.residualOf(centsN) _
     // one corpus projection: cell + residual (both literal folds);
     // label rides along to key the mean codebooks
     val staged = emb
@@ -529,8 +531,7 @@ object Pq {
       staged: DataFrame, nQueries: Int, k: Int, probes: Int,
       shortlist: Int, m: Int, dim: Int, assign: Int): DataFrame = {
     val sub = dim / m
-    def residualOf(vn: Column, cell: Column): Column =
-      zip_with(vn, element_at(centsN, cell + 1), (a, b) => a - b)
+    val residualOf = Pq.residualOf(centsN) _
     val cbl = codebookLiteral(cbRows)
     // Multi-assignment (Faiss's IVF trick for raising the coarse
     // ceiling without more probes): index each corpus vector in its

@@ -52,12 +52,20 @@ case class TextProfileStats(child: Expression, profile: String)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "text_profile_stats"
 
-  override protected def nullSafeEval(input: Any): Any =
-    TextProfileStats.stats(input.asInstanceOf[UTF8String], profile)
+  @transient private lazy val sets = TextProfileStats.Profiles(profile)
+  private val isLang = profile == "langid"
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(input: Any): Any =
+    TextProfileStats.stats(input.asInstanceOf[UTF8String], sets, isLang)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // bind the compiled wordlists once (the TokenSetStats pattern) —
+    // no per-row Map lookup or profile-string compare in the hot path
+    val setsRef = ctx.addReferenceObj("profileSets", sets,
+      "java.util.HashSet[]")
     defineCodeGen(ctx, ev, c =>
-      s"""graft.plans.TextProfileStats$$.MODULE$$.stats($c, "$profile")""")
+      s"graft.plans.TextProfileStats$$.MODULE$$.stats($c, $setsRef, $isLang)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TextProfileStats =
     copy(child = newChild)
@@ -79,9 +87,8 @@ object TextProfileStats {
       }.toArray
     }
 
-  def stats(s: UTF8String, profile: String): ArrayData = {
-    val isLang = profile == "langid"
-    val sets = Profiles(profile)
+  def stats(s: UTF8String, sets: Array[java.util.HashSet[String]],
+      isLang: Boolean): ArrayData = {
     val counts = new Array[Long](sets.length)
     var nToks = 0L
     var cjk = 0L

@@ -236,12 +236,16 @@ object WarcQueries {
 
   // ---- q_cdx_pruned_fetch: SURT-laid-out index -> per-domain record fetch -
 
-  /** Deterministic on-disk location for the fabricated crawl index —
-    * Bench passes overwrite the same directory, and the pruning spec
-    * re-derives the path to count files.
+  /** On-disk location for the fabricated crawl index: stable within
+    * one JVM (Bench passes overwrite the same directory; the pruning
+    * spec re-derives the path to count files) but process-unique, so
+    * two concurrent sessions benchmarking the same dataset never race
+    * on one directory's overwrite. Hash is sign-masked (math.abs would
+    * stay negative on Int.MinValue).
     */
   private[graft] def cdxIndexDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_cdx_idx_${math.abs(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_cdx_idx_" +
+      s"${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}"
 
   /** The POINT of a crawl index, demonstrated end to end: the CDX
     * entries are WRITTEN laid out by host (Hive-partitioned, one file

@@ -146,22 +146,22 @@ object Sinks {
     * the export is one job, no second scan. Returns nothing; read back
     * with [[readTokenBin]].
     *
-    * Task-commit protocol: the bytes stream to an ATTEMPT-UNIQUE temp
-    * path and rename into `part-N.bin` only on success — with
-    * speculative execution or an overlapping retry, two attempts of
-    * the same partition each write their own temp file and exactly one
-    * rename wins (the loser deletes its temp; a killed attempt's temp
-    * is reaped by its completion listener), so the final file is
-    * always one attempt's intact bytes and the parquet index's offsets
-    * always point into real data. Both attempts produce identical
-    * bytes (the upstream partition iterator is deterministic), so
-    * WHICH attempt wins is immaterial.
+    * Task-commit protocol: every attempt writes to its OWN final file
+    * (`part-P-attempt-A.bin`) and its index rows reference that exact
+    * path — no rename, no shared destination, so a speculative sibling
+    * or overlapping retry can never interleave with (or replace) the
+    * bytes the committed index points at, even when the upstream
+    * partition's ROW ORDER differs between attempts (shuffle fetch
+    * order is not deterministic). Spark keeps exactly one attempt's
+    * output rows, so the index names exactly one file per partition;
+    * after the index commits, a driver-side sweep deletes every `.bin`
+    * the index does not reference (losing attempts, killed attempts,
+    * stale shards from a previous overwrite run).
     */
   def writeTokenBin(df: DataFrame, outDir: String,
       seqCol: String = "seq_id", tokensCol: String = "input_ids"): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    cleanShardDir(outDir, ".bin")
     val index = df.select(col(seqCol).cast("long"),
         col(tokensCol).cast("array<int>"))
       .as[(Long, Seq[Int])]
@@ -178,26 +178,22 @@ object Sinks {
       .toDF("seq_id", "file", "byte_offset", "n_tokens")
     // writing the index IS the action that streams the .bin bytes
     index.write.mode("overwrite").parquet(s"$outDir/index")
+    val referenced = spark.read.parquet(s"$outDir/index")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    cleanOrphanShards(outDir, ".bin", referenced)
   }
 
-  /** One partition's [[writeTokenBin]] work: stream the sequences to
-    * `.part-P.bin.attempt-A.tmp`, then commit by atomic rename.
-    * Package-private so SinksSpec can drive two attempts of the same
-    * partition directly and assert the commit protocol.
+  /** One partition attempt's [[writeTokenBin]] work: stream the
+    * sequences to the attempt's OWN final file. Package-private so
+    * SinksSpec can drive two attempts of the same partition directly
+    * and assert the commit protocol.
     */
   private[graft] def writeTokenShard(outDir: String, pid: Int, attempt: Long,
       it: Iterator[(Long, Seq[Int])]): Vector[(Long, String, Long, Long)] = {
-    val fin = new org.apache.hadoop.fs.Path(outDir, f"part-$pid%05d.bin")
-    val tmp = new org.apache.hadoop.fs.Path(outDir,
-      f".part-$pid%05d.bin.attempt-$attempt.tmp")
+    val fin = new org.apache.hadoop.fs.Path(outDir,
+      f"part-$pid%05d-attempt-$attempt.bin")
     val fs = fin.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    var committed = false
-    val tc = org.apache.spark.TaskContext.get()
-    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-      // a failed/killed attempt must not leave its temp behind
-      if (!committed) { try fs.delete(tmp, false) catch { case _: Exception => () } }
-    }
-    val out = new java.io.BufferedOutputStream(fs.create(tmp, true))
+    val out = new java.io.BufferedOutputStream(fs.create(fin, true))
     var offset = 0L
     val rows = Vector.newBuilder[(Long, String, Long, Long)]
     try it.foreach { case (id, toks) =>
@@ -209,17 +205,29 @@ object Sinks {
       rows += ((id, fin.toString, offset, ts.length.toLong))
       offset += 4L * ts.length
     } finally out.close()
-    // commit: the rename is the ONLY action that can land bytes at the
-    // final path (no pre-delete — a crash mid-protocol must never
-    // remove a winner's file). POSIX renames overwrite atomically;
-    // HDFS renames onto an existing dest fail, which here means
-    // another attempt already committed identical bytes — drop ours.
-    if (!fs.rename(tmp, fin)) {
-      if (fs.exists(fin)) fs.delete(tmp, false)
-      else throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
-    }
-    committed = true
     rows.result()
+  }
+
+  /** Driver-side orphan sweep for [[writeTokenBin]]: delete every file
+    * with `suffix` under `outDir` that the committed index does not
+    * reference — losing speculative attempts, killed attempts' partial
+    * files, and stale shards from a previous overwrite run. Runs AFTER
+    * the index commit, so a crash before it leaves extra bytes (safe:
+    * readers only follow the index), never a missing file.
+    */
+  private[graft] def cleanOrphanShards(outDir: String, suffix: String,
+      referenced: Set[String]): Unit = {
+    // match by FILE NAME, not full path: listStatus returns qualified
+    // URIs (file:/…) while the index stores the writer's Path.toString
+    // — attempt-unique names make the name alone unambiguous
+    val names = referenced.map(r => new org.apache.hadoop.fs.Path(r).getName)
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val p = st.getPath
+      if (p.getName.endsWith(suffix) && !names.contains(p.getName))
+        fs.delete(p, false)
+    }
   }
 
   /** Driver-side pre-clean for the binary sinks' overwrite semantics:

@@ -66,8 +66,7 @@ object Sitemap {
       .withColumn("lastmod", field(entry, "lastmod"))
       .withColumn("changefreq", field(entry, "changefreq"))
       .withColumn("priority",
-        when(field(entry, "priority") === "", lit(null))
-          .otherwise(field(entry, "priority")).cast("double"))
+        nullif(field(entry, "priority"), lit("")).cast("double"))
       .drop("__entry")
   }
 }

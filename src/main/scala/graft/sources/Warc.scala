@@ -311,10 +311,18 @@ object Warc {
     * count = partition count (size-tune upstream with
     * repartition/coalesce, exactly like any other sink).
     *
-    * Task-commit protocol (same as [[Sinks.writeTokenBin]]): bytes go
-    * to an attempt-unique temp path and rename into place on success,
-    * so a speculative sibling or overlapping retry can never interleave
-    * with the winner's file; a losing/killed attempt's temp is deleted.
+    * Task-commit protocol: bytes go to an attempt-unique temp path and
+    * rename into place on success, so a speculative sibling or
+    * overlapping retry can never INTERLEAVE with the winner's file; a
+    * losing/killed attempt's temp is deleted. Unlike
+    * [[Sinks.writeTokenBin]] (whose parquet index names the winning
+    * attempt's file exactly, so attempts may differ), this sink is
+    * read back by GLOB — the rename-overwrite race means the surviving
+    * bytes are SOME complete attempt's output, which is only
+    * record-set-identical across attempts when the upstream
+    * partition's row order is deterministic (record order within the
+    * file may differ; readers treating archives as unordered record
+    * bags — every consumer here — are unaffected).
     */
   def writeWarcFiles(records: org.apache.spark.sql.Dataset[WarcRecord],
       outDir: String): Unit = {

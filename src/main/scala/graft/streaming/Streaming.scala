@@ -217,8 +217,9 @@ object Streaming {
 
   // ---- streaming CDX digest collapse -------------------------------------
 
+  /** One capture; also the emitted kept-capture shape (identical
+    * fields — the collapse only FILTERS). */
   case class CapEvent(surt: String, cdx_ts: Timestamp, digest: String)
-  case class CapKept(surt: String, cdx_ts: Timestamp, digest: String)
 
   /** Streaming twin of the batch CDX digest collapse (q_cdx_collapse /
     * the Internet Archive `collapse=digest`): per-SURT state is the
@@ -233,6 +234,15 @@ object Streaming {
     * its timeline, which collapse semantics tolerate: the first
     * capture after a gap is always kept).
     *
+    * Ordering contract: batch parity holds for captures that arrive in
+    * event-time order ACROSS micro-batches (within a batch the sort
+    * handles reordering). A capture arriving in a later micro-batch
+    * with an EARLIER timestamp compares against the newest seen digest
+    * — emitted verdicts are never revised (append mode). Crawl index
+    * feeds are produced in capture order, so in-order delivery is the
+    * operating regime; replay out-of-order history through the batch
+    * collapse instead.
+    *
     * Scale shape: state is one digest string per ACTIVE surt —
     * watermark-bounded, RocksDB-spillable; the only shuffle is the
     * keyed groupBy every stateful operator pays.
@@ -240,13 +250,12 @@ object Streaming {
   def collapseStream(caps: DataFrame, surtCol: String = "surt",
                      tsCol: String = "cdx_ts", digestCol: String = "digest",
                      watermark: String = "1 hour",
-                     ttlMs: Long = 3600000L): Dataset[CapKept] = {
+                     ttlMs: Long = 3600000L): Dataset[CapEvent] = {
     implicit val evEnc: Encoder[CapEvent] = Encoders.product[CapEvent]
-    implicit val keptEnc: Encoder[CapKept] = Encoders.product[CapKept]
     implicit val strEnc: Encoder[String] = Encoders.STRING
 
     def fn(surt: String, batch: Iterator[CapEvent],
-           state: GroupState[String]): Iterator[CapKept] = {
+           state: GroupState[String]): Iterator[CapEvent] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
         var prev = state.getOption.orNull
@@ -257,7 +266,7 @@ object Streaming {
             maxTs = math.max(maxTs, e.cdx_ts.getTime)
             val keep = prev == null || e.digest != prev
             prev = e.digest
-            if (keep) Some(CapKept(surt, e.cdx_ts, e.digest)) else None
+            if (keep) Some(e) else None
           }
         if (prev != null) {
           state.update(prev)

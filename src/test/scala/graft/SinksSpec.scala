@@ -51,33 +51,43 @@ class SinksSpec extends SparkTestBase {
     assert(bins.map(_.length).sum === 4L * data.map(_._2.size).sum)
   }
 
-  test("token-bin commit protocol: two attempts of one partition leave " +
-    "exactly one intact file, no temps; rerun overwrites cleanly") {
+  test("token-bin commit protocol: sibling attempts never share a file; " +
+    "the index-driven sweep reaps losers and stale shards") {
     import graft.sources.Sinks
     val dir = tmpDir("tokbin-commit")
     val rows = (0L until 10L).map(i => (i, Seq(i.toInt, i.toInt + 1)))
     // overlapping retry/speculative sibling: same partition, two
-    // attempt ids, both run the full write+commit path
+    // attempt ids — each writes its OWN file (no shared destination,
+    // so differing row order between attempts cannot corrupt anything)
     val idx1 = Sinks.writeTokenShard(dir, 0, attempt = 1L, rows.iterator)
-    val idx2 = Sinks.writeTokenShard(dir, 0, attempt = 2L, rows.iterator)
-    assert(idx1 === idx2) // identical offsets into the same final path
+    val idx2 = Sinks.writeTokenShard(dir, 0, attempt = 2L,
+      rows.reverse.iterator) // the non-deterministic-order sibling
+    assert(idx1.map(_._2).distinct !== idx2.map(_._2).distinct,
+      "attempts must not share a destination file")
+    // the committed index references attempt 1 only; the sweep reaps
+    // attempt 2's orphan (and a stale shard from a previous run)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-09999-attempt-7.bin"),
+      Array[Byte](1, 2, 3))
+    Sinks.cleanOrphanShards(dir, ".bin", idx1.map(_._2).toSet)
     val files = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.endsWith(".crc")).sorted // local-FS checksum sidecars
-    assert(files.toSeq === Seq("part-00000.bin"), files.mkString(","))
+    assert(files.toSeq === Seq("part-00000-attempt-1.bin"), files.mkString(","))
+    // the survivor is intact and the offsets index into it correctly
     val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "part-00000.bin"))
+      java.nio.file.Paths.get(dir, "part-00000-attempt-1.bin"))
     assert(bytes.length === 4 * rows.map(_._2.size).sum)
-    // stale temp from a dead attempt + a full rerun: pre-clean reaps it
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, ".part-00000.bin.attempt-9.tmp"),
-      Array[Byte](1, 2, 3))
+    // full write → read round trip over the real job path (sweep runs
+    // inside writeTokenBin after the index commit)
     import spark.implicits._
     Sinks.writeTokenBin(rows.toDF("seq_id", "input_ids").coalesce(1), dir)
-    val after = new java.io.File(dir).listFiles().map(_.getName).sorted
-    assert(!after.exists(_.endsWith(".tmp")), after.mkString(","))
     val back = Sinks.readTokenBin(spark, dir)
       .as[(Long, Seq[Int])].collect().toMap
     rows.foreach { case (id, toks) => assert(back(id) === toks) }
+    // exactly the one indexed file remains after the job's own sweep
+    val after = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.endsWith(".crc") || n == "index").sorted
+    assert(after.count(_.endsWith(".bin")) === 1, after.mkString(","))
   }
 
   test("S5 training JSONL: fixed field order, parseable, null-free lines") {
