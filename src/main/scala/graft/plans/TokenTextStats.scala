@@ -9,16 +9,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass tokenize-and-count over the RAW STRING:
-  * `[token_count, distinct_count, stopword_count]` — the compiled
-  * replacement for `size(split(trim(c), "\\s+"))` (word_count /
-  * n_words) and `TokenSetStats(split(trim(c), "\\s+"), …)`
-  * (repetition_ratio) in the hot scalar pipeline. The split form
-  * builds a full UTF8String ARRAY per row (one object + one copy per
-  * token, via a regex engine) just so downstream counters can walk it
-  * once and throw it away; this kernel walks the string's bytes
+  * `[token_count, distinct_count, stopword_count, max_token_count]` —
+  * the compiled replacement for `size(split(trim(c), "\\s+"))`
+  * (word_count / n_words), `TokenSetStats(split(trim(c), "\\s+"), …)`
+  * (repetition_ratio) and the max-frequency half of
+  * `TokenDistStats(tokens(c))` in the hot scalar pipeline. The split
+  * form builds a full UTF8String ARRAY per row (one object + one copy
+  * per token, via a regex engine) just so downstream counters can walk
+  * it once and throw it away; this kernel walks the string's bytes
   * directly — zero token array, zero regex — and was measured the
   * largest remaining slice of the graded pipeline's clean+filter
-  * stage after the r10 kernels (ratio sub-stage, SCALING.md).
+  * stage after the r10 kernels (ratio sub-stage, SCALING.md). The
+  * fourth element (count of the most frequent token; 0 for the empty
+  * string) lets deepCleanAndPii's `withTokenStats` derive
+  * `max_token_freq_ratio` without staging a token array at all:
+  * `max_count/n` over exact integers divides bit-identically to
+  * TokenDistStats' in-kernel `maxCount.toDouble / nd` (KernelFuzzSpec
+  * pins the bits).
   *
   * Bit-exactness contract (counts are integers, so parity is
   * equality with the split forms, spec-pinned in TextOpsSpec):
@@ -86,15 +93,22 @@ object TokenTextStats {
     var hi = s.numBytes
     while (lo < hi && s.getByte(lo) == 0x20) lo += 1
     while (hi > lo && s.getByte(hi - 1) == 0x20) hi -= 1
-    if (lo == hi) return new GenericArrayData(Array(0L, 0L, 0L))
-    val seen = new java.util.HashSet[UTF8String](16)
+    if (lo == hi) return new GenericArrayData(Array(0L, 0L, 0L, 0L))
+    // HashMap (token -> count) instead of the former HashSet: one map
+    // carries distinct (size growth) AND the max-frequency count; small
+    // counts box from the Integer cache, so the upgrade is ~free.
+    val seen = new java.util.HashMap[UTF8String, Integer](16)
     var nTokens = 0L
     var distinct = 0L
     var stopHits = 0L
+    var maxCount = 0L
     def emit(from: Int, until: Int): Unit = {
       nTokens += 1
       val tok = UTF8String.fromAddress(base, baseOff + from, until - from)
-      if (seen.add(tok)) distinct += 1
+      val prev = seen.get(tok)
+      val c = if (prev == null) { distinct += 1; 1 } else prev.intValue() + 1
+      seen.put(tok, c)
+      if (c > maxCount) maxCount = c
       if (!stops.isEmpty && stops.contains(tok.toLowerCase)) stopHits += 1
     }
     var segStart = lo
@@ -109,7 +123,7 @@ object TokenTextStats {
       } else i += 1
     }
     emit(segStart, hi) // trailing token ("" when the string ends in ws)
-    new GenericArrayData(Array(nTokens, distinct, stopHits))
+    new GenericArrayData(Array(nTokens, distinct, stopHits, maxCount))
   }
 
   def apply(str: Column, words: Seq[String]): Column =
@@ -118,8 +132,8 @@ object TokenTextStats {
 
   private[plans] val info = new ExpressionInfo(
     classOf[TokenTextStats].getCanonicalName, null, "token_text_stats",
-    "_FUNC_(str) - [token count, distinct token count, stopword count]" +
-      " of a whitespace-tokenized string.",
+    "_FUNC_(str) - [token count, distinct token count, stopword count," +
+      " max token count] of a whitespace-tokenized string.",
     "", "", "", "string_funcs", "4.0.0", "", "scala_udf")
 
   private[plans] val builder: Seq[Expression] => Expression = { args =>

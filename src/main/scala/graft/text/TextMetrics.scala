@@ -212,11 +212,44 @@ object TextMetrics {
     */
   def withTokenStats(df: org.apache.spark.sql.DataFrame,
                      c: Column): org.apache.spark.sql.DataFrame = {
+    // All five stats from ONE string-walking compiled pass
+    // ([[graft.plans.TokenTextStats]]) — no token array is ever
+    // materialized (the former staging split the text, then ran
+    // TokenSetStats + TokenDistStats over the array: three walks plus
+    // one UTF8String allocation per token). Value parity with the
+    // array stagings is exact because every output is an integer
+    // count and each ratio is a single IEEE division of exact
+    // integers — identical operands, identical bits (KernelFuzzSpec
+    // pins all four against the array forms; TextOpsSpec pins the
+    // column semantics). coalesce("") keeps the tokens() null guard:
+    // the kernel maps the empty string to [0,0,0,0], the same
+    // zero-stats row the empty-array staging produced.
+    val staged = df.withColumn("__tts",
+      graft.plans.TokenTextStats(coalesce(c, lit("")), EnStopwords))
+    val n = element_at(col("__tts"), 1)
+    val nd = n.cast("double")
+    staged
+      .withColumn("token_count", n)
+      .withColumn("unique_tokens", element_at(col("__tts"), 2))
+      .withColumn("unique_token_ratio",
+        when(n > 0, element_at(col("__tts"), 2).cast("double") / nd)
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(n > 0, element_at(col("__tts"), 3).cast("double") / nd)
+          .otherwise(lit(0.0)))
+      .withColumn("max_token_freq_ratio",
+        when(n > 0, element_at(col("__tts"), 4).cast("double") / nd)
+          .otherwise(lit(0.0)))
+      .drop("__tts")
+  }
+
+  /** The pre-kernel array-staged form of [[withTokenStats]], kept as
+    * the parity anchor (KernelFuzzSpec evaluates both over fuzzed
+    * strings and requires bit equality on all five columns).
+    */
+  def withTokenStatsArr(df: org.apache.spark.sql.DataFrame,
+                        c: Column): org.apache.spark.sql.DataFrame = {
     val staged = df.withColumn("__toks", tokens(c))
-      // distinct + stopword counts in one compiled pass, staged as an
-      // attribute so the four stats below share it (the HOF forms this
-      // replaced re-ran array_distinct twice and an interpreted,
-      // codegen-breaking filter lambda once per row — parity-pinned)
       .withColumn("__tss", graft.plans.TokenSetStats(col("__toks"), EnStopwords))
     val t = col("__toks")
     staged

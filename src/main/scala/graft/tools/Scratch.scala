@@ -78,6 +78,49 @@ object Scratch {
       return
     }
 
+    // focused mode: decompose stage 3 (deepCleanAndPii) per-row work
+    // into its per-pattern regex walls — which mask/count pattern
+    // dominates the deep-clean/PII slice?
+    if (args.contains("--mask-profile")) {
+      import graft.{Pipeline, Tables}
+      import graft.text.{Normalize, Pii, TextMetrics}
+      def mat(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.mode("overwrite").format("noop").save(); 0L
+      }
+      def base = Pipeline.cleanAndFilter(
+        Pipeline.fromDocuments(Tables.documents(spark, dir)),
+        applyNfkc = false)
+      def m0 = base.withColumn("text_deep_clean",
+        Normalize.structuralCleanupNoRepeats(col("text_norm")))
+      val t = col("text_deep_clean")
+      def m1 = TextMetrics.withTokenStats(m0, t)
+      def m2 = m1.withColumn("e", graft.plans.EmailMask(t))
+      def m3 = m2.withColumn("p", regexp_replace(col("e"), Pii.PhoneRe, "<PHONE>"))
+      def m4 = m3.withColumn("c", regexp_replace(col("p"), Pii.CreditCardRe, "<CREDIT_CARD>"))
+      def m5 = m4.withColumn("i", regexp_replace(col("c"), Pii.IbanRe, "<IBAN>"))
+      def m6 = m5.withColumn("he", Pii.piiEmailHits(t))
+      def m7 = m6.withColumn("hp", Pii.piiPhoneHits(t))
+      def m8 = m7.withColumn("hc", Pii.piiCcHits(t))
+      def m9 = m8.withColumn("hi", Pii.piiSsnHits(t)).withColumn("hib", Pii.piiIbanHits(t))
+      mat(m9) // warm-up
+      val w0 = minOf3("s3 structural clean") { mat(m0) }
+      val w1 = minOf3("+token stats") { mat(m1) }
+      val w2 = minOf3("+email mask") { mat(m2) }
+      val w3 = minOf3("+phone mask") { mat(m3) }
+      val w4 = minOf3("+cc mask") { mat(m4) }
+      val w5 = minOf3("+iban mask") { mat(m5) }
+      val w6 = minOf3("+email count") { mat(m6) }
+      val w7 = minOf3("+phone count") { mat(m7) }
+      val w8 = minOf3("+cc count") { mat(m8) }
+      val w9 = minOf3("+iban+ssn count") { mat(m9) }
+      println(f"MASK PROFILE: clean $w0%.2f | tokstats ${w1 - w0}%.2f | " +
+        f"emask ${w2 - w1}%.2f | pmask ${w3 - w2}%.2f | ccmask ${w4 - w3}%.2f | " +
+        f"ibmask ${w5 - w4}%.2f | ecnt ${w6 - w5}%.2f | pcnt ${w7 - w6}%.2f | " +
+        f"cccnt ${w8 - w7}%.2f | ibcnt ${w9 - w8}%.2f | total $w9%.2f")
+      spark.stop()
+      return
+    }
+
     // focused mode: decompose the graded chain's dominant s2-5 prefix
     // into its sub-stages (clean -> deepclean/PII -> dedup -> score)
     if (args.contains("--graded-substages")) {

@@ -67,6 +67,27 @@ class KernelFuzzSpec extends SparkTestBase {
         s"TokenTextStats distinct/stopword on <$t>")
     }
 
+    // withTokenStats (string-direct kernel, incl. the 4th max-count
+    // element) vs the array-staged form it replaced: all five derived
+    // columns must agree BITWISE (ratios are single IEEE divisions of
+    // identical integers, so bit equality is the honest contract).
+    val statCols = Seq("token_count", "unique_tokens",
+      "unique_token_ratio", "stopword_ratio", "max_token_freq_ratio")
+    val viaKernel = TextMetrics.withTokenStats(df, col("t"))
+      .select(col("t") +: statCols.map(col): _*).collect()
+    val viaArray = TextMetrics.withTokenStatsArr(df, col("t"))
+      .select(col("t") +: statCols.map(col): _*).collect()
+    viaKernel.zip(viaArray).foreach { case (k, a) =>
+      val t = k.getString(0)
+      assert(k.getLong(1) === a.getLong(1), s"token_count on <$t>")
+      assert(k.getLong(2) === a.getLong(2), s"unique_tokens on <$t>")
+      (3 to 5).foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(k.getDouble(i)) ===
+          java.lang.Double.doubleToRawLongBits(a.getDouble(i)),
+          s"${statCols(i - 1)} on <$t>")
+      }
+    }
+
     val lk = graft.text.LangId.withLangColumns(df, col("t"), "p_k", "s_k")
     val lc = graft.text.LangId.withLangColumnsArr(lk, col("t"), "p_a", "s_a")
       .select("t", "p_k", "p_a", "s_k", "s_a").collect()
