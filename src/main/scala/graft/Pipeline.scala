@@ -82,12 +82,22 @@ object Pipeline {
       if (collapseRepeats) Normalize.structuralCleanup(col("text_norm"))
       else Normalize.structuralCleanupNoRepeats(col("text_norm")))
     val t = col("text_deep_clean")
+    // All four hit counters come from ONE fused scan (pii_counts
+    // staged as an attribute); the mask chain is a second fused pass.
+    // Two string conversions per row instead of the former eight
+    // regexp expressions (kernel == regex parity: PiiScanSpec).
     val stats = TextMetrics.withTokenStats(cleaned, t)
+      .withColumn("__pii", graft.plans.PiiCounts(t))
       .withColumn("text_pii_masked", Pii.maskPii(t))
-      .withColumn("pii_email_hits", Pii.piiEmailHits(t).cast("long"))
-      .withColumn("pii_phone_hits", Pii.piiPhoneHits(t).cast("long"))
-      .withColumn("pii_cc_hits", Pii.piiCcHits(t).cast("long"))
-      .withColumn("pii_iban_hits", Pii.piiIbanHits(t).cast("long"))
+      .withColumn("pii_email_hits",
+        coalesce(element_at(col("__pii"), 1), lit(0)).cast("long"))
+      .withColumn("pii_phone_hits",
+        coalesce(element_at(col("__pii"), 2), lit(0)).cast("long"))
+      .withColumn("pii_cc_hits",
+        coalesce(element_at(col("__pii"), 3), lit(0)).cast("long"))
+      .withColumn("pii_iban_hits",
+        coalesce(element_at(col("__pii"), 4), lit(0)).cast("long"))
+      .drop("__pii")
     val flagged = stats.withColumn("has_pii", Pii.hasPii(
       col("pii_email_hits"), col("pii_phone_hits"),
       col("pii_cc_hits"), col("pii_iban_hits")))

@@ -98,9 +98,14 @@ object EmailScan {
   }
 
   /** regexp_count(s, EmailRe) equivalent. */
-  def count(s: UTF8String): Int = {
+  def count(s: UTF8String): Int = countStr(s.toString)
+
+  /** String-level count — lets [[PiiScan]]'s fused expressions share
+    * one UTF8String→String conversion across all six patterns.
+    */
+  private[plans] def countStr(str: String): Int = {
     var n = 0
-    scan(s.toString)((_, _) => n += 1)
+    scan(str)((_, _) => n += 1)
     n
   }
 
@@ -109,15 +114,22 @@ object EmailScan {
     */
   def mask(s: UTF8String, repl: UTF8String): UTF8String = {
     val str = s.toString
+    val out = maskStr(str, repl.toString)
+    if (out eq str) s else UTF8String.fromString(out)
+  }
+
+  /** String-level mask (returns the INPUT reference when nothing
+    * matched, so chained callers can skip re-materialization).
+    */
+  private[plans] def maskStr(str: String, repl: String): String = {
     var sb: java.lang.StringBuilder = null // allocate only on first hit
     var copied = 0
     scan(str) { (a, b) =>
       if (sb == null) sb = new java.lang.StringBuilder(str.length)
-      sb.append(str, copied, a).append(repl.toString)
+      sb.append(str, copied, a).append(repl)
       copied = b
     }
-    if (sb == null) s
-    else UTF8String.fromString(sb.append(str, copied, str.length).toString)
+    if (sb == null) str else sb.append(str, copied, str.length).toString
   }
 }
 

@@ -43,6 +43,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder))
     ext.injectFunction(
+      (FunctionIdentifier("pii_counts"), PiiCounts.info, PiiCounts.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("pii_mask"), PiiMaskChain.info, PiiMaskChain.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("pii_mask_ext"),
+        PiiMaskChainExt.info, PiiMaskChainExt.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("phone_simple_hits"),
+        PhoneSimpleCount.info, PhoneSimpleCount.builder))
+    ext.injectFunction(
       (FunctionIdentifier("token_dist_stats"),
         TokenDistStats.info, TokenDistStats.builder))
     ext.injectFunction(
@@ -105,6 +115,16 @@ object GraftFunctions {
       FunctionIdentifier("email_hits"), EmailCount.info, EmailCount.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("email_mask"), EmailMask.info, EmailMask.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pii_counts"), PiiCounts.info, PiiCounts.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pii_mask"), PiiMaskChain.info, PiiMaskChain.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pii_mask_ext"),
+      PiiMaskChainExt.info, PiiMaskChainExt.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("phone_simple_hits"),
+      PhoneSimpleCount.info, PhoneSimpleCount.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_dist_stats"),
       TokenDistStats.info, TokenDistStats.builder)

@@ -11,15 +11,24 @@ import org.apache.spark.sql.functions._
   *
   * Masking order matters and is preserved: email -> phone -> cc -> iban,
   * each replacement running over the already-masked text.
+  *
+  * Evaluation engine: every pattern below is the literal operator
+  * contract (and the DuckDB oracle runs each verbatim), but the Spark
+  * side evaluates them through the [[graft.plans.PiiScan]] /
+  * [[graft.plans.EmailScan]] hand scanners — exact java.util.regex
+  * semantics, fused so the deep-clean stage converts each row's string
+  * twice (counts + mask chain) instead of eight times, and linear time
+  * where java.util.regex is super-linear (the email pattern's O(n²)
+  * '@'-free runs). The `*Regex` forms below keep the original
+  * regexp_count/regexp_replace evaluation as parity anchors:
+  * PiiScanSpec fuzzes kernel == regex over digit/separator-rich
+  * strings, and the q_pii_* oracle hashes pin the composed columns
+  * against RE2 independently.
   */
 object Pii {
 
-  /** The email pattern stays the literal operator contract (and the
-    * DuckDB oracle still runs it verbatim), but the Spark side
-    * evaluates it through [[graft.plans.EmailScan]] — a linear-time
-    * exact-semantics kernel — because under java.util.regex this is
-    * the engine's one super-linear pattern (O(n²) on '@'-free runs of
-    * local-part chars; see the kernel scaladoc and tools/RegexAudit).
+  /** The engine's one super-linear pattern under java.util.regex (see
+    * [[graft.plans.EmailScan]] and tools/RegexAudit).
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
@@ -40,18 +49,34 @@ object Pii {
   /** M7: stage-2 family — email/phone counts on the normalized text. */
   def emailHits(c: Column): Column =
     coalesce(graft.plans.EmailCount(c), lit(0))
-  def phoneHitsSimple(c: Column): Column = hits(c, PhoneSimpleRe)
+  def phoneHitsSimple(c: Column): Column =
+    coalesce(graft.plans.PhoneSimpleCount(c), lit(0))
+  def phoneHitsSimpleRegex(c: Column): Column = hits(c, PhoneSimpleRe)
 
-  /** M8: stage-3 family counts (run on text_deep_clean). */
-  def piiEmailHits(c: Column): Column =
-    coalesce(graft.plans.EmailCount(c), lit(0))
-  def piiPhoneHits(c: Column): Column = hits(c, PhoneRe)
-  def piiCcHits(c: Column): Column    = hits(c, CreditCardRe)
-  def piiIbanHits(c: Column): Column  = hits(c, IbanRe)
+  /** M8: stage-3 family counts (run on text_deep_clean). Each routes
+    * through the fused [[graft.plans.PiiCounts]] kernel; identical
+    * sibling calls inside one projection collapse to a single
+    * evaluation under Spark's common-subexpression elimination, and
+    * Pipeline.deepCleanAndPii stages the array explicitly anyway.
+    */
+  private def kcount(c: Column, idx: Int): Column =
+    coalesce(element_at(graft.plans.PiiCounts(c), idx), lit(0))
+  def piiEmailHits(c: Column): Column = kcount(c, 1)
+  def piiPhoneHits(c: Column): Column = kcount(c, 2)
+  def piiCcHits(c: Column): Column    = kcount(c, 3)
+  def piiIbanHits(c: Column): Column  = kcount(c, 4)
 
-  /** M8: mask chain in reference order over progressively-masked text. */
-  def maskPii(c: Column): Column = {
-    val e = graft.plans.EmailMask(c)
+  def piiPhoneHitsRegex(c: Column): Column = hits(c, PhoneRe)
+  def piiCcHitsRegex(c: Column): Column    = hits(c, CreditCardRe)
+  def piiIbanHitsRegex(c: Column): Column  = hits(c, IbanRe)
+
+  /** M8: mask chain in reference order over progressively-masked text
+    * (one fused kernel pass family; [[maskPiiRegex]] is the anchor).
+    */
+  def maskPii(c: Column): Column = graft.plans.PiiMaskChain(c)
+
+  def maskPiiRegex(c: Column): Column = {
+    val e = regexp_replace(c, EmailRe, "<EMAIL>")
     val p = regexp_replace(e, PhoneRe, "<PHONE>")
     val cc = regexp_replace(p, CreditCardRe, "<CREDIT_CARD>")
     regexp_replace(cc, IbanRe, "<IBAN>")
@@ -68,8 +93,11 @@ object Pii {
   val IpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
-  def piiIpHits(c: Column): Column  = hits(c, IpRe)
-  def piiSsnHits(c: Column): Column = hits(c, SsnRe)
+  def piiIpHits(c: Column): Column  = kcount(c, 5)
+  def piiSsnHits(c: Column): Column = kcount(c, 6)
+
+  def piiIpHitsRegex(c: Column): Column  = hits(c, IpRe)
+  def piiSsnHitsRegex(c: Column): Column = hits(c, SsnRe)
 
   /** Extended mask chain: email, then the SPECIFIC digit shapes (ip,
     * ssn), then the reference's general ones (phone, cc, iban).
@@ -80,8 +108,10 @@ object Pii {
     * these interactions). [[maskPii]] keeps the reference's exact
     * 4-type order; this chain is the beyond-ref superset.
     */
-  def maskPiiExtended(c: Column): Column = {
-    val e = graft.plans.EmailMask(c)
+  def maskPiiExtended(c: Column): Column = graft.plans.PiiMaskChainExt(c)
+
+  def maskPiiExtendedRegex(c: Column): Column = {
+    val e = regexp_replace(c, EmailRe, "<EMAIL>")
     val ip = regexp_replace(e, IpRe, "<IP>")
     val ssn = regexp_replace(ip, SsnRe, "<SSN>")
     val p = regexp_replace(ssn, PhoneRe, "<PHONE>")

@@ -74,17 +74,20 @@ class PlanSpec extends SparkTestBase {
       s"orderBy.limit must plan as top-k, not materialize a full sort:\n$p")
   }
 
-  test("PII mask chain evaluates email via the linear kernel, not the regex") {
-    // a revert to regexp_replace for the email step reintroduces the
-    // engine's one ReDoS-class pattern (see plans/EmailScan); the
-    // kernel's presence in the physical plan is the guard
+  test("PII mask chain evaluates via the fused scan kernels, not regexes") {
+    // a revert to regexp_replace reintroduces the engine's ReDoS-class
+    // email pattern (see plans/EmailScan) and the eight-expression
+    // string churn the fused kernels removed (plans/PiiScan); the
+    // kernels' presence in the physical plan is the guard
     val pm = plan(DocQueries.piiMask(spark, dir))
-    assert(pm.contains("email_mask"), s"email step not the kernel:\n$pm")
+    assert(pm.contains("pii_mask") && !pm.contains("regexp_replace"),
+      s"mask chain not the fused kernel:\n$pm")
     val pe = plan(DocQueries.piiExtended(spark, dir))
-    assert(pe.contains("email_mask"), s"extended chain not the kernel:\n$pe")
+    assert(pe.contains("pii_mask_ext") && pe.contains("pii_counts"),
+      s"extended chain not the fused kernels:\n$pe")
     val pt = plan(graft.queries.PipelineQueries.piiTotals(spark, dir))
-    assert(pt.contains("email_hits"),
-      s"email counts not via the kernel:\n$pt")
+    assert(pt.contains("pii_counts") || pt.contains("email_hits"),
+      s"counts not via the kernel:\n$pt")
   }
 
   test("range join executes as an equi-join on user_id, not a cartesian") {
