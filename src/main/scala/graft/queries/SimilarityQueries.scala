@@ -1031,4 +1031,59 @@ object SimilarityQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin
   }
+
+  // ---- q_icp_order: semantic training order (in-context pretraining) ----
+
+  /** The corpus in semantic training order (graft.ops.SemanticOrder —
+    * the scalable space-filling-curve reduction of in-context
+    * pretraining). Fully deterministic integer arithmetic end to end:
+    * the oracle rebuilds the hashed vectors, replays the md5-parity
+    * hyperplane projections and the min-max grid quantizer in exact
+    * BIGINTs, walks the 16-level Hilbert recursion, and must agree on
+    * EVERY position of the permutation.
+    */
+  def icpOrder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SemanticOrder.semanticOrder(Tables.documents(s, dir))
+
+  val icpOrderSql: String = {
+    val dim = graft.ops.SemanticOrder.Dim
+    def sgn(axis: String) =
+      s"CASE WHEN (instr('0123456789abcdef', substr(md5('icp:$axis:' || CAST(i - 1 AS VARCHAR)), 3, 1)) - 1) % 2 = 0" +
+        " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    s"""WITH RECURSIVE ${hashedVecCtesSql(dim)},
+       |p AS (SELECT doc_id,
+       |  CAST(list_reduce(list_transform(generate_series(1, $dim),
+       |    i -> vec[i] * ${sgn("x")}), (a, b) -> a + b) AS BIGINT) AS px,
+       |  CAST(list_reduce(list_transform(generate_series(1, $dim),
+       |    i -> vec[i] * ${sgn("y")}), (a, b) -> a + b) AS BIGINT) AS py
+       | FROM hv),
+       |env AS (SELECT min(px) AS minx, max(px) AS maxx,
+       |               min(py) AS miny, max(py) AS maxy FROM p),
+       |c AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN maxx = minx THEN 0
+       |       ELSE ((px - minx) * 65535) // (maxx - minx) END AS x,
+       |  CASE WHEN maxy = miny THEN 0
+       |       ELSE ((py - miny) * 65535) // (maxy - miny) END AS y
+       | FROM p CROSS JOIN env),
+       |hw(doc_id, x, y, d, s) AS (
+       |  SELECT doc_id, x, y, CAST(0 AS BIGINT), CAST(32768 AS BIGINT) FROM c
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CASE WHEN ry = 0 THEN
+       |      CASE WHEN rx = 1 THEN s - 1 - y ELSE y END
+       |    ELSE x END,
+       |    CASE WHEN ry = 0 THEN
+       |      CASE WHEN rx = 1 THEN s - 1 - x ELSE x END
+       |    ELSE y END,
+       |    d + s * s * xor(3 * rx, ry),
+       |    s // 2
+       |  FROM (SELECT doc_id, x, y, d, s,
+       |          CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+       |          CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+       |        FROM hw WHERE s > 0) t),
+       |k AS (SELECT doc_id, d AS h_key FROM hw WHERE s = 0)
+       |SELECT c.doc_id, c.x AS gx, c.y AS gy, k.h_key,
+       |  CAST(row_number() OVER (ORDER BY k.h_key, c.doc_id) - 1 AS BIGINT) AS icp_pos
+       |FROM c JOIN k ON k.doc_id = c.doc_id""".stripMargin
+  }
 }

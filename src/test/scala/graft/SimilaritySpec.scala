@@ -286,4 +286,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head.getAs[Long]("vec_id") === 1L, top.mkString(";"))
     assert(top.head.getAs[Double]("cosine") > 0.9)
   }
+
+  test("semantic order: planted topics are contiguous-ish, output is a " +
+    "deterministic layout-invariant permutation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three disjoint-vocabulary topics, 20 docs each with per-doc noise
+    // tokens: the curve order should place same-topic docs mostly
+    // adjacent even though the op never compares any two docs
+    val vocab = Map(
+      0 -> "spark shuffle partition executor broadcast stage codegen",
+      1 -> "sonata violin orchestra concerto tempo crescendo melody",
+      2 -> "glacier moraine permafrost tundra icefield crevasse firn")
+    val docs = (0 until 60).map { i =>
+      val t = i % 3
+      (i.toLong, t, s"${vocab(t)} ${vocab(t)} noise$i filler$i")
+    }.toDF("doc_id", "topic", "text")
+    val ordered = graft.ops.SemanticOrder.semanticOrder(docs)
+      .join(docs.select("doc_id", "topic"), Seq("doc_id"))
+      .orderBy("icp_pos").collect()
+    // permutation: dense 0..n-1
+    assert(ordered.map(_.getAs[Long]("icp_pos")).toSeq === (0L until 60L))
+    // adjacency purity: fraction of consecutive pairs sharing a topic.
+    // A random permutation gives ~1/3; the curve order should be near 1.
+    val topics = ordered.map(_.getAs[Int]("topic"))
+    val same = topics.sliding(2).count(p => p(0) == p(1))
+    val purity = same.toDouble / (topics.length - 1)
+    println(s"SIM icp adjacency purity $purity")
+    assert(purity >= 0.8, s"semantic order lost topic locality: $purity")
+    // layout invariance: a different physical partitioning must yield
+    // the identical permutation (two-pass numbering, not an accident
+    // of task order)
+    val re = graft.ops.SemanticOrder.semanticOrder(docs.repartition(7))
+      .select("doc_id", "icp_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ordered.foreach { r =>
+      assert(re(r.getAs[Long]("doc_id")) === r.getAs[Long]("icp_pos"))
+    }
+  }
 }
