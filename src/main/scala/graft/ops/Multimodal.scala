@@ -866,4 +866,55 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"),
         best.getField("bw").as("bucket_w"), best.getField("bh").as("bucket_h"))
   }
+
+  /** 64-bit difference hash (dHash — the classic perceptual image
+    * fingerprint: re-encodes, format conversions and small pixel noise
+    * keep the hash within a few bits, so hamming-banded pairs find the
+    * near-duplicate images byte-hash dedup can't see) over RGB pixels,
+    * returned as FOUR 16-bit chunks so banding needs no 64-bit shifts
+    * and the sign bit never overflows either engine's BIGINT.
+    *
+    * EXACT arithmetic, no resampling library: the 9×8 grid cell of
+    * pixel (x,y) is bx=(9x+8)/w, by=(8y+7)/h (the inverse of the range
+    * partition [⌊c·w/9⌋, ⌊(c+1)·w/9⌋)); luma is the ITU-R 601 integer
+    * form 299r+587g+114b kept ×1000 (never divided); and the
+    * brighter-than-left bit compares cell AVERAGES by integer
+    * cross-multiplication S₂N₁ > S₁N₂ — uneven cell sizes cost no
+    * precision. Every step is replayable in plain SQL integers, which
+    * is what lets q_media_neardup hash-check the whole pipeline.
+    * Bit k = 8·by + bx is set when cell (by,bx+1) is brighter than
+    * (by,bx); chunk j carries bits [16j, 16j+16).
+    *
+    * Precondition: w ≥ 9 and h ≥ 8 (every grid cell non-empty);
+    * smaller images would leave empty cells whose 0>0 comparisons
+    * carry no signal.
+    */
+  def dHashChunks(w: Int, h: Int, rgb: Array[Byte]): Array[Int] = {
+    val s = Array.ofDim[Long](8, 9)
+    val n = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val by = (8 * y + 7) / h
+      var x = 0
+      while (x < w) {
+        val bx = (9 * x + 8) / w
+        val p = (y * w + x) * 3
+        s(by)(bx) += 299L * (rgb(p) & 0xff) +
+          587L * (rgb(p + 1) & 0xff) + 114L * (rgb(p + 2) & 0xff)
+        n(by)(bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      val r = k / 8
+      val c = k % 8
+      if (s(r)(c + 1) * n(r)(c) > s(r)(c) * n(r)(c + 1))
+        chunks(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    chunks
+  }
 }

@@ -328,6 +328,133 @@ object MultimodalQueries {
         "wsum_r", "wsum_g", "wsum_b")
   }
 
+  // ---- q_media_neardup: perceptual (dHash) image near-duplicates --------
+
+  /** Near-duplicate IMAGES by perceptual difference hash — the dedup
+    * modality byte-hash q_media_dedup cannot see (re-encoded or
+    * slightly-perturbed copies have disjoint md5s but near-identical
+    * dHashes). The corpus: one real QOI image per doc (16-wide from
+    * tiled text bytes, the q_media_decode_qoi pixel convention at
+    * w=16/h≥8 so every dHash grid cell is populated) plus, for every
+    * 5th doc, a PERTURBED twin (last tile byte +128 mod 256 — a few
+    * changed pixels, the "same image, touched up" case). The engine
+    * path is honest end to end: pixels → QoiCodec.encode → REAL
+    * ImageCodec.decode round trip → [[Multimodal.dHashChunks]] → 4-band
+    * 16-bit-chunk LSH (pigeonhole: any pair within hamming ≤ 3 shares
+    * a chunk, so the banding is COMPLETE for the verify threshold,
+    * never all-pairs) → exact hamming verify. The oracle rebuilds the
+    * pixels arithmetically, replays the integer dHash (cross-multiplied
+    * cell-average compares), and runs the same band join — a codec
+    * slip, a grid off-by-one or a luma-weight typo all fail the hash.
+    */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val blen = bytes.length
+        val w = 16
+        val h = math.max(8, math.min(64, (blen + 15) / 16))
+        def sigOf(mid: Long, perturb: Boolean): (Long, Int, Int, Int, Int) = {
+          val px = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val raw = if (blen == 0) 0 else bytes(p % blen) & 0xff
+            val v = if (perturb && blen > 0 && p % blen == blen - 1)
+              (raw + 128) % 256 else raw
+            px(p * 3) = v.toByte
+            px(p * 3 + 1) = ((7 * v) % 256).toByte
+            px(p * 3 + 2) = ((13 * v) % 256).toByte
+            p += 1
+          }
+          val img = graft.ops.ImageCodec.decode(
+            graft.ops.QoiCodec.encode(w, h, 3, px)).get
+          val ch = Multimodal.dHashChunks(img.width, img.height, img.pixels)
+          (mid, ch(0), ch(1), ch(2), ch(3))
+        }
+        if (id % 5 == 0) Seq(sigOf(id, false), sigOf(id + 10000000L, true))
+        else Seq(sigOf(id, false))
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+      // consumed six times (4 band projections + both verify sides):
+      // without the persist every consumer re-runs the QOI
+      // encode/decode round trip per doc
+      .persist()
+    val bands = (0 until 4).map(j =>
+        sigs.select(col("media_id"), lit(j).as("band"), col(s"c$j").as("ck")))
+      .reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.ck") === col("b.ck")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("id_a") === col("sa.media_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.media_id"))
+      .withColumn("hamming", (
+        bit_count(col("sa.c0").bitwiseXOR(col("sb.c0"))) +
+        bit_count(col("sa.c1").bitwiseXOR(col("sb.c1"))) +
+        bit_count(col("sa.c2").bitwiseXOR(col("sb.c2"))) +
+        bit_count(col("sa.c3").bitwiseXOR(col("sb.c3")))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  val mediaNearDupSql: String =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS blen
+      | FROM documents),
+      |m AS (
+      |  SELECT doc_id AS media_id, t, blen, 0 AS perturb,
+      |    greatest(8, least(64, (blen + 15) // 16)) AS h FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS media_id, t, blen, 1 AS perturb,
+      |    greatest(8, least(64, (blen + 15) // 16)) AS h
+      |  FROM d WHERE doc_id % 5 = 0),
+      |px AS (SELECT media_id, h, p,
+      |  CASE WHEN blen > 0 AND perturb = 1 AND p % blen = blen - 1
+      |       THEN (ord(substr(t, CAST(p % blen AS INT) + 1, 1)) + 128) % 256
+      |       WHEN blen = 0 THEN 0
+      |       ELSE ord(substr(t, CAST(p % blen AS INT) + 1, 1)) END AS v
+      | FROM (SELECT media_id, h, t, blen, perturb,
+      |         unnest(range(0, 16 * h)) AS p FROM m) q),
+      |cells AS (SELECT media_id,
+      |  (8 * (p // 16) + 7) // h AS by, (9 * (p % 16) + 8) // 16 AS bx,
+      |  sum(299 * v + 587 * ((7 * v) % 256) + 114 * ((13 * v) % 256)) AS s,
+      |  count(*) AS n
+      | FROM px GROUP BY 1, 2, 3),
+      |bits AS (SELECT l.media_id, l.by * 8 + l.bx AS k,
+      |  CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+      | FROM cells l JOIN cells r
+      |   ON r.media_id = l.media_id AND r.by = l.by AND r.bx = l.bx + 1
+      | WHERE l.bx < 8),
+      |chunks AS (SELECT media_id, k // 16 AS j,
+      |  CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS ck
+      | FROM bits GROUP BY 1, 2),
+      |sig AS MATERIALIZED (SELECT media_id,
+      |  max(CASE WHEN j = 0 THEN ck END) AS c0,
+      |  max(CASE WHEN j = 1 THEN ck END) AS c1,
+      |  max(CASE WHEN j = 2 THEN ck END) AS c2,
+      |  max(CASE WHEN j = 3 THEN ck END) AS c3
+      | FROM chunks GROUP BY 1),
+      |bands AS (SELECT media_id, j,
+      |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+      |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+      |     + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+      |    AS BIGINT) AS hamming
+      |FROM cand c JOIN sig sa ON sa.media_id = c.id_a
+      |            JOIN sig sb ON sb.media_id = c.id_b
+      |WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+      |    + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3""".stripMargin
+
   val mediaDecodeQoiSql: String =
     """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
       |  octet_length(encode(coalesce(text, ''))) AS blen

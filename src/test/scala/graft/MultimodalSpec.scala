@@ -238,4 +238,54 @@ class MultimodalSpec extends SparkTestBase {
       3L -> ((1536, 640)),
       5L -> ((1152, 896))))
   }
+
+  test("dHash: uniform image hashes to zero; single-pixel touch stays " +
+    "within a few bits; different content diverges") {
+    val w = 16; val h = 16
+    def img(f: Int => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      (0 until w * h).foreach { p =>
+        val v = f(p)
+        px(p * 3) = v.toByte
+        px(p * 3 + 1) = ((7 * v) % 256).toByte
+        px(p * 3 + 2) = ((13 * v) % 256).toByte
+      }
+      px
+    }
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val uniform = Multimodal.dHashChunks(w, h, img(_ => 77))
+    assert(uniform.toSeq === Seq(0, 0, 0, 0), "uniform image must hash to 0")
+    val base = Multimodal.dHashChunks(w, h, img(p => (p * 37) % 256))
+    val touched = Multimodal.dHashChunks(w, h,
+      img(p => if (p == 100) 13 else (p * 37) % 256))
+    assert(ham(base, touched) <= 4,
+      s"one changed pixel moved the dHash ${ham(base, touched)} bits")
+    val other = Multimodal.dHashChunks(w, h, img(p => (p * p * 91 + 5) % 256))
+    assert(ham(base, other) > 8,
+      s"unrelated content too close: ${ham(base, other)} bits")
+  }
+
+  test("mediaNearDup: planted perturbed twin pairs found, unrelated docs absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 0 and 5 get perturbed twins by the query's own %5 rule; docs
+    // carry long distinct texts so twins differ in few pixels and
+    // unrelated docs differ everywhere
+    val mkText = (seed: Int) =>
+      (0 until 400).map(i => ('a' + (i * seed + seed * seed) % 26).toChar).mkString
+    val docsDir = java.nio.file.Files.createTempDirectory("neardup").toString
+    Seq((0L, mkText(3)), (1L, mkText(7)), (5L, mkText(11)), (7L, mkText(17)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val pairs = graft.queries.MultimodalQueries.mediaNearDup(spark, docsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 10000000L)), s"twin of doc 0 missing: $keys")
+    assert(keys.contains((5L, 10000005L)), s"twin of doc 5 missing: $keys")
+    pairs.foreach { case (_, _, hm) => assert(hm <= 3) }
+    // unrelated originals never pair with each other
+    assert(!keys.exists(p => p._1 < 10000000L && p._2 < 10000000L),
+      s"unrelated originals paired: $keys")
+  }
 }
