@@ -889,6 +889,68 @@ object Multimodal {
     * smaller images would leave empty cells whose 0>0 comparisons
     * carry no signal.
     */
+  /** The audio sibling of [[dHashChunks]]: a 64-bit energy-delta
+    * fingerprint over decoded PCM samples (the louder-than-previous
+    * profile — Chromaprint's band-energy-difference idea reduced to
+    * its replayable integer core). The interleaved stream is split
+    * into 65 frames by the same floor-range partition (frame of p =
+    * (65p+64)/n), per-frame energy is the exact integer Σ s², and bit
+    * k compares frame averages by cross-multiplication E₂N₁ > E₁N₂.
+    * Amplitude scaling, container changes and re-encodes through a
+    * LOSSLESS codec keep the profile; a touched-up sample moves ≤ a
+    * few bits. Precondition: n ≥ 65.
+    */
+  def energyHashChunks(samples: Array[Int]): Array[Int] = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var p = 0
+    while (p < n) {
+      val f = ((65L * p + 64) / n).toInt
+      val s = samples(p).toLong
+      e(f) += s * s
+      cnt(f) += 1
+      p += 1
+    }
+    val chunks = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) * cnt(k) > e(k) * cnt(k + 1))
+        chunks(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    chunks
+  }
+
+  /** Shared hamming-pair machinery for the 4×16-bit-chunk fingerprints:
+    * 4-band exact-chunk-equality LSH (pigeonhole-COMPLETE for
+    * `maxHamming` ≤ 3: a pair within 3 bits must share an untouched
+    * chunk), then exact hamming verify over candidates only — never
+    * all-pairs. Input: (media_id, c0, c1, c2, c3); the caller persists
+    * if its signature computation is expensive (it is consumed six
+    * times: four band projections + both verify sides).
+    */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map(j =>
+        sigs.select(col("media_id"), lit(j).as("band"), col(s"c$j").as("ck")))
+      .reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.ck") === col("b.ck")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("id_a") === col("sa.media_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.media_id"))
+      .withColumn("hamming", (
+        bit_count(col("sa.c0").bitwiseXOR(col("sb.c0"))) +
+        bit_count(col("sa.c1").bitwiseXOR(col("sb.c1"))) +
+        bit_count(col("sa.c2").bitwiseXOR(col("sb.c2"))) +
+        bit_count(col("sa.c3").bitwiseXOR(col("sb.c3")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def dHashChunks(w: Int, h: Int, rgb: Array[Byte]): Array[Int] = {
     val s = Array.ofDim[Long](8, 9)
     val n = Array.ofDim[Long](8, 9)

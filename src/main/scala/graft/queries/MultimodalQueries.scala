@@ -383,24 +383,68 @@ object MultimodalQueries {
       // without the persist every consumer re-runs the QOI
       // encode/decode round trip per doc
       .persist()
-    val bands = (0 until 4).map(j =>
-        sigs.select(col("media_id"), lit(j).as("band"), col(s"c$j").as("ck")))
-      .reduce(_ unionByName _)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.ck") === col("b.ck")
-          && col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sigs.as("sa"), col("id_a") === col("sa.media_id"))
-      .join(sigs.as("sb"), col("id_b") === col("sb.media_id"))
-      .withColumn("hamming", (
-        bit_count(col("sa.c0").bitwiseXOR(col("sb.c0"))) +
-        bit_count(col("sa.c1").bitwiseXOR(col("sb.c1"))) +
-        bit_count(col("sa.c2").bitwiseXOR(col("sb.c2"))) +
-        bit_count(col("sa.c3").bitwiseXOR(col("sb.c3")))).cast("long"))
-      .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    Multimodal.hammingPairs(sigs)
+  }
+
+  // ---- q_audio_neardup: perceptual (energy-delta) audio near-dups -------
+
+  /** The audio member of the perceptual near-dup family (image:
+    * q_media_neardup): a 64-bit energy-delta fingerprint
+    * ([[Multimodal.energyHashChunks]]) over PCM decoded from REAL FLAC
+    * payloads — the q_flac_decode corpus (same sample law, same
+    * encoder rotation through VERBATIM/FIXED-1/FIXED-2, mid/side and
+    * rice partitions) plus, for every 5th audio doc, a twin whose last
+    * tile byte is shifted (+64 mod 256): a handful of touched samples,
+    * the "same recording, minor edit" case that byte-hash dedup
+    * misses. Engine path: samples → FlacCodec.encodeFlac16 → REAL
+    * FlacCodec.decode round trip → fingerprint → the shared
+    * pigeonhole-complete 4-band hamming machinery. The oracle rebuilds
+    * the samples arithmetically and replays frames, energies, bits,
+    * banding and verify in exact BIGINTs.
+    */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val sigs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val blen = bytes.length
+        val nFrames = (blen % 3000) + 200
+        val channels = ((id / 3) % 2 + 1).toInt
+        val rate = ((id / 3) % 3) match {
+          case 0 => 8000
+          case 1 => 16000
+          case _ => 44100
+        }
+        def sigOf(mid: Long, perturb: Boolean): (Long, Int, Int, Int, Int) = {
+          val n = nFrames * channels
+          val samples = new Array[Int](n)
+          if (blen > 0) {
+            var i = 0
+            while (i < n) {
+              var b = bytes(i % blen) & 0xff
+              if (perturb && i % blen == blen - 1) b = (b + 64) % 256
+              samples(i) = (b - 128) * 64
+              i += 1
+            }
+          }
+          val rot = (id / 3).toInt
+          val payload = graft.ops.FlacCodec.encodeFlac16(rate, channels,
+            samples, subframe = rot % 3, midSide = rot % 4 >= 2,
+            partitions2 = rot % 2 == 0)
+          val d = graft.ops.FlacCodec.decode(payload).get
+          val ch = Multimodal.energyHashChunks(d.samples)
+          (mid, ch(0), ch(1), ch(2), ch(3))
+        }
+        if (id % 5 == 0) Seq(sigOf(id, false), sigOf(id + 10000000L, true))
+        else Seq(sigOf(id, false))
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+      .persist()
+    Multimodal.hammingPairs(sigs)
   }
 
   val mediaNearDupSql: String =
@@ -431,6 +475,57 @@ object MultimodalQueries {
       | FROM cells l JOIN cells r
       |   ON r.media_id = l.media_id AND r.by = l.by AND r.bx = l.bx + 1
       | WHERE l.bx < 8),
+      |chunks AS (SELECT media_id, k // 16 AS j,
+      |  CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS ck
+      | FROM bits GROUP BY 1, 2),
+      |sig AS MATERIALIZED (SELECT media_id,
+      |  max(CASE WHEN j = 0 THEN ck END) AS c0,
+      |  max(CASE WHEN j = 1 THEN ck END) AS c1,
+      |  max(CASE WHEN j = 2 THEN ck END) AS c2,
+      |  max(CASE WHEN j = 3 THEN ck END) AS c3
+      | FROM chunks GROUP BY 1),
+      |bands AS (SELECT media_id, j,
+      |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+      |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+      |     + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+      |    AS BIGINT) AS hamming
+      |FROM cand c JOIN sig sa ON sa.media_id = c.id_a
+      |            JOIN sig sb ON sb.media_id = c.id_b
+      |WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+      |    + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3""".stripMargin
+
+  val audioNearDupSql: String =
+    """WITH a AS (SELECT doc_id, coalesce(text, '') AS t,
+      |  octet_length(encode(coalesce(text, ''))) AS len,
+      |  ((octet_length(encode(coalesce(text, ''))) % 3000) + 200)
+      |    * ((doc_id // 3) % 2 + 1) AS n
+      | FROM documents WHERE doc_id % 3 = 1),
+      |m AS (
+      |  SELECT doc_id AS media_id, t, len, n, 0 AS perturb FROM a
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS media_id, t, len, n, 1 AS perturb
+      |  FROM a WHERE doc_id % 5 = 0),
+      |v AS (SELECT media_id, n, p,
+      |  CASE WHEN len = 0 THEN 0 ELSE
+      |    ((CASE WHEN perturb = 1 AND p % len = len - 1
+      |       THEN (ord(substr(t, CAST(p % len AS INT) + 1, 1)) + 64) % 256
+      |       ELSE ord(substr(t, CAST(p % len AS INT) + 1, 1)) END) - 128) * 64
+      |  END AS smp
+      | FROM (SELECT media_id, t, len, n, perturb,
+      |         unnest(range(0, n)) AS p FROM m) q),
+      |frames AS (SELECT media_id, (65 * p + 64) // n AS f,
+      |  sum(smp * smp) AS e, count(*) AS cnt
+      | FROM v GROUP BY 1, 2),
+      |bits AS (SELECT l.media_id, l.f AS k,
+      |  CASE WHEN r.e * l.cnt > l.e * r.cnt THEN 1 ELSE 0 END AS bit
+      | FROM frames l JOIN frames r
+      |   ON r.media_id = l.media_id AND r.f = l.f + 1
+      | WHERE l.f < 64),
       |chunks AS (SELECT media_id, k // 16 AS j,
       |  CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS ck
       | FROM bits GROUP BY 1, 2),

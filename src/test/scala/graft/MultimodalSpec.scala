@@ -266,6 +266,35 @@ class MultimodalSpec extends SparkTestBase {
       s"unrelated content too close: ${ham(base, other)} bits")
   }
 
+  test("energyHash: constant signal hashes to zero; one touched sample " +
+    "stays within a few bits; audioNearDup finds the planted twin") {
+    import spark.implicits._
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val flat = Multimodal.energyHashChunks(Array.fill(400)(512))
+    assert(flat.toSeq === Seq(0, 0, 0, 0), "constant signal must hash to 0")
+    val base = Array.tabulate(400)(i => ((i * 53) % 256 - 128) * 64)
+    val touched = base.clone(); touched(200) = 8000
+    val hb = Multimodal.energyHashChunks(base)
+    val ht = Multimodal.energyHashChunks(touched)
+    assert(ham(hb, ht) <= 4, s"one touched sample moved ${ham(hb, ht)} bits")
+    // planted twin through the query (doc 10 is audio: 10 % 3 == 1, and
+    // 10 % 5 == 0 so it gets a perturbed twin); doc 4 and 7 are
+    // unrelated audio docs
+    val mkText = (seed: Int) =>
+      (0 until 500).map(i => ('a' + (i * seed + seed) % 26).toChar).mkString
+    val dirPath = java.nio.file.Files.createTempDirectory("audiodup").toString
+    Seq((10L, mkText(3)), (4L, mkText(7)), (7L, mkText(11)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+    val pairs = graft.queries.MultimodalQueries.audioNearDup(spark, dirPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((10L, 10000010L)), s"audio twin missing: $keys")
+    assert(!keys.exists(p => p._1 < 10000000L && p._2 < 10000000L),
+      s"unrelated audio paired: $keys")
+  }
+
   test("mediaNearDup: planted perturbed twin pairs found, unrelated docs absent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
