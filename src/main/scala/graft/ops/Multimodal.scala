@@ -922,17 +922,20 @@ object Multimodal {
     chunks
   }
 
-  /** Shared hamming-pair machinery for the 4×16-bit-chunk fingerprints:
-    * 4-band exact-chunk-equality LSH (pigeonhole-COMPLETE for
-    * `maxHamming` ≤ 3: a pair within 3 bits must share an untouched
-    * chunk), then exact hamming verify over candidates only — never
-    * all-pairs. Input: (media_id, c0, c1, c2, c3); the caller persists
-    * if its signature computation is expensive (it is consumed six
-    * times: four band projections + both verify sides).
+  /** Shared hamming-pair machinery for the 16-bit-chunk fingerprints:
+    * per-chunk exact-equality band LSH (pigeonhole-COMPLETE whenever
+    * `maxHamming` < #chunks: a pair within the threshold must share an
+    * untouched chunk), then exact hamming verify over candidates only —
+    * never all-pairs. Input: (media_id, <chunkCols>); the caller
+    * persists if its signature computation is expensive (it is consumed
+    * #chunks+2 times: the band projections + both verify sides).
     */
-  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = (0 until 4).map(j =>
-        sigs.select(col("media_id"), lit(j).as("band"), col(s"c$j").as("ck")))
+  def hammingPairs(sigs: DataFrame,
+                   chunkCols: Seq[String] = Seq("c0", "c1", "c2", "c3"),
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < chunkCols.length, "banding completeness needs maxHamming < #chunks")
+    val bands = chunkCols.zipWithIndex.map { case (c, j) =>
+        sigs.select(col("media_id"), lit(j).as("band"), col(c).as("ck")) }
       .reduce(_ unionByName _)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.ck") === col("b.ck")
@@ -942,11 +945,9 @@ object Multimodal {
     cand
       .join(sigs.as("sa"), col("id_a") === col("sa.media_id"))
       .join(sigs.as("sb"), col("id_b") === col("sb.media_id"))
-      .withColumn("hamming", (
-        bit_count(col("sa.c0").bitwiseXOR(col("sb.c0"))) +
-        bit_count(col("sa.c1").bitwiseXOR(col("sb.c1"))) +
-        bit_count(col("sa.c2").bitwiseXOR(col("sb.c2"))) +
-        bit_count(col("sa.c3").bitwiseXOR(col("sb.c3")))).cast("long"))
+      .withColumn("hamming", chunkCols.map(c =>
+          bit_count(col(s"sa.$c").bitwiseXOR(col(s"sb.$c"))))
+        .reduce(_ + _).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -499,6 +499,107 @@ object MultimodalQueries {
       |WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
       |    + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3""".stripMargin
 
+  // ---- q_video_neardup: perceptual (frame-sampled dHash) video dups -----
+
+  /** The VIDEO member of the perceptual near-dup family — frame-sampled
+    * dHash: decode the animation (REAL GifCodec.encodeGifAnim →
+    * decodeFrames round trip, composited canvases), sample three
+    * frames (first, middle nf/2, last), dHash each, and concatenate —
+    * a 192-bit signature in twelve 16-bit chunks through the shared
+    * [[Multimodal.hammingPairs]] machinery (12 bands make the
+    * hamming ≤ 3 verify pigeonhole-complete with room to spare). The
+    * corpus is the q_video_frames law scaled to a 16×16 canvas (dHash
+    * needs ≥9×8): nf = 2 + id mod 3 full-canvas frames, palette index
+    * at raster p of frame f = (id·31 + f·17 + p·5) mod 256, the
+    * GifPalette arithmetic (i, 7i, 13i mod 256); every 5th video doc
+    * plants a twin with ONE palette index changed in frame 0 — the
+    * "same clip, touched frame" case byte-hash dedup misses.
+    */
+  def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val w = 16; val h = 16
+    val sigs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .flatMap { id =>
+        val nf = 2 + (id % 3).toInt
+        def sigOf(mid: Long, perturb: Boolean): (Long, Seq[Int]) = {
+          val frames = (0 until nf).map { f =>
+            val idx = new Array[Byte](w * h)
+            var p = 0
+            while (p < idx.length) {
+              var v = ((id * 31 + f * 17 + p * 5) % 256).toInt
+              if (perturb && f == 0 && p == 0) v = (v + 128) % 256
+              idx(p) = v.toByte
+              p += 1
+            }
+            graft.ops.GifCodec.AnimFrame(0, 0, w, h, idx, delayCs = 4 + 2 * f)
+          }
+          val payload = graft.ops.GifCodec.encodeGifAnim(
+            w, h, Multimodal.GifPalette, frames)
+          val decoded = graft.ops.GifCodec.decodeFrames(payload).get
+          val sampled = Seq(0, nf / 2, nf - 1).map(decoded(_).canvas)
+          (mid, sampled.flatMap(c =>
+            Multimodal.dHashChunks(c.width, c.height, c.pixels)))
+        }
+        val rows = if (id % 5 == 0)
+          Seq(sigOf(id, false), sigOf(id + 10000000L, true))
+        else Seq(sigOf(id, false))
+        rows.map { case (mid, ch) =>
+          (mid, ch(0), ch(1), ch(2), ch(3), ch(4), ch(5), ch(6), ch(7),
+            ch(8), ch(9), ch(10), ch(11))
+        }
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7",
+        "c8", "c9", "c10", "c11")
+      .persist()
+    Multimodal.hammingPairs(sigs, (0 until 12).map(j => s"c$j"))
+  }
+
+  val videoNearDupSql: String =
+    """WITH a AS (SELECT doc_id, 2 + doc_id % 3 AS nf
+      | FROM documents WHERE doc_id % 3 = 2),
+      |m AS (
+      |  SELECT doc_id AS media_id, doc_id AS id, nf, 0 AS perturb FROM a
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS media_id, doc_id AS id, nf, 1 AS perturb
+      |  FROM a WHERE doc_id % 5 = 0),
+      |px AS (SELECT media_id, s, p,
+      |  CASE WHEN perturb = 1 AND f = 0 AND p = 0
+      |       THEN ((id * 31 + f * 17 + p * 5) % 256 + 128) % 256
+      |       ELSE (id * 31 + f * 17 + p * 5) % 256 END AS v
+      | FROM (SELECT media_id, id, perturb, s,
+      |         CASE s WHEN 0 THEN 0 WHEN 1 THEN nf // 2 ELSE nf - 1 END AS f,
+      |         unnest(range(0, 256)) AS p
+      |       FROM m CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS s)) q),
+      |cells AS (SELECT media_id, s,
+      |  (8 * (p // 16) + 7) // 16 AS by, (9 * (p % 16) + 8) // 16 AS bx,
+      |  sum(299 * v + 587 * ((7 * v) % 256) + 114 * ((13 * v) % 256)) AS e,
+      |  count(*) AS n
+      | FROM px GROUP BY 1, 2, 3, 4),
+      |bits AS (SELECT l.media_id, l.s * 64 + l.by * 8 + l.bx AS k,
+      |  CASE WHEN r.e * l.n > l.e * r.n THEN 1 ELSE 0 END AS bit
+      | FROM cells l JOIN cells r
+      |   ON r.media_id = l.media_id AND r.s = l.s AND r.by = l.by
+      |     AND r.bx = l.bx + 1
+      | WHERE l.bx < 8),
+      |chunks AS (SELECT media_id, k // 16 AS j,
+      |  CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS ck
+      | FROM bits GROUP BY 1, 2),
+      |sig AS MATERIALIZED (SELECT media_id, j, ck FROM chunks),
+      |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM sig a JOIN sig b
+      |    ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id),
+      |ham AS (SELECT c.id_a, c.id_b,
+      |  CAST(sum(bit_count(xor(sa.ck, sb.ck))) AS BIGINT) AS hamming
+      | FROM cand c
+      |   JOIN sig sa ON sa.media_id = c.id_a
+      |   JOIN sig sb ON sb.media_id = c.id_b AND sb.j = sa.j
+      | GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
   val audioNearDupSql: String =
     """WITH a AS (SELECT doc_id, coalesce(text, '') AS t,
       |  octet_length(encode(coalesce(text, ''))) AS len,

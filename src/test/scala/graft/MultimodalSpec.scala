@@ -295,6 +295,24 @@ class MultimodalSpec extends SparkTestBase {
       s"unrelated audio paired: $keys")
   }
 
+  test("videoNearDup: touched-frame twin found, unrelated clips absent") {
+    import spark.implicits._
+    // doc 5 is video (5 % 3 == 2) and gets a twin (5 % 5 == 0); docs 2
+    // and 8 are unrelated videos (different id -> different index law)
+    val dirPath = java.nio.file.Files.createTempDirectory("videodup").toString
+    Seq((5L, "x"), (2L, "y"), (8L, "z")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+    val pairs = graft.queries.MultimodalQueries.videoNearDup(spark, dirPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((5L, 10000005L)), s"video twin missing: $keys")
+    pairs.foreach { case (a, b, hm) =>
+      assert(hm <= 3, s"pair ($a,$b) hamming $hm")
+    }
+    assert(!keys.exists(p => p._1 < 10000000L && p._2 < 10000000L),
+      s"unrelated clips paired: $keys")
+  }
+
   test("mediaNearDup: planted perturbed twin pairs found, unrelated docs absent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
