@@ -53,6 +53,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("phone_simple_hits"),
         PhoneSimpleCount.info, PhoneSimpleCount.builder))
     ext.injectFunction(
+      (FunctionIdentifier("dhash_sig"), DHashSig.info, DHashSig.builder))
+    ext.injectFunction(
       (FunctionIdentifier("token_dist_stats"),
         TokenDistStats.info, TokenDistStats.builder))
     ext.injectFunction(
@@ -125,6 +127,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("phone_simple_hits"),
       PhoneSimpleCount.info, PhoneSimpleCount.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dhash_sig"), DHashSig.info, DHashSig.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_dist_stats"),
       TokenDistStats.info, TokenDistStats.builder)

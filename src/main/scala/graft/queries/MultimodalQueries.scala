@@ -600,6 +600,34 @@ object MultimodalQueries {
       | GROUP BY 1, 2)
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
+  // ---- q_media_dupclusters: perceptual pairs -> dedup clusters ----------
+
+  /** Close the image-dedup loop: the q_media_neardup pair list through
+    * [[graft.ops.DupClusters.connectedComponents]] (a touched-up copy
+    * of a touched-up copy must collapse into ONE cluster even when the
+    * endpoints never paired directly), then the per-cluster dedup
+    * artifact — size + keeper (min media_id, the keep-first policy).
+    * Only paired media appear: singletons need no dedup decision.
+    */
+  def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DupClusters.connectedComponents(mediaNearDup(s, dir))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("keeper_id"))
+
+  val mediaDupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($mediaNearDupSql),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.lab FROM e JOIN reach ON e.dst = reach.id),
+       |c AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(id) AS BIGINT) AS keeper_id
+       |FROM c GROUP BY cluster_id""".stripMargin
+
   val audioNearDupSql: String =
     """WITH a AS (SELECT doc_id, coalesce(text, '') AS t,
       |  octet_length(encode(coalesce(text, ''))) AS len,

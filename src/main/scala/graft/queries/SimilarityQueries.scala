@@ -1086,4 +1086,49 @@ object SimilarityQueries {
        |  CAST(row_number() OVER (ORDER BY k.h_key, c.doc_id) - 1 AS BIGINT) AS icp_pos
        |FROM c JOIN k ON k.doc_id = c.doc_id""".stripMargin
   }
+
+  // ---- q_icp_pack: the semantic order as a packed training layout -------
+
+  /** The payoff composition: the q_icp_order permutation driven into
+    * the sequence-packing layout (graft.ops.Pack) — exclusive token
+    * running totals in SEMANTIC order and the context-window id each
+    * doc lands in (capacity 2048). This is the artifact in-context
+    * pretraining actually trains on: related documents share packs.
+    * The running total uses the two-pass partition-offset scheme
+    * (never a global-sort window); token counts come from the same
+    * compiled one-pass kernel the pipeline uses.
+    */
+  val IcpPackCapacity = 2048L
+
+  def icpPack(s: SparkSession, dir: String): DataFrame = {
+    val ordered = graft.ops.SemanticOrder.semanticOrder(
+        Tables.documents(s, dir))
+      .select(col("doc_id"), col("icp_pos"))
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      element_at(graft.plans.TokenTextStats(
+        coalesce(col("text"), lit("")), Nil), 1).as("n_tokens"))
+    val laid = graft.ops.Pack.withRunningTotal(
+      ordered.join(toks, Seq("doc_id")), "icp_pos", "n_tokens")
+    laid.select(col("doc_id"), col("icp_pos"), col("n_tokens"),
+      col("start_offset"),
+      expr(s"start_offset div $IcpPackCapacity").as("pack_id"))
+  }
+
+  val icpPackSql: String = {
+    val toks = OracleSql.toks("text")
+    s"""WITH ord AS ($icpOrderSql),
+       |t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |      FROM documents),
+       |j AS (SELECT ord.doc_id, ord.icp_pos, t.n_tokens
+       |      FROM ord JOIN t ON t.doc_id = ord.doc_id),
+       |r AS (SELECT doc_id, icp_pos, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY icp_pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       | FROM j)
+       |SELECT doc_id, icp_pos, n_tokens, start_offset,
+       |  start_offset // $IcpPackCapacity AS pack_id
+       |FROM r""".stripMargin
+  }
+
 }

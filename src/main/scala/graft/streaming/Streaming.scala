@@ -153,6 +153,30 @@ object Streaming {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("exact_hash")
 
+  /** Streaming PERCEPTUAL image dedup — the intake twin of
+    * q_media_neardup: dHash each arriving payload (the codegen
+    * `dhash_sig` kernel: decode → 64-bit difference hash) and keep the
+    * first arrival per SIGNATURE within the watermark horizon.
+    * Signature EQUALITY, not hamming ≤ k: bounded keyed state needs an
+    * equality key, and the dHash already collapses re-encodes and
+    * container changes to identical bits — a QOI and a PNG of the same
+    * pixels dedup here, which no byte hash can do (StreamingSpec pins
+    * exactly that). Near-miss pairs (hamming 1–3) remain the batch
+    * banding job's business. Undecodable payloads (NULL signature)
+    * fall back to a byte-exact `raw:`-prefixed md5 key — NOT left
+    * null, because dropDuplicates treats nulls as EQUAL and would
+    * collapse every undecodable payload into one survivor; quarantine
+    * is the downstream gate's decision, not the dedup's.
+    */
+  def dedupPerceptualStream(df: DataFrame, contentCol: String,
+                            eventTimeCol: String,
+                            watermark: String = "1 hour"): DataFrame =
+    df.withColumn("dhash_sig", coalesce(
+        graft.plans.DHashSig(col(contentCol)),
+        concat(lit("raw:"), md5(col(contentCol)))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("dhash_sig")
+
   // ---- stateful flagged dedup (incremental-dedup state shape) -----------
 
   case class DedupEvent(exact_hash: String, dedup_id: String, ts: Timestamp)

@@ -198,6 +198,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("perceptual stream dedup: QOI and PNG of the same pixels collapse; " +
+    "different pixels and undecodable payloads survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = 16; val h = 16
+    def px(f: Int => Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      (0 until w * h).foreach { p =>
+        val v = f(p)
+        a(p * 3) = v.toByte; a(p * 3 + 1) = ((7 * v) % 256).toByte
+        a(p * 3 + 2) = ((13 * v) % 256).toByte
+      }
+      a
+    }
+    val pix = px(p => (p * 37) % 256)
+    val asQoi = graft.ops.QoiCodec.encode(w, h, 3, pix)
+    val asPng = graft.ops.ImageCodec.encodePng(w, h, pix)
+    val other = graft.ops.QoiCodec.encode(w, h, 3, px(p => (p * 5 + 9) % 256))
+    val junkA = Array.fill[Byte](64)(3)
+    val junkB = Array.fill[Byte](64)(4)
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val deduped = Streaming.dedupPerceptualStream(
+      in.toDF().toDF("ingest_ts", "media_id", "content"),
+      "content", "ingest_ts")
+    val q = deduped.writeStream.format("memory").queryName("pdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L, asQoi), (ts(1), 2L, asPng), (ts(2), 3L, other),
+        (ts(3), 4L, junkA), (ts(4), 5L, junkB))
+      q.processAllAvailable()
+      val kept = spark.table("pdedup").select("media_id")
+        .as[Long].collect().toSet
+      // byte hashes of asQoi/asPng are disjoint, but the signatures
+      // collide: cross-FORMAT perceptual dedup keeps only the first;
+      // the two distinct junk payloads both survive on the raw: key
+      assert(kept === Set(1L, 3L, 4L, 5L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("flagged stateful dedup: kept rows match dropDuplicatesWithinWatermark, dups carry cross-batch lineage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
