@@ -90,4 +90,44 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** SEMANTIC decontamination — the paraphrase channel the n-gram
+    * report cannot see: an eval item rephrased into the training set
+    * shares few verbatim 4-grams but nearly the same token bag, so its
+    * hashed-embedding cosine vs the benchmark stays high (the
+    * rephrased-benchmark contamination literature's core observation).
+    * Per corpus doc: max cosine against ANY benchmark doc + the flag at
+    * `threshold`.
+    *
+    * Scale shape: the benchmark side is eval-suite sized — its vectors
+    * BROADCAST, and each corpus row folds its max against them in one
+    * pass (BroadcastNestedLoopJoin + map-side partial max: the corpus
+    * never shuffles anything but (id, max) pairs). Vectors are the
+    * model-free integer hashed embeddings (compiled kernel), cosine is
+    * the [[Similarity.cosine]] kernel whose bits match DuckDB's
+    * list_cosine_similarity (the q_text_ann proof), so max and flag are
+    * oracle-exact. Zero-norm docs (no tokens) are excluded on BOTH
+    * sides — cosine is undefined there, exactly the q_text_ann
+    * convention.
+    */
+  def semanticOverlapReport(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            dim: Int = HashedEmbed.Dim,
+                            threshold: Double = 0.9): DataFrame = {
+    def vecs(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        HashedEmbed.hashedVector(TextMetrics.tokens(col(textCol)), dim).as("v"))
+      .withColumn("__n2",
+        aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+      .filter(col("__n2") > 0.0)
+      .drop("__n2")
+    val bench = vecs(benchmark).select(col("v").as("bv"))
+    vecs(corpus)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", Similarity.cosine(col("v"), col("bv")))
+      .groupBy("id")
+      .agg(max(col("cos")).as("max_cosine"))
+      .select(col("id").as(idCol), col("max_cosine"),
+        (col("max_cosine") >= threshold).as("contaminated"))
+  }
 }

@@ -857,6 +857,39 @@ object SimilarityQueries {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
       |LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  // ---- q_semantic_contamination: the paraphrase leakage channel ---------
+
+  /** Semantic decontamination over the same eval split
+    * (graft.ops.Decontaminate.semanticOverlapReport): max
+    * hashed-embedding cosine of each training doc vs ANY benchmark doc —
+    * the rephrased-eval-leak screen the verbatim n-gram report cannot
+    * see. Benchmark vectors broadcast; the corpus folds its max in one
+    * pass; cosine bits match DuckDB's list_cosine_similarity (the
+    * q_text_ann proof) so max and flag replay exactly.
+    */
+  def semanticContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.semanticOverlapReport(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", textCol = "text")
+  }
+
+  val semanticContaminationSql: String =
+    s"""WITH ${hashedVecCtesSql(graft.ops.HashedEmbed.Dim)},
+       |hn AS (SELECT doc_id, vec,
+       |        list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS n2
+       |       FROM hv),
+       |he AS (SELECT doc_id, vec FROM hn WHERE n2 > 0),
+       |bench AS (SELECT vec AS bv FROM he WHERE doc_id % 10 = 0),
+       |corp AS (SELECT doc_id, vec FROM he WHERE doc_id % 10 <> 0),
+       |m AS (SELECT doc_id,
+       |        max(list_cosine_similarity(vec, bv)) AS max_cosine
+       |      FROM corp CROSS JOIN bench GROUP BY doc_id)
+       |SELECT doc_id, max_cosine,
+       |  max_cosine >= CAST(0.9 AS DOUBLE) AS contaminated
+       |FROM m""".stripMargin
+
   /** The Bloom-prefiltered form over the same split — EXACT answer (the
     * Bloom only prunes before the verify join), so it shares
     * [[contaminationSql]] verbatim as its oracle.

@@ -287,6 +287,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head.getAs[Double]("cosine") > 0.9)
   }
 
+  test("semantic contamination: cross-split paraphrase flagged, unrelated " +
+    "doc not, zero-norm docs excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bench = "what is the capital of france paris answer the question"
+    val docs = Seq(
+      (10L, bench),                               // doc_id % 10 == 0: benchmark
+      (11L, "question what is the capital of france the answer paris"),
+      (12L, "completely unrelated tokens about glaciers and moraines here"),
+      (13L, ""))                                  // zero vector: excluded
+      .toDF("doc_id", "text")
+    val got = graft.ops.Decontaminate.semanticOverlapReport(
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(11L)._2, s"paraphrase not flagged: ${got(11L)}")
+    assert(got(11L)._1 > 0.9)
+    assert(!got(12L)._2, s"unrelated doc flagged: ${got(12L)}")
+    assert(!got.contains(13L), "zero-norm doc must be excluded")
+  }
+
   test("semantic order: planted topics are contiguous-ish, output is a " +
     "deterministic layout-invariant permutation") {
     import spark.implicits._
