@@ -1550,4 +1550,93 @@ object DocQueries {
        |  CASE WHEN rn <= $DomainCap THEN rn ELSE NULL END AS domain_rank,
        |  rn <= $DomainCap AS kept
        |FROM r""".stripMargin
+
+  // ---- q_content_extract: link-density main-content extraction ----------
+
+  /** Main-content extraction by BLOCK-level link density — the
+    * Boilerpipe/trafilatura-class web-extraction step reduced to its
+    * deterministic core (the reference's P3 removes boilerplate LINES
+    * by phrase lists; this removes STRUCTURAL chrome no phrase list
+    * can enumerate): split into paragraph blocks, strip tags per block
+    * (the exact `<[^>]+>` semantics of the P2 kernel), measure each
+    * block's anchor-text share via `<a(?:\s[^>]*)?>(.*?)</a>` (lazy,
+    * dot excludes newlines — identical in java.util.regex and RE2),
+    * and keep blocks that are long enough (≥ $ExtractMinLen visible
+    * chars) AND not link-dominated (anchor·1000 < $ExtractMaxPermille
+    * ·visible — the division-free integer cross-multiply). Every 3rd
+    * doc is self-seeded with a nav-bar scaffold (five links, visible
+    * length above the floor) so the DENSITY rule demonstrably fires,
+    * and the content `<p>` block survives with its tags stripped.
+    * Pure per-row HOF work — zero shuffles, and every quantity is a
+    * string/integer both engines replay (main text is md5'd so the
+    * hash check pins the exact extracted bytes).
+    */
+  val ExtractMinLen = 20
+  val ExtractMaxPermille = 500
+
+  def contentExtract(s: SparkSession, dir: String): DataFrame = {
+    val nav = "<div><a href=\"#\">Home</a> <a href=\"#\">About</a> " +
+      "<a href=\"#\">Contact</a> <a href=\"#\">Careers</a> " +
+      "<a href=\"#\">Blog</a></div>"
+    val html = when(col("doc_id") % 3 === 0,
+        concat(lit(nav + "\n\n<p>"), coalesce(col("text"), lit("")), lit("</p>")))
+      .otherwise(coalesce(col("text"), lit("")))
+    val blocks = split(html, "\n\n")
+    val stats = transform(blocks, b => {
+      val vis = regexp_replace(b, "<[^>]+>", "")
+      val alen = aggregate(
+        regexp_extract_all(b, lit("<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
+        lit(0), (acc, x) => acc + length(x))
+      struct(vis.as("vis"), alen.as("alen"))
+    })
+    val kept = filter(stats, st =>
+      length(st.getField("vis")) >= ExtractMinLen &&
+        st.getField("alen") * 1000 <
+          greatest(length(st.getField("vis")), lit(1)) * ExtractMaxPermille)
+    val main = array_join(transform(kept, st => st.getField("vis")), "\n\n")
+    Tables.documents(s, dir).select(col("doc_id"),
+      size(blocks).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      length(main).cast("long").as("main_len"),
+      md5(main).as("main_md5"))
+  }
+
+  val contentExtractSql: String = {
+    val nav = "<div><a href=\"#\">Home</a> <a href=\"#\">About</a> " +
+      "<a href=\"#\">Contact</a> <a href=\"#\">Careers</a> " +
+      "<a href=\"#\">Blog</a></div>"
+    // SQL string literals are single-quoted: only ' needs escaping —
+    // the double quotes inside the href attributes pass through as-is
+    // (they MUST, or the two engines would hash different nav bytes)
+    val navSql = nav.replace("'", "''")
+    s"""WITH d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0
+       |    THEN '$navSql' || chr(10) || chr(10) || '<p>' || coalesce(text, '') || '</p>'
+       |    ELSE coalesce(text, '') END AS html
+       | FROM documents),
+       |bl AS (SELECT doc_id, string_split(html, chr(10) || chr(10)) AS blks FROM d),
+       |bi AS (SELECT doc_id, blks,
+       |         unnest(generate_series(1, len(blks))) AS i FROM bl),
+       |b AS (SELECT doc_id, i, blks[i] AS blk FROM bi),
+       |v AS (SELECT doc_id, i,
+       |  regexp_replace(blk, '<[^>]+>', '', 'g') AS vis,
+       |  CASE WHEN len(regexp_extract_all(blk, '<a(?:\\s[^>]*)?>(.*?)</a>', 1)) = 0
+       |       THEN 0
+       |       ELSE list_reduce(list_transform(
+       |         regexp_extract_all(blk, '<a(?:\\s[^>]*)?>(.*?)</a>', 1),
+       |         x -> len(x)), (a, b) -> a + b) END AS alen
+       | FROM b),
+       |k AS (SELECT doc_id, i, vis FROM v
+       |      WHERE len(vis) >= $ExtractMinLen
+       |        AND alen * 1000 < $ExtractMaxPermille * greatest(len(vis), 1)),
+       |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM b GROUP BY 1),
+       |mk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(vis, chr(10) || chr(10) ORDER BY i) AS main
+       |       FROM k GROUP BY 1)
+       |SELECT nb.doc_id, nb.n_blocks,
+       |  coalesce(mk.n_kept, 0) AS n_kept,
+       |  CAST(len(coalesce(mk.main, '')) AS BIGINT) AS main_len,
+       |  md5(coalesce(mk.main, '')) AS main_md5
+       |FROM nb LEFT JOIN mk USING (doc_id)""".stripMargin
+  }
 }
