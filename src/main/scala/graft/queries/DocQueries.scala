@@ -1551,6 +1551,70 @@ object DocQueries {
        |  rn <= $DomainCap AS kept
        |FROM r""".stripMargin
 
+  // ---- q_fim_transform: fill-in-the-middle training reordering -----------
+
+  /** The FIM data transform for code/infilling models (Bavarian et al.
+    * 2022, "Efficient Training of Language Models to Fill in the
+    * Middle"): with rate ~[[FimRatePct]]% a document is reordered into
+    * PSM form `<PRE>prefix<SUF>suffix<MID>middle`, teaching the model
+    * to infill; the rest pass through unchanged. Both the gate and the
+    * two cut points are md5-derived (the epochShuffle convention:
+    * hash-derived, not seeded-RNG, so the transform is resumable,
+    * layout-invariant and ORACLE-EXACT — the paper samples uniformly,
+    * this derives deterministically). Cuts are character positions in
+    * [0, n]; prefix+middle+suffix is always a permutation-free
+    * partition of the original text (spec-pinned reassembly). Pure
+    * per-row string arithmetic, zero shuffles.
+    */
+  val FimRatePct = 50
+
+  def fimTransform(s: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val n = length(t).cast("long")
+    def h(tag: String) =
+      conv(substring(md5(concat(lit(tag), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val gate = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val c1 = h("fim1:") % (n + 1)
+    val c2 = h("fim2:") % (n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val ft = when(gate < FimRatePct, concat(
+        lit("<PRE>"), t.substr(lit(1), lo.cast("int")),
+        lit("<SUF>"), t.substr((hi + 1).cast("int"), n.cast("int")),
+        lit("<MID>"), t.substr((lo + 1).cast("int"), (hi - lo).cast("int"))))
+      .otherwise(t)
+    Tables.documents(s, dir).select(col("doc_id"),
+      (gate < FimRatePct).as("is_fim"),
+      lo.as("cut_lo"), hi.as("cut_hi"),
+      length(ft).cast("long").as("fim_len"),
+      md5(ft).as("fim_md5"))
+  }
+
+  val fimTransformSql: String =
+    s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+       |c AS (SELECT doc_id, t, len(t) AS n,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS gate,
+       |  CAST('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+       |  CAST('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h2
+       | FROM d),
+       |s AS (SELECT doc_id, t, gate < $FimRatePct AS is_fim,
+       |  least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+       |  greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
+       | FROM c),
+       |f AS (SELECT doc_id, is_fim, lo, hi,
+       |  CASE WHEN is_fim THEN
+       |    '<PRE>' || substr(t, 1, CAST(lo AS INT))
+       |    || '<SUF>' || substr(t, CAST(hi AS INT) + 1)
+       |    || '<MID>' || substr(t, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))
+       |  ELSE t END AS ft
+       | FROM s)
+       |SELECT doc_id, is_fim, CAST(lo AS BIGINT) AS cut_lo,
+       |  CAST(hi AS BIGINT) AS cut_hi,
+       |  CAST(len(ft) AS BIGINT) AS fim_len, md5(ft) AS fim_md5
+       |FROM f""".stripMargin
+
   // ---- q_content_extract: link-density main-content extraction ----------
 
   /** Main-content extraction by BLOCK-level link density — the
