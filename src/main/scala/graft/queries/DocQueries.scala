@@ -1551,6 +1551,72 @@ object DocQueries {
        |  rn <= $DomainCap AS kept
        |FROM r""".stripMargin
 
+  // ---- q_markdown_strip: markdown -> plain-text normalization ------------
+
+  /** Markdown normalization — the web-adjacent sibling of the HTML tag
+    * strip: corpora mined from READMEs, forums and docs carry markdown
+    * syntax that inflates token counts and pollutes n-gram statistics.
+    * The ordered chain (fences → images → links → emphasis → inline
+    * code → headers) keeps the VISIBLE text (link/image alt text,
+    * emphasized words) and drops the syntax. Every pattern is
+    * RE2-clean (no pattern backreferences); replacement group refs are
+    * `$$1` under java.util.regex and `\\1` under RE2 — syntax differs,
+    * semantics identical, and the oracle md5 of the full output pins
+    * them byte for byte. Every 4th doc self-seeds a scaffold
+    * exercising all six constructs. Zero shuffles.
+    */
+  def markdownStrip(s: SparkSession, dir: String): DataFrame = {
+    val scaffold = concat(
+      lit("# Title "), col("doc_id").cast("string"),
+      lit("\n**bold** *ital* [link](https://x) ![img](y.png) `code`\n" +
+        "```\nfenced block\n```\n## Sub\n"),
+      coalesce(col("text"), lit("")))
+    val md = when(col("doc_id") % 4 === 0, scaffold)
+      .otherwise(coalesce(col("text"), lit("")))
+    val out =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(md, "(?s)```.*?```", ""),
+                "!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),
+              "\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),
+            "\\*{1,3}([^*]+)\\*{1,3}", "$1"),
+          "`([^`]+)`", "$1"),
+        "(?m)^#{1,6}[ \\t]+", "")
+    Tables.documents(s, dir).select(col("doc_id"),
+      (col("doc_id") % 4 === 0).as("is_seeded"),
+      length(out).cast("long").as("plain_len"),
+      md5(out).as("plain_md5"))
+  }
+
+  val markdownStripSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 0 THEN
+      |    '# Title ' || CAST(doc_id AS VARCHAR) || chr(10)
+      |    || '**bold** *ital* [link](https://x) ![img](y.png) `code`' || chr(10)
+      |    || '```' || chr(10) || 'fenced block' || chr(10) || '```' || chr(10)
+      |    || '## Sub' || chr(10) || coalesce(text, '')
+      |  ELSE coalesce(text, '') END AS md
+      | FROM documents),
+      |o AS (SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(md, '(?s)```.*?```', '', 'g'),
+      |            '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+      |          '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+      |        '\*{1,3}([^*]+)\*{1,3}', '\1', 'g'),
+      |      '`([^`]+)`', '\1', 'g'),
+      |    '(?m)^#{1,6}[ \t]+', '', 'g') AS plain
+      | FROM d)
+      |SELECT doc_id, doc_id % 4 = 0 AS is_seeded,
+      |  CAST(len(plain) AS BIGINT) AS plain_len, md5(plain) AS plain_md5
+      |FROM o""".stripMargin
+
   // ---- q_fim_transform: fill-in-the-middle training reordering -----------
 
   /** The FIM data transform for code/infilling models (Bavarian et al.
