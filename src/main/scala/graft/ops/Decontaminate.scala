@@ -122,7 +122,14 @@ object Decontaminate {
       .filter(col("__n2") > 0.0)
       .drop("__n2")
     val bench = vecs(benchmark).select(col("v").as("bv"))
-    vecs(corpus)
+    // persist BEFORE the cross join: without it Catalyst inlines the
+    // vector projection into the join output and re-tokenizes+rehashes
+    // each corpus doc once per BENCHMARK row (measured 39.5 s vs ~1 s
+    // at sf0.1 — the textAnnTopK persist rationale; released by the
+    // caller's clearCache like the sketch persists)
+    val corpusVecs = vecs(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusVecs
       .crossJoin(broadcast(bench))
       .withColumn("cos", Similarity.cosine(col("v"), col("bv")))
       .groupBy("id")
