@@ -55,6 +55,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("dhash_sig"), DHashSig.info, DHashSig.builder))
     ext.injectFunction(
+      (FunctionIdentifier("audio_sig"), AudioSig.info, AudioSig.builder))
+    ext.injectFunction(
       (FunctionIdentifier("token_dist_stats"),
         TokenDistStats.info, TokenDistStats.builder))
     ext.injectFunction(
@@ -129,6 +131,8 @@ object GraftFunctions {
       PhoneSimpleCount.info, PhoneSimpleCount.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dhash_sig"), DHashSig.info, DHashSig.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("audio_sig"), AudioSig.info, AudioSig.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_dist_stats"),
       TokenDistStats.info, TokenDistStats.builder)

@@ -177,6 +177,21 @@ object Streaming {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("dhash_sig")
 
+  /** The audio twin of [[dedupPerceptualStream]]: keyed on the
+    * `audio_sig` energy-delta fingerprint, so the same recording
+    * arriving as a WAV and as a FLAC dedups to one (the signature is
+    * container-invariant — see [[graft.plans.AudioSig]]); same
+    * `raw:` md5 fallback for undecodable payloads.
+    */
+  def dedupPerceptualAudioStream(df: DataFrame, contentCol: String,
+                                 eventTimeCol: String,
+                                 watermark: String = "1 hour"): DataFrame =
+    df.withColumn("audio_sig", coalesce(
+        graft.plans.AudioSig(col(contentCol)),
+        concat(lit("raw:"), md5(col(contentCol)))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("audio_sig")
+
   // ---- stateful flagged dedup (incremental-dedup state shape) -----------
 
   case class DedupEvent(exact_hash: String, dedup_id: String, ts: Timestamp)

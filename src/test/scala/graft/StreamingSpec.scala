@@ -237,6 +237,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("perceptual audio stream dedup: WAV and FLAC of the same recording " +
+    "collapse; different audio survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val samples = Array.tabulate(400)(i => ((i * 53) % 256 - 128) * 64)
+    val asFlac = graft.ops.FlacCodec.encodeFlac16(8000, 1, samples,
+      subframe = 0, midSide = false, partitions2 = true)
+    val asWav = graft.ops.AudioCodec.encodeWav16(8000, 1,
+      samples.map(_ / 32768f))
+    val other = graft.ops.FlacCodec.encodeFlac16(8000, 1,
+      Array.tabulate(400)(i => ((i * 91 + 7) % 256 - 128) * 64),
+      subframe = 1, midSide = false, partitions2 = false)
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val deduped = Streaming.dedupPerceptualAudioStream(
+      in.toDF().toDF("ingest_ts", "media_id", "content"),
+      "content", "ingest_ts")
+    val q = deduped.writeStream.format("memory").queryName("adedup")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L, asFlac), (ts(1), 2L, asWav), (ts(2), 3L, other))
+      q.processAllAvailable()
+      val kept = spark.table("adedup").select("media_id")
+        .as[Long].collect().toSet
+      // byte hashes of asFlac/asWav are disjoint; the energy signature
+      // is container-invariant, so only the first arrival survives
+      assert(kept === Set(1L, 3L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("flagged stateful dedup: kept rows match dropDuplicatesWithinWatermark, dups carry cross-batch lineage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
