@@ -57,6 +57,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("audio_sig"), AudioSig.info, AudioSig.builder))
     ext.injectFunction(
+      (FunctionIdentifier("markdown_strip"),
+        MarkdownStrip.info, MarkdownStrip.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("anchor_text_len"),
+        AnchorTextLen.info, AnchorTextLen.builder))
+    ext.injectFunction(
       (FunctionIdentifier("token_dist_stats"),
         TokenDistStats.info, TokenDistStats.builder))
     ext.injectFunction(
@@ -133,6 +139,12 @@ object GraftFunctions {
       FunctionIdentifier("dhash_sig"), DHashSig.info, DHashSig.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("audio_sig"), AudioSig.info, AudioSig.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("markdown_strip"),
+      MarkdownStrip.info, MarkdownStrip.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("anchor_text_len"),
+      AnchorTextLen.info, AnchorTextLen.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_dist_stats"),
       TokenDistStats.info, TokenDistStats.builder)

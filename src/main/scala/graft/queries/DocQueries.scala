@@ -1573,23 +1573,42 @@ object DocQueries {
       coalesce(col("text"), lit("")))
     val md = when(col("doc_id") % 4 === 0, scaffold)
       .otherwise(coalesce(col("text"), lit("")))
-    val out =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(md, "(?s)```.*?```", ""),
-                "!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),
-              "\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),
-            "\\*{1,3}([^*]+)\\*{1,3}", "$1"),
-          "`([^`]+)`", "$1"),
-        "(?m)^#{1,6}[ \\t]+", "")
+    // the compiled linear chain — the regex form below is the parity
+    // anchor (MarkdownScanSpec fuzzes them equal; several patterns are
+    // quadratic under java.util.regex on unclosed-opener floods)
+    val out = graft.plans.MarkdownStrip(md)
     Tables.documents(s, dir).select(col("doc_id"),
       (col("doc_id") % 4 === 0).as("is_seeded"),
       length(out).cast("long").as("plain_len"),
       md5(out).as("plain_md5"))
   }
+
+  /** The java-regex form of the anchor-text measurement — the
+    * AnchorTextLen kernel's parity anchor (same caveat as
+    * [[markdownStripRegex]]).
+    */
+  def anchorExtractRegexSum(b: Column): Column =
+    aggregate(
+      regexp_extract_all(b, lit("<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(x))
+
+  /** The java-regex form of the markdown chain — the kernel's parity
+    * anchor (MarkdownScanSpec fuzzes kernel == regex; NOT a production
+    * path: the image/link/emphasis/inline-code patterns are O(n²)
+    * under java.util.regex on unclosed-opener floods).
+    */
+  def markdownStripRegex(md: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(md, "(?s)```.*?```", ""),
+              "!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),
+            "\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),
+          "\\*{1,3}([^*]+)\\*{1,3}", "$1"),
+        "`([^`]+)`", "$1"),
+      "(?m)^#{1,6}[ \\t]+", "")
 
   val markdownStripSql: String =
     """WITH d AS (SELECT doc_id,
@@ -1688,7 +1707,8 @@ object DocQueries {
     * deterministic core (the reference's P3 removes boilerplate LINES
     * by phrase lists; this removes STRUCTURAL chrome no phrase list
     * can enumerate): split into paragraph blocks, strip tags per block
-    * (the exact `<[^>]+>` semantics of the P2 kernel), measure each
+    * (the P2 kernel's `'<[^>]+>' -> ' '` semantics: tags act as
+    * separators, so adjacent words never fuse), measure each
     * block's anchor-text share via `<a(?:\s[^>]*)?>(.*?)</a>` (lazy,
     * dot excludes newlines — identical in java.util.regex and RE2),
     * and keep blocks that are long enough (≥ $ExtractMinLen visible
@@ -1712,13 +1732,14 @@ object DocQueries {
         concat(lit(nav + "\n\n<p>"), coalesce(col("text"), lit("")), lit("</p>")))
       .otherwise(coalesce(col("text"), lit("")))
     val blocks = split(html, "\n\n")
-    val stats = transform(blocks, b => {
-      val vis = regexp_replace(b, "<[^>]+>", "")
-      val alen = aggregate(
-        regexp_extract_all(b, lit("<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
-        lit(0), (acc, x) => acc + length(x))
-      struct(vis.as("vis"), alen.as("alen"))
-    })
+    // both per-block measures run compiled linear scanners: StripTags
+    // (the P2 kernel) and AnchorTextLen (the anchor pattern is O(n²)
+    // under java.util.regex on `<a x><a x>…` floods before a newline —
+    // see plans/MarkdownScan; anchorExtractRegexSum below is the
+    // parity anchor)
+    val stats = transform(blocks, b => struct(
+      graft.plans.StripTags(b).as("vis"),
+      graft.plans.AnchorTextLen(b).as("alen")))
     val kept = filter(stats, st =>
       length(st.getField("vis")) >= ExtractMinLen &&
         st.getField("alen") * 1000 <
@@ -1749,7 +1770,7 @@ object DocQueries {
        |         unnest(generate_series(1, len(blks))) AS i FROM bl),
        |b AS (SELECT doc_id, i, blks[i] AS blk FROM bi),
        |v AS (SELECT doc_id, i,
-       |  regexp_replace(blk, '<[^>]+>', '', 'g') AS vis,
+       |  regexp_replace(blk, '<[^>]+>', ' ', 'g') AS vis,
        |  CASE WHEN len(regexp_extract_all(blk, '<a(?:\\s[^>]*)?>(.*?)</a>', 1)) = 0
        |       THEN 0
        |       ELSE list_reduce(list_transform(

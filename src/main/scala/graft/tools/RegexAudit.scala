@@ -65,12 +65,36 @@ object RegexAudit {
       "wordRuns" -> "\\w+",
       "numericLike" -> "^[\\d\\.\\-]+$",
       "boiler" -> graft.text.Normalize.BoilerplatePatterns
-        .mkString("(", ")|(", ")"))
+        .mkString("(", ")|(", ")"),
+      // r11 web-extraction patterns — kernel-evaluated in production
+      // (plans/MarkdownScan): the complement-class/lazy-dot scans are
+      // quadratic on unclosed-opener floods under this engine
+      "anchorText" -> "<a(?:\\s[^>]*)?>(.*?)</a>",
+      "mdFence" -> "(?s)```.*?```",
+      "mdImage" -> "!\\[([^\\]]*)\\]\\(([^)]*)\\)",
+      "mdLink" -> "\\[([^\\]]*)\\]\\(([^)]*)\\)",
+      "mdEmphasis" -> "\\*{1,3}([^*]+)\\*{1,3}",
+      "mdInlineCode" -> "`([^`]+)`",
+      "mdHeader" -> "(?m)^#{1,6}[ \\t]+")
   }
 
-  /** The patterns production code still runs under java.util.regex. */
+  /** The patterns production code still runs under java.util.regex.
+    * Excluded with their kernels:
+    *  - EmailRe → plans/EmailScan (round 5);
+    *  - the five stage-3 PII patterns + PhoneSimpleRe → plans/PiiScan
+    *    (late round 11: not super-linear, but fused two-expressions-
+    *    per-row — they stay in [[patterns]] so the report tracks them);
+    *  - the markdown/anchor patterns → plans/MarkdownScan (late round
+    *    11: quadratic on unclosed-opener floods, see mdImage/mdLink/
+    *    mdEmphasis/mdInlineCode/anchorText × openerFlood cells in the
+    *    report).
+    */
+  private val Kerneled = Set("EmailRe", "PhoneRe", "PhoneSimpleRe",
+    "CreditCardRe", "IbanRe", "IpRe", "SsnRe", "anchorText", "mdFence",
+    "mdImage", "mdLink", "mdEmphasis", "mdInlineCode", "mdHeader")
+
   val javaEvaluated: Seq[(String, String)] =
-    patterns.filterNot(_._1 == "EmailRe")
+    patterns.filterNot(p => Kerneled(p._1))
 
   /** Adversarial input shapes at total length ~l. */
   def shapes(l: Int): Seq[(String, String)] = Seq(
@@ -88,7 +112,12 @@ object RegexAudit {
         "unclosedTag" -> ("<" + "x" * (l - 1)),
         "nlFlood" -> "\n" * l,
         "punctFlood" -> ("... --- ~~~ " * (l / 12)),
-        "upperIban" -> ("DE" + "1" * (l - 2)))
+        "upperIban" -> ("DE" + "1" * (l - 2)),
+        "imgOpenerFlood" -> ("![x" * (l / 3)),
+        "linkOpenerFlood" -> ("[x" * (l / 2)),
+        "starFlood" -> ("*x" * (l / 2)),
+        "backtickFlood" -> ("`x" * (l / 2)),
+        "anchorOpenFlood" -> ("<a x>" * (l / 5)))
 
   /** Public cell timer for the spec: (millis, timedOut). */
   def timeCell(pattern: String, input: String, budgetMs: Long): (Double, Boolean) =
