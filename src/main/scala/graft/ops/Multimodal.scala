@@ -952,6 +952,57 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Incremental cross-batch perceptual near-dup — the
+    * [[graft.ops.SketchDedup.incrementalFromSketches]] shape applied
+    * to the chunked fingerprints: sketch only the NEW batch, band its
+    * chunks against (a) itself for intra-batch keep-first flags and
+    * (b) the corpus STATE's band keys (history is never re-decoded or
+    * re-hashed — only its ≤4-row-per-item chunk table joins), verify
+    * candidates by exact hamming. Per batch item: `is_dup_near_batch`
+    * + `batch_dup_of` (smallest earlier batch id within `maxHamming`)
+    * and `is_dup_near_corpus` + `near_dup_of` (smallest corpus id).
+    * Both inputs are (media_id, c0..c3); the corpus side is exactly
+    * the shape a state table persists between runs.
+    */
+  def incrementalHammingFlags(batchSigs: DataFrame, corpusSigs: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    val chunkCols = Seq("c0", "c1", "c2", "c3")
+    def bands(df: DataFrame, idAs: String) =
+      chunkCols.zipWithIndex.map { case (c, j) =>
+          df.select(col("media_id").as(idAs), lit(j).as("j"), col(c).as("ck")) }
+        .reduce(_ unionByName _)
+    def ham = chunkCols.map(c =>
+      bit_count(col(s"sa.$c").bitwiseXOR(col(s"sb.$c")))).reduce(_ + _)
+    def verified(cands: DataFrame, otherSigs: DataFrame,
+                 otherId: String): DataFrame =
+      cands
+        .join(batchSigs.as("sa"), col("id") === col("sa.media_id"))
+        .join(otherSigs.as("sb"), col(otherId) === col("sb.media_id"))
+        .filter(ham <= maxHamming)
+        .groupBy("id").agg(min(col(otherId)).as(s"min_$otherId"))
+    val bandedNew = bands(batchSigs, "id")
+    val intraCands = bandedNew
+      .join(bands(batchSigs, "batch_id"), Seq("j", "ck"))
+      .filter(col("batch_id") < col("id"))
+      .select("id", "batch_id").distinct()
+    val intra = verified(intraCands, batchSigs, "batch_id")
+    val corpusCands = bandedNew
+      .join(bands(corpusSigs, "corpus_id"), Seq("j", "ck"))
+      .select("id", "corpus_id").distinct()
+    val corpus = verified(corpusCands, corpusSigs, "corpus_id")
+    batchSigs.select("media_id")
+      .join(intra.withColumnRenamed("id", "__i"),
+        col("media_id") === col("__i"), "left")
+      .withColumn("is_dup_near_batch", col("__i").isNotNull)
+      .withColumnRenamed("min_batch_id", "batch_dup_of")
+      .drop("__i")
+      .join(corpus.withColumnRenamed("id", "__c"),
+        col("media_id") === col("__c"), "left")
+      .withColumn("is_dup_near_corpus", col("__c").isNotNull)
+      .withColumnRenamed("min_corpus_id", "near_dup_of")
+      .drop("__c")
+  }
+
   def dHashChunks(w: Int, h: Int, rgb: Array[Byte]): Array[Int] = {
     val s = Array.ofDim[Long](8, 9)
     val n = Array.ofDim[Long](8, 9)

@@ -347,10 +347,15 @@ object MultimodalQueries {
     * cell-average compares), and runs the same band join — a codec
     * slip, a grid off-by-one or a luma-weight typo all fail the hash.
     */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** The (media_id, c0..c3) signature table behind q_media_neardup AND
+    * q_incr_media_neardup: real QOI encode → decode round trip →
+    * dHash, with the perturbed twin per 5th doc. Persisted — every
+    * consumer fans out over it several times.
+    */
+  private def mediaSigs(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val sigs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -379,12 +384,14 @@ object MultimodalQueries {
         else Seq(sigOf(id, false))
       }
       .toDF("media_id", "c0", "c1", "c2", "c3")
-      // consumed six times (4 band projections + both verify sides):
+      // consumed six-plus times (band projections + verify sides):
       // without the persist every consumer re-runs the QOI
       // encode/decode round trip per doc
       .persist()
-    Multimodal.hammingPairs(sigs)
   }
+
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.hammingPairs(mediaSigs(s, dir))
 
   // ---- q_audio_neardup: perceptual (energy-delta) audio near-dups -------
 
@@ -447,8 +454,12 @@ object MultimodalQueries {
     Multimodal.hammingPairs(sigs)
   }
 
-  val mediaNearDupSql: String =
-    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+  /** Shared oracle fragment: the pixel/cell/chunk replay up to the
+    * pivoted `sig(media_id, c0..c3)` table (materialized — both the
+    * flat and incremental oracles fan out over it).
+    */
+  private val mediaSigCtesSql: String =
+    """d AS (SELECT doc_id, coalesce(text, '') AS t,
       |  octet_length(encode(coalesce(text, ''))) AS blen
       | FROM documents),
       |m AS (
@@ -483,21 +494,76 @@ object MultimodalQueries {
       |  max(CASE WHEN j = 1 THEN ck END) AS c1,
       |  max(CASE WHEN j = 2 THEN ck END) AS c2,
       |  max(CASE WHEN j = 3 THEN ck END) AS c3
-      | FROM chunks GROUP BY 1),
-      |bands AS (SELECT media_id, j,
-      |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
-      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
-      |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
-      |  FROM bands a JOIN bands b
-      |    ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id)
-      |SELECT c.id_a, c.id_b,
-      |  CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
-      |     + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
-      |    AS BIGINT) AS hamming
-      |FROM cand c JOIN sig sa ON sa.media_id = c.id_a
-      |            JOIN sig sb ON sb.media_id = c.id_b
-      |WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
-      |    + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3""".stripMargin
+      | FROM chunks GROUP BY 1)""".stripMargin
+
+  val mediaNearDupSql: String =
+    s"""WITH $mediaSigCtesSql,
+       |bands AS (SELECT media_id, j,
+       |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+       |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+       |     + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3))
+       |    AS BIGINT) AS hamming
+       |FROM cand c JOIN sig sa ON sa.media_id = c.id_a
+       |            JOIN sig sb ON sb.media_id = c.id_b
+       |WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+       |    + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3""".stripMargin
+
+  // ---- q_incr_media_neardup: cross-batch perceptual state join ----------
+
+  /** The incremental member of the perceptual family — the
+    * q_incr_neardup shape over dHash signatures
+    * ([[Multimodal.incrementalHammingFlags]]): docs with
+    * media_id mod 7 = 3 (twins riding with their originals) play the
+    * NEW batch; everything else is the corpus STATE, whose history is
+    * never re-decoded — only its chunk table joins. Per batch item:
+    * keep-first intra-batch flags and smallest-corpus-id lineage.
+    */
+  def incrMediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = mediaSigs(s, dir)
+    val isBatch = pmod(pmod(col("media_id"), lit(10000000L)), lit(7L)) === 3
+    Multimodal.incrementalHammingFlags(
+      sigs.filter(isBatch), sigs.filter(!isBatch))
+  }
+
+  val incrMediaNearDupSql: String =
+    s"""WITH $mediaSigCtesSql,
+       |nb AS (SELECT * FROM sig WHERE (media_id % 10000000) % 7 = 3),
+       |st AS (SELECT * FROM sig WHERE (media_id % 10000000) % 7 <> 3),
+       |bn AS (SELECT media_id, j,
+       |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+       |  FROM nb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+       |bs AS (SELECT media_id, j,
+       |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
+       |  FROM st CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+       |ic AS (SELECT DISTINCT a.media_id AS id, b.media_id AS batch_id
+       |  FROM bn a JOIN bn b
+       |    ON a.j = b.j AND a.ck = b.ck AND b.media_id < a.media_id),
+       |intra AS (SELECT c.id, min(c.batch_id) AS batch_dup_of
+       |  FROM ic c JOIN nb sa ON sa.media_id = c.id
+       |            JOIN nb sb ON sb.media_id = c.batch_id
+       |  WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+       |      + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3
+       |  GROUP BY c.id),
+       |cc AS (SELECT DISTINCT a.media_id AS id, b.media_id AS corpus_id
+       |  FROM bn a JOIN bs b ON a.j = b.j AND a.ck = b.ck),
+       |corp AS (SELECT c.id, min(c.corpus_id) AS near_dup_of
+       |  FROM cc c JOIN nb sa ON sa.media_id = c.id
+       |            JOIN st sb ON sb.media_id = c.corpus_id
+       |  WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+       |      + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3
+       |  GROUP BY c.id)
+       |SELECT nb.media_id,
+       |  intra.batch_dup_of IS NOT NULL AS is_dup_near_batch,
+       |  intra.batch_dup_of,
+       |  corp.near_dup_of IS NOT NULL AS is_dup_near_corpus,
+       |  corp.near_dup_of
+       |FROM nb LEFT JOIN intra ON intra.id = nb.media_id
+       |        LEFT JOIN corp ON corp.id = nb.media_id""".stripMargin
 
   // ---- q_video_neardup: perceptual (frame-sampled dHash) video dups -----
 

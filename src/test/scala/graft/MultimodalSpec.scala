@@ -313,6 +313,31 @@ class MultimodalSpec extends SparkTestBase {
       s"unrelated clips paired: $keys")
   }
 
+  test("incremental perceptual flags: intra-batch keep-first, corpus " +
+    "lineage, history untouched") {
+    import spark.implicits._
+    // signatures directly (the op is sketch-source-agnostic): batch has
+    // 10/11 near-identical (1-bit apart) and 12 matching corpus item 2;
+    // 13 matches nothing
+    val batch = Seq(
+      (10L, 5, 6, 7, 8), (11L, 5, 6, 7, 9 /* 1 bit from 8 */),
+      (12L, 100, 200, 300, 400), (13L, 1, 2, 3, 4))
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+    val corpus = Seq(
+      (2L, 100, 200, 300, 401 /* 1 bit from 400 */), (3L, 7000, 7001, 7002, 7003))
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+    val got = Multimodal.incrementalHammingFlags(batch, corpus)
+      .collect().map(r => r.getAs[Long]("media_id") -> (
+        r.getAs[Boolean]("is_dup_near_batch"),
+        Option(r.getAs[Any]("batch_dup_of")).map(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("is_dup_near_corpus"),
+        Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]))).toMap
+    assert(got(10L) === ((false, None, false, None)))   // first arrival
+    assert(got(11L) === ((true, Some(10L), false, None))) // intra keep-first
+    assert(got(12L) === ((false, None, true, Some(2L)))) // corpus lineage
+    assert(got(13L) === ((false, None, false, None)))    // fresh
+  }
+
   test("mediaNearDup: planted perturbed twin pairs found, unrelated docs absent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
