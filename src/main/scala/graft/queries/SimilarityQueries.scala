@@ -1129,6 +1129,75 @@ object SimilarityQueries {
        |FROM c JOIN k ON k.doc_id = c.doc_id""".stripMargin
   }
 
+  // ---- q_icp_locality: does the curve order actually gain locality? -----
+
+  /** The self-evaluation of q_icp_order ON THE REAL CORPUS (the spec's
+    * planted-topic purity is a fixture; this is the measurement a
+    * practitioner would demand): mean adjacent-pair cosine in semantic
+    * order vs in plain doc_id order. Per-pair cosines are bit-exact
+    * (the q_text_ann kernel) and each is floor-quantized to integer
+    * micro-units BEFORE summing, so the totals are order-free BIGINTs
+    * both engines replay; the verdict is a division-free
+    * cross-multiply. Pairs touching a zero-norm doc are skipped on
+    * both sides (cosine undefined). One scan for vectors + two
+    * dense-position sliver self-joins — nothing corpus-sized shuffles
+    * twice.
+    */
+  def icpLocality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vecs = docs.select(col("doc_id"),
+        graft.ops.HashedEmbed.hashedVector(
+          graft.text.TextMetrics.tokens(col("text")),
+          graft.ops.HashedEmbed.Dim).as("v"))
+      .withColumn("n2",
+        aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+    val ordered = graft.ops.SemanticOrder.semanticOrder(docs)
+      .select(col("doc_id"), col("icp_pos"))
+    // consumed four times (both sides of both adjacency self-joins):
+    // persist, or the ordering's two-pass numbering re-runs per consumer
+    val withPos = graft.ops.Shard.withGlobalSeq(
+      vecs.join(ordered, Seq("doc_id")), "doc_id", "base_pos").persist()
+    def adjSum(posCol: String): DataFrame =
+      withPos.as("f").join(withPos.as("g"),
+          col(s"f.$posCol") + 1 === col(s"g.$posCol"))
+        .filter(col("f.n2") > 0.0 && col("g.n2") > 0.0)
+        .select(floor(graft.ops.Similarity.cosine(col("f.v"), col("g.v"))
+          * 1000000).cast("long").as("cos_q"))
+        .agg(count(lit(1)).as("n_pairs"), sum("cos_q").as("sum_q"))
+    val icp = adjSum("icp_pos").select(
+      col("n_pairs").as("icp_pairs"), col("sum_q").as("icp_sum_q"))
+    val base = adjSum("base_pos").select(
+      col("n_pairs").as("base_pairs"), col("sum_q").as("base_sum_q"))
+    icp.crossJoin(base).select(
+      col("icp_pairs"), col("icp_sum_q"), col("base_pairs"), col("base_sum_q"),
+      (col("icp_sum_q") * col("base_pairs") >
+        col("base_sum_q") * col("icp_pairs")).as("locality_gained"))
+  }
+
+  val icpLocalitySql: String = {
+    val dim = graft.ops.HashedEmbed.Dim
+    s"""WITH ord AS ($icpOrderSql),
+       |hvv AS (SELECT doc_id, vec,
+       |  list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS n2
+       | FROM (WITH ${hashedVecCtesSql(dim)} SELECT doc_id, vec FROM hv) q),
+       |wp AS MATERIALIZED (SELECT h.doc_id, h.vec, h.n2, o.icp_pos,
+       |  row_number() OVER (ORDER BY h.doc_id) - 1 AS base_pos
+       | FROM hvv h JOIN ord o ON o.doc_id = h.doc_id),
+       |i AS (SELECT CAST(count(*) AS BIGINT) AS icp_pairs,
+       |  CAST(sum(CAST(floor(list_cosine_similarity(f.vec, g.vec) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS icp_sum_q
+       | FROM wp f JOIN wp g ON f.icp_pos + 1 = g.icp_pos
+       | WHERE f.n2 > 0 AND g.n2 > 0),
+       |b AS (SELECT CAST(count(*) AS BIGINT) AS base_pairs,
+       |  CAST(sum(CAST(floor(list_cosine_similarity(f.vec, g.vec) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS base_sum_q
+       | FROM wp f JOIN wp g ON f.base_pos + 1 = g.base_pos
+       | WHERE f.n2 > 0 AND g.n2 > 0)
+       |SELECT icp_pairs, icp_sum_q, base_pairs, base_sum_q,
+       |  icp_sum_q * base_pairs > base_sum_q * icp_pairs AS locality_gained
+       |FROM i CROSS JOIN b""".stripMargin
+  }
+
   // ---- q_icp_pack: the semantic order as a packed training layout -------
 
   /** The payoff composition: the q_icp_order permutation driven into

@@ -287,6 +287,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head.getAs[Double]("cosine") > 0.9)
   }
 
+  test("icp locality: the curve order beats doc_id order decisively on " +
+    "planted topics") {
+    import spark.implicits._
+    val vocab = Map(
+      0 -> "spark shuffle partition executor broadcast stage codegen",
+      1 -> "sonata violin orchestra concerto tempo crescendo melody",
+      2 -> "glacier moraine permafrost tundra icefield crevasse firn")
+    // doc_id mod 3 = topic, so plain doc_id order alternates topics
+    // (worst case) while the curve order groups them
+    val dirPath = java.nio.file.Files.createTempDirectory("icploc").toString
+    (0 until 60).map { i =>
+      (i.toLong, s"${vocab(i % 3)} ${vocab(i % 3)} noise$i filler$i")
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+    val r = graft.queries.SimilarityQueries.icpLocality(spark, dirPath)
+      .collect()(0)
+    val icpMean = r.getAs[Long]("icp_sum_q").toDouble / r.getAs[Long]("icp_pairs")
+    val baseMean = r.getAs[Long]("base_sum_q").toDouble / r.getAs[Long]("base_pairs")
+    assert(r.getAs[Boolean]("locality_gained"), s"icp $icpMean vs base $baseMean")
+    assert(icpMean > baseMean + 100000, // ≥ 0.1 cosine lift in µ-units
+      s"lift too small: icp $icpMean vs base $baseMean")
+  }
+
   test("semantic contamination: cross-split paraphrase flagged, unrelated " +
     "doc not, zero-norm docs excluded") {
     import spark.implicits._
