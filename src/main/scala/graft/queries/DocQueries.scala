@@ -1551,6 +1551,85 @@ object DocQueries {
        |  rn <= $DomainCap AS kept
        |FROM r""".stripMargin
 
+  // ---- q_code_detect: code-vs-prose routing heuristic --------------------
+
+  /** Code-vs-prose routing — the StarCoder/Pile-style pre-filter
+    * reduced to its deterministic core: production pipelines route
+    * code through different cleaning (no NFKC, no boilerplate lines,
+    * different dedup granularity), so the corpus needs the routing
+    * BIT before stage 2. Three integer signals per doc: code-symbol
+    * density (per-mille of `{}[]();=<>#` chars), indented-line share
+    * (lines opening with two spaces or a tab), and whitespace-token
+    * keyword hits from a fixed 14-word set (via the TokensInSet
+    * kernel). `is_code` = symbols ≥ 50‰ AND (≥2 keywords OR
+    * indentation ≥ 300‰) — thresholds are the documented heuristic,
+    * not learned. Every 6th doc self-seeds a code scaffold so the
+    * rule demonstrably fires. Zero shuffles; all ratios division-free
+    * until the final per-mille (exact BIGINT `div` both engines).
+    */
+  val CodeKeywords = Seq("def", "class", "import", "return", "function",
+    "const", "var", "public", "void", "#include", "fn", "lambda", "{", "}")
+
+  def codeDetect(s: SparkSession, dir: String): DataFrame = {
+    // seeded docs BECOME a code file (replacing, not appending: a
+    // snippet pasted into long prose rightly stays prose) — doc_id in
+    // the body keeps seeded contents distinct per doc
+    val scaffold = concat(
+      lit("def f(x):\n  return {x: [1, 2]};\n  y = (x <= "),
+      (col("doc_id") % 7).cast("string"),
+      lit(");\nclass A:\n  import os\n  def g():\n    return [x];\n"))
+    val t = when(col("doc_id") % 6 === 0, scaffold)
+      .otherwise(coalesce(col("text"), lit("")))
+    val symbols =
+      (length(t) - length(regexp_replace(t, "[{}\\[\\]();=<>#]", "")))
+        .cast("long")
+    val lines = split(t, "\n")
+    val indented = size(filter(lines,
+      l => l.startsWith("  ") || l.startsWith("\t"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val kw = size(graft.plans.TokensInSet(
+      graft.text.TextMetrics.tokens(t), CodeKeywords)).cast("long")
+    Tables.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % 6 === 0).as("is_seeded"),
+        kw.as("kw_hits"),
+        symbols.as("__sym"), indented.as("__ind"), nLines.as("__nl"),
+        greatest(length(t).cast("long"), lit(1L)).as("__nc"))
+      .withColumn("symbol_permille", expr("__sym * 1000 div __nc"))
+      .withColumn("indent_permille", expr("__ind * 1000 div greatest(__nl, 1)"))
+      .withColumn("is_code", col("symbol_permille") >= 50 &&
+        (col("kw_hits") >= 2 || col("indent_permille") >= 300))
+      .drop("__sym", "__ind", "__nl", "__nc")
+  }
+
+  val codeDetectSql: String = {
+    val kws = CodeKeywords.map(k => s"'$k'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 6 = 0 THEN
+       |    'def f(x):' || chr(10) || '  return {x: [1, 2]};' || chr(10)
+       |    || '  y = (x <= ' || CAST(doc_id % 7 AS VARCHAR) || ');' || chr(10)
+       |    || 'class A:' || chr(10) || '  import os' || chr(10)
+       |    || '  def g():' || chr(10) || '    return [x];' || chr(10)
+       |  ELSE coalesce(text, '') END AS t
+       | FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(t) - len(regexp_replace(t, '[{}\\[\\]();=<>#]', '', 'g'))
+       |    AS BIGINT) AS n_sym,
+       |  CAST(len(list_filter(string_split(t, chr(10)),
+       |    l -> starts_with(l, '  ') OR starts_with(l, chr(9)))) AS BIGINT) AS n_ind,
+       |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(${OracleSql.toks("t")},
+       |    x -> list_contains($kws, x))) AS BIGINT) AS kw_hits,
+       |  greatest(CAST(len(t) AS BIGINT), 1) AS n_chars1
+       | FROM d)
+       |SELECT doc_id, doc_id % 6 = 0 AS is_seeded, kw_hits,
+       |  n_sym * 1000 // n_chars1 AS symbol_permille,
+       |  n_ind * 1000 // greatest(n_lines, 1) AS indent_permille,
+       |  n_sym * 1000 // n_chars1 >= 50
+       |    AND (kw_hits >= 2 OR n_ind * 1000 // greatest(n_lines, 1) >= 300)
+       |    AS is_code
+       |FROM m""".stripMargin
+  }
+
   // ---- q_markdown_strip: markdown -> plain-text normalization ------------
 
   /** Markdown normalization — the web-adjacent sibling of the HTML tag
