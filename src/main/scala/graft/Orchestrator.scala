@@ -41,6 +41,28 @@ object Orchestrator {
   def droppedPath(outDir: String, v: Int): String =
     s"$outDir/dropped_v$v.parquet"
 
+  /** Write one stage's kept/dropped split. The stage frame is PERSISTED
+    * across the two writes: without it (a) the whole scalar chain runs
+    * twice (once per write), and (b) Catalyst pushes each
+    * `drop_reason`-filter down through the stage's projections,
+    * substituting the FULL expression chain into the filter condition —
+    * at stage 2 that inlines the nfkc/profile/reason tree ~50× into one
+    * Filter, janino dies on the generated method
+    * (InternalCompilerException, 6× per round-11 test run) and the
+    * write silently runs interpreted. Filtering the materialized
+    * columns instead costs one local spill of a frame this mode is
+    * already writing to parquet twice — cheap against the 40:1
+    * text-processing-vs-IO profile (BASELINE.md) it de-duplicates.
+    */
+  private def writeSplit(out: DataFrame, keptPath: String,
+                         droppedPath: String): Unit = {
+    val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Filters.kept(mat).write.mode("overwrite").parquet(keptPath)
+      Filters.dropped(mat).write.mode("overwrite").parquet(droppedPath)
+    } finally mat.unpersist(blocking = false)
+  }
+
   /** Ordered stage table: (version, name, transform). Stage v consumes
     * kept rows of v-1. Versions match the reference's file numbering.
     */
@@ -80,9 +102,7 @@ object Orchestrator {
     var cur = spark.read.parquet(versionPath(outDir, startV - 1))
     val counts = Seq.newBuilder[(String, Long, Long)]
     stages(dropPii).dropWhile(_._1 < startV).foreach { case (v, name, fn) =>
-      val out = fn(cur)
-      Filters.kept(out).write.mode("overwrite").parquet(versionPath(outDir, v))
-      Filters.dropped(out).write.mode("overwrite").parquet(droppedPath(outDir, v))
+      writeSplit(fn(cur), versionPath(outDir, v), droppedPath(outDir, v))
       cur = spark.read.parquet(versionPath(outDir, v))
       counts += ((s"v$v:$name", cur.count(),
         spark.read.parquet(droppedPath(outDir, v)).count()))
@@ -120,18 +140,24 @@ object Orchestrator {
     Pipeline.ingest(rawCur).write.mode("overwrite")
       .parquet(versionPath(outDir, 1))
     val curV1 = spark.read.parquet(versionPath(outDir, 1))
-    val rowLocal: DataFrame => DataFrame = df =>
-      Filters.kept(Pipeline.deepCleanAndPii(
-        Filters.kept(Pipeline.cleanAndFilter(df)), dropPii))
+    // persist before each kept(): same pushdown-inlining rationale as
+    // [[writeSplit]] — the stage-2 chain must not be substituted into
+    // the filter condition (janino limit) or computed twice. The delta
+    // is small by construction, released by the caller's clearCache.
+    val rowLocal: DataFrame => DataFrame = df => {
+      val s2 = Pipeline.cleanAndFilter(df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s3 = Pipeline.deepCleanAndPii(Filters.kept(s2), dropPii)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Filters.kept(s3)
+    }
     graft.ops.Incremental.processDelta(curV1, prevV1, prevV3, rowLocal)
       .write.mode("overwrite").parquet(versionPath(outDir, 3))
     var cur = spark.read.parquet(versionPath(outDir, 3))
     val counts = Seq.newBuilder[(String, Long, Long)]
     counts += (("v3:incremental_prefix", cur.count(), -1L))
     stages(dropPii).dropWhile(_._1 < 4).foreach { case (v, name, fn) =>
-      val out = fn(cur)
-      Filters.kept(out).write.mode("overwrite").parquet(versionPath(outDir, v))
-      Filters.dropped(out).write.mode("overwrite").parquet(droppedPath(outDir, v))
+      writeSplit(fn(cur), versionPath(outDir, v), droppedPath(outDir, v))
       cur = spark.read.parquet(versionPath(outDir, v))
       counts += ((s"v$v:$name", cur.count(),
         spark.read.parquet(droppedPath(outDir, v)).count()))

@@ -34,4 +34,18 @@ object GraftSqlBridge {
   /** A DataFrame's analyzed logical plan. */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Force-compile a WholeStageCodegenExec node's generated source.
+    * At runtime a janino failure only logs a WARN and silently falls
+    * back to interpreted evaluation; routed through this, it THROWS —
+    * which lets PlanSpec pin "the stage-2 projection actually
+    * codegens" as a hard test instead of a log grep (the VERDICT r11
+    * finding: the fused drop-reason projection fell back interpreted
+    * on the graded chain's hottest map stage).
+    */
+  def compileWholeStage(
+      ws: org.apache.spark.sql.execution.WholeStageCodegenExec): Unit = {
+    val (_, code) = ws.doCodeGen()
+    org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(code)
+  }
 }

