@@ -1788,9 +1788,15 @@ object DocQueries {
     * can enumerate): split into paragraph blocks, strip tags per block
     * (the P2 kernel's `'<[^>]+>' -> ' '` semantics: tags act as
     * separators, so adjacent words never fuse), measure each
-    * block's anchor-text share via `<a(?:\s[^>]*)?>(.*?)</a>` (lazy,
-    * dot excludes newlines — identical in java.util.regex and RE2),
-    * and keep blocks that are long enough (≥ $ExtractMinLen visible
+    * block's anchor-text share via `<a(?:\s[^>]*)?>(.*?)</a>` (lazy;
+    * java's dot excludes \n, \r, NEL and U+2028/9 while RE2's
+    * excludes only \n — see the dialect note on
+    * [[graft.plans.MarkdownScan.anchorTextLen]] — so the divergent
+    * terminators are NORMALIZED to \n before the block split, in both
+    * engines: \r\n collapses to one \n, stray \r/NEL/LS/PS map to \n.
+    * Blocks then carry no character the two dialects disagree on and
+    * the oracle contract holds for ANY corpus, not just one free of
+    * those shapes), and keep blocks that are long enough (≥ $ExtractMinLen visible
     * chars) AND not link-dominated (anchor·1000 < $ExtractMaxPermille
     * ·visible — the division-free integer cross-multiply). Every 3rd
     * doc is self-seeded with a nav-bar scaffold (five links, visible
@@ -1810,7 +1816,10 @@ object DocQueries {
     val html = when(col("doc_id") % 3 === 0,
         concat(lit(nav + "\n\n<p>"), coalesce(col("text"), lit("")), lit("</p>")))
       .otherwise(coalesce(col("text"), lit("")))
-    val blocks = split(html, "\n\n")
+    // dialect-divergent terminators out before the split (doc above)
+    val norm = translate(regexp_replace(html, "\r\n", "\n"),
+      "\r\u0085\u2028\u2029", "\n\n\n\n")
+    val blocks = split(norm, "\n\n")
     // both per-block measures run compiled linear scanners: StripTags
     // (the P2 kernel) and AnchorTextLen (the anchor pattern is O(n²)
     // under java.util.regex on `<a x><a x>…` floods before a newline —
@@ -1839,11 +1848,16 @@ object DocQueries {
     // the double quotes inside the href attributes pass through as-is
     // (they MUST, or the two engines would hash different nav bytes)
     val navSql = nav.replace("'", "''")
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH d0 AS (SELECT doc_id,
        |  CASE WHEN doc_id % 3 = 0
        |    THEN '$navSql' || chr(10) || chr(10) || '<p>' || coalesce(text, '') || '</p>'
        |    ELSE coalesce(text, '') END AS html
        | FROM documents),
+       |d AS (SELECT doc_id,
+       |  replace(replace(replace(replace(replace(html,
+       |    chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+       |    chr(133), chr(10)), chr(8232), chr(10)), chr(8233), chr(10)) AS html
+       | FROM d0),
        |bl AS (SELECT doc_id, string_split(html, chr(10) || chr(10)) AS blks FROM d),
        |bi AS (SELECT doc_id, blks,
        |         unnest(generate_series(1, len(blks))) AS i FROM bl),

@@ -51,6 +51,35 @@ class MarkdownScanSpec extends SparkTestBase {
     }
   }
 
+  test("contentExtract normalizes dialect-divergent terminators before " +
+    "the block split (CR inside an anchor, CRLF paragraph breaks)") {
+    // ADVICE r11: java's lazy dot excludes \r/NEL/U+2028/9, RE2's only
+    // \n — a lone CR surviving the \n\n split would make the engines
+    // disagree. contentExtract now maps those to \n in BOTH engines;
+    // this pins the Spark half on exactly the divergent shapes.
+    val dir = java.nio.file.Files.createTempDirectory("cextract").toString
+    Seq(
+      // CR inside an anchor: normalized to \n, so the anchor does NOT
+      // match (dot crosses no terminator in either dialect) -> alen 0,
+      // block survives the density rule
+      (1L, "<a>" + "x" * 30 + "\r" + "y" * 5 + "</a>"),
+      // CRLF CRLF is a paragraph break after normalization
+      (2L, "a" * 25 + "\r\n\r\n" + "b" * 25),
+      // NEL + U+2028: stragglers map to \n (single breaks, same block)
+      (4L, "c" * 10 + "\u0085" + "d" * 10 + "\u2028" + "e" * 10))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.DocQueries.contentExtract(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: one block, kept (alen=0 after \r->\n), vis = " x*30\ny*5 "
+    assert(got(1L) === ((1L, 1L, 38L)), s"CR-in-anchor: ${got(1L)}")
+    // doc 2: two kept blocks of 25, joined by \n\n -> 52 chars
+    assert(got(2L) === ((2L, 2L, 52L)), s"CRLF paragraphs: ${got(2L)}")
+    // doc 4: one block, 32 visible chars (10+1+10+1+10)
+    assert(got(4L) === ((1L, 1L, 32L)), s"NEL/LS stragglers: ${got(4L)}")
+  }
+
   test("unclosed-opener floods stay fast (the quadratic shapes)") {
     // each shape is O(n²) under java.util.regex; the kernels must
     // finish the whole batch in well under a second at this size
