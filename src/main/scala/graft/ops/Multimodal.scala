@@ -915,11 +915,31 @@ object Multimodal {
     val chunks = new Array[Int](4)
     var k = 0
     while (k < 64) {
-      if (e(k + 1) * cnt(k) > e(k) * cnt(k + 1))
+      if (crossGt(e(k + 1), cnt(k), e(k), cnt(k + 1)))
         chunks(k / 16) |= 1 << (k % 16)
       k += 1
     }
     chunks
+  }
+
+  /** Exact a·b > c·d for NON-NEGATIVE longs, computed in 128 bits.
+    * The cross-multiplied average comparisons in [[energyHashChunks]]
+    * and [[dHashChunks]] overflow a signed 64-bit product on realistic
+    * inputs (16-bit PCM energy × frame count wraps once a frame holds
+    * ~92k full-scale samples — about a minute of 44.1 kHz stereo; the
+    * image path needs a ~430-megapixel frame). The DuckDB oracle never
+    * wraps — its sum() returns HUGEINT, so the replayed comparison is
+    * effectively 128-bit — which makes the widened compare the side
+    * that MATCHES the oracle contract on all inputs, not a divergence
+    * from it. Math.multiplyHigh gives the signed high word; for
+    * non-negative operands it equals the unsigned high word, and the
+    * low words compare unsigned.
+    */
+  private[graft] def crossGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
   /** Shared hamming-pair machinery for the 16-bit-chunk fingerprints:
@@ -1025,7 +1045,7 @@ object Multimodal {
     while (k < 64) {
       val r = k / 8
       val c = k % 8
-      if (s(r)(c + 1) * n(r)(c) > s(r)(c) * n(r)(c + 1))
+      if (crossGt(s(r)(c + 1), n(r)(c), s(r)(c), n(r)(c + 1)))
         chunks(k / 16) |= 1 << (k % 16)
       k += 1
     }

@@ -347,12 +347,12 @@ object MultimodalQueries {
     * cell-average compares), and runs the same band join — a codec
     * slip, a grid off-by-one or a luma-weight typo all fail the hash.
     */
-  /** The (media_id, c0..c3) signature table behind q_media_neardup AND
-    * q_incr_media_neardup: real QOI encode → decode round trip →
-    * dHash, with the perturbed twin per 5th doc. Persisted — every
-    * consumer fans out over it several times.
+  /** The (media_id, c0..c3) IMAGE signature builder behind
+    * q_media_neardup AND q_incr_media_neardup: real QOI encode → decode
+    * round trip → dHash, with the perturbed twin per 5th doc.
+    * Raw (unpersisted) — consumers go through [[sigSlice]].
     */
-  private def mediaSigs(s: SparkSession, dir: String): DataFrame = {
+  private def imageSigsRaw(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     Tables.documents(s, dir)
@@ -380,18 +380,85 @@ object MultimodalQueries {
           val ch = Multimodal.dHashChunks(img.width, img.height, img.pixels)
           (mid, ch(0), ch(1), ch(2), ch(3))
         }
-        if (id % 5 == 0) Seq(sigOf(id, false), sigOf(id + 10000000L, true))
+        if (id % 5 == 0) Seq(sigOf(id, false), sigOf(id + 1000000000L, true))
         else Seq(sigOf(id, false))
       }
       .toDF("media_id", "c0", "c1", "c2", "c3")
-      // consumed six-plus times (band projections + verify sides):
-      // without the persist every consumer re-runs the QOI
-      // encode/decode round trip per doc
+  }
+
+  // ---- q_media_signatures: the ONE-DECODE signature stage ---------------
+
+  /** ALL perceptual signatures from ONE decode pass (VERDICT r11 #5):
+    * the image dHash, audio energy-delta and video frame-sampled dHash
+    * tables unified as (modality, media_id, c0..c11) — image/audio
+    * carry their 4 chunks (c4..c11 = 0), video all 12. This is the
+    * stage a production pipeline MATERIALIZES next to the corpus so
+    * the four near-dup consumers (flat image/audio/video + incremental)
+    * never re-decode history: [[writeMediaSignatures]] writes it to a
+    * corpus-keyed parquet under the configured store, and [[sigSlice]]
+    * makes every consumer read that table when present (compute-inline
+    * otherwise — results are bit-identical either way, which is what
+    * keeps the four pair queries hash-checked independently of the
+    * staging). Banding keys on each modality's REAL chunk columns
+    * only, so the zero padding never enters a join.
+    */
+  def mediaSignatures(s: SparkSession, dir: String): DataFrame = {
+    def wide(df: DataFrame, modality: String, chunks: Int): DataFrame =
+      df.select(lit(modality).as("modality") +: col("media_id") +:
+        (0 until 12).map(j =>
+          (if (j < chunks) col(s"c$j").cast("long") else lit(0L)).as(s"c$j")): _*)
+    wide(imageSigsRaw(s, dir), "image", 4)
+      .unionByName(wide(audioSigsRaw(s, dir), "audio", 4))
+      .unionByName(wide(videoSigsRaw(s, dir), "video", 12))
+  }
+
+  /** Corpus-keyed location of the materialized signature table under
+    * `base`: distinct corpora (and test fixtures) never collide.
+    */
+  def mediaSigPath(base: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"$base/media_sigs_$key.parquet"
+  }
+
+  /** Materialize the signature stage for `dir` under `base`; returns
+    * the written path (the one [[sigSlice]] discovers).
+    */
+  def writeMediaSignatures(s: SparkSession, dir: String,
+                           base: String): String = {
+    val p = mediaSigPath(base, dir)
+    mediaSignatures(s, dir).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** The signature store base, if configured: the system property wins
+    * (tests), else the env var (production runs / bench A-B).
+    */
+  private def sigStoreBase: Option[String] =
+    sys.props.get("graft.media.sigs.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_MEDIA_SIGS"))
+      .filter(_.nonEmpty)
+
+  /** One modality's (media_id, c0..c{chunks-1}) slice, from the
+    * materialized table when one exists for this corpus, else computed
+    * inline. Persisted — every consumer fans out over it (band
+    * projections + verify sides); released by the caller's clearCache.
+    */
+  private def sigSlice(s: SparkSession, dir: String, modality: String,
+                       chunks: Int): DataFrame = {
+    val src = sigStoreBase.map(mediaSigPath(_, dir))
+      .filter(p => new java.io.File(p).exists())
+      .map(s.read.parquet(_))
+      .getOrElse(mediaSignatures(s, dir))
+    src.filter(col("modality") === modality)
+      .select(col("media_id") +:
+        (0 until chunks).map(j => col(s"c$j").cast("int").as(s"c$j")): _*)
       .persist()
   }
 
   def mediaNearDup(s: SparkSession, dir: String): DataFrame =
-    Multimodal.hammingPairs(mediaSigs(s, dir))
+    Multimodal.hammingPairs(sigSlice(s, dir, "image", 4))
 
   // ---- q_audio_neardup: perceptual (energy-delta) audio near-dups -------
 
@@ -409,10 +476,10 @@ object MultimodalQueries {
     * the samples arithmetically and replays frames, energies, bits,
     * banding and verify in exact BIGINTs.
     */
-  def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def audioSigsRaw(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val sigs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 1)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -446,13 +513,14 @@ object MultimodalQueries {
           val ch = Multimodal.energyHashChunks(d.samples)
           (mid, ch(0), ch(1), ch(2), ch(3))
         }
-        if (id % 5 == 0) Seq(sigOf(id, false), sigOf(id + 10000000L, true))
+        if (id % 5 == 0) Seq(sigOf(id, false), sigOf(id + 1000000000L, true))
         else Seq(sigOf(id, false))
       }
       .toDF("media_id", "c0", "c1", "c2", "c3")
-      .persist()
-    Multimodal.hammingPairs(sigs)
   }
+
+  def audioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.hammingPairs(sigSlice(s, dir, "audio", 4))
 
   /** Shared oracle fragment: the pixel/cell/chunk replay up to the
     * pivoted `sig(media_id, c0..c3)` table (materialized — both the
@@ -466,7 +534,7 @@ object MultimodalQueries {
       |  SELECT doc_id AS media_id, t, blen, 0 AS perturb,
       |    greatest(8, least(64, (blen + 15) // 16)) AS h FROM d
       |  UNION ALL
-      |  SELECT doc_id + 10000000 AS media_id, t, blen, 1 AS perturb,
+      |  SELECT doc_id + 1000000000 AS media_id, t, blen, 1 AS perturb,
       |    greatest(8, least(64, (blen + 15) // 16)) AS h
       |  FROM d WHERE doc_id % 5 = 0),
       |px AS (SELECT media_id, h, p,
@@ -524,7 +592,7 @@ object MultimodalQueries {
     * keep-first intra-batch flags and smallest-corpus-id lineage.
     */
   def incrMediaNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = mediaSigs(s, dir)
+    val sigs = sigSlice(s, dir, "image", 4)
     val isBatch = pmod(pmod(col("media_id"), lit(10000000L)), lit(7L)) === 3
     Multimodal.incrementalHammingFlags(
       sigs.filter(isBatch), sigs.filter(!isBatch))
@@ -581,11 +649,11 @@ object MultimodalQueries {
     * plants a twin with ONE palette index changed in frame 0 — the
     * "same clip, touched frame" case byte-hash dedup misses.
     */
-  def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def videoSigsRaw(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val w = 16; val h = 16
-    val sigs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 2)
       .select(col("doc_id").cast("long"))
       .as[Long]
@@ -611,7 +679,7 @@ object MultimodalQueries {
             Multimodal.dHashChunks(c.width, c.height, c.pixels)))
         }
         val rows = if (id % 5 == 0)
-          Seq(sigOf(id, false), sigOf(id + 10000000L, true))
+          Seq(sigOf(id, false), sigOf(id + 1000000000L, true))
         else Seq(sigOf(id, false))
         rows.map { case (mid, ch) =>
           (mid, ch(0), ch(1), ch(2), ch(3), ch(4), ch(5), ch(6), ch(7),
@@ -620,17 +688,23 @@ object MultimodalQueries {
       }
       .toDF("media_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7",
         "c8", "c9", "c10", "c11")
-      .persist()
-    Multimodal.hammingPairs(sigs, (0 until 12).map(j => s"c$j"))
   }
 
-  val videoNearDupSql: String =
-    """WITH a AS (SELECT doc_id, 2 + doc_id % 3 AS nf
+  def videoNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.hammingPairs(sigSlice(s, dir, "video", 12),
+      (0 until 12).map(j => s"c$j"))
+
+  /** The video signature replay up to the TALL `sig(media_id, j, ck)`
+    * (12 chunks per clip) — shared by [[videoNearDupSql]] and
+    * [[mediaSignaturesSql]].
+    */
+  private val videoSigCtesSql: String =
+    """a AS (SELECT doc_id, 2 + doc_id % 3 AS nf
       | FROM documents WHERE doc_id % 3 = 2),
       |m AS (
       |  SELECT doc_id AS media_id, doc_id AS id, nf, 0 AS perturb FROM a
       |  UNION ALL
-      |  SELECT doc_id + 10000000 AS media_id, doc_id AS id, nf, 1 AS perturb
+      |  SELECT doc_id + 1000000000 AS media_id, doc_id AS id, nf, 1 AS perturb
       |  FROM a WHERE doc_id % 5 = 0),
       |px AS (SELECT media_id, s, p,
       |  CASE WHEN perturb = 1 AND f = 0 AND p = 0
@@ -654,7 +728,10 @@ object MultimodalQueries {
       |chunks AS (SELECT media_id, k // 16 AS j,
       |  CAST(sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS BIGINT) AS ck
       | FROM bits GROUP BY 1, 2),
-      |sig AS MATERIALIZED (SELECT media_id, j, ck FROM chunks),
+      |sig AS MATERIALIZED (SELECT media_id, j, ck FROM chunks)""".stripMargin
+
+  val videoNearDupSql: String =
+    s"""WITH $videoSigCtesSql,
       |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
       |  FROM sig a JOIN sig b
       |    ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id),
@@ -694,8 +771,12 @@ object MultimodalQueries {
        |  CAST(min(id) AS BIGINT) AS keeper_id
        |FROM c GROUP BY cluster_id""".stripMargin
 
-  val audioNearDupSql: String =
-    """WITH a AS (SELECT doc_id, coalesce(text, '') AS t,
+  /** The audio signature replay up to the pivoted
+    * `sig(media_id, c0..c3)` — shared by [[audioNearDupSql]] and
+    * [[mediaSignaturesSql]].
+    */
+  private val audioSigCtesSql: String =
+    """a AS (SELECT doc_id, coalesce(text, '') AS t,
       |  octet_length(encode(coalesce(text, ''))) AS len,
       |  ((octet_length(encode(coalesce(text, ''))) % 3000) + 200)
       |    * ((doc_id // 3) % 2 + 1) AS n
@@ -703,7 +784,7 @@ object MultimodalQueries {
       |m AS (
       |  SELECT doc_id AS media_id, t, len, n, 0 AS perturb FROM a
       |  UNION ALL
-      |  SELECT doc_id + 10000000 AS media_id, t, len, n, 1 AS perturb
+      |  SELECT doc_id + 1000000000 AS media_id, t, len, n, 1 AS perturb
       |  FROM a WHERE doc_id % 5 = 0),
       |v AS (SELECT media_id, n, p,
       |  CASE WHEN len = 0 THEN 0 ELSE
@@ -729,7 +810,10 @@ object MultimodalQueries {
       |  max(CASE WHEN j = 1 THEN ck END) AS c1,
       |  max(CASE WHEN j = 2 THEN ck END) AS c2,
       |  max(CASE WHEN j = 3 THEN ck END) AS c3
-      | FROM chunks GROUP BY 1),
+      | FROM chunks GROUP BY 1)""".stripMargin
+
+  val audioNearDupSql: String =
+    s"""WITH $audioSigCtesSql,
       |bands AS (SELECT media_id, j,
       |    CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ck
       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
@@ -744,6 +828,27 @@ object MultimodalQueries {
       |            JOIN sig sb ON sb.media_id = c.id_b
       |WHERE bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
       |    + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) <= 3""".stripMargin
+
+  /** Oracle of the one-decode signature stage: each modality's sig
+    * chain replayed in its own WITH-wrapped derived table (distinct
+    * CTE namespaces — the three chains reuse names), image/audio
+    * padded to the 12-chunk schema, video pivoted wide.
+    */
+  val mediaSignaturesSql: String = {
+    val zeros = (4 to 11).map(j => s"CAST(0 AS BIGINT) AS c$j").mkString(", ")
+    val vidWide = (0 to 11).map(j =>
+      s"max(CASE WHEN j = $j THEN ck END) AS c$j").mkString(",\n|    ")
+    s"""SELECT 'image' AS modality, media_id, c0, c1, c2, c3, $zeros
+       |FROM (WITH $mediaSigCtesSql SELECT * FROM sig)
+       |UNION ALL
+       |SELECT 'audio' AS modality, media_id, c0, c1, c2, c3, $zeros
+       |FROM (WITH $audioSigCtesSql SELECT * FROM sig)
+       |UNION ALL
+       |SELECT 'video' AS modality, media_id,
+       |    $vidWide
+       |FROM (WITH $videoSigCtesSql SELECT * FROM sig)
+       |GROUP BY media_id""".stripMargin
+  }
 
   val mediaDecodeQoiSql: String =
     """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,

@@ -290,9 +290,99 @@ class MultimodalSpec extends SparkTestBase {
     val pairs = graft.queries.MultimodalQueries.audioNearDup(spark, dirPath)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val keys = pairs.map(p => (p._1, p._2)).toSet
-    assert(keys.contains((10L, 10000010L)), s"audio twin missing: $keys")
-    assert(!keys.exists(p => p._1 < 10000000L && p._2 < 10000000L),
+    assert(keys.contains((10L, 1000000010L)), s"audio twin missing: $keys")
+    assert(!keys.exists(p => p._1 < 1000000000L && p._2 < 1000000000L),
       s"unrelated audio paired: $keys")
+  }
+
+  test("energyHash overflow region: 128-bit compare matches a BigInteger " +
+    "reference where the signed-64 cross-product wraps (~1 min loud audio)") {
+    import java.math.BigInteger
+    // 65 frames x ~130k full-scale samples: e ~1.4e14, e*cnt ~1.8e19 —
+    // past Long.MaxValue, the region the r11 fixtures (<=6400 samples)
+    // never reached. Slight per-sample magnitude variation makes frame
+    // energies differ so the comparisons carry signal.
+    val n = 8500000
+    val s = Array.tabulate(n)(i =>
+      (if ((i & 1) == 0) 1 else -1) * (32767 - (i * i + i / 1000) % 7))
+    val e = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var p = 0
+    while (p < n) {
+      val f = ((65L * p + 64) / n).toInt
+      val v = s(p).toLong
+      e(f) += v * v; cnt(f) += 1; p += 1
+    }
+    val ref = new Array[Int](4)
+    var wrapped = false
+    for (k <- 0 until 64) {
+      val l = BigInteger.valueOf(e(k + 1)).multiply(BigInteger.valueOf(cnt(k)))
+      val r = BigInteger.valueOf(e(k)).multiply(BigInteger.valueOf(cnt(k + 1)))
+      if (l.compareTo(r) > 0) ref(k / 16) |= 1 << (k % 16)
+      if (l.bitLength > 63 || r.bitLength > 63) wrapped = true
+    }
+    assert(wrapped, "fixture failed to reach the signed-64 overflow region")
+    assert(Multimodal.energyHashChunks(s).toSeq === ref.toSeq,
+      "energy hash diverged from the 128-bit reference in the wrap region")
+  }
+
+  test("crossGt: 128-bit product compare agrees with BigInteger on " +
+    "seeded fuzz spanning the full non-negative long range") {
+    import java.math.BigInteger
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def draw(): Long = rnd.nextInt(3) match {
+      case 0 => rnd.nextLong() & Long.MaxValue          // anywhere
+      case 1 => rnd.nextInt(200000).toLong              // count-sized
+      case _ => Long.MaxValue - rnd.nextInt(1000000)    // near the edge
+    }
+    for (_ <- 0 until 20000) {
+      val (a, b, c, d) = (draw(), draw(), draw(), draw())
+      val want = BigInteger.valueOf(a).multiply(BigInteger.valueOf(b))
+        .compareTo(BigInteger.valueOf(c).multiply(BigInteger.valueOf(d))) > 0
+      assert(Multimodal.crossGt(a, b, c, d) === want,
+        s"crossGt($a,$b,$c,$d) != BigInteger")
+    }
+  }
+
+  test("one-decode signature stage: materialized store serves all four " +
+    "near-dup consumers with bit-identical results") {
+    import spark.implicits._
+    val mkText = (seed: Int) =>
+      (0 until 500).map(i => ('a' + (i * seed + seed) % 26).toChar).mkString
+    val dirPath = java.nio.file.Files.createTempDirectory("sigstage").toString
+    // ids covering all three modalities with twins (id%5==0): 0 image,
+    // 10 audio (+twin), 5 video (+twin), 4/7 audio, 2/8 video
+    Seq(0L, 2L, 4L, 5L, 7L, 8L, 10L).map(id => (id, mkText(3 + id.toInt)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+    def snapshot() = Map(
+      "media" -> graft.queries.MultimodalQueries.mediaNearDup(spark, dirPath)
+        .collect().map(_.toSeq).toSet,
+      "audio" -> graft.queries.MultimodalQueries.audioNearDup(spark, dirPath)
+        .collect().map(_.toSeq).toSet,
+      "video" -> graft.queries.MultimodalQueries.videoNearDup(spark, dirPath)
+        .collect().map(_.toSeq).toSet,
+      "incr" -> graft.queries.MultimodalQueries.incrMediaNearDup(spark, dirPath)
+        .collect().map(_.toSeq).toSet)
+    val inline = snapshot()
+    spark.catalog.clearCache()
+    val store = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val written = graft.queries.MultimodalQueries
+      .writeMediaSignatures(spark, dirPath, store)
+    assert(new java.io.File(written).exists)
+    // sanity: the store actually covers every modality
+    val mods = spark.read.parquet(written).select("modality")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(mods === Set("image", "audio", "video"))
+    System.setProperty("graft.media.sigs.dir", store)
+    try {
+      val staged = snapshot()
+      assert(staged === inline,
+        "staged signature reads must be bit-identical to inline decode")
+    } finally {
+      System.clearProperty("graft.media.sigs.dir")
+      spark.catalog.clearCache()
+    }
   }
 
   test("videoNearDup: touched-frame twin found, unrelated clips absent") {
@@ -305,11 +395,11 @@ class MultimodalSpec extends SparkTestBase {
     val pairs = graft.queries.MultimodalQueries.videoNearDup(spark, dirPath)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val keys = pairs.map(p => (p._1, p._2)).toSet
-    assert(keys.contains((5L, 10000005L)), s"video twin missing: $keys")
+    assert(keys.contains((5L, 1000000005L)), s"video twin missing: $keys")
     pairs.foreach { case (a, b, hm) =>
       assert(hm <= 3, s"pair ($a,$b) hamming $hm")
     }
-    assert(!keys.exists(p => p._1 < 10000000L && p._2 < 10000000L),
+    assert(!keys.exists(p => p._1 < 1000000000L && p._2 < 1000000000L),
       s"unrelated clips paired: $keys")
   }
 
@@ -353,11 +443,11 @@ class MultimodalSpec extends SparkTestBase {
     val pairs = graft.queries.MultimodalQueries.mediaNearDup(spark, docsDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val keys = pairs.map(p => (p._1, p._2)).toSet
-    assert(keys.contains((0L, 10000000L)), s"twin of doc 0 missing: $keys")
-    assert(keys.contains((5L, 10000005L)), s"twin of doc 5 missing: $keys")
+    assert(keys.contains((0L, 1000000000L)), s"twin of doc 0 missing: $keys")
+    assert(keys.contains((5L, 1000000005L)), s"twin of doc 5 missing: $keys")
     pairs.foreach { case (_, _, hm) => assert(hm <= 3) }
     // unrelated originals never pair with each other
-    assert(!keys.exists(p => p._1 < 10000000L && p._2 < 10000000L),
+    assert(!keys.exists(p => p._1 < 1000000000L && p._2 < 1000000000L),
       s"unrelated originals paired: $keys")
   }
 }
