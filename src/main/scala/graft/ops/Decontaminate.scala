@@ -137,4 +137,61 @@ object Decontaminate {
       .select(col("id").as(idCol), col("max_cosine"),
         (col("max_cosine") >= threshold).as("contaminated"))
   }
+
+  /** The LSH-pruned form of [[semanticOverlapReport]] — the 100 TB
+    * shape (VERDICT r11 #3): the exact form pays |bench|·dim
+    * multiply-adds per corpus doc, fine for a capped eval suite but
+    * not for a 100k-row benchmark union at corpus scale. Here BOTH
+    * sides take random-hyperplane bucket keys
+    * ([[graft.plans.RpLshBuckets]] — the 1 − θ/π per-bit collision law
+    * holds regardless of the hashed vectors' shared-dim bias, see
+    * q_text_neardup's measured collapse of axis-aligned banding), the
+    * benchmark's banded keys BROADCAST, and exact cosine is computed
+    * only for (corpus, bench) pairs sharing a (table, bucket) key.
+    *
+    * Semantics are defined BY the banding (and replayed exactly by the
+    * oracle): per corpus doc, max cosine over COLLIDING benchmark docs
+    * — NULL (never contaminated) when nothing collides. Recall at the
+    * 0.9 flag threshold is the banding S-curve's midpoint trade
+    * (~0.5 right at 0.9, ≳0.97 for the cos ≥ 0.97 paraphrase region
+    * that actually signals rephrased leakage — SimilaritySpec pins
+    * recall vs the exact twin, which remains the graded oracle of
+    * record). No distinct over candidates: a pair colliding in k
+    * tables contributes the same cosine k times and max() absorbs the
+    * duplicates — dropping the dedup shuffle entirely, so the corpus
+    * side's only exchange is the final narrow (id, max) partial-max.
+    */
+  def semanticOverlapReportLsh(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               dim: Int = HashedEmbed.Dim,
+                               threshold: Double = 0.9,
+                               nbits: Int = 16, tables: Int = 8): DataFrame = {
+    def vecs(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        HashedEmbed.hashedVector(TextMetrics.tokens(col(textCol)), dim).as("v"))
+      .withColumn("__n2",
+        aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+      .filter(col("__n2") > 0.0)
+      .drop("__n2")
+    val bench = vecs(benchmark)
+      .select(col("v").as("bv"),
+        posexplode(graft.plans.RpLshBuckets(col("v"), tables, nbits)))
+      .toDF("bv", "t", "bucket")
+    // persisted for the same re-tokenize reason as the exact form (two
+    // consumers: the banded probe + the report's id spine)
+    val corpusVecs = vecs(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxes = corpusVecs
+      .select(col("id"), col("v"),
+        posexplode(graft.plans.RpLshBuckets(col("v"), tables, nbits)))
+      .toDF("id", "v", "t", "bucket")
+      .join(broadcast(bench), Seq("t", "bucket"))
+      .withColumn("cos", Similarity.cosine(col("v"), col("bv")))
+      .groupBy("id")
+      .agg(max(col("cos")).as("max_cosine"))
+    corpusVecs.select(col("id"))
+      .join(maxes, Seq("id"), "left")
+      .select(col("id").as(idCol), col("max_cosine"),
+        coalesce(col("max_cosine") >= threshold, lit(false)).as("contaminated"))
+  }
 }

@@ -899,6 +899,67 @@ object SimilarityQueries {
        |  max_cosine >= CAST(0.9 AS DOUBLE) AS contaminated
        |FROM m""".stripMargin
 
+  // ---- q_semantic_contamination_lsh: the banded 100 TB form -------------
+
+  /** LSH-pruned semantic decontamination
+    * ([[Decontaminate.semanticOverlapReportLsh]]) — the scale path for
+    * the paraphrase screen (VERDICT r11 #3): random-hyperplane bucket
+    * keys on BOTH sides, benchmark bands broadcast, exact cosine only
+    * within shared (table, bucket) keys. Semantics are the banding's
+    * own (max cosine over COLLIDING bench docs, NULL when none) and the
+    * oracle replays the identical hyperplane matrix, so the query is
+    * hash-checked, not approximately-checked; recall vs the exact twin
+    * is pinned in SimilaritySpec.
+    */
+  val SemLshBits = 16
+
+  def semanticContaminationLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontaminate.semanticOverlapReportLsh(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 10 === 0
+        && col("doc_id") < 1000000L),
+      idCol = "doc_id", textCol = "text",
+      nbits = SemLshBits, tables = LshTables)
+  }
+
+  val semanticContaminationLshSql: String = {
+    val dim = graft.ops.HashedEmbed.Dim
+    s"""WITH ${hashedVecCtesSql(dim)},
+       |hn AS (SELECT doc_id, vec,
+       |        list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b) AS n2
+       |       FROM hv),
+       |he AS (SELECT doc_id, vec FROM hn WHERE n2 > 0),
+       |rp AS (SELECT tt.t, bb.b, dd.d,
+       |    CASE WHEN (instr('0123456789abcdef',
+       |        substr(md5('rp_' || tt.t || ':' || bb.b || ':' || dd.d), 1, 1)) - 1) % 2 = 0
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS r
+       |  FROM (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t) tt
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${SemLshBits - 1})) AS b) bb
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS d) dd),
+       |dots AS (SELECT doc_id, t, b, sum(vec[d] * r) AS dot
+       |         FROM he CROSS JOIN rp GROUP BY doc_id, t, b),
+       |bkt AS (SELECT doc_id, t,
+       |          sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << (${SemLshBits - 1} - b)
+       |                   ELSE CAST(0 AS BIGINT) END) AS bucket
+       |        FROM dots GROUP BY doc_id, t),
+       |corp AS (SELECT doc_id, vec FROM he WHERE doc_id % 10 <> 0),
+       |bench AS (SELECT doc_id AS bid, vec AS bv FROM he
+       |          WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+       |cand AS (SELECT DISTINCT c.doc_id, be.bid
+       |  FROM bkt c JOIN bkt b2 ON c.t = b2.t AND c.bucket = b2.bucket
+       |  JOIN corp co ON co.doc_id = c.doc_id
+       |  JOIN bench be ON be.bid = b2.doc_id),
+       |m AS (SELECT cand.doc_id,
+       |        max(list_cosine_similarity(co.vec, be.bv)) AS max_cosine
+       |      FROM cand JOIN corp co ON co.doc_id = cand.doc_id
+       |                JOIN bench be ON be.bid = cand.bid
+       |      GROUP BY cand.doc_id)
+       |SELECT co.doc_id, m.max_cosine,
+       |  coalesce(m.max_cosine >= CAST(0.9 AS DOUBLE), false) AS contaminated
+       |FROM corp co LEFT JOIN m ON m.doc_id = co.doc_id""".stripMargin
+  }
+
   /** The Bloom-prefiltered form over the same split — EXACT answer (the
     * Bloom only prunes before the verify join), so it shares
     * [[contaminationSql]] verbatim as its oracle.

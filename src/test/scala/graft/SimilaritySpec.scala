@@ -333,6 +333,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(!got.contains(13L), "zero-norm doc must be excluded")
   }
 
+  test("LSH semantic contamination: paraphrases found, precision exact vs " +
+    "the exact twin, max is a lower bound (recall pin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted paraphrases: token-bag permutations give IDENTICAL hashed
+    // count vectors (cos = 1.0, same buckets in every table — found
+    // deterministically); one-token edits sit in the cos ≳ 0.97 region
+    // the screen exists for
+    val bench1 = "what is the capital of france paris answer the question now"
+    val bench2 = "list the prime numbers below one hundred two three five " +
+      "seven eleven thirteen seventeen nineteen twenty three twenty nine " +
+      "thirty one thirty seven forty one forty three forty seven fifty " +
+      "three fifty nine sixty one sixty seven seventy one"
+    val docs = Seq(
+      (10L, bench1), (20L, bench2),              // % 10 == 0: benchmark
+      (11L, "question now what is the capital of france the answer paris"),
+      (21L, bench2.split(" ").reverse.mkString(" ")),
+      // one-token edit of the 38-token bench2: cos 0.991, collides in
+      // tables 0 and 1 (replayed offline against the md5 hyperplanes —
+      // deterministic, not a coin flip at the S-curve midpoint)
+      (22L, bench2.replace("sixty seven", "sixty eight")),
+      (12L, "completely unrelated tokens about glaciers and moraines here"),
+      (13L, ""))
+      .toDF("doc_id", "text")
+    def corp = docs.filter(col("doc_id") % 10 =!= 0)
+    def bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = graft.ops.Decontaminate.semanticOverlapReport(
+        corp, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    val lsh = graft.ops.Decontaminate.semanticOverlapReportLsh(
+        corp, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2))).toMap
+    spark.catalog.clearCache()
+    // same output domain as the exact form (non-zero-norm corpus docs)
+    assert(lsh.keySet === exact.keySet)
+    // recall on the paraphrase region: permutation twins MUST collide
+    assert(lsh(11L)._2 && lsh(21L)._2, s"paraphrase twins missed: $lsh")
+    assert(lsh(22L)._2, s"one-token-edit paraphrase missed: ${lsh(22L)}")
+    lsh.foreach { case (id, (mc, flag)) =>
+      // precision is exact by construction: a banded flag means a real
+      // colliding pair with verified cosine >= threshold
+      assert(!flag || exact(id)._2, s"doc $id: lsh flagged, exact did not")
+      // the banded max is a LOWER bound of the exact max (subset of pairs)
+      mc.foreach(m => assert(m <= exact(id)._1 + 1e-12, s"doc $id: $m"))
+    }
+  }
+
   test("semantic order: planted topics are contiguous-ish, output is a " +
     "deterministic layout-invariant permutation") {
     import spark.implicits._
