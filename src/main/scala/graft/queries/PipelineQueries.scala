@@ -647,6 +647,65 @@ object PipelineQueries {
       "is_dup_near", "quality_score", "subset", "n_tokens")
   }
 
+  // ---- q_pipeline_full_fixed: the graded twin of q_pipeline_full --------
+
+  /** The injected P11 batch timestamp: q_pipeline_full's one
+    * fundamentally-unreplayable column is the wall clock; the twin pins
+    * it to a literal (threaded the same way [[Pipeline.ingest]]'s
+    * `ingestTs` parameter threads it in production).
+    */
+  val FixedIngestTs = "2026-01-01T00:00:00Z"
+
+  /** The graded twin of [[pipelineFull]] — the LAST no_oracle query to
+    * gain one (VERDICT r11 #4): the full workflow's column set
+    * hash-checked in ONE artifact, stage-1 constants included. P11's
+    * wall-clock `ingest_ts` is replaced by the injectable
+    * [[FixedIngestTs]] literal and P10's constant `source` rides along,
+    * so the cross-stage interaction of EVERY output column (stage-5
+    * lang/dedup/score columns × stage-6 token gates × stage-7 shard
+    * membership × stage-1 batch constants) is pinned by a single hash.
+    * Documented exclusions, same as the rest of the graded family:
+    * NFKC + P4 repeat-collapse off (kernel parity specs), ingest_seq =
+    * doc_id (zipWithIndex partition order is run-stable but not
+    * SQL-derivable), and the P8 SHA1 doc id — DuckDB has no sha1()
+    * (md5/sha256 only), so P8 keeps its TextOpsSpec pin instead of an
+    * oracle column.
+    */
+  def pipelineFullFixed(s: SparkSession, dir: String): DataFrame = {
+    val gated = gradedFullGated(s, dir)
+    val kept = Shard.assignShards(graft.ops.Filters.kept(gated),
+        docsPerShard = QueryDocsPerShard)
+      .select(col("doc_id").as("kdoc"), col("global_seq"), col("shard_id"))
+    gated.join(kept, col("doc_id") === col("kdoc"), "left")
+      .select(col("doc_id"), col("ingest_seq"),
+        lit(FixedIngestTs).as("ingest_ts"),
+        lit("mainpipe_v1").as("ingest_source"),
+        col("drop_reason"), col("lang_pred"), col("lang_score"),
+        col("token_count"), col("unique_token_ratio"), col("has_pii"),
+        col("is_dup_exact"), col("is_dup_near"), col("dup_of"),
+        col("quality_score"), col("subset"),
+        col("n_tokens"), col("id_checksum"),
+        col("global_seq"), col("shard_id"))
+  }
+
+  val pipelineFullFixedSql: String =
+    s"""$pipelineGradedCoreSql,
+       |$gradedTokenChainSql,
+       |k7 AS (SELECT doc_id AS kdoc,
+       |   row_number() OVER (ORDER BY doc_id) - 1 AS global_seq
+       |  FROM g6 WHERE drop_reason IS NULL)
+       |SELECT s5.doc_id, s5.doc_id AS ingest_seq,
+       | '$FixedIngestTs' AS ingest_ts, 'mainpipe_v1' AS ingest_source,
+       | g6.drop_reason, s5.lang_pred, s5.lang_score, s5.token_count,
+       | s5.unique_token_ratio, s5.has_pii, s5.is_dup_exact, s5.is_dup_near,
+       | s5.dup_of, s5.quality_score,
+       | CASE WHEN s5.quality_score >= ${graft.ops.Score.HighQualityThreshold}
+       |  THEN 'high_quality' ELSE 'rest' END AS subset,
+       | g6.n_tokens, g6.id_checksum, k7.global_seq,
+       | CAST(floor(k7.global_seq / $QueryDocsPerShard.0) AS BIGINT) AS shard_id
+       |FROM s5 JOIN g6 ON s5.doc_id = g6.doc_id
+       |LEFT JOIN k7 ON g6.doc_id = k7.kdoc""".stripMargin
+
   // ---- q_data_card: one-row corpus intake summary ------------------------
 
   def dataCard(s: SparkSession, dir: String): DataFrame =
