@@ -125,6 +125,79 @@ object Streaming {
       .toDF("url", "text")
   }
 
+  /** [[warcDocs]] with the record's own event time kept: WARC-Date as a
+    * timestamp column (`warc_ts`) — the deterministic, restart-safe
+    * watermark clock for stateful stages downstream (arrival wall clock
+    * would re-stamp on reprocessing).
+    */
+  def warcDocsTimed(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    readWarc(spark, dir, maxFilesPerTrigger)
+      .select(col("warc_type"), col("target_uri"), col("warc_date"),
+        col("payload"))
+      .as[(String, String, String, Array[Byte])]
+      .flatMap {
+        case ("conversion", uri, date, payload) =>
+          Some((uri, date, new String(payload, "UTF-8")))
+        case ("response", uri, date, payload) =>
+          graft.sources.Warc.httpResponse(payload).collect {
+            case h if h.status / 100 == 2 &&
+              (h.contentType.startsWith("text/") || h.contentType.isEmpty) =>
+              (uri, date, new String(h.body, "UTF-8"))
+          }
+        case _ => None
+      }
+      .toDF("url", "warc_date", "text")
+      .withColumn("warc_ts", to_timestamp(col("warc_date")))
+      .drop("warc_date")
+  }
+
+  /** The streaming crawl chain end-to-end (the q_crawl_e2e composition
+    * on a LIVE archive drop): [[warcDocsTimed]] intake → robots gate →
+    * batch stages 2+3 ([[cleanStream]]) → quality gate → watermarked
+    * exact dedup on the masked text.
+    *
+    * Scale shape, unchanged from the batch form: the rules frame is a
+    * STATIC dim — [[graft.ops.Robots.gate]]'s per-host rule arrays
+    * broadcast into a stream-static left join and the RFC longest-match
+    * verdict rides in-row, so the only stream STATE in the whole chain
+    * is the dedup's watermark-bounded hash set. Blocked and
+    * drop-reasoned rows are filtered before dedup (the stream sink is
+    * the training export; audits are the batch mode's business — and
+    * keeping doomed rows out of dropDuplicates state is what bounds
+    * it). Event time is WARC-Date, not arrival time, so a restart
+    * replays to the same verdicts.
+    */
+  def crawlStream(spark: SparkSession, dir: String,
+                  rules: DataFrame, watermark: String = "1 hour",
+                  maxFilesPerTrigger: Int = 4): DataFrame = {
+    val docs = warcDocsTimed(spark, dir, maxFilesPerTrigger)
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .withColumn("path", coalesce(parse_url(col("url"), lit("PATH")), lit("/")))
+    val gated = graft.ops.Robots.gate(docs, rules)
+      .filter(col("allowed")).drop("allowed")
+    val kept = graft.ops.Filters.kept(cleanStream(gated))
+    dedupStream(kept, textCol = "text_pii_masked",
+      eventTimeCol = "warc_ts", watermark = watermark)
+  }
+
+  /** [[crawlStream]] wired to a checkpointed parquet sink — the
+    * continuous crawl-intake job (exactly-once through the checkpoint
+    * manifest; stop/restart resumes offsets AND dedup state).
+    */
+  def runCrawl(spark: SparkSession, warcDir: String, rules: DataFrame,
+               outDir: String, checkpointDir: String,
+               watermark: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    crawlStream(spark, warcDir, rules, watermark)
+      .select("url", "warc_ts", "text_pii_masked")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Open a JSONL landing directory as a stream with an explicit schema
     * (streams cannot infer; `maxFilesPerTrigger` bounds batch size).
     */
