@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ops.{Dedup, Filters, Score, Shard}
-import graft.text.{LangId, Normalize, Pii, TextMetrics, Tokenize, Toxicity}
+import graft.text.{LangId, Normalize, Pii, TextMetrics, Tokenize}
 
 /** The full reference pipeline as pure DataFrame -> DataFrame stages
   * (SURVEY.md §3 E1/E2). Each stage is a single select/withColumn chain
@@ -60,7 +60,10 @@ object Pipeline {
       col("text"), col("text_norm"), col("char_len"), col("word_count")))
 
     val t = col("text_norm") // reference promotes text_norm to text post-split
-    val metered = Toxicity.withToxicityColumns(LangId.withLangColumns(pre, t), t)
+    // lang-ID + toxicity from ONE fused kernel pass (one toLowerCase +
+    // one traversal instead of two of each — value-identical to the
+    // withToxicityColumns(withLangColumns(..)) composition, TextOpsSpec)
+    val metered = LangId.withLangToxColumns(pre, t)
       .withColumn("n_chars", TextMetrics.nChars(t))
       .withColumn("n_words", TextMetrics.wordCount(t).cast("long"))
       .withColumn("alpha_ratio", TextMetrics.alphaRatio(t))

@@ -126,6 +126,69 @@ object TextProfileStats {
     new GenericArrayData(out)
   }
 
+  /** BOTH profiles in one pass (the stage-2 fusion): the langid and
+    * toxicity walks tokenize the SAME lowered string with different
+    * run predicates (\p{L} vs ASCII \w), so one traversal can carry
+    * both run trackers and one toLowerCase copy serves both — halving
+    * the per-row string work of the pipeline's lang+tox staging
+    * (profiled 1.35 s of the 10× clean stage as two walks). Output:
+    * [letter_toks, en, de, es, fr, cjk, word_toks, bad, insult,
+    * threat, sexual, slur] — positions 0-5 bit-equal to
+    * stats(s, langid, true), 6-11 to stats(s, toxicity, false)
+    * (parity-pinned in TextOpsSpec fuzz).
+    */
+  def statsBoth(s: UTF8String, langSets: Array[java.util.HashSet[String]],
+      toxSets: Array[java.util.HashSet[String]]): ArrayData = {
+    val langCounts = new Array[Long](langSets.length)
+    val toxCounts = new Array[Long](toxSets.length)
+    var nLetterToks = 0L
+    var nWordToks = 0L
+    var cjk = 0L
+    val str = s.toLowerCase.toString
+    var i = 0
+    var letterStart = -1
+    var wordStart = -1
+    def closeLetter(end: Int): Unit = {
+      nLetterToks += 1
+      val tok = str.substring(letterStart, end)
+      var j = 0
+      while (j < langSets.length) {
+        if (langSets(j).contains(tok)) langCounts(j) += 1
+        j += 1
+      }
+    }
+    def closeWord(end: Int): Unit = {
+      nWordToks += 1
+      val tok = str.substring(wordStart, end)
+      var j = 0
+      while (j < toxSets.length) {
+        if (toxSets(j).contains(tok)) toxCounts(j) += 1
+        j += 1
+      }
+    }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      if (Character.isLetter(cp)) {
+        if (letterStart < 0) letterStart = i
+      } else if (letterStart >= 0) { closeLetter(i); letterStart = -1 }
+      if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+          (cp >= '0' && cp <= '9') || cp == '_') {
+        if (wordStart < 0) wordStart = i
+      } else if (wordStart >= 0) { closeWord(i); wordStart = -1 }
+      i += Character.charCount(cp)
+    }
+    if (letterStart >= 0) closeLetter(str.length)
+    if (wordStart >= 0) closeWord(str.length)
+    val out = new Array[Long](12)
+    out(0) = nLetterToks
+    System.arraycopy(langCounts, 0, out, 1, langCounts.length)
+    out(5) = cjk
+    out(6) = nWordToks
+    System.arraycopy(toxCounts, 0, out, 7, toxCounts.length)
+    new GenericArrayData(out)
+  }
+
   def apply(str: Column, profile: String): Column =
     GraftSqlBridge.column(
       TextProfileStats(GraftSqlBridge.expression(str), profile))
@@ -140,4 +203,37 @@ object TextProfileStats {
     require(args.length == 1, "text_profile_stats takes one argument")
     TextProfileStats(args.head, "langid")
   }
+}
+
+/** The fused two-profile form — see [[TextProfileStats.statsBoth]]. */
+case class TextLangToxStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "text_langtox_stats"
+
+  @transient private lazy val langSets = TextProfileStats.Profiles("langid")
+  @transient private lazy val toxSets = TextProfileStats.Profiles("toxicity")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextProfileStats.statsBoth(input.asInstanceOf[UTF8String], langSets, toxSets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langRef = ctx.addReferenceObj("langSets", langSets,
+      "java.util.HashSet[]")
+    val toxRef = ctx.addReferenceObj("toxSets", toxSets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextProfileStats$$.MODULE$$.statsBoth($c, $langRef, $toxRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextLangToxStats =
+    copy(child = newChild)
+}
+
+object TextLangToxStats {
+  def apply(str: Column): Column =
+    GraftSqlBridge.column(TextLangToxStats(GraftSqlBridge.expression(str)))
 }

@@ -127,6 +127,65 @@ object LangId {
       .drop("__lang_k", "__cjk", "__he", "__hd", "__hs", "__hf", "__ln")
   }
 
+  /** Lang-ID AND toxicity columns from ONE fused kernel pass
+    * ([[graft.plans.TextLangToxStats]]) — the stage-2 staging for the
+    * pipeline, where both column families are always projected
+    * together: one toLowerCase copy + one traversal instead of the two
+    * walks of `withToxicityColumns(withLangColumns(df, c), c)`.
+    * Value-identical to that composition (the fused array's halves are
+    * bit-equal to the single-profile kernels — TextOpsSpec fuzz — and
+    * the derivations below are the same expressions).
+    */
+  def withLangToxColumns(df: org.apache.spark.sql.DataFrame, c: Column,
+      predName: String = "lang_pred",
+      scoreName: String = "lang_score"): org.apache.spark.sql.DataFrame = {
+    val s = coalesce(c, lit(""))
+    val staged = df
+      .withColumn("__lt_k", graft.plans.TextLangToxStats(s))
+      .withColumn("__ln", element_at(col("__lt_k"), 1))
+      .withColumn("__he", element_at(col("__lt_k"), 2))
+      .withColumn("__hd", element_at(col("__lt_k"), 3))
+      .withColumn("__hs", element_at(col("__lt_k"), 4))
+      .withColumn("__hf", element_at(col("__lt_k"), 5))
+      .withColumn("__cjk", element_at(col("__lt_k"), 6))
+      .withColumn("__tox_n",
+        greatest(lit(1L), element_at(col("__lt_k"), 7)).cast("double"))
+    val (cjk, he, hd, hs, hf, n) = (col("__cjk"), col("__he"), col("__hd"),
+      col("__hs"), col("__hf"), col("__ln"))
+    val nch = length(s)
+    val isZh = (cjk > 0) &&
+      (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
+    val maxHits = greatest(he, hd, hs, hf)
+    val empty = c.isNull || trim(c) === ""
+    val pred =
+      when(empty, "unk")
+        .when(isZh, "zh")
+        .when(n === 0 || maxHits === 0, "unk")
+        .when(he === maxHits, "en")
+        .when(hd === maxHits, "de")
+        .when(hs === maxHits, "es")
+        .otherwise("fr")
+    val score =
+      when(empty, 0.0)
+        .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
+        .when(n === 0 || maxHits === 0, 0.0)
+        .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
+    val tn = col("__tox_n")
+    def hit(i: Int) = element_at(col("__lt_k"), 7 + i).cast("double")
+    val (bad, ins, thr, sex, slr) = (hit(1), hit(2), hit(3), hit(4), hit(5))
+    val toxicity = least(lit(1.0), (bad + ins + thr + sex + slr) / tn * 5.0)
+    staged
+      .withColumn(predName, pred)
+      .withColumn(scoreName, score)
+      .withColumn("toxicity", toxicity)
+      .withColumn("severe_toxicity", when(toxicity >= 0.9, 1.0).otherwise(0.0))
+      .withColumn("insult", least(lit(1.0), ins / tn * 5.0))
+      .withColumn("threat", least(lit(1.0), thr / tn * 5.0))
+      .withColumn("identity_attack", least(lit(1.0), slr / tn * 5.0))
+      .withColumn("sexual_explicit", least(lit(1.0), sex / tn * 5.0))
+      .drop("__lt_k", "__cjk", "__he", "__hd", "__hs", "__hf", "__ln", "__tox_n")
+  }
+
   /** The WordlistHits-over-token-array staging [[withLangColumns]]
     * replaced — kept as the kernel's parity anchor (LangIdModelSpec /
     * TextOpsSpec pin value-equality of pred and score).

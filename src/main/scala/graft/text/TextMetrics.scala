@@ -51,9 +51,14 @@ object TextMetrics {
     */
   def alphaRatio(c: Column): Column = {
     val n = length(c)
+    // coalesce matches [[nonLatinRatio]]'s kernel argument EXACTLY so
+    // codegen subexpression elimination unifies the two CharClassStats
+    // calls into ONE string walk when both ratios are projected (they
+    // are, in stage 2) — value-identical: the when(n > 0) guard already
+    // returns 0.0 for NULL input before the kernel result is read
     when(n > 0,
-      element_at(graft.plans.CharClassStats(c), 1).cast("double")
-        / n.cast("double"))
+      element_at(graft.plans.CharClassStats(coalesce(c, lit(""))), 1)
+        .cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
