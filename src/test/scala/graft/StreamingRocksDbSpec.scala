@@ -118,6 +118,48 @@ class StreamingRocksDbSpec extends SparkTestBase {
     }
   }
 
+  test("crawl chain dedup state recovers across a restart under RocksDB") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val docA = "This is a perfectly reasonable crawled document with " +
+      "enough words to pass every quality filter in the chain."
+    val docC = "Another entirely different crawled page that also has " +
+      "plenty of words to clear each and every filter easily."
+    def resp(path: String, body: String, minute: Int): Warc.WarcRecord = {
+      val p = Warc.encodeHttpResponse(200, "text/html", body.getBytes("UTF-8"))
+      Warc.WarcRecord("response", s"<urn:rdb:$path>",
+        f"2026-01-01T10:$minute%02d:00Z", s"https://ok.example.org$path",
+        "application/http;msgtype=response", p.length.toLong, p)
+    }
+    def drop(dir: String, name: String, recs: Seq[Warc.WarcRecord]): Unit = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      recs.foreach(r => f.write(Warc.encodeGzipMember(r)))
+      f.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("crawl_rocks").toString
+    val landing = s"$base/warc"
+    new java.io.File(landing).mkdirs()
+    val rules = Seq(("ok.example.org", "/", true))
+      .toDF("host", "rule_path", "allow")
+    Streaming.withRocksDbStateStore(spark) {
+      drop(landing, "a.warc.gz", Seq(resp("/doc/1", docA, 1)))
+      def start() = Streaming.runCrawl(spark, landing, rules,
+        s"$base/out", s"$base/ckpt")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      drop(landing, "b.warc.gz", Seq(
+        resp("/doc/2", docA, 10), resp("/doc/3", docC, 11)))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(s"$base/out").select("url").as[String]
+        .collect().toSeq
+      assert(out.sorted === Seq("https://ok.example.org/doc/1",
+        "https://ok.example.org/doc/3"),
+        s"dedup state must recover under RocksDB: $out")
+      assertRocksDbEngaged(base)
+    }
+  }
+
   test("the toggle scopes and restores the previous provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
