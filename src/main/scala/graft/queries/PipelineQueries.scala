@@ -537,12 +537,13 @@ object PipelineQueries {
     val tokked = gradedStaged(s, dir)
       .withColumn("t", graft.text.Tokenize.native(scrubbed))
       .withColumn("n_tokens", col("t.n_tokens").cast("long"))
-      .withColumn("id_checksum",
-        expr("""aggregate(t.input_ids,
-               |  named_struct('s', 0L, 'i', 0L),
-               |  (acc, x) -> named_struct('s', acc.s + x * (acc.i + 1L),
-               |                           'i', acc.i + 1L),
-               |  acc -> acc.s)""".stripMargin))
+      // compiled kernel, not the aggregate() HOF it replaced: HOFs are
+      // CodegenFallback and the fold allocated one struct per TOKEN.
+      // At the 100× layout the swap sits inside the ±5% run-to-run
+      // noise of the 90 s chain (stage 6 is tokenizer-dominated), but
+      // it removes the one interpreted expression from the graded
+      // path (TokenizeSpec pins exact equality with the HOF form)
+      .withColumn("id_checksum", graft.plans.WeightedIdSum(col("t.input_ids")))
       .drop("t")
     graft.ops.Filters.applyRules(tokked,
       graft.ops.Filters.tokenLengthRules(col("n_tokens")))

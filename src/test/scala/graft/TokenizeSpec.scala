@@ -97,4 +97,25 @@ class TokenizeSpec extends SparkTestBase {
       assert(got(i.toLong) === want, s"doc $i: ${String.valueOf(t).take(60)}")
     }
   }
+
+  test("WeightedIdSum kernel == the aggregate() HOF fold it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(0x1D5C0BEL)
+    val rows = (0 until 400).map { _ =>
+      (0 until rnd.nextInt(300)).map(_ => rnd.nextInt(50256)).toArray
+    } :+ Array.empty[Int] :+ Array(Int.MaxValue, Int.MaxValue)
+    val df = rows.toDF("ids")
+    val got = df.select(
+        graft.plans.WeightedIdSum(col("ids")).as("k"),
+        expr("""aggregate(ids,
+               |  named_struct('s', 0L, 'i', 0L),
+               |  (acc, x) -> named_struct('s', acc.s + x * (acc.i + 1L),
+               |                           'i', acc.i + 1L),
+               |  acc -> acc.s)""".stripMargin).as("h"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === r.getLong(1), s"row $i")
+    }
+  }
 }
