@@ -115,8 +115,18 @@ object Normalize {
     * rejoin with \n, trim. NOTE (SURVEY §2.2 P3): upstream P1 collapsed
     * newlines, so in the reference pipeline each doc is ONE line and a hit
     * anywhere blanks the whole doc — faithful by construction here.
+    * Evaluated by the one-pass [[graft.plans.BoilerplateScrub]] kernel —
+    * bit-equal to the HOF chain below (parity-pinned), which ran
+    * INTERPRETED (higher-order lambdas are CodegenFallback) with a
+    * per-row split array and a per-line regex-alternation scan.
     */
   def removeBoilerplateLines(c: Column): Column =
+    graft.plans.BoilerplateScrub(c)
+
+  /** The HOF form [[removeBoilerplateLines]] replaced — parity anchor
+    * (the executable spec of P3's split/filter/join/trim semantics).
+    */
+  private[graft] def removeBoilerplateLinesHof(c: Column): Column =
     trim(array_join(
       filter(split(c, "\n"), l => !lower(l).rlike(BoilerRe)),
       "\n"))
