@@ -38,6 +38,18 @@ object Normalize {
     */
   def normalizeText(c: Column, applyNfkc: Boolean = true): Column = {
     val base = if (applyNfkc) graft.plans.NfkcNormalize(c) else c
+    // one-pass kernel for the ctrl-replace + \s+ collapse + trim +
+    // nullif tail — bit-equal to the two-regex chain below
+    // (parity-pinned), which rebuilt the document twice per row
+    graft.plans.CtrlWsNormalize(base)
+  }
+
+  /** The regex form [[normalizeText]]'s scrub tail replaced — parity
+    * anchor and the oracle-SQL documentation of the semantics.
+    */
+  private[graft] def normalizeTextRegex(c: Column,
+      applyNfkc: Boolean = true): Column = {
+    val base = if (applyNfkc) graft.plans.NfkcNormalize(c) else c
     val cleaned =
       trim(regexp_replace(regexp_replace(base, ControlChars, " "), "\\s+", " "))
     nullif(cleaned, lit(""))
