@@ -179,6 +179,15 @@ object Normalize {
     * etc.) is the documented Java-vs-Python \s dialect drift (SURVEY §7).
     */
   def canonExact(c: Column): Column =
+    // one-pass kernel for lower + \s+ collapse + trim — this runs per
+    // ROW inside the dedup windows' narrow projection at corpus scale;
+    // bit-equal to the regex form below (parity-pinned)
+    graft.plans.LowerWsCanon(coalesce(c, lit("")))
+
+  /** The regex form [[canonExact]] replaced — parity anchor and the
+    * oracle-SQL documentation of the semantics.
+    */
+  private[graft] def canonExactRegex(c: Column): Column =
     trim(regexp_replace(lower(coalesce(c, lit(""))), "\\s+", " "))
 
   /** P7: near-dup key = first `maxChars` chars of the exact canon form. */
