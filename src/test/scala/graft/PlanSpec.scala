@@ -251,10 +251,11 @@ class PlanSpec extends SparkTestBase {
       s"parquet scan must prune to source columns:\n$finalPlan")
     // the custom codegen expressions stay inlined in the fused plan
     // (r11: lang/toxicity signals moved from wordlist_hits-over-array
-    // to the one-pass text_profile_stats string kernel)
+    // to the one-pass profile kernel; r12: the two profiles fused into
+    // the single-walk text_langtox_stats)
     val static = plan(df)
-    assert(static.contains("text_profile_stats"),
-      s"TextProfileStats kernel missing:\n$static")
+    assert(static.contains("text_langtox_stats"),
+      s"TextLangToxStats kernel missing:\n$static")
     assert(static.contains("nfkc"), s"NfkcNormalize missing:\n$static")
   }
 
