@@ -111,4 +111,41 @@ class KernelFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("400 fuzzed strings: the round-12 kernels == their regex/HOF " +
+    "anchors (CtrlWsNormalize, LowerWsCanon, BoilerplateScrub, langtox)") {
+    val rows = gen(0x12C0DE12L, 400) ++ Seq("", " ", "\t",
+      "cookie policy\nkeep me", "ACCEPT ALL COOKIES mid line")
+    val df = rows.toDF("t")
+    val got = df.select(col("t"),
+        Normalize.normalizeText(col("t"), applyNfkc = false).as("nw_k"),
+        Normalize.normalizeTextRegex(col("t"), applyNfkc = false).as("nw_r"),
+        Normalize.canonExact(col("t")).as("ce_k"),
+        Normalize.canonExactRegex(col("t")).as("ce_r"),
+        Normalize.removeBoilerplateLines(col("t")).as("bp_k"),
+        Normalize.removeBoilerplateLinesHof(col("t")).as("bp_h"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"CtrlWsNormalize on <$t>")
+      assert(r.getString(3) === r.getString(4), s"LowerWsCanon on <$t>")
+      assert(r.getString(5) === r.getString(6), s"BoilerplateScrub on <$t>")
+    }
+    val cols = Seq("lang_pred", "lang_score", "toxicity", "severe_toxicity",
+      "insult", "threat", "identity_attack", "sexual_explicit")
+    val composed = graft.text.Toxicity.withToxicityColumns(
+        graft.text.LangId.withLangColumns(df, col("t")), col("t"))
+      .select(cols.map(col): _*).collect()
+    val fused = graft.text.LangId.withLangToxColumns(df, col("t"))
+      .select(cols.map(col): _*).collect()
+    composed.zip(fused).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.getString(0) === b.getString(0), s"langtox pred row $i")
+      (1 until cols.length).foreach { j =>
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(j)) ===
+          java.lang.Double.doubleToRawLongBits(b.getDouble(j)),
+          s"langtox ${cols(j)} row $i <${rows(i)}>")
+      }
+    }
+  }
 }
