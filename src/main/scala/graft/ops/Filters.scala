@@ -58,18 +58,37 @@ object Filters {
     (nonLatinRatio > nonLatinThreshold) -> "non_latin_heavy"
   )
 
+  /** F13–F20 thresholds and literals — the operator contract
+    * (text_clean_and_filter.py:537-595), named once so the rule chain
+    * below and the fused [[graft.plans.DropReasonStage2]] kernel share
+    * ONE source of truth instead of duplicating magic numbers.
+    */
+  val QualityMinWords = 5
+  val QualityMaxWords = 5000
+  val QualityMinAlphaRatio = 0.5
+  val QualityMaxRepetition = 0.8
+  val QualityMaxPiiHits = 20
+  val QualityMaxToxicity = 0.8
+  /** The blocked-URL pattern is an alternation of these literals
+    * (find() semantics == multi-literal contains, which is how the
+    * kernel evaluates it).
+    */
+  val BlockedUrlLiterals: Seq[String] = Seq("/ads/", "example-spam-site.com")
+  private val BlockedUrlRe =
+    BlockedUrlLiterals.map(_.replace(".", "\\.")).mkString("|")
+
   /** F13–F20 (stage 2c row-quality, text_clean_and_filter.py:537-595). */
   def qualityRules(text: Column, nWords: Column, alphaRatio: Column,
                    repetitionRatio: Column, url: Column, emailHits: Column,
                    phoneHits: Column, toxicity: Column): Seq[(Column, String)] = Seq(
     (text.isNull || trim(text) === "") -> "empty_text",
-    (nWords < 5) -> "too_short",
-    (nWords > 5000) -> "too_long",
-    (alphaRatio < 0.5) -> "low_alpha_ratio",
-    (repetitionRatio > 0.8) -> "high_repetition",
-    coalesce(url, lit("")).rlike("/ads/|example-spam-site\\.com") -> "blocked_url",
-    (emailHits + phoneHits > 20) -> "pii_heavy",
-    (toxicity >= 0.8) -> "high_toxicity"
+    (nWords < QualityMinWords) -> "too_short",
+    (nWords > QualityMaxWords) -> "too_long",
+    (alphaRatio < QualityMinAlphaRatio) -> "low_alpha_ratio",
+    (repetitionRatio > QualityMaxRepetition) -> "high_repetition",
+    coalesce(url, lit("")).rlike(BlockedUrlRe) -> "blocked_url",
+    (emailHits + phoneHits > QualityMaxPiiHits) -> "pii_heavy",
+    (toxicity >= QualityMaxToxicity) -> "high_toxicity"
   )
 
   /** F21–F24 (stage 3 low-info filters, deep_clean_and_pii.py:418-497). */

@@ -53,15 +53,35 @@ case class BoilerplateScrub(child: Expression)
 
 object BoilerplateScrub {
 
-  /** The literal expansions of Normalize.BoilerplatePatterns (the two
-    * `(...)?` groups each expand to two alternatives). Grouped by
-    * first character for the dispatch scan.
+  /** Expand a boilerplate pattern's `(literal)?` optional groups into
+    * plain literals; any OTHER regex syntax is rejected at class load,
+    * so a future pattern the expander can't honor fails fast instead
+    * of silently diverging from the regex-anchor semantics.
     */
-  private val Phrases: Array[String] = Array(
-    "cookie policy", "cookies policy", "contact us",
-    "accept cookies", "accept all cookies", "all rights reserved",
-    "privacy policy", "terms of service",
-    "sign up for our newsletter", "subscribe to our newsletter")
+  private[plans] def expand(pattern: String): Seq[String] = {
+    val optGroup = """\(([^()|?*+\[\]\\]*)\)\?""".r
+    optGroup.findFirstMatchIn(pattern) match {
+      case Some(m) =>
+        val kept = pattern.substring(0, m.start) + m.group(1) +
+          pattern.substring(m.end)
+        val dropped = pattern.substring(0, m.start) + pattern.substring(m.end)
+        expand(kept) ++ expand(dropped)
+      case None =>
+        require(!pattern.exists("()[]{}|?*+\\^$.".contains(_)),
+          s"boilerplate pattern uses regex syntax the scrub kernel " +
+            s"cannot expand to literals: $pattern")
+        Seq(pattern)
+    }
+  }
+
+  /** The literal expansions of the P3 contract patterns — DERIVED from
+    * [[graft.text.Normalize.BoilerplatePatterns]] (one source of
+    * truth: adding a pattern there changes this kernel, or fails the
+    * load-time require above). Grouped by first character for the
+    * dispatch scan.
+    */
+  private val Phrases: Array[String] =
+    graft.text.Normalize.BoilerplatePatterns.flatMap(expand).toArray
 
   private val ByFirst: Array[Array[String]] = {
     val m = new Array[Array[String]](128)

@@ -61,39 +61,54 @@ object CtrlWsNormalize {
     ch <= '\u001f' || (ch >= '\u007f' && ch <= '\u009f') || ch == ' '
 
   /** Returns the scrubbed string, or null when it collapses to "". */
-  def kernel(u: UTF8String): UTF8String = {
-    val s = u.toString
+  def kernel(u: UTF8String): UTF8String =
+    WsCollapse.collapse(u, u.toString, spaceish, emptyToNull = true)
+
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(CtrlWsNormalize(GraftSqlBridge.expression(c)))
+}
+
+/** The shared two-phase collapse scan behind [[CtrlWsNormalize]] and
+  * [[LowerWsCanon]]: a fast-path cleanliness check that returns the
+  * input untouched, then a single StringBuilder pass collapsing
+  * class runs to one space with boundary runs dropped (= the regex
+  * run-collapse followed by Spark's 0x20-only trim). The two kernels
+  * differ ONLY in the class predicate and the empty-result policy —
+  * one algorithm, one set of edge conditions to keep correct.
+  */
+private[plans] object WsCollapse {
+
+  def collapse(orig: UTF8String, s: String, isWs: Char => Boolean,
+               emptyToNull: Boolean): UTF8String = {
     val n = s.length
     var i = 0
-    // common fast path: already clean (no control char, no double
-    // space, no boundary space) -> return the input untouched
-    var clean = n > 0
+    // fast path: no class member needing work (no run > 1, no boundary
+    // space, no non-space member) -> the input is returned untouched
+    var clean = n > 0 || !emptyToNull
     var prevSpace = false
     while (i < n && clean) {
       val ch = s.charAt(i)
       if (ch == ' ') {
         if (prevSpace || i == 0 || i == n - 1) clean = false
         prevSpace = true
-      } else if (spaceish(ch)) clean = false
+      } else if (isWs(ch)) clean = false
       else prevSpace = false
       i += 1
     }
-    if (clean) return u
+    if (clean) return orig
     val sb = new java.lang.StringBuilder(n)
     var pending = false
     i = 0
     while (i < n) {
       val ch = s.charAt(i)
-      if (spaceish(ch)) { if (sb.length > 0) pending = true }
+      if (isWs(ch)) { if (sb.length > 0) pending = true }
       else {
         if (pending) { sb.append(' '); pending = false }
         sb.append(ch)
       }
       i += 1
     }
-    if (sb.length == 0) null else UTF8String.fromString(sb.toString)
+    if (sb.length == 0 && emptyToNull) null
+    else UTF8String.fromString(sb.toString)
   }
-
-  def apply(c: Column): Column =
-    GraftSqlBridge.column(CtrlWsNormalize(GraftSqlBridge.expression(c)))
 }

@@ -148,8 +148,16 @@ object DropReasonStage2 {
   private val PiiHeavy = UTF8String.fromString("pii_heavy")
   private val HighToxicity = UTF8String.fromString("high_toxicity")
   private val Unk = UTF8String.fromString("unk")
-  private val AdsLit = UTF8String.fromString("/ads/")
-  private val SpamLit = UTF8String.fromString("example-spam-site.com")
+  // ONE source of truth with Filters.qualityRules: thresholds and the
+  // blocked-URL literals come from the named contract constants
+  private val BlockedLits: Array[UTF8String] =
+    graft.ops.Filters.BlockedUrlLiterals.map(UTF8String.fromString).toArray
+  private val MinWords = graft.ops.Filters.QualityMinWords
+  private val MaxWords = graft.ops.Filters.QualityMaxWords
+  private val MinAlpha = graft.ops.Filters.QualityMinAlphaRatio
+  private val MaxRep = graft.ops.Filters.QualityMaxRepetition
+  private val MaxPii = graft.ops.Filters.QualityMaxPiiHits
+  private val MaxTox = graft.ops.Filters.QualityMaxToxicity
 
   @inline private def isIn(p: UTF8String, arr: Array[UTF8String]): Boolean = {
     var i = 0
@@ -184,16 +192,21 @@ object DropReasonStage2 {
     if (!nlrNull && nlr > nlThr) return NonLatinHeavy
     // F13–F20 (qualityRules)
     if (text == null || text.trim().numBytes() == 0) return EmptyText
-    if (!nWordsNull && nWords < 5) return TooShort
-    if (!nWordsNull && nWords > 5000) return TooLong
-    if (!alphaNull && alpha < 0.5) return LowAlphaRatio
-    if (!repNull && rep > 0.8) return HighRepetition
-    // the pattern `/ads/|example-spam-site\.com` under find() is
-    // exactly a two-literal contains (over coalesce(url, ''))
-    if (url != null && (url.contains(AdsLit) || url.contains(SpamLit)))
-      return BlockedUrl
-    if (!emailNull && !phoneNull && email + phone > 20) return PiiHeavy
-    if (!toxNull && tox >= 0.8) return HighToxicity
+    if (!nWordsNull && nWords < MinWords) return TooShort
+    if (!nWordsNull && nWords > MaxWords) return TooLong
+    if (!alphaNull && alpha < MinAlpha) return LowAlphaRatio
+    if (!repNull && rep > MaxRep) return HighRepetition
+    // the blocked-URL alternation under find() is exactly a
+    // multi-literal contains (over coalesce(url, ''))
+    if (url != null) {
+      var j = 0
+      while (j < BlockedLits.length) {
+        if (url.contains(BlockedLits(j))) return BlockedUrl
+        j += 1
+      }
+    }
+    if (!emailNull && !phoneNull && email + phone > MaxPii) return PiiHeavy
+    if (!toxNull && tox >= MaxTox) return HighToxicity
     null
   }
 

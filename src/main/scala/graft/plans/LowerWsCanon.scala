@@ -50,34 +50,9 @@ object LowerWsCanon {
 
   def kernel(u: UTF8String): UTF8String = {
     val lowered = u.toLowerCase
-    val s = lowered.toString
-    val n = s.length
-    var i = 0
-    var clean = true
-    var prevSpace = false
-    while (i < n && clean) {
-      val ch = s.charAt(i)
-      if (ch == ' ') {
-        if (prevSpace || i == 0 || i == n - 1) clean = false
-        prevSpace = true
-      } else if (ws(ch)) clean = false
-      else prevSpace = false
-      i += 1
-    }
-    if (clean) return lowered
-    val sb = new java.lang.StringBuilder(n)
-    var pending = false
-    i = 0
-    while (i < n) {
-      val ch = s.charAt(i)
-      if (ws(ch)) { if (sb.length > 0) pending = true }
-      else {
-        if (pending) { sb.append(' '); pending = false }
-        sb.append(ch)
-      }
-      i += 1
-    }
-    UTF8String.fromString(sb.toString)
+    // shared collapse scan (see WsCollapse in CtrlWsNormalize.scala);
+    // canon keeps "" as "" (no nullif in the P6 contract)
+    WsCollapse.collapse(lowered, lowered.toString, ws, emptyToNull = false)
   }
 
   def apply(c: Column): Column =

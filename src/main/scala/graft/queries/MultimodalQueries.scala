@@ -412,12 +412,33 @@ object MultimodalQueries {
       .unionByName(wide(videoSigsRaw(s, dir), "video", 12))
   }
 
-  /** Corpus-keyed location of the materialized signature table under
-    * `base`: distinct corpora (and test fixtures) never collide.
+  /** Corpus CONTENT stamp (total bytes + newest mtime of the documents
+    * table), through the Hadoop FS API so hdfs:// and s3a:// stores
+    * resolve like local paths. Folded into the store key so a
+    * regenerated corpus at the SAME path can never be served stale
+    * signatures — the key changes, the lookup misses, and consumers
+    * fall back to inline decode (re-materialize to re-amortize).
     */
-  def mediaSigPath(base: String, dir: String): String = {
+  private def corpusStamp(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(path)
+    if (st.isDirectory) {
+      val children = fs.listStatus(path)
+      val len = children.map(_.getLen).sum
+      val mt = (st.getModificationTime +: children.map(_.getModificationTime).toSeq).max
+      s"$len:$mt"
+    } else s"${st.getLen}:${st.getModificationTime}"
+  }
+
+  /** Corpus-keyed location of the materialized signature table under
+    * `base`: keyed by corpus path AND content stamp, so distinct
+    * corpora, test fixtures, and REGENERATIONS of the same path never
+    * collide.
+    */
+  def mediaSigPath(s: SparkSession, base: String, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .digest(s"$dir|${corpusStamp(s, dir)}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"$base/media_sigs_$key.parquet"
   }
@@ -427,7 +448,7 @@ object MultimodalQueries {
     */
   def writeMediaSignatures(s: SparkSession, dir: String,
                            base: String): String = {
-    val p = mediaSigPath(base, dir)
+    val p = mediaSigPath(s, base, dir)
     mediaSignatures(s, dir).write.mode("overwrite").parquet(p)
     p
   }
@@ -441,15 +462,22 @@ object MultimodalQueries {
       .filter(_.nonEmpty)
 
   /** One modality's (media_id, c0..c{chunks-1}) slice, from the
-    * materialized table when one exists for this corpus, else computed
-    * inline. Persisted — every consumer fans out over it (band
-    * projections + verify sides); released by the caller's clearCache.
+    * materialized table when one exists for this corpus AND content
+    * stamp, else computed inline. Existence goes through the Hadoop FS
+    * of the store path (java.io.File would silently miss on hdfs/s3a).
+    * Persisted — every consumer fans out over it (band projections +
+    * verify sides); released by the caller's clearCache.
     */
   private def sigSlice(s: SparkSession, dir: String, modality: String,
                        chunks: Int): DataFrame = {
-    val src = sigStoreBase.map(mediaSigPath(_, dir))
-      .filter(p => new java.io.File(p).exists())
-      .map(s.read.parquet(_))
+    val src = sigStoreBase
+      .flatMap { base =>
+        scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(mediaSigPath(s, base, dir))
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+        }.toOption.flatten
+      }
       .getOrElse(mediaSignatures(s, dir))
     src.filter(col("modality") === modality)
       .select(col("media_id") +:

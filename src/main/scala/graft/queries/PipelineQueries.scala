@@ -650,10 +650,14 @@ object PipelineQueries {
 
   // ---- q_pipeline_full_fixed: the graded twin of q_pipeline_full --------
 
-  /** The injected P11 batch timestamp: q_pipeline_full's one
-    * fundamentally-unreplayable column is the wall clock; the twin pins
-    * it to a literal (threaded the same way [[Pipeline.ingest]]'s
-    * `ingestTs` parameter threads it in production).
+  /** The pinned P11 batch timestamp: q_pipeline_full's one
+    * fundamentally-unreplayable column is the wall clock; the twin
+    * hash-checks this literal as its batch constant. Production
+    * injection goes through [[Pipeline.ingest]]'s `ingestTs` parameter
+    * (spec-pinned in OrchestratorSpec); the twin itself rides the
+    * graded chain, which uses doc_id as the ingest sequence and so
+    * never runs stage 1 — the constant's VALUE is what the oracle
+    * checks here.
     */
   val FixedIngestTs = "2026-01-01T00:00:00Z"
 

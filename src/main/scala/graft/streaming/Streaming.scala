@@ -85,16 +85,16 @@ object Streaming {
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+      .select(col("path"), col("modificationTime"), col("content"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (path, mtime, bytes) =>
         graft.sources.Warc.parseAll(bytes).map { r =>
           (path, r.warcType, r.recordId, r.warcDate, r.targetUri,
-            r.contentType, r.contentLength, r.payload)
+            r.contentType, r.contentLength, r.payload, mtime)
         }
       }
       .toDF("file", "warc_type", "record_id", "warc_date", "target_uri",
-        "content_type", "content_length", "payload")
+        "content_type", "content_length", "payload", "file_mtime")
   }
 
   /** The streaming crawl front door: [[readWarc]] records narrowed to
@@ -128,29 +128,39 @@ object Streaming {
   /** [[warcDocs]] with the record's own event time kept: WARC-Date as a
     * timestamp column (`warc_ts`) — the deterministic, restart-safe
     * watermark clock for stateful stages downstream (arrival wall clock
-    * would re-stamp on reprocessing).
+    * would re-stamp on reprocessing). A MALFORMED WARC-Date (real crawl
+    * archives carry them) falls back to the archive FILE's modification
+    * time — still restart-deterministic — instead of a NULL event time,
+    * which the watermarked dedup would silently discard as late data
+    * (no drop_reason, no sink row; StreamingRestartSpec pins the
+    * survival).
     */
   def warcDocsTimed(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 4): DataFrame = {
     import spark.implicits._
     readWarc(spark, dir, maxFilesPerTrigger)
       .select(col("warc_type"), col("target_uri"), col("warc_date"),
-        col("payload"))
-      .as[(String, String, String, Array[Byte])]
+        col("file_mtime"), col("payload"))
+      .as[(String, String, String, java.sql.Timestamp, Array[Byte])]
       .flatMap {
-        case ("conversion", uri, date, payload) =>
-          Some((uri, date, new String(payload, "UTF-8")))
-        case ("response", uri, date, payload) =>
+        case ("conversion", uri, date, mtime, payload) =>
+          Some((uri, date, mtime, new String(payload, "UTF-8")))
+        case ("response", uri, date, mtime, payload) =>
           graft.sources.Warc.httpResponse(payload).collect {
             case h if h.status / 100 == 2 &&
               (h.contentType.startsWith("text/") || h.contentType.isEmpty) =>
-              (uri, date, new String(h.body, "UTF-8"))
+              (uri, date, mtime, new String(h.body, "UTF-8"))
           }
         case _ => None
       }
-      .toDF("url", "warc_date", "text")
-      .withColumn("warc_ts", to_timestamp(col("warc_date")))
-      .drop("warc_date")
+      .toDF("url", "warc_date", "file_mtime", "text")
+      // try_to_timestamp, not to_timestamp: under ANSI mode the plain
+      // form THROWS on a malformed date (killing the whole stream for
+      // one bad record); the try_ form yields NULL and the coalesce
+      // takes the file-mtime fallback
+      .withColumn("warc_ts",
+        coalesce(try_to_timestamp(col("warc_date")), col("file_mtime")))
+      .drop("warc_date", "file_mtime")
   }
 
   /** The streaming crawl chain end-to-end (the q_crawl_e2e composition

@@ -45,23 +45,20 @@ object LangId {
   private def hitsIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(words), t)))
 
-  /** Returns (lang_pred, lang_score) columns. Tie-break priority on equal
-    * stopword hits: en > de > es > fr (fixed, documented, deterministic).
+  /** The ONE copy of the pred/score derivation over staged hit counts
+    * (the isZh gate, the en > de > es > fr tie-break, the capped
+    * stopword-gain score) — shared by [[detect]], [[withLangColumns]],
+    * [[withLangColumnsArr]] and [[withLangToxColumns]] so a tuning
+    * change can never silently diverge between the stagings.
     */
-  def detect(c: Column): (Column, Column) = {
-    val s = coalesce(c, lit(""))
-    val nch = length(s)
-    val cjk = length(regexp_replace(s, "[^一-鿿]", ""))
-    val isZh = (cjk > 0) && (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
-    val toks = letterTokens(c)
-    val n = size(toks)
-    val he = hitsIn(toks, En)
-    val hd = hitsIn(toks, De)
-    val hs = hitsIn(toks, Es)
-    val hf = hitsIn(toks, Fr)
+  private[text] def predScoreFrom(c: Column, n: Column, he: Column,
+      hd: Column, hs: Column, hf: Column,
+      cjk: Column): (Column, Column) = {
+    val nch = length(coalesce(c, lit("")))
+    val isZh = (cjk > 0) &&
+      (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
     val maxHits = greatest(he, hd, hs, hf)
     val empty = c.isNull || trim(c) === ""
-
     val pred =
       when(empty, "unk")
         .when(isZh, "zh")
@@ -70,14 +67,23 @@ object LangId {
         .when(hd === maxHits, "de")
         .when(hs === maxHits, "es")
         .otherwise("fr")
-
     val score =
       when(empty, 0.0)
         .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
         .when(n === 0 || maxHits === 0, 0.0)
         .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
-
     (pred, score)
+  }
+
+  /** Returns (lang_pred, lang_score) columns. Tie-break priority on equal
+    * stopword hits: en > de > es > fr (fixed, documented, deterministic).
+    */
+  def detect(c: Column): (Column, Column) = {
+    val s = coalesce(c, lit(""))
+    val cjk = length(regexp_replace(s, "[^一-鿿]", ""))
+    val toks = letterTokens(c)
+    predScoreFrom(c, size(toks), hitsIn(toks, En), hitsIn(toks, De),
+      hitsIn(toks, Es), hitsIn(toks, Fr), cjk)
   }
 
   /** Staged variant: one compiled [[graft.plans.TextProfileStats]]
@@ -101,26 +107,8 @@ object LangId {
       .withColumn("__hs", element_at(col("__lang_k"), 4))
       .withColumn("__hf", element_at(col("__lang_k"), 5))
       .withColumn("__cjk", element_at(col("__lang_k"), 6))
-    val (cjk, he, hd, hs, hf, n) = (col("__cjk"), col("__he"), col("__hd"),
-      col("__hs"), col("__hf"), col("__ln"))
-    val nch = length(s)
-    val isZh = (cjk > 0) &&
-      (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
-    val maxHits = greatest(he, hd, hs, hf)
-    val empty = c.isNull || trim(c) === ""
-    val pred =
-      when(empty, "unk")
-        .when(isZh, "zh")
-        .when(n === 0 || maxHits === 0, "unk")
-        .when(he === maxHits, "en")
-        .when(hd === maxHits, "de")
-        .when(hs === maxHits, "es")
-        .otherwise("fr")
-    val score =
-      when(empty, 0.0)
-        .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
-        .when(n === 0 || maxHits === 0, 0.0)
-        .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
+    val (pred, score) = predScoreFrom(c, col("__ln"), col("__he"),
+      col("__hd"), col("__hs"), col("__hf"), col("__cjk"))
     staged
       .withColumn(predName, pred)
       .withColumn(scoreName, score)
@@ -150,39 +138,12 @@ object LangId {
       .withColumn("__cjk", element_at(col("__lt_k"), 6))
       .withColumn("__tox_n",
         greatest(lit(1L), element_at(col("__lt_k"), 7)).cast("double"))
-    val (cjk, he, hd, hs, hf, n) = (col("__cjk"), col("__he"), col("__hd"),
-      col("__hs"), col("__hf"), col("__ln"))
-    val nch = length(s)
-    val isZh = (cjk > 0) &&
-      (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
-    val maxHits = greatest(he, hd, hs, hf)
-    val empty = c.isNull || trim(c) === ""
-    val pred =
-      when(empty, "unk")
-        .when(isZh, "zh")
-        .when(n === 0 || maxHits === 0, "unk")
-        .when(he === maxHits, "en")
-        .when(hd === maxHits, "de")
-        .when(hs === maxHits, "es")
-        .otherwise("fr")
-    val score =
-      when(empty, 0.0)
-        .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
-        .when(n === 0 || maxHits === 0, 0.0)
-        .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
-    val tn = col("__tox_n")
-    def hit(i: Int) = element_at(col("__lt_k"), 7 + i).cast("double")
-    val (bad, ins, thr, sex, slr) = (hit(1), hit(2), hit(3), hit(4), hit(5))
-    val toxicity = least(lit(1.0), (bad + ins + thr + sex + slr) / tn * 5.0)
-    staged
-      .withColumn(predName, pred)
-      .withColumn(scoreName, score)
-      .withColumn("toxicity", toxicity)
-      .withColumn("severe_toxicity", when(toxicity >= 0.9, 1.0).otherwise(0.0))
-      .withColumn("insult", least(lit(1.0), ins / tn * 5.0))
-      .withColumn("threat", least(lit(1.0), thr / tn * 5.0))
-      .withColumn("identity_attack", least(lit(1.0), slr / tn * 5.0))
-      .withColumn("sexual_explicit", least(lit(1.0), sex / tn * 5.0))
+    val (pred, score) = predScoreFrom(c, col("__ln"), col("__he"),
+      col("__hd"), col("__hs"), col("__hf"), col("__cjk"))
+    Toxicity.appendToxColumns(
+        staged.withColumn(predName, pred).withColumn(scoreName, score),
+        col("__tox_n"),
+        i => element_at(col("__lt_k"), 7 + i).cast("double"))
       .drop("__lt_k", "__cjk", "__he", "__hd", "__hs", "__hf", "__ln", "__tox_n")
   }
 

@@ -59,6 +59,24 @@ object Toxicity {
     * attributes. Value-identical to [[scores]] — same arithmetic over
     * the same counts.
     */
+  /** The ONE copy of the six-column toxicity scoring arithmetic over a
+    * staged (token count, hit accessor) pair — shared by
+    * [[withToxicityColumns]], [[withToxicityColumnsArr]] and
+    * [[graft.text.LangId.withLangToxColumns]] so a cutoff tune can
+    * never silently diverge between the stagings.
+    */
+  private[text] def appendToxColumns(df: org.apache.spark.sql.DataFrame,
+      n: Column, hit: Int => Column): org.apache.spark.sql.DataFrame = {
+    val (bad, ins, thr, sex, slr) = (hit(1), hit(2), hit(3), hit(4), hit(5))
+    val toxicity = least(lit(1.0), (bad + ins + thr + sex + slr) / n * 5.0)
+    df.withColumn("toxicity", toxicity)
+      .withColumn("severe_toxicity", when(toxicity >= 0.9, 1.0).otherwise(0.0))
+      .withColumn("insult", least(lit(1.0), ins / n * 5.0))
+      .withColumn("threat", least(lit(1.0), thr / n * 5.0))
+      .withColumn("identity_attack", least(lit(1.0), slr / n * 5.0))
+      .withColumn("sexual_explicit", least(lit(1.0), sex / n * 5.0))
+  }
+
   def withToxicityColumns(df: org.apache.spark.sql.DataFrame,
                           c: Column): org.apache.spark.sql.DataFrame = {
     val staged = df
@@ -66,17 +84,8 @@ object Toxicity {
         graft.plans.TextProfileStats(coalesce(c, lit("")), "toxicity"))
       .withColumn("__tox_n",
         greatest(lit(1L), element_at(col("__tox_k"), 1)).cast("double"))
-    val n = col("__tox_n")
-    def hit(i: Int) = element_at(col("__tox_k"), i + 1).cast("double")
-    val (bad, ins, thr, sex, slr) = (hit(1), hit(2), hit(3), hit(4), hit(5))
-    val toxicity = least(lit(1.0), (bad + ins + thr + sex + slr) / n * 5.0)
-    staged
-      .withColumn("toxicity", toxicity)
-      .withColumn("severe_toxicity", when(toxicity >= 0.9, 1.0).otherwise(0.0))
-      .withColumn("insult", least(lit(1.0), ins / n * 5.0))
-      .withColumn("threat", least(lit(1.0), thr / n * 5.0))
-      .withColumn("identity_attack", least(lit(1.0), slr / n * 5.0))
-      .withColumn("sexual_explicit", least(lit(1.0), sex / n * 5.0))
+    appendToxColumns(staged, col("__tox_n"),
+      i => element_at(col("__tox_k"), i + 1).cast("double"))
       .drop("__tox_k", "__tox_n")
   }
 

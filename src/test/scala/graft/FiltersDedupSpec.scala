@@ -221,17 +221,19 @@ class FiltersDedupSpec extends SparkTestBase {
         .collect().map(r => Option(r.getString(0)))
     assert(kernelReasons().toSeq === composed.toSeq, "codegen path diverged")
     val mode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val ws = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    def restore(key: String, v: Option[String]): Unit = v match {
+      case Some(m) => spark.conf.set(key, m)
+      case None => spark.conf.unset(key)
+    }
     try {
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       assert(kernelReasons().toSeq === composed.toSeq,
         "interpreted eval path diverged")
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      mode match {
-        case Some(m) => spark.conf.set("spark.sql.codegen.factoryMode", m)
-        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
-      }
+      restore("spark.sql.codegen.wholeStage", ws)
+      restore("spark.sql.codegen.factoryMode", mode)
     }
   }
 }

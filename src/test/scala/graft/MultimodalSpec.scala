@@ -379,6 +379,17 @@ class MultimodalSpec extends SparkTestBase {
       val staged = snapshot()
       assert(staged === inline,
         "staged signature reads must be bit-identical to inline decode")
+      // staleness guard: regenerating the corpus at the SAME path must
+      // change the content-stamped store key, so the old materialization
+      // can never be served for the new data
+      Thread.sleep(1100) // mtime granularity
+      Seq((0L, mkText(3)), (10L, mkText(5)))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+      val newKey = graft.queries.MultimodalQueries
+        .mediaSigPath(spark, store, dirPath)
+      assert(newKey !== written,
+        "regenerated corpus must key to a different store path")
     } finally {
       System.clearProperty("graft.media.sigs.dir")
       spark.catalog.clearCache()

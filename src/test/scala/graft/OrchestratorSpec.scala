@@ -19,6 +19,18 @@ class OrchestratorSpec extends SparkTestBase {
     dir
   }
 
+  test("ingest: the injectable P11 batch timestamp lands verbatim; the " +
+    "default is a parseable instant") {
+    import spark.implicits._
+    val raw = Seq(("https://x/1", "some text")).toDF("url", "text")
+    val injected = Pipeline.ingest(raw, ingestTs = Some("2026-01-01T00:00:00Z"))
+      .select("ingest_ts").collect()(0).getString(0)
+    assert(injected === "2026-01-01T00:00:00Z")
+    val default = Pipeline.ingest(raw)
+      .select("ingest_ts").collect()(0).getString(0)
+    java.time.Instant.parse(default) // throws if not a valid instant
+  }
+
   test("every stage boundary materializes: v1..v7 + dropped_v2..v7") {
     (1 to 7).foreach { v =>
       val p = Orchestrator.versionPath(outDir, v)

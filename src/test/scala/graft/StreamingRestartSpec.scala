@@ -354,17 +354,31 @@ class StreamingRestartSpec extends SparkTestBase {
     // robots blocked /private/2 BEFORE dedup (a blocked page must not
     // shadow the keeper), quality dropped /doc/4, dedup kept first
     assert(first === Set("https://ok.example.org/doc/1"), first.toString)
-    // while the query is DOWN: a re-arrival of docA and a new page land
+    // while the query is DOWN: a re-arrival of docA, a new page, and a
+    // record with a MALFORMED WARC-Date land (the event time must fall
+    // back to the archive file's mtime — not NULL, which the
+    // watermarked dedup would silently discard as late data)
+    val docD = "This is one more of the crawled pages that we have and " +
+      "it has all of the words that you need to pass every filter here."
+    val badDate = {
+      val p = Warc.encodeHttpResponse(200, "text/html", docD.getBytes("UTF-8"))
+      Warc.WarcRecord("response", "<urn:cx:bad>", "not-a-date",
+        "https://ok.example.org/doc/7",
+        "application/http;msgtype=response", p.length.toLong, p)
+    }
     drop(landing, "b.warc.gz", Seq(
       resp("/doc/5", docA, 10),
-      resp("/doc/6", docC, 11)))
+      resp("/doc/6", docC, 11),
+      badDate))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val out = spark.read.parquet(s"$base/out").select("url").as[String]
       .collect().toSeq
     // drop 1 not reprocessed (exactly-once), dedup state recovered from
-    // the checkpoint swallowed the docA re-arrival, docC is new
+    // the checkpoint swallowed the docA re-arrival, docC is new, and the
+    // malformed-date record SURVIVED on its file-mtime event time
     assert(out.sorted === Seq("https://ok.example.org/doc/1",
-      "https://ok.example.org/doc/6"), out.toString)
+      "https://ok.example.org/doc/6",
+      "https://ok.example.org/doc/7"), out.toString)
   }
 }

@@ -38,6 +38,11 @@ def perturb_text(text, rep):
 
 def main():
     src, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # replica ids occupy [0, n*10^7); the perturbed-twin ids some
+    # multimodal queries synthesize live at +10^9 (a multiple of 10^7,
+    # so base-id recovery via % 10^7 still works) — n > 100 would walk
+    # the replica namespace into the twin namespace
+    assert n <= 100, f"replica ids would collide with the +1e9 twin namespace: n={n}"
     import os
     os.makedirs(out, exist_ok=True)
 
