@@ -45,14 +45,16 @@ case class LowerWsCanon(child: Expression)
 
 object LowerWsCanon {
 
-  @inline private def ws(ch: Char): Boolean =
-    ch == ' ' || (ch >= '\t' && ch <= '\r')
+  private object WsAscii extends WsCollapse.WsClass {
+    override def is(ch: Char): Boolean =
+      ch == ' ' || (ch >= '\t' && ch <= '\r')
+  }
 
   def kernel(u: UTF8String): UTF8String = {
     val lowered = u.toLowerCase
     // shared collapse scan (see WsCollapse in CtrlWsNormalize.scala);
     // canon keeps "" as "" (no nullif in the P6 contract)
-    WsCollapse.collapse(lowered, lowered.toString, ws, emptyToNull = false)
+    WsCollapse.collapse(lowered, lowered.toString, WsAscii, emptyToNull = false)
   }
 
   def apply(c: Column): Column =
