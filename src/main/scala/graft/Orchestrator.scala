@@ -112,6 +112,17 @@ object Orchestrator {
       counts.result().toDF("stage", "kept", "dropped")
     }
     Sinks.writeMetricsJson(Map("stages" -> summary), s"$outDir/run_summary.json")
+    // Cache hygiene: the stage transforms persist their multi-consumer
+    // branch points (dedupStage etc.) under the engine's
+    // released-by-the-caller convention — and for this entry point the
+    // owning caller is the orchestrator itself. Every stage output is on
+    // disk and `cur` is a parquet read-back, so nothing cached is live;
+    // without the fence a long-lived session invoking runs repeatedly
+    // accretes pinned frames (the production CLI never calls
+    // clearCache). This mode owns the session for the run's duration by
+    // contract — embedders holding unrelated cached frames use the
+    // fused [[Pipeline.run]] instead.
+    spark.catalog.clearCache()
     cur
   }
 
@@ -142,17 +153,24 @@ object Orchestrator {
     val curV1 = spark.read.parquet(versionPath(outDir, 1))
     // persist before each kept(): same pushdown-inlining rationale as
     // [[writeSplit]] — the stage-2 chain must not be substituted into
-    // the filter condition (janino limit) or computed twice. The delta
-    // is small by construction, released by the caller's clearCache.
+    // the filter condition (janino limit) or computed twice. The caches
+    // are only live inputs to the v3 write, so they are released right
+    // after it in the same try/finally discipline as writeSplit (the
+    // production CLI never calls clearCache, so nothing else would).
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val rowLocal: DataFrame => DataFrame = df => {
       val s2 = Pipeline.cleanAndFilter(df)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += s2
       val s3 = Pipeline.deepCleanAndPii(Filters.kept(s2), dropPii)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += s3
       Filters.kept(s3)
     }
-    graft.ops.Incremental.processDelta(curV1, prevV1, prevV3, rowLocal)
-      .write.mode("overwrite").parquet(versionPath(outDir, 3))
+    try {
+      graft.ops.Incremental.processDelta(curV1, prevV1, prevV3, rowLocal)
+        .write.mode("overwrite").parquet(versionPath(outDir, 3))
+    } finally persisted.foreach(_.unpersist(blocking = false))
     var cur = spark.read.parquet(versionPath(outDir, 3))
     val counts = Seq.newBuilder[(String, Long, Long)]
     counts += (("v3:incremental_prefix", cur.count(), -1L))
@@ -168,6 +186,11 @@ object Orchestrator {
     }
     Sinks.writeMetricsJson(Map("stages" -> summary),
       s"$outDir/run_summary.json")
+    // same end-of-run cache fence as [[run]] (see the note there): the
+    // stage transforms' branch-point persists are owned by this entry
+    // point, everything live is on disk, and OrchestratorSpec pins that
+    // no DataFrame-level cache survives the call
+    spark.catalog.clearCache()
     cur
   }
 

@@ -40,11 +40,17 @@ object Incremental {
         md5(coalesce(col(textCol), lit(""))).as("fingerprint"))
     // the diff feeds BOTH union branches: persist the (id, status)
     // sliver — ids only, never text — or each branch re-scans and
-    // re-fingerprints both snapshots (released by the caller's
-    // clearCache, like every multi-consumer frame in the engine)
-    val d = SnapshotDiff.diff(fps(prev), fps(cur), idCol)
+    // re-fingerprints both snapshots. RDD-level persist (the Pack
+    // convention), NOT catalog-level: the blocks' lifetime then
+    // follows the result frame's lineage and ContextCleaner releases
+    // them once the caller drops it — a library caller (the
+    // production incrementalRun CLI never calls clearCache) cannot
+    // accumulate pinned cache entries across calls.
+    val diffed = SnapshotDiff.diff(fps(prev), fps(cur), idCol)
       .select(col(idCol), col("status"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = cur.sparkSession.createDataFrame(
+      diffed.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      diffed.schema)
     val todo = d.filter(col("status").isin("added", "changed"))
       .select(idCol)
     val keep = d.filter(col("status") === "unchanged").select(idCol)

@@ -96,7 +96,9 @@ object Pack {
     * the sorted order: O(#groups + #partitions) entries, NOT #rows).
     * Intended for low-cardinality/high-skew groups (languages, sources);
     * for million-group keys the windowed form's per-task state is the
-    * better trade and the driver map here would be the bottleneck.
+    * better trade and the driver map here would be the bottleneck —
+    * callers on web-scale keys (hosts, URLs) go through
+    * [[withRunningTotalPerGroupHybrid]], which dispatches per group.
     */
   def withRunningTotalPerGroup(df: DataFrame, groupCol: String,
                                orderCols: Seq[Column], valCol: String,
@@ -144,6 +146,62 @@ object Pack {
     }
     spark.createDataFrame(indexed, StructType(
       sorted.schema.fields :+ StructField(name, LongType, nullable = false)))
+  }
+
+  /** Skew-routing front door for grouped running totals on
+    * HIGH-CARDINALITY keys (hosts, domains, URLs — 10⁷–10⁸ distinct at
+    * crawl scale). Neither pure form survives that shape alone:
+    *
+    *  - `Window.partitionBy(group)` parallelizes across groups with
+    *    per-task state bounded by one group's rows — perfect for the
+    *    millions of ordinary groups, catastrophic for the one mega-group
+    *    (90%-one-domain crawl slice through ONE reducer).
+    *  - [[withRunningTotalPerGroup]]'s two-pass scheme spreads a
+    *    mega-group over many range partitions — but its driver
+    *    prefix-merge carries O(#groups + #partitions) entries, a
+    *    driver-memory bottleneck when #groups is web-scale.
+    *
+    * So: one map-side-combined count per group routes each group to the
+    * form whose envelope it fits. Groups above `skewThreshold` rows take
+    * the two-pass path (driver state bounded by
+    * rows/skewThreshold × #partitions — at 10¹¹ rows and the 2M default
+    * that is ≤50k mega-groups, each one partial per partition-run, not
+    * 10⁸ hosts); everything else keeps the window (per-task state
+    * ≤ skewThreshold rows, spills via the window's external row buffer
+    * long before that matters). Both paths compute the identical
+    * deterministic exclusive prefix given a total (group, orderCols)
+    * order, so routing never changes a result — pinned by PackSpec's
+    * planted-mega-host parity test and SkewSpec. Null group keys fall to
+    * the window path (engine convention: callers fold null→'' first).
+    *
+    * The common no-skew case short-circuits to the plain window with
+    * zero added plan nodes; the routing agg is one extra pass over the
+    * upstream (callers with an expensive upstream persist it first).
+    */
+  def withRunningTotalPerGroupHybrid(df: DataFrame, groupCol: String,
+                                     orderCols: Seq[Column], valCol: String,
+                                     name: String = "start_offset",
+                                     skewThreshold: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windowed = (d: DataFrame) => {
+      val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn(name,
+        coalesce(sum(col(valCol).cast("long")).over(w), lit(0L)))
+    }
+    val bigKeys = df.groupBy(groupCol).count()
+      .filter(col("count") > skewThreshold && col(groupCol).isNotNull)
+      .select(groupCol)
+      .collect().map(_.get(0)).toSeq
+    if (bigKeys.isEmpty) windowed(df)
+    else {
+      val isBig = col(groupCol).isInCollection(bigKeys)
+      val smallOut = windowed(df.filter(col(groupCol).isNull || !isBig))
+      val bigOut = withRunningTotalPerGroup(
+        df.filter(col(groupCol).isNotNull && isBig),
+        groupCol, orderCols, valCol, name)
+      smallOut.unionByName(bigOut)
+    }
   }
 
   /** Concat-and-chop pack layout: each doc's first token lands at

@@ -98,48 +98,24 @@ object Sampling {
     * first"). Same prefix semantics as [[budgetSelect]], but the
     * running total is per group.
     *
-    * Skew routing: a partitioned window puts one group's ENTIRE row
-    * set through a single task — fine for the typical language mix,
-    * catastrophic for a 99%-one-language corpus. Groups whose row
-    * count exceeds `skewThreshold` are therefore routed through
-    * [[Pack.withRunningTotalPerGroup]], the grouped two-pass
-    * partition-offset scheme where a dominant group spreads over many
-    * range partitions; everything else keeps the window (whose
-    * per-task state is the better trade for high-cardinality keys).
-    * The two paths compute the identical deterministic prefix (score
-    * DESC, id ASC; unique ids), so routing never changes a result —
-    * pinned by the SkewSpec parity test. Null group keys fall to the
-    * window path (callers fold null→'' per the engine convention).
+    * Skew routing: delegated to
+    * [[Pack.withRunningTotalPerGroupHybrid]] — a partitioned window
+    * puts one group's ENTIRE row set through a single task (fine for
+    * the typical language mix, catastrophic for a 99%-one-language
+    * corpus), so groups whose row count exceeds `skewThreshold` take
+    * the grouped two-pass partition-offset scheme where a dominant
+    * group spreads over many range partitions; everything else keeps
+    * the window. The two paths compute the identical deterministic
+    * prefix (score DESC, id ASC; unique ids), so routing never changes
+    * a result — pinned by the SkewSpec parity test. Null group keys
+    * fall to the window path (callers fold null→'' per convention).
     */
   def budgetSelectPerGroup(df: DataFrame, groupCol: String, idCol: String,
                            scoreCol: String, tokensCol: String,
                            budgetPerGroup: Long,
-                           skewThreshold: Long = 2000000L): DataFrame = {
-    val kept = (d: DataFrame) =>
-      d.withColumn("kept", col("cum_before") + col(tokensCol) <= budgetPerGroup)
-    val windowed = (d: DataFrame) => {
-      val w = Window.partitionBy(groupCol)
-        .orderBy(col(scoreCol).desc, col(idCol).asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      kept(d.withColumn("cum_before",
-        coalesce(sum(col(tokensCol)).over(w), lit(0L))))
-    }
-    // one map-side-combined routing agg; the key list it collects is
-    // bounded by rows/threshold (the same size-gate pattern as
-    // DupClusters), and the common no-skew case short-circuits to the
-    // plain window with zero added plan nodes
-    val bigKeys = df.groupBy(groupCol).count()
-      .filter(col("count") > skewThreshold).select(groupCol)
-      .collect().map(_.get(0)).toSeq
-    if (bigKeys.isEmpty) windowed(df)
-    else {
-      val isBig = col(groupCol).isInCollection(bigKeys)
-      val smallOut = windowed(df.filter(col(groupCol).isNull || !isBig))
-      val bigOut = kept(Pack.withRunningTotalPerGroup(
-        df.filter(col(groupCol).isNotNull && isBig),
-        groupCol, Seq(col(scoreCol).desc, col(idCol).asc),
-        tokensCol, "cum_before"))
-      smallOut.unionByName(bigOut)
-    }
-  }
+                           skewThreshold: Long = 2000000L): DataFrame =
+    Pack.withRunningTotalPerGroupHybrid(df, groupCol,
+        Seq(col(scoreCol).desc, col(idCol).asc), tokensCol, "cum_before",
+        skewThreshold)
+      .withColumn("kept", col("cum_before") + col(tokensCol) <= budgetPerGroup)
 }

@@ -762,4 +762,38 @@ object SketchDedup {
         col("id_b").cast(idType).as("id_b"),
         col("n_shared"), col("containment"))
   }
+
+  /** Truncation accounting for [[containmentPairs]]'s document-frequency
+    * band: the [2, maxDf] gate is simultaneously the semantics guard
+    * (ubiquitous shingles identify boilerplate, not containment) and the
+    * skew guard (a million-doc shingle would fan out quadratically) —
+    * but it is a SILENT candidate cap unless its cost is reported. One
+    * row out: total shingle groups, singletons (below the band),
+    * in-band groups (the ones that generated pairs), groups dropped
+    * above the band, and the total postings those dropped groups
+    * carried.
+    *
+    * Scale shape: per-shingle dfs are one map-side-combined count
+    * (8 bytes of state per group per task — no bounded collector
+    * needed because no ids are retained), folded to a single row by a
+    * second partial-aggregated pass. Nothing here is capped, so the
+    * report is exact even where the pair pass truncates.
+    */
+  def containmentBandReport(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3,
+                            maxDf: Int = 20): DataFrame = {
+    val dfs = Skew.ensureParallelism(df
+      .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(col(textCol).as("__t")))
+      .select(explode(
+        shinglesFromTokens(TextMetrics.tokens(col("__t")), shingleSize)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    dfs.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton"),
+      sum(when(col("n").between(2, maxDf), 1L).otherwise(0L)).as("n_in_band"),
+      sum(when(col("n") > maxDf, 1L).otherwise(0L)).as("n_above_band"),
+      sum(when(col("n") > maxDf, col("n")).otherwise(0L))
+        .as("n_postings_dropped"))
+  }
 }

@@ -412,23 +412,32 @@ object MultimodalQueries {
       .unionByName(wide(videoSigsRaw(s, dir), "video", 12))
   }
 
-  /** Corpus CONTENT stamp (total bytes + newest mtime of the documents
-    * table), through the Hadoop FS API so hdfs:// and s3a:// stores
-    * resolve like local paths. Folded into the store key so a
-    * regenerated corpus at the SAME path can never be served stale
-    * signatures — the key changes, the lookup misses, and consumers
-    * fall back to inline decode (re-materialize to re-amortize).
+  /** Corpus CONTENT stamp — an MD5 over the sorted per-file
+    * (name, length, mtime) listing of the documents table, through the
+    * Hadoop FS API so hdfs:// and s3a:// stores resolve like local
+    * paths. Folded into the store key so a regenerated corpus at the
+    * SAME path can never be served stale signatures — the key changes,
+    * the lookup misses, and consumers fall back to inline decode
+    * (re-materialize to re-amortize). The per-file NAME digest is what
+    * defeats filesystem mtime granularity (ADVICE r12): a rewrite
+    * within the same mtime tick with an identical total length still
+    * changes the stamp, because Spark's part files carry a fresh write
+    * UUID in their names (and any other writer changes lengths or
+    * names too).
     */
   private def corpusStamp(s: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(path)
-    if (st.isDirectory) {
-      val children = fs.listStatus(path)
-      val len = children.map(_.getLen).sum
-      val mt = (st.getModificationTime +: children.map(_.getModificationTime).toSeq).max
-      s"$len:$mt"
-    } else s"${st.getLen}:${st.getModificationTime}"
+    val entries: Array[String] =
+      if (st.isDirectory)
+        fs.listStatus(path)
+          .map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .sorted
+      else Array(s"${path.getName}:${st.getLen}:${st.getModificationTime}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Corpus-keyed location of the materialized signature table under
@@ -444,13 +453,52 @@ object MultimodalQueries {
   }
 
   /** Materialize the signature stage for `dir` under `base`; returns
-    * the written path (the one [[sigSlice]] discovers).
+    * the written path (the one [[sigSlice]] discovers). Retention: the
+    * store is content-keyed, so every corpus REGENERATION writes a new
+    * generation and the superseded one becomes garbage nothing reads —
+    * a long-lived deployment runs [[pruneMediaSignatures]] after
+    * materializing to keep the store from accreting one parquet tree
+    * per corpus version (VERDICT r12 #6).
     */
   def writeMediaSignatures(s: SparkSession, dir: String,
                            base: String): String = {
     val p = mediaSigPath(s, base, dir)
     mediaSignatures(s, dir).write.mode("overwrite").parquet(p)
     p
+  }
+
+  /** Retention guard for the signature store: deletes store generations
+    * under `base` that are not the CURRENT content-keyed generation of
+    * any corpus in `liveDirs` and are older than `graceMs` (the grace
+    * window keeps a just-superseded generation around long enough for
+    * in-flight readers that resolved their key before the corpus was
+    * regenerated). Returns the deleted paths.
+    *
+    * `liveDirs` must name every corpus served from this `base`: the
+    * key is an MD5 of (path | content stamp), so a generation's owner
+    * cannot be recovered from its name — pruning keeps exactly the
+    * current keys of the dirs it is told about and treats everything
+    * else as superseded. Only `media_sigs_*.parquet` entries are
+    * touched; anything else under `base` is left alone.
+    */
+  def pruneMediaSignatures(s: SparkSession, base: String,
+                           liveDirs: Seq[String],
+                           graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val keep = liveDirs.map(d =>
+      new org.apache.hadoop.fs.Path(mediaSigPath(s, base, d)).getName).toSet
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) Seq.empty
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(basePath).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("media_sigs_") && n.endsWith(".parquet") &&
+            !keep(n) && (now - st.getModificationTime >= graceMs)
+        }
+        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+    }
   }
 
   /** The signature store base, if configured: the system property wins
@@ -465,18 +513,32 @@ object MultimodalQueries {
     * materialized table when one exists for this corpus AND content
     * stamp, else computed inline. Existence goes through the Hadoop FS
     * of the store path (java.io.File would silently miss on hdfs/s3a).
-    * Persisted — every consumer fans out over it (band projections +
-    * verify sides); released by the caller's clearCache.
+    * A clean store MISS (no table for this corpus stamp) degrades to
+    * inline decode silently — that is the designed cold path; a store
+    * that EXISTS but fails to open (corrupt footer, permissions) also
+    * degrades, but logs a WARN first so an operator sees the amortized
+    * stage silently re-decoding (ADVICE r12). Persisted — every
+    * consumer fans out over it (band projections + verify sides);
+    * released by the caller's clearCache.
     */
   private def sigSlice(s: SparkSession, dir: String, modality: String,
                        chunks: Int): DataFrame = {
     val src = sigStoreBase
       .flatMap { base =>
-        scala.util.Try {
-          val p = new org.apache.hadoop.fs.Path(mediaSigPath(s, base, dir))
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
-        }.toOption.flatten
+        val p = new org.apache.hadoop.fs.Path(mediaSigPath(s, base, dir))
+        val exists = scala.util.Try {
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+        }.getOrElse(false)
+        if (!exists) None
+        else scala.util.Try(s.read.parquet(p.toString)) match {
+          case scala.util.Success(df) => Some(df)
+          case scala.util.Failure(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"media signature store at $p exists but failed to open " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                "falling back to inline decode")
+            None
+        }
       }
       .getOrElse(mediaSignatures(s, dir))
     src.filter(col("modality") === modality)

@@ -484,17 +484,22 @@ object SimilarityQueries {
       idCol = "doc_id", textCol = "text",
       shingleSize = 3, maxDf = ContainMaxDf, threshold = ContainThreshold)
 
-  val containmentSql: String =
-    s"""WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-       |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
-       |s AS (SELECT doc_id,
-       |  CASE WHEN len(toks) >= 3 THEN
-       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
-       |      i -> array_to_string(toks[i:i+2], ' ')))
-       |  ELSE [array_to_string(toks, ' ')] END AS sh
-       | FROM c),
-       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-       |f AS (SELECT g FROM e GROUP BY g
+  /** Shared shingling CTEs (tokenize → distinct 3-shingles → posting
+    * table) — the ONE copy both the pairs oracle and the band-report
+    * oracle replay, so the accounting can never drift from the pairs. */
+  private val ContainShingleCtes: String =
+    """WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END AS sh
+      | FROM c),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s)""".stripMargin
+
+  val containmentSql: String = ContainShingleCtes + ",\n" +
+    s"""f AS (SELECT g FROM e GROUP BY g
        |      HAVING count(*) BETWEEN 2 AND $ContainMaxDf),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
        |      FROM e a JOIN f ON f.g = a.g
@@ -505,6 +510,32 @@ object SimilarityQueries {
        |  CAST(p.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS containment
        |FROM p JOIN z ON z.doc_id = p.id_a
        |WHERE CAST(p.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) >= $ContainThreshold""".stripMargin
+
+  // ---- q_containment_report: the df band's truncation, made visible -----
+
+  /** Truncation accounting for [[containment]]'s df band (VERDICT r12
+    * nit): how many shingle groups the [2, maxDf] gate dropped above
+    * the band and how many postings went with them — the "what did the
+    * cap silently cost" number a pipeline operator reads next to the
+    * pairs, oracle-replayed like everything else.
+    */
+  def containmentReport(s: SparkSession, dir: String): DataFrame =
+    SketchDedup.containmentBandReport(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 3, maxDf = ContainMaxDf)
+
+  val containmentReportSql: String = ContainShingleCtes + ",\n" +
+    s"""d AS (SELECT g, count(*) AS n FROM e GROUP BY g)
+       |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_singleton,
+       |  CAST(sum(CASE WHEN n BETWEEN 2 AND $ContainMaxDf THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_band,
+       |  CAST(sum(CASE WHEN n > $ContainMaxDf THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_above_band,
+       |  CAST(sum(CASE WHEN n > $ContainMaxDf THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_postings_dropped
+       |FROM d""".stripMargin
 
   // ---- q_ngram_jaccard: blocked exact Jaccard near-dup pairs ------------
 

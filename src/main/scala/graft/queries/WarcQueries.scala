@@ -593,13 +593,17 @@ object WarcQueries {
     * URL's fetch time is `(its position within the host) × delay`.
     *
     * Scale shape: the per-host position is the classic skewed grouped
-    * rank — a `row_number() OVER (PARTITION BY host)` serializes a
-    * mega-host's entire row set through ONE task, exactly what a
-    * 90%-one-domain crawl slice would hit. The engine's skew-safe
-    * grouped prefix machinery ([[graft.ops.Pack.withRunningTotalPerGroup]]:
-    * range-partition by (host, doc_id), per-partition group partials,
-    * driver prefix-merge) spreads a dominant host over many partitions
-    * — counting is a running total of 1.
+    * rank over a WEB-SCALE key (10⁷–10⁸ distinct hosts on a real
+    * frontier) — a plain `row_number() OVER (PARTITION BY host)`
+    * serializes a mega-host's entire row set through ONE task, while
+    * the grouped two-pass form's driver prefix-merge is O(#groups) and
+    * would collect one entry per host. The hybrid
+    * ([[graft.ops.Pack.withRunningTotalPerGroupHybrid]]) routes each
+    * host by its row count: ordinary hosts keep the window (parallel
+    * across hosts, per-task state one host's rows), only detected
+    * mega-hosts take the two-pass partition-offset path (driver state
+    * bounded by rows/threshold, not #hosts) — counting is a running
+    * total of 1.
     */
   def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Pack
@@ -609,7 +613,7 @@ object WarcQueries {
         lit(".example.org")).as("host"),
       (lit(1) + (col("doc_id") % 20) % 5).cast("long").as("crawl_delay"),
       lit(1L).as("__one"))
-    Pack.withRunningTotalPerGroup(urls, "host", Seq(col("doc_id")),
+    Pack.withRunningTotalPerGroupHybrid(urls, "host", Seq(col("doc_id")),
         "__one", "seq")
       .select(col("doc_id"), col("host"), col("seq"),
         (col("seq") * col("crawl_delay")).as("fetch_at_sec"))
@@ -803,7 +807,7 @@ object WarcQueries {
       .withColumn("crawl_delay",
         (lit(1) + (col("doc_id") % 50) % 5).cast("long"))
       .withColumn("__one", lit(1L))
-    val scheduled = Pack.withRunningTotalPerGroup(allowed, "host",
+    val scheduled = Pack.withRunningTotalPerGroupHybrid(allowed, "host",
         Seq(col("doc_id")), "__one", "seq")
       .select(col("doc_id"), col("host"), col("path"),
         lit("scheduled").as("disposition"), col("seq"),

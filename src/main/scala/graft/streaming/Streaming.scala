@@ -208,6 +208,82 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** Binary-media intake from a WARC landing dir: `response` records
+    * whose HTTP payload is a 2xx image or audio body, kept as opaque
+    * bytes with a `modality` tag — the media twin of [[warcDocsTimed]],
+    * with the same event-time discipline (WARC-Date via
+    * `try_to_timestamp`, archive-file mtime fallback for malformed
+    * dates, so the watermark clock is restart-deterministic and a bad
+    * date cannot silently vanish a record as late data).
+    */
+  def warcMediaTimed(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    readWarc(spark, dir, maxFilesPerTrigger)
+      .select(col("warc_type"), col("target_uri"), col("warc_date"),
+        col("file_mtime"), col("payload"))
+      .as[(String, String, String, java.sql.Timestamp, Array[Byte])]
+      .flatMap {
+        case ("response", uri, date, mtime, payload) =>
+          graft.sources.Warc.httpResponse(payload).collect {
+            case h if h.status / 100 == 2 &&
+              (h.contentType.startsWith("image/") ||
+                h.contentType.startsWith("audio/")) =>
+              (uri, date, mtime,
+                if (h.contentType.startsWith("image/")) "image" else "audio",
+                h.body)
+          }
+        case _ => None
+      }
+      .toDF("url", "warc_date", "file_mtime", "modality", "content")
+      .withColumn("warc_ts",
+        coalesce(try_to_timestamp(col("warc_date")), col("file_mtime")))
+      .drop("warc_date", "file_mtime")
+  }
+
+  /** The PERCEPTUAL leg of the streaming crawl chain (VERDICT r12 #5):
+    * [[warcMediaTimed]] intake → per-modality signature extraction
+    * (image dHash / audio energy-delta, the same codegen kernels as
+    * the batch near-dup family) → keep-first within the watermark
+    * horizon. The dedup keys on (modality, signature): the two
+    * signature spaces are unrelated 64-bit families, so a numeric
+    * collision across modalities must not collapse an image with an
+    * audio clip. Same undecodable-payload discipline as
+    * [[dedupPerceptualStream]]: a NULL signature falls back to a
+    * byte-exact `raw:`-prefixed md5 (dropDuplicates treats NULLs as
+    * equal and would funnel every undecodable payload into one
+    * survivor). The only stream state is the watermark-bounded
+    * signature set — signature extraction is stateless per record.
+    */
+  def mediaCrawlStream(spark: SparkSession, dir: String,
+                       watermark: String = "1 hour",
+                       maxFilesPerTrigger: Int = 4): DataFrame =
+    warcMediaTimed(spark, dir, maxFilesPerTrigger)
+      .withColumn("media_sig", coalesce(
+        when(col("modality") === "image", graft.plans.DHashSig(col("content")))
+          .otherwise(graft.plans.AudioSig(col("content"))),
+        concat(lit("raw:"), md5(col("content")))))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("modality", "media_sig")
+
+  /** [[mediaCrawlStream]] wired to a checkpointed parquet sink — the
+    * continuous media-intake job (exactly-once through the checkpoint
+    * manifest; stop/restart resumes offsets AND the perceptual dedup
+    * state — StreamingRestartSpec pins a cross-format re-arrival being
+    * swallowed by state recovered from the checkpoint).
+    */
+  def runMediaCrawl(spark: SparkSession, warcDir: String, outDir: String,
+                    checkpointDir: String, watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mediaCrawlStream(spark, warcDir, watermark)
+      .select("url", "warc_ts", "modality", "media_sig", "content")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Open a JSONL landing directory as a stream with an explicit schema
     * (streams cannot infer; `maxFilesPerTrigger` bounds batch size).
     */

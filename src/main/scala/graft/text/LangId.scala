@@ -149,7 +149,12 @@ object LangId {
 
   /** The WordlistHits-over-token-array staging [[withLangColumns]]
     * replaced — kept as the kernel's parity anchor (LangIdModelSpec /
-    * TextOpsSpec pin value-equality of pred and score).
+    * TextOpsSpec pin value-equality of pred and score). What the
+    * anchor independently reproduces is the HIT-COUNT STAGING (token
+    * array + WordlistHits vs the fused one-pass profile kernel); the
+    * scalar pred/score derivation over those counts is routed through
+    * [[predScoreFrom]] like every other staging, so a tuning change
+    * cannot silently diverge here either (ADVICE r12).
     */
   private[graft] def withLangColumnsArr(df: org.apache.spark.sql.DataFrame,
       c: Column, predName: String = "lang_pred",
@@ -165,26 +170,8 @@ object LangId {
       .withColumn("__hs", element_at(col("__lang_hits"), 3))
       .withColumn("__hf", element_at(col("__lang_hits"), 4))
       .withColumn("__ln", size(col("__lang_toks")))
-    val (cjk, he, hd, hs, hf, n) = (col("__cjk"), col("__he"), col("__hd"),
-      col("__hs"), col("__hf"), col("__ln"))
-    val nch = length(s)
-    val isZh = (cjk > 0) &&
-      (cjk.cast("double") * lit(CjkGain) / nch.cast("double") > lit(CjkMinRatio * CjkGain))
-    val maxHits = greatest(he, hd, hs, hf)
-    val empty = c.isNull || trim(c) === ""
-    val pred =
-      when(empty, "unk")
-        .when(isZh, "zh")
-        .when(n === 0 || maxHits === 0, "unk")
-        .when(he === maxHits, "en")
-        .when(hd === maxHits, "de")
-        .when(hs === maxHits, "es")
-        .otherwise("fr")
-    val score =
-      when(empty, 0.0)
-        .when(isZh, least(lit(1.0), cjk.cast("double") * lit(CjkGain) / nch.cast("double")))
-        .when(n === 0 || maxHits === 0, 0.0)
-        .otherwise(least(lit(1.0), maxHits.cast("double") * lit(StopwordGain) / n.cast("double")))
+    val (pred, score) = predScoreFrom(c, col("__ln"), col("__he"),
+      col("__hd"), col("__hs"), col("__hf"), col("__cjk"))
     staged
       .withColumn(predName, pred)
       .withColumn(scoreName, score)

@@ -35,6 +35,15 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** True when the session's CacheManager holds no cached plans —
+    * lets specs pin "this library call released every DataFrame-level
+    * persist it took" (RDD-level persists are lifecycle-managed by
+    * ContextCleaner and excluded on purpose: their release is
+    * GC-driven, so asserting on them would be flaky).
+    */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Force-compile a WholeStageCodegenExec node's generated source.
     * At runtime a janino failure only logs a WARN and silently falls
     * back to interpreted evaluation; routed through this, it THROWS —

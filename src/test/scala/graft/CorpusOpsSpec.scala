@@ -164,6 +164,17 @@ class CorpusOpsSpec extends SparkTestBase {
     val pairs = SketchDedup.containmentPairs(docs, "doc_id", "text",
       shingleSize = 3, maxDf = 20, threshold = 0.5)
     assert(pairs.count() === 0)
+    // the band report makes that suppression VISIBLE: per doc the
+    // shingles are "same old intro" (df=30, above band) plus three
+    // unique$i-keyed singletons -> 91 groups, 90 singletons, 0 in
+    // band, 1 dropped group carrying all 30 of its postings
+    val rep = SketchDedup.containmentBandReport(docs, "doc_id", "text",
+      shingleSize = 3, maxDf = 20).collect()(0)
+    assert(rep.getLong(0) === 91L, "n_groups")
+    assert(rep.getLong(1) === 90L, "n_singleton")
+    assert(rep.getLong(2) === 0L, "n_in_band")
+    assert(rep.getLong(3) === 1L, "n_above_band")
+    assert(rep.getLong(4) === 30L, "n_postings_dropped")
   }
 
   test("pluggable lang model: same column contract, one init per task, not per row") {

@@ -381,8 +381,9 @@ class MultimodalSpec extends SparkTestBase {
         "staged signature reads must be bit-identical to inline decode")
       // staleness guard: regenerating the corpus at the SAME path must
       // change the content-stamped store key, so the old materialization
-      // can never be served for the new data
-      Thread.sleep(1100) // mtime granularity
+      // can never be served for the new data. No mtime-tick sleep: the
+      // stamp digests per-file NAMES (fresh write UUIDs every rewrite),
+      // so even a same-instant same-length rewrite re-keys.
       Seq((0L, mkText(3)), (10L, mkText(5)))
         .toDF("doc_id", "text")
         .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
@@ -390,6 +391,51 @@ class MultimodalSpec extends SparkTestBase {
         .mediaSigPath(spark, store, dirPath)
       assert(newKey !== written,
         "regenerated corpus must key to a different store path")
+      // retention guard: materialize the new generation, then prune —
+      // the grace window protects the just-superseded generation, a
+      // zero grace removes it, and the live generation always survives
+      val written2 = graft.queries.MultimodalQueries
+        .writeMediaSignatures(spark, dirPath, store)
+      assert(written2 === newKey)
+      val graced = graft.queries.MultimodalQueries
+        .pruneMediaSignatures(spark, store, Seq(dirPath),
+          graceMs = 3600L * 1000)
+      assert(graced.isEmpty, "grace window must protect the stale generation")
+      assert(new java.io.File(written).exists)
+      val deleted = graft.queries.MultimodalQueries
+        .pruneMediaSignatures(spark, store, Seq(dirPath), graceMs = 0L)
+      assert(deleted.map(p => p.split('/').last) ===
+        Seq(written.split('/').last))
+      assert(!new java.io.File(written).exists,
+        "stale generation must be removed")
+      assert(new java.io.File(written2).exists,
+        "live generation must survive the prune")
+    } finally {
+      System.clearProperty("graft.media.sigs.dir")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("sigSlice: a corrupt signature store degrades to inline decode " +
+    "with identical results (and never throws)") {
+    import spark.implicits._
+    val dirPath = java.nio.file.Files.createTempDirectory("sigcorrupt").toString
+    Seq((0L, "alpha"), (5L, "beta"), (10L, "gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+    val inline = graft.queries.MultimodalQueries.mediaNearDup(spark, dirPath)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    val store = java.nio.file.Files.createTempDirectory("sigstore-bad").toString
+    // plant garbage exactly where the store table for this corpus keys
+    val key = graft.queries.MultimodalQueries.mediaSigPath(spark, store, dirPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(key),
+      "definitely not a parquet table".getBytes("UTF-8"))
+    System.setProperty("graft.media.sigs.dir", store)
+    try {
+      val got = graft.queries.MultimodalQueries.mediaNearDup(spark, dirPath)
+        .collect().map(_.toSeq).toSet
+      assert(got === inline,
+        "corrupt store must fall back to inline decode, bit-identical")
     } finally {
       System.clearProperty("graft.media.sigs.dir")
       spark.catalog.clearCache()

@@ -127,8 +127,14 @@ class OrchestratorSpec extends SparkTestBase {
       .select("url", "text")
     val prevDir = Files.createTempDirectory("graft-inc-prev").toString
     Orchestrator.run(spark, prevDir, raw = Some(rawA))
+    // the production CLI never calls clearCache, so incrementalRun must
+    // release its own stage-2/3 persists (ADVICE r12): start from a
+    // clean cache and assert none survive the call
+    spark.catalog.clearCache()
     val incDir = Files.createTempDirectory("graft-inc-out").toString
     val incr = Orchestrator.incrementalRun(spark, prevDir, incDir, rawB)
+    assert(org.apache.spark.sql.GraftSqlBridge.noCachedPlans(spark),
+      "incrementalRun left DataFrame-level caches pinned")
     val fullDir = Files.createTempDirectory("graft-inc-full").toString
     Orchestrator.run(spark, fullDir, raw = Some(rawB))
     // content columns must agree; seq-derived artifacts (shard_id,

@@ -60,6 +60,42 @@ class PackSpec extends SparkTestBase {
     assert(got(5L) === ((130L, false)))
   }
 
+  test("hybrid grouped total: window path for ordinary groups, two-pass for a planted mega-group, identical results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 ordinary hosts x ~10 rows + one 300-row mega host, ragged values
+    val rows = (1L to 360L).map { i =>
+      val host = if (i <= 300) "mega.example.org" else s"h${i % 6}.example.org"
+      (i, host, (i * 7) % 5 + 1)
+    }
+    val df = rows.toDF("id", "host", "n").repartition(11)
+    val expect: Map[Long, Long] = rows.groupBy(_._2).values.flatMap { grp =>
+      var run = 0L
+      grp.sortBy(_._1).map { case (id, _, n) => val r = id -> run; run += n; r }
+    }.toMap
+    // no-skew regime: the plan is the plain partitioned window — no
+    // two-pass RDD materialization anywhere
+    val win = Pack.withRunningTotalPerGroupHybrid(
+      df, "host", Seq(col("id")), "n", "off", skewThreshold = 1000L)
+    val winPlan = win.queryExecution.executedPlan.toString
+    assert(winPlan.contains("Window"), winPlan)
+    assert(!winPlan.contains("Scan ExistingRDD"), winPlan)
+    // skew regime: mega host routed to the two-pass path (RDD scan in
+    // plan), ordinary hosts keep the window; union of both present
+    val hyb = Pack.withRunningTotalPerGroupHybrid(
+      df, "host", Seq(col("id")), "n", "off", skewThreshold = 50L)
+    val hybPlan = hyb.queryExecution.executedPlan.toString
+    assert(hybPlan.contains("Window"), hybPlan)
+    assert(hybPlan.contains("Scan ExistingRDD"), hybPlan)
+    def got(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "off").as[(Long, Long)].collect().toMap
+    assert(got(win) === expect)
+    assert(got(hyb) === expect)
+    // both regimes agree with the plain two-pass form
+    assert(got(Pack.withRunningTotalPerGroup(
+      df, "host", Seq(col("id")), "n", "off")) === expect)
+  }
+
   test("pack layout: boundaries, straddles, zero-token docs") {
     import spark.implicits._
     // capacity 10: doc layouts chosen to pin every edge case

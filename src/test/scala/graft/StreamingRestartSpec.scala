@@ -381,4 +381,81 @@ class StreamingRestartSpec extends SparkTestBase {
       "https://ok.example.org/doc/6",
       "https://ok.example.org/doc/7"), out.toString)
   }
+
+  test("media crawl restart: perceptual dedup state survives — a " +
+    "cross-format re-arrival after the restart is swallowed, new media " +
+    "and new raw payloads pass") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val w = 16; val h = 16
+    def px(f: Int => Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      (0 until w * h).foreach { p =>
+        val v = f(p)
+        a(p * 3) = v.toByte; a(p * 3 + 1) = ((7 * v) % 256).toByte
+        a(p * 3 + 2) = ((13 * v) % 256).toByte
+      }
+      a
+    }
+    val pixA = px(p => (p * 37) % 256)
+    val pixB = px(p => (p * 5 + 9) % 256)
+    val samples = Array.tabulate(400)(i => ((i * 53) % 256 - 128) * 64)
+    val junkA = Array.fill[Byte](64)(3)
+    val junkB = Array.fill[Byte](64)(4)
+    def media(path: String, ctype: String, body: Array[Byte],
+              minute: Int): Warc.WarcRecord = {
+      val p = Warc.encodeHttpResponse(200, ctype, body)
+      Warc.WarcRecord("response", s"<urn:mx:$path>",
+        f"2026-01-01T10:$minute%02d:00Z", s"https://media.example.org$path",
+        "application/http;msgtype=response", p.length.toLong, p)
+    }
+    def drop(dir: String, name: String, recs: Seq[Warc.WarcRecord]): Unit = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      recs.foreach(r => f.write(Warc.encodeGzipMember(r)))
+      f.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("media_restart").toString
+    val landing = s"$base/warc"
+    new java.io.File(landing).mkdirs()
+    // drop 1: one image (QOI), one audio clip (FLAC), one undecodable
+    // image payload (raw: fallback key)
+    drop(landing, "a.warc.gz", Seq(
+      media("/img/1", "image/qoi", graft.ops.QoiCodec.encode(w, h, 3, pixA), 1),
+      media("/aud/1", "audio/flac", graft.ops.FlacCodec.encodeFlac16(
+        8000, 1, samples, subframe = 0, midSide = false, partitions2 = true), 2),
+      media("/bin/1", "image/x-junk", junkA, 3)))
+    def start() = Streaming.runMediaCrawl(spark, landing,
+      s"$base/out", s"$base/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val first = spark.read.parquet(s"$base/out")
+      .select("url").as[String].collect().toSet
+    assert(first === Set("https://media.example.org/img/1",
+      "https://media.example.org/aud/1",
+      "https://media.example.org/bin/1"), first.toString)
+    // while the query is DOWN: pixA re-arrives AS A PNG (byte-disjoint,
+    // perceptually identical — only the checkpointed SIGNATURE state
+    // can catch it), the same recording re-arrives AS A WAV, the same
+    // junk bytes re-arrive, plus one genuinely new image and one new
+    // junk payload
+    drop(landing, "b.warc.gz", Seq(
+      media("/img/2", "image/png", graft.ops.ImageCodec.encodePng(w, h, pixA), 10),
+      media("/img/3", "image/qoi", graft.ops.QoiCodec.encode(w, h, 3, pixB), 11),
+      media("/aud/2", "audio/wav", graft.ops.AudioCodec.encodeWav16(
+        8000, 1, samples.map(_ / 32768f)), 12),
+      media("/bin/2", "image/x-junk", junkA, 13),
+      media("/bin/3", "image/x-junk", junkB, 14)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$base/out").select("url").as[String]
+      .collect().toSeq
+    // drop 1 not reprocessed (exactly-once); the recovered signature
+    // state swallowed the PNG re-encode, the WAV re-container and the
+    // byte-identical junk; the new image and new junk survive
+    assert(out.sorted === Seq("https://media.example.org/aud/1",
+      "https://media.example.org/bin/1",
+      "https://media.example.org/bin/3",
+      "https://media.example.org/img/1",
+      "https://media.example.org/img/3"), out.toString)
+  }
 }
