@@ -99,22 +99,25 @@ object Pipeline {
       if (collapseRepeats) Normalize.structuralCleanup(col("text_norm"))
       else Normalize.structuralCleanupNoRepeats(col("text_norm")))
     val t = col("text_deep_clean")
-    // All four hit counters come from ONE fused scan (pii_counts
-    // staged as an attribute); the mask chain is a second fused pass.
-    // Two string conversions per row instead of the former eight
-    // regexp expressions (kernel == regex parity: PiiScanSpec).
+    // Hit counters AND the mask chain from ONE fused scan family
+    // (pii_scan staged as a struct attribute): one string conversion
+    // per row, and until the first pattern matches each chain stage's
+    // count+mask share a single scan — the former two-kernel staging
+    // (pii_counts + pii_mask) paid two conversions and a second email
+    // scan even on the no-PII majority (kernel == regex parity and
+    // fused == two-kernel parity: PiiScanSpec).
     val stats = TextMetrics.withTokenStats(cleaned, t)
-      .withColumn("__pii", graft.plans.PiiCounts(t))
-      .withColumn("text_pii_masked", Pii.maskPii(t))
+      .withColumn("__pii_sc", graft.plans.PiiScanFused(t))
+      .withColumn("text_pii_masked", col("__pii_sc").getField("masked"))
       .withColumn("pii_email_hits",
-        coalesce(element_at(col("__pii"), 1), lit(0)).cast("long"))
+        coalesce(element_at(col("__pii_sc").getField("counts"), 1), lit(0)).cast("long"))
       .withColumn("pii_phone_hits",
-        coalesce(element_at(col("__pii"), 2), lit(0)).cast("long"))
+        coalesce(element_at(col("__pii_sc").getField("counts"), 2), lit(0)).cast("long"))
       .withColumn("pii_cc_hits",
-        coalesce(element_at(col("__pii"), 3), lit(0)).cast("long"))
+        coalesce(element_at(col("__pii_sc").getField("counts"), 3), lit(0)).cast("long"))
       .withColumn("pii_iban_hits",
-        coalesce(element_at(col("__pii"), 4), lit(0)).cast("long"))
-      .drop("__pii")
+        coalesce(element_at(col("__pii_sc").getField("counts"), 4), lit(0)).cast("long"))
+      .drop("__pii_sc")
     val flagged = stats.withColumn("has_pii", Pii.hasPii(
       col("pii_email_hits"), col("pii_phone_hits"),
       col("pii_cc_hits"), col("pii_iban_hits")))

@@ -65,8 +65,10 @@ object EmailScan {
   @inline private def isAlpha(c: Char): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
 
-  /** Walk matches in order; onMatch(start, endExclusive). */
-  private def scan(s: String)(onMatch: (Int, Int) => Unit): Unit = {
+  /** Walk matches in order; onMatch(start, endExclusive).
+    * private[plans]: [[PiiScan.countsAndMask]] fuses count+mask over
+    * ONE email scan. */
+  private[plans] def scan(s: String)(onMatch: (Int, Int) => Unit): Unit = {
     val n = s.length
     var scanFrom = 0 // find() resume point: no match may start before it
     var at = s.indexOf('@')

@@ -50,6 +50,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("pii_mask_ext"),
         PiiMaskChainExt.info, PiiMaskChainExt.builder))
     ext.injectFunction(
+      (FunctionIdentifier("pii_scan"), PiiScanFused.info, PiiScanFused.builder))
+    ext.injectFunction(
       (FunctionIdentifier("phone_simple_hits"),
         PhoneSimpleCount.info, PhoneSimpleCount.builder))
     ext.injectFunction(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hand scanners with EXACT `java.util.regex` semantics for the five
@@ -410,6 +410,64 @@ object PiiScan {
     str = replaceAll(Iban, str, "<IBAN>")
     UTF8String.fromString(str)
   }
+
+  /** pii_scan: [[counts]] AND [[maskChain]] from ONE UTF8String→String
+    * conversion — and, until the first pattern actually matches, each
+    * chain stage's count and mask share ONE scan (counts run over the
+    * ORIGINAL text and mask stages over the progressively-masked text,
+    * but those are the same string until something masks — the
+    * overwhelmingly common no-PII row pays one conversion + six scans
+    * where the two-kernel staging paid two conversions + ten). After
+    * divergence the stage falls back to the exact two-call form
+    * (countOf over the original, replaceAll over the chain), so the
+    * result is bit-identical to `struct(counts(s), maskChain(s))` by
+    * construction (PiiScanSpec pins it over the differential-fuzz
+    * corpus). IP and SSN are counted but not masked in the reference
+    * chain, so they always scan the original text.
+    */
+  def countsAndMask(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val counts = new Array[Int](6)
+    var cur = str
+    var diverged = false
+    // one chain stage: count into counts(idx), mask repl into cur.
+    // which = -1 selects the email scanner.
+    def stage(idx: Int, which: Int, repl: String): Unit = {
+      if (!diverged) {
+        var sb: java.lang.StringBuilder = null
+        var copied = 0
+        var c = 0
+        val onMatch = (a: Int, b: Int) => {
+          c += 1
+          if (sb == null) sb = new java.lang.StringBuilder(cur.length)
+          sb.append(cur, copied, a).append(repl)
+          copied = b
+        }
+        if (which < 0) EmailScan.scan(cur)(onMatch)
+        else scanWith(which, cur)(onMatch)
+        counts(idx) = c
+        if (sb != null) {
+          cur = sb.append(cur, copied, cur.length).toString
+          diverged = true
+        }
+      } else {
+        counts(idx) =
+          if (which < 0) EmailScan.countStr(str) else countOf(which, str)
+        cur =
+          if (which < 0) EmailScan.maskStr(cur, repl)
+          else replaceAll(which, cur, repl)
+      }
+    }
+    stage(0, -1, "<EMAIL>")
+    stage(1, Phone, "<PHONE>")
+    stage(2, Cc, "<CREDIT_CARD>")
+    stage(3, Iban, "<IBAN>")
+    counts(4) = countOf(Ip, str)
+    counts(5) = countOf(Ssn, str)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(counts),
+      if (cur eq str) s else UTF8String.fromString(cur)))
+  }
 }
 
 /** `pii_counts(str)` — [email, phone, cc, iban, ip, ssn] PII match
@@ -512,6 +570,47 @@ object PiiMaskChainExt {
   private[plans] val builder: Seq[Expression] => Expression = { args =>
     require(args.length == 1, "pii_mask_ext expects exactly one argument")
     PiiMaskChainExt(args.head)
+  }
+}
+
+/** `pii_scan(str)` — struct(counts: [email, phone, cc, iban, ip, ssn],
+  * masked: the reference mask chain) from one conversion and shared
+  * count+mask scans until first divergence — the fusion of
+  * [[PiiCounts]] and [[PiiMaskChain]] for call sites that project both
+  * (the deep-clean stage).
+  */
+case class PiiScanFused(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("counts", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("masked", StringType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pii_scan"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiScan.countsAndMask(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PiiScan$$.MODULE$$.countsAndMask($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScanFused =
+    copy(child = newChild)
+}
+
+object PiiScanFused {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(PiiScanFused(GraftSqlBridge.expression(c)))
+
+  private[plans] val info = new ExpressionInfo(
+    classOf[PiiScanFused].getCanonicalName, null, "pii_scan",
+    "_FUNC_(str) - struct(counts: [email, phone, cc, iban, ip, ssn] PII match counts, masked: reference mask chain), linear time.",
+    "", "", "", "string_funcs", "4.0.0", "", "scala_udf")
+
+  private[plans] val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "pii_scan expects exactly one argument")
+    PiiScanFused(args.head)
   }
 }
 

@@ -76,6 +76,15 @@ class PiiScanSpec extends SparkTestBase {
       jChain(s), s"mask chain on <$s>")
     assert(PiiScan.maskChainExt(UTF8String.fromString(s)).toString ===
       jChainExt(s), s"extended mask chain on <$s>")
+    // the fused counts+mask kernel must equal the two-kernel staging
+    // bit for bit — including after its shared-scan path diverges
+    val fused = PiiScan.countsAndMask(UTF8String.fromString(s))
+    val fusedCounts = fused.getArray(0)
+    (0 until 6).foreach { i =>
+      assert(fusedCounts.getInt(i) === k(i), s"fused count $i on <$s>")
+    }
+    assert(fused.getUTF8String(1).toString === jChain(s),
+      s"fused mask on <$s>")
   }
 
   test("fixtures: documented interactions and boundary traps") {
