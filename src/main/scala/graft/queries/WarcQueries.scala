@@ -631,6 +631,49 @@ object WarcQueries {
       |    * delay AS BIGINT) AS fetch_at_sec
       |FROM u""".stripMargin
 
+  // ---- q_crawl_schedule_skew: the hybrid's two-pass branch, gated -------
+
+  /** The mega-host regime of the politeness scheduler: half the corpus
+    * piles onto ONE host (the 90%-one-domain crawl-slice shape) while
+    * the rest spreads over 40 ordinary hosts, and the skew threshold is
+    * pinned low enough (100 rows) that the dominant host routes through
+    * the grouped two-pass partition-offset branch at the graded SF
+    * while the ordinary hosts keep the window. [[crawlSchedule]]'s
+    * fixture is all-ordinary and therefore all-window since the hybrid
+    * landed — THIS query is what keeps the two-pass machinery itself
+    * under the DuckDB hash gate (the oracle replays the plain
+    * row_number window; both engine branches must agree with it
+    * exactly, and with each other across the union).
+    */
+  def crawlScheduleSkew(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pack
+    val urls = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 10 < 5, lit("mega.example.org"))
+        .otherwise(concat(lit("d"), (col("doc_id") % 40).cast("string"),
+          lit(".example.org"))).as("host"),
+      (lit(1) + col("doc_id") % 3).cast("long").as("crawl_delay"),
+      lit(1L).as("__one"))
+    Pack.withRunningTotalPerGroupHybrid(urls, "host", Seq(col("doc_id")),
+        "__one", "seq", skewThreshold = 100L)
+      .select(col("doc_id"), col("host"), col("seq"),
+        (col("seq") * col("crawl_delay")).as("fetch_at_sec"))
+  }
+
+  val crawlScheduleSkewSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 < 5 THEN 'mega.example.org'
+      |      ELSE 'd' || (doc_id % 40) || '.example.org' END AS host,
+      |    1 + doc_id % 3 AS delay
+      |  FROM documents)
+      |SELECT doc_id, host,
+      |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+      |    AS BIGINT) AS seq,
+      |  CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+      |    * delay AS BIGINT) AS fetch_at_sec
+      |FROM u""".stripMargin
+
   // ---- q_warc_revisit: digest-based revisit records across snapshots -----
 
   /** WARC `revisit` records (ISO 28500 §6.7.2) — how a recrawl stores
