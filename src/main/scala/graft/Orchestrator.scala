@@ -89,7 +89,8 @@ object Orchestrator {
   def run(spark: SparkSession, outDir: String,
           raw: Option[DataFrame] = None,
           fromVersion: Int = 1,
-          dropPii: Boolean = false): DataFrame = {
+          dropPii: Boolean = false,
+          releaseCaches: Boolean = true): DataFrame = {
     require(fromVersion >= 1 && fromVersion <= LastVersion,
       s"fromVersion must be in [1, $LastVersion], got $fromVersion")
     if (fromVersion == 1) {
@@ -119,10 +120,11 @@ object Orchestrator {
     // disk and `cur` is a parquet read-back, so nothing cached is live;
     // without the fence a long-lived session invoking runs repeatedly
     // accretes pinned frames (the production CLI never calls
-    // clearCache). This mode owns the session for the run's duration by
-    // contract — embedders holding unrelated cached frames use the
-    // fused [[Pipeline.run]] instead.
-    spark.catalog.clearCache()
+    // clearCache). The fence is session-GLOBAL (the stage transforms'
+    // internal persists are not individually reachable from here), so
+    // an embedder holding its own cached frames in the same session
+    // passes releaseCaches = false and owns the release itself.
+    if (releaseCaches) spark.catalog.clearCache()
     cur
   }
 
@@ -145,7 +147,8 @@ object Orchestrator {
     * rescanning the corpus); run the full mode when audits are needed.
     */
   def incrementalRun(spark: SparkSession, prevDir: String, outDir: String,
-                     rawCur: DataFrame, dropPii: Boolean = false): DataFrame = {
+                     rawCur: DataFrame, dropPii: Boolean = false,
+                     releaseCaches: Boolean = true): DataFrame = {
     val prevV1 = spark.read.parquet(versionPath(prevDir, 1))
     val prevV3 = spark.read.parquet(versionPath(prevDir, 3))
     Pipeline.ingest(rawCur).write.mode("overwrite")
@@ -186,11 +189,12 @@ object Orchestrator {
     }
     Sinks.writeMetricsJson(Map("stages" -> summary),
       s"$outDir/run_summary.json")
-    // same end-of-run cache fence as [[run]] (see the note there): the
-    // stage transforms' branch-point persists are owned by this entry
-    // point, everything live is on disk, and OrchestratorSpec pins that
-    // no DataFrame-level cache survives the call
-    spark.catalog.clearCache()
+    // same end-of-run cache fence as [[run]] (see the note there,
+    // including the embedder opt-out): the stage transforms'
+    // branch-point persists are owned by this entry point, everything
+    // live is on disk, and OrchestratorSpec pins that no
+    // DataFrame-level cache survives the call
+    if (releaseCaches) spark.catalog.clearCache()
     cur
   }
 

@@ -480,12 +480,32 @@ object MultimodalQueries {
     * current keys of the dirs it is told about and treats everything
     * else as superseded. Only `media_sigs_*.parquet` entries are
     * touched; anything else under `base` is left alone.
+    *
+    * Fail-safe: if ANY live dir's current key cannot be resolved
+    * (retired path still in the retention config, transient FS error),
+    * that dir's live generation is indistinguishable from garbage — so
+    * the prune WARNs and deletes NOTHING rather than risk deleting a
+    * live store (accretion is recoverable; a deleted live generation
+    * means silent re-decode until re-materialized).
     */
   def pruneMediaSignatures(s: SparkSession, base: String,
                            liveDirs: Seq[String],
                            graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val keep = liveDirs.map(d =>
-      new org.apache.hadoop.fs.Path(mediaSigPath(s, base, d)).getName).toSet
+    val resolved = liveDirs.map { d =>
+      d -> scala.util.Try(
+        new org.apache.hadoop.fs.Path(mediaSigPath(s, base, d)).getName)
+    }
+    val unresolved = resolved.collect { case (d, scala.util.Failure(e)) => (d, e) }
+    if (unresolved.nonEmpty) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      unresolved.foreach { case (d, e) =>
+        log.warn(s"pruneMediaSignatures: cannot resolve the current " +
+          s"store key of live dir $d (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}); skipping the prune entirely (fail-safe)")
+      }
+      return Seq.empty
+    }
+    val keep = resolved.collect { case (_, scala.util.Success(n)) => n }.toSet
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(basePath)) Seq.empty

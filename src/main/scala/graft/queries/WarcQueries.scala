@@ -603,7 +603,10 @@ object WarcQueries {
     * across hosts, per-task state one host's rows), only detected
     * mega-hosts take the two-pass partition-offset path (driver state
     * bounded by rows/threshold, not #hosts) — counting is a running
-    * total of 1.
+    * total of 1. The hybrid's routing agg re-executes the upstream;
+    * here that upstream is one column-pruned projection of the
+    * documents scan, cheaper than persisting it (contrast
+    * [[frontierE2e]], whose gated chain IS persisted for this reason).
     */
   def crawlSchedule(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Pack
@@ -845,7 +848,19 @@ object WarcQueries {
           array(lit("/doc/"), lit("/private/"), lit("/page/"), lit("/doc/x")),
           (col("doc_id") % 4).cast("int") + 1),
         col("doc_id").cast("string")).as("path"))
-    val gated = Robots.gate(urls, fixtureRules(s))
+    // persisted at the RDD level (ContextCleaner lifecycle): the gated
+    // frame feeds THREE consumers — the allowed branch (whose hybrid
+    // scheduler additionally runs a routing count-agg before its own
+    // pass) and the blocked branch — and its upstream is the whole
+    // collapse-window + robots-join chain; without the persist that
+    // chain executes once per consumer (Pack's hybrid scaladoc:
+    // "callers with an expensive upstream persist it first")
+    val gated = {
+      val g = Robots.gate(urls, fixtureRules(s))
+      g.sparkSession.createDataFrame(
+        g.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        g.schema)
+    }
     val allowed = gated.filter(col("allowed"))
       .withColumn("crawl_delay",
         (lit(1) + (col("doc_id") % 50) % 5).cast("long"))

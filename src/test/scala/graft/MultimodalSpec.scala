@@ -402,6 +402,15 @@ class MultimodalSpec extends SparkTestBase {
           graceMs = 3600L * 1000)
       assert(graced.isEmpty, "grace window must protect the stale generation")
       assert(new java.io.File(written).exists)
+      // fail-safe: an unresolvable live dir (retired path left in the
+      // retention config) must abort the prune with zero deletions —
+      // a live generation could otherwise be mistaken for garbage
+      val aborted = graft.queries.MultimodalQueries
+        .pruneMediaSignatures(spark, store,
+          Seq(dirPath, "/nonexistent/retired-corpus"), graceMs = 0L)
+      assert(aborted.isEmpty, "unresolvable live dir must abort the prune")
+      assert(new java.io.File(written).exists,
+        "fail-safe prune must not delete anything")
       val deleted = graft.queries.MultimodalQueries
         .pruneMediaSignatures(spark, store, Seq(dirPath), graceMs = 0L)
       assert(deleted.map(p => p.split('/').last) ===

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The shared bench discipline behind the test-scope profiling mains
+  * ([[ChainProfile]], [[S3Profile]], [[DedupProfile]]): one place for
+  * the session config, the untimed sf0.001 warm-up, the
+  * SPARK_GRAFT_BENCH_REPEAT min-of-N passes, the noop-sink timing and
+  * the clearCache-between-runs rule — a discipline tweak lands once
+  * instead of drifting across three copies.
+  */
+object ProfileHarness {
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Warm each variant once on the warm dir, then `repeat` interleaved
+    * passes over `dir` keeping per-variant minima; prints one
+    * `LABEL name min=…` line per variant in declaration order.
+    */
+  def run(label: String, spark: SparkSession, dir: String,
+          variants: Seq[(String, String => DataFrame)]): Unit = {
+    def runOne(fn: String => DataFrame, d: String): Double = {
+      val t0 = System.nanoTime()
+      try fn(d).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => println(s"ERR ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    variants.foreach { case (_, fn) => runOne(fn, warmDir) }
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .map(_.toInt).getOrElse(3)
+    val mins = collection.mutable.LinkedHashMap.empty[String, Double]
+    (1 to repeat).foreach { _ =>
+      variants.foreach { case (name, fn) =>
+        val dt = runOne(fn, dir)
+        mins(name) = mins.get(name).fold(dt)(math.min(_, dt))
+      }
+    }
+    mins.foreach { case (name, v) =>
+      println(f"$label $name%-22s min=$v%8.2f s")
+    }
+    spark.stop()
+  }
+}
