@@ -108,19 +108,53 @@ object TokenizeText {
         }
         if (!done) {
           var j = if (c == ' ') i + 1 else i // the attached leading space
+          // Run loops read each position ONCE (the former form called
+          // codePointAt 2-3× per char) with an ASCII char fast path —
+          // for ASCII, Character.isLetter is exactly [A-Za-z] and the
+          // three \p{N} categories contain only [0-9], so the fast
+          // path is semantics-equal (TokenizeSpec's fuzz vs the regex
+          // grammar pins it across the surrogate/Ⅷ/²/emoji alphabet).
           val cp = s.codePointAt(j)
           if (Character.isLetter(cp)) {
-            while (j < n && Character.isLetter(s.codePointAt(j)))
-              j += Character.charCount(s.codePointAt(j))
+            var go = true
+            while (go && j < n) {
+              val ch = s.charAt(j)
+              if (ch < 128) {
+                val l = (ch | 0x20).toChar
+                if (l >= 'a' && l <= 'z') j += 1 else go = false
+              } else {
+                val p = s.codePointAt(j)
+                if (Character.isLetter(p)) j += Character.charCount(p)
+                else go = false
+              }
+            }
           } else if (isNum(cp)) {
-            while (j < n && isNum(s.codePointAt(j)))
-              j += Character.charCount(s.codePointAt(j))
+            var go = true
+            while (go && j < n) {
+              val ch = s.charAt(j)
+              if (ch < 128) {
+                if (ch >= '0' && ch <= '9') j += 1 else go = false
+              } else {
+                val p = s.codePointAt(j)
+                if (isNum(p)) j += Character.charCount(p) else go = false
+              }
+            }
           } else {
-            while (j < n && {
-              val p = s.codePointAt(j)
-              !Character.isLetter(p) && !isNum(p) &&
-                !(p < 128 && isAsciiWs(p.toChar))
-            }) j += Character.charCount(s.codePointAt(j))
+            var go = true
+            while (go && j < n) {
+              val ch = s.charAt(j)
+              if (ch < 128) {
+                val l = (ch | 0x20).toChar
+                val letter = l >= 'a' && l <= 'z'
+                val digit = ch >= '0' && ch <= '9'
+                if (!letter && !digit && !isAsciiWs(ch)) j += 1 else go = false
+              } else {
+                val p = s.codePointAt(j)
+                if (!Character.isLetter(p) && !isNum(p))
+                  j += Character.charCount(p)
+                else go = false
+              }
+            }
           }
           emit(start, j)
           i = j
