@@ -972,6 +972,63 @@ object Streaming {
 
   // ---- gap sessionization (flatMapGroupsWithState) ----------------------
 
+  // ---- streaming politeness scheduler (crawlSchedule's intake twin) -----
+
+  case class FrontierUrl(host: String, doc_id: Long, crawl_delay: Long,
+                         ts: Timestamp)
+  case class HostPos(next: Long)
+  case class SchedSlot(host: String, doc_id: Long, seq: Long,
+                       fetch_at_sec: Long)
+
+  /** Streaming per-host politeness scheduler — the intake twin of
+    * [[graft.queries.WarcQueries.crawlSchedule]]: URLs of one host
+    * fetch sequentially with the host's crawl-delay between requests,
+    * so each arriving URL gets the host's NEXT position and
+    * `fetch_at_sec = seq × delay`. Keyed state is ONE long per host
+    * (the next position), so a frontier's state footprint is
+    * 8 bytes × #hosts regardless of URL volume — at web scale
+    * (10⁷–10⁸ hosts) that is the shape the RocksDB state provider
+    * ([[withRocksDbStateStore]]) exists for. Positions deliberately
+    * NEVER expire: a host's politeness sequence is meant to continue
+    * across micro-batches (StreamingSpec pins the continuation) and
+    * across restarts — the same GroupState checkpoint machinery
+    * StreamingRestartSpec proves for the flagged-dedup and drift twins
+    * (a recrawl cycle that wants a reset starts a fresh checkpoint).
+    * Within a micro-batch, arrival order is (ts, doc_id)
+    * — the deterministic stand-in the stateful dedup twins also use —
+    * so a batch-ordered replay is bit-equal to the batch scheduler.
+    */
+  def scheduleStream(urls: DataFrame,
+                     watermark: String = "1 hour"): Dataset[SchedSlot] = {
+    implicit val inEnc: Encoder[FrontierUrl] = Encoders.product[FrontierUrl]
+    implicit val stEnc: Encoder[HostPos] = Encoders.product[HostPos]
+    implicit val outEnc: Encoder[SchedSlot] = Encoders.product[SchedSlot]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+
+    def fn(host: String, batch: Iterator[FrontierUrl],
+           state: GroupState[HostPos]): Iterator[SchedSlot] = {
+      var n = state.getOption.map(_.next).getOrElse(0L)
+      val out = batch.toArray.sortBy(u => (u.ts.getTime, u.doc_id)).map { u =>
+        val slot = SchedSlot(host, u.doc_id, n, n * u.crawl_delay)
+        n += 1
+        slot
+      }
+      state.update(HostPos(n))
+      out.iterator
+    }
+
+    urls
+      .select(col("host").cast("string").as("host"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("crawl_delay").cast("long").as("crawl_delay"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[FrontierUrl]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   case class SessionAcc(start: Long, end: Long, n: Long, sumValue: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

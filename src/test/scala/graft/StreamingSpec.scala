@@ -392,6 +392,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming politeness scheduler: batch-ordered replay equals the " +
+    "batch law; host positions continue across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 urls over 4 hosts, ragged delays — the crawlSchedule law
+    val rows = (0L until 40L).map(i => (s"h${i % 4}.example.org", i, 1L + i % 3))
+    val in = MemoryStream[(Timestamp, String, Long, Long)]
+    val sched = Streaming.scheduleStream(
+      in.toDF().toDF("ts", "host", "doc_id", "crawl_delay"))
+    val q = sched.writeStream.format("memory").queryName("sched")
+      .outputMode("append").start()
+    try {
+      // two micro-batches in doc_id order: positions must CONTINUE
+      // across the boundary, not reset per batch
+      in.addData(rows.take(20).map { case (h, i, d) => (ts(i.toInt), h, i, d) }: _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(20).map { case (h, i, d) => (ts(i.toInt), h, i, d) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("sched")
+        .select("host", "doc_id", "seq", "fetch_at_sec").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expect = rows.groupBy(_._1).values.flatMap { grp =>
+        grp.sortBy(_._2).zipWithIndex.map { case ((h, i, d), k) =>
+          (h, i, k.toLong, k * d) }
+      }.toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("gap sessionization emits a session once the watermark closes it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
