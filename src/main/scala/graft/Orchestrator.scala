@@ -74,6 +74,29 @@ object Orchestrator {
     (6, "tokenise", df => Pipeline.tokenise(df)),
     (7, "shard", df => Pipeline.shard(df)))
 
+  /** The end-of-run cache fence behind `releaseCaches = true`: session-
+    * global clearCache (the stage transforms' internal persists are not
+    * individually reachable from here), but with a WARN when the fence
+    * is about to evict cached plans that already existed when the run
+    * STARTED — those are caller-owned frames the orchestrator did not
+    * create, and an embedder losing them silently was the ADVICE r13
+    * finding. The warned caller's fix is `releaseCaches = false` (own
+    * the release). `preRun` is the RDD-id snapshot taken at entry.
+    */
+  private def releaseFence(spark: SparkSession, preRun: Set[Int]): Unit = {
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet & preRun
+    if (survivors.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"orchestrator cache fence: clearCache() is evicting " +
+          s"${survivors.size} cached RDD(s) that existed before this run " +
+          "— caller-owned frames the orchestrator did not create; pass " +
+          "releaseCaches = false to keep them and own the release")
+    spark.catalog.clearCache()
+  }
+
+  private def persistentRddIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
   /** Run stages [fromVersion..7], materializing each boundary.
     *
     * fromVersion = 1 ingests `raw` (required) and writes v1; any higher
@@ -93,6 +116,7 @@ object Orchestrator {
           releaseCaches: Boolean = true): DataFrame = {
     require(fromVersion >= 1 && fromVersion <= LastVersion,
       s"fromVersion must be in [1, $LastVersion], got $fromVersion")
+    val preRun = if (releaseCaches) persistentRddIds(spark) else Set.empty[Int]
     if (fromVersion == 1) {
       val rawDf = raw.getOrElse(throw new IllegalArgumentException(
         "fromVersion = 1 requires the raw input frame"))
@@ -123,8 +147,9 @@ object Orchestrator {
     // clearCache). The fence is session-GLOBAL (the stage transforms'
     // internal persists are not individually reachable from here), so
     // an embedder holding its own cached frames in the same session
-    // passes releaseCaches = false and owns the release itself.
-    if (releaseCaches) spark.catalog.clearCache()
+    // passes releaseCaches = false and owns the release itself (the
+    // fence WARNs when it is about to evict such pre-existing frames).
+    if (releaseCaches) releaseFence(spark, preRun)
     cur
   }
 
@@ -149,6 +174,7 @@ object Orchestrator {
   def incrementalRun(spark: SparkSession, prevDir: String, outDir: String,
                      rawCur: DataFrame, dropPii: Boolean = false,
                      releaseCaches: Boolean = true): DataFrame = {
+    val preRun = if (releaseCaches) persistentRddIds(spark) else Set.empty[Int]
     val prevV1 = spark.read.parquet(versionPath(prevDir, 1))
     val prevV3 = spark.read.parquet(versionPath(prevDir, 3))
     Pipeline.ingest(rawCur).write.mode("overwrite")
@@ -194,7 +220,7 @@ object Orchestrator {
     // branch-point persists are owned by this entry point, everything
     // live is on disk, and OrchestratorSpec pins that no
     // DataFrame-level cache survives the call
-    if (releaseCaches) spark.catalog.clearCache()
+    if (releaseCaches) releaseFence(spark, preRun)
     cur
   }
 

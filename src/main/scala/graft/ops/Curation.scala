@@ -293,12 +293,18 @@ object Curation {
     * was cut and the md5 of the reassembled text.
     *
     * Scale shape: explode lines -> one keyed agg builds the corpus
-    * line-frequency table; HAVING >= minDocs shrinks it to just the
-    * frequent lines (a sliver of the corpus by Zipf — boilerplate is
-    * few distinct strings, however many occurrences), so it broadcasts
-    * back to the exploded lines. Reassembly is one groupBy(doc) with an
-    * order-column sort inside the aggregate — collect_list order is
-    * partition-dependent, array_sort on (pos, line) pins it.
+    * line-frequency table; HAVING >= minDocs shrinks it to the frequent
+    * lines. How small that table really is depends on the corpus: "few
+    * distinct strings" holds for curated fixtures, but across a 100 TB
+    * web scrape the >= minDocs line set trends vocab-scale (every
+    * boilerplate variant, license text, template fragment) — the same
+    * analysis [[removeDupSpans]] documents for grams. So the join-back
+    * carries NO forced broadcast hint: AQE broadcasts a genuinely small
+    * sliver from its measured runtime size and falls back to a shuffle
+    * join when the table outgrows the budget, instead of an OOM-by-hint.
+    * Reassembly is one groupBy(doc) with an order-column sort inside the
+    * aggregate — collect_list order is partition-dependent, array_sort
+    * on (pos, line) pins it.
     */
   def lineDedup(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", segLen: Int = LineDedupSegLen,
@@ -332,7 +338,10 @@ object Curation {
       .select(col(idCol), posexplode(segments(col("__toks"), segLen))
         .as(Seq("pos", "line")))
     val perDoc = lines
-      .join(broadcast(frequent.select(col("line"), lit(1).as("__dup"))),
+      // no broadcast() hint: see lineDedup's scale note — frequent-line
+      // tables are corpus-derived and can outgrow any broadcast budget
+      // at web scale; AQE still broadcasts the genuinely-small case
+      .join(frequent.select(col("line"), lit(1).as("__dup")),
         Seq("line"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_lines"),
@@ -366,10 +375,16 @@ object Curation {
     * index cost — the standard production trade.)
     *
     * Scale shape mirrors [[lineDedup]]: explode spans -> keyed
-    * doc-frequency agg -> HAVING shrinks to the duplicated sliver ->
-    * broadcast back -> one per-doc count agg. At 100 TB the span string
-    * would be fingerprinted (xxhash64) before the shuffle; the oracle
-    * form keeps the raw string so DuckDB agrees without a shared seed.
+    * doc-frequency agg -> HAVING shrinks to the duplicated set -> join
+    * back -> one per-doc count agg. The join-back is deliberately NOT
+    * hint-broadcast, matching [[removeDupSpans]]'s analysis of the
+    * SAME sliver: duplicated n-grams across a 100 TB web corpus are
+    * vocab-scale (boilerplate, licenses, templates), far past any
+    * broadcast budget — AQE broadcasts the small case from measured
+    * runtime stats and shuffle-joins the big one. At 100 TB the span
+    * string would be fingerprinted (xxhash64) before the shuffle; the
+    * oracle form keeps the raw string so DuckDB agrees without a
+    * shared seed.
     */
   def dupSpans(df: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", n: Int = DupSpanN,
@@ -390,7 +405,7 @@ object Curation {
       .filter(col("__nd") >= minDocs)
       .select(col("span"), lit(1).as("__dup"))
     val perDoc = spans
-      .join(broadcast(dup), Seq("span"), "left")
+      .join(dup, Seq("span"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_spans"), count(col("__dup")).as("dup_spans"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")

@@ -177,11 +177,37 @@ object Pack {
     * The common no-skew case short-circuits to the plain window with
     * zero added plan nodes; the routing agg is one extra pass over the
     * upstream (callers with an expensive upstream persist it first).
+    *
+    * Mega-key dispatch has two shapes. Up to `inListMax` detected keys
+    * compile into an `isInCollection` predicate (cheap, no extra join);
+    * above that — the documented worst case is rows/skewThreshold keys,
+    * ~50k–500k at crawl scale — an IN-list would bake tens of thousands
+    * of literals into the plan, so the big-key set stays distributed and
+    * routes via broadcast semi/anti joins instead. That broadcast is a
+    * forced hint on a corpus-derived sliver, but unlike the gram/span
+    * slivers (see [[Curation.dupSpans]]) its size is BOUNDED by
+    * construction: at most rows/skewThreshold keys can exist, a few MB
+    * at the 10¹² rows × 2M-threshold extreme. Both dispatch shapes are
+    * parity-pinned in PackSpec.
+    *
+    * When skew IS detected the input is persisted inside the helper
+    * (released by the caller's clearCache, like every multi-consumer
+    * frame in the engine): the two branch filters then partition ONE
+    * materialized frame, so even a non-deterministic upstream (sample,
+    * uuid, a directory being rewritten mid-read) cannot drop or
+    * duplicate rows across the union. The routing scan itself is a
+    * separate earlier evaluation, so with such an upstream the route
+    * choice may be stale — harmless, both paths compute the identical
+    * prefix — but the row SET is consistent. The no-skew short-circuit
+    * evaluates the input twice (routing agg + window) without
+    * persisting; callers who need single-evaluation semantics there
+    * persist before calling.
     */
   def withRunningTotalPerGroupHybrid(df: DataFrame, groupCol: String,
                                      orderCols: Seq[Column], valCol: String,
                                      name: String = "start_offset",
-                                     skewThreshold: Long = 2000000L): DataFrame = {
+                                     skewThreshold: Long = 2000000L,
+                                     inListMax: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val windowed = (d: DataFrame) => {
       val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
@@ -189,18 +215,35 @@ object Pack {
       d.withColumn(name,
         coalesce(sum(col(valCol).cast("long")).over(w), lit(0L)))
     }
-    val bigKeys = df.groupBy(groupCol).count()
+    def bigKeysOf(d: DataFrame): DataFrame = d.groupBy(groupCol).count()
       .filter(col("count") > skewThreshold && col(groupCol).isNotNull)
       .select(groupCol)
-      .collect().map(_.get(0)).toSeq
-    if (bigKeys.isEmpty) windowed(df)
+    // routing probe: collect at most inListMax+1 keys — enough to know
+    // whether skew exists and which dispatch shape fits, never the full
+    // (potentially web-scale) key set
+    val probe = bigKeysOf(df).limit(inListMax + 1).collect().map(_.get(0)).toSeq
+    if (probe.isEmpty) windowed(df)
     else {
-      val isBig = col(groupCol).isInCollection(bigKeys)
-      val smallOut = windowed(df.filter(col(groupCol).isNull || !isBig))
-      val bigOut = withRunningTotalPerGroup(
-        df.filter(col(groupCol).isNotNull && isBig),
-        groupCol, orderCols, valCol, name)
-      smallOut.unionByName(bigOut)
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (smallIn, bigIn) =
+        if (probe.size <= inListMax) {
+          val isBig = col(groupCol).isInCollection(probe)
+          (cached.filter(col(groupCol).isNull || !isBig),
+            cached.filter(col(groupCol).isNotNull && isBig))
+        } else {
+          // too many mega-keys for a literal list: re-derive the key set
+          // from the CACHED frame (consistent with the branch scans) and
+          // dispatch by join — null keys never equi-match, so they fall
+          // through the anti join to the window path, same as the
+          // predicate shape. Persisted: both joins consume it, and it is
+          // at most rows/skewThreshold rows.
+          val keys = bigKeysOf(cached)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (cached.join(broadcast(keys), Seq(groupCol), "left_anti"),
+            cached.join(broadcast(keys), Seq(groupCol), "left_semi"))
+        }
+      windowed(smallIn).unionByName(
+        withRunningTotalPerGroup(bigIn, groupCol, orderCols, valCol, name))
     }
   }
 

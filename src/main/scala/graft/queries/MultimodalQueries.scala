@@ -464,6 +464,15 @@ object MultimodalQueries {
                            base: String): String = {
     val p = mediaSigPath(s, base, dir)
     mediaSignatures(s, dir).write.mode("overwrite").parquet(p)
+    // owner manifest (ADVICE r13): the store key is an MD5, so a
+    // generation's owning corpus cannot be recovered from its name —
+    // this sidecar records it for [[pruneMediaSignatures]], which only
+    // deletes generations it can positively attribute to a corpus it
+    // manages. Underscore prefix: Spark's parquet reader ignores it.
+    val ownerPath = new org.apache.hadoop.fs.Path(s"$p/_owner")
+    val fs = ownerPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(ownerPath, true)
+    try out.write(dir.getBytes("UTF-8")) finally out.close()
     p
   }
 
@@ -474,12 +483,22 @@ object MultimodalQueries {
     * in-flight readers that resolved their key before the corpus was
     * regenerated). Returns the deleted paths.
     *
-    * `liveDirs` must name every corpus served from this `base`: the
-    * key is an MD5 of (path | content stamp), so a generation's owner
-    * cannot be recovered from its name — pruning keeps exactly the
-    * current keys of the dirs it is told about and treats everything
-    * else as superseded. Only `media_sigs_*.parquet` entries are
-    * touched; anything else under `base` is left alone.
+    * Deletion requires POSITIVE attribution: each generation carries an
+    * `_owner` sidecar naming its corpus dir
+    * ([[writeMediaSignatures]] writes it — the key is an MD5, so the
+    * owner cannot be recovered from the name alone), and the prune only
+    * deletes generations whose owner is one of `liveDirs` (a superseded
+    * generation of a corpus this prune manages). A generation owned by
+    * a corpus NOT in `liveDirs` is another deployment's store — an
+    * incomplete retention config must not silently delete it (ADVICE
+    * r13) — and a generation with no readable `_owner` is
+    * unattributable; both are skipped with a WARN naming the owner (or
+    * its absence), so the operator of that corpus gets a signal instead
+    * of a silent re-decode. The trade: retired corpora's generations
+    * now linger until an operator removes them (or lists the retired
+    * dir here) — accretion over accidental deletion. Only
+    * `media_sigs_*.parquet` entries are touched; anything else under
+    * `base` is left alone.
     *
     * Fail-safe: if ANY live dir's current key cannot be resolved
     * (retired path still in the retention config, transient FS error),
@@ -506,18 +525,51 @@ object MultimodalQueries {
       return Seq.empty
     }
     val keep = resolved.collect { case (_, scala.util.Success(n)) => n }.toSet
+    val live = liveDirs.toSet
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(basePath)) Seq.empty
     else {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
       val now = System.currentTimeMillis()
+      def ownerOf(gen: org.apache.hadoop.fs.Path): Option[String] =
+        scala.util.Try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(gen, "_owner"))
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            var n = in.read(tmp)
+            while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            new String(buf.toByteArray, "UTF-8")
+          } finally in.close()
+        }.toOption
       fs.listStatus(basePath).toSeq
         .filter { st =>
           val n = st.getPath.getName
           n.startsWith("media_sigs_") && n.endsWith(".parquet") &&
             !keep(n) && (now - st.getModificationTime >= graceMs)
         }
-        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+        .flatMap { st =>
+          ownerOf(st.getPath) match {
+            case Some(owner) if live(owner) =>
+              fs.delete(st.getPath, true)
+              log.info(s"pruneMediaSignatures: deleted superseded " +
+                s"generation ${st.getPath} (owner corpus: $owner)")
+              Some(st.getPath.toString)
+            case Some(owner) =>
+              log.warn(s"pruneMediaSignatures: ${st.getPath} belongs to " +
+                s"corpus $owner, which is not in this prune's liveDirs — " +
+                "skipping (add the dir to the retention config to manage " +
+                "its generations here)")
+              None
+            case None =>
+              log.warn(s"pruneMediaSignatures: ${st.getPath} has no " +
+                "readable _owner manifest (pre-manifest generation or " +
+                "foreign artifact) — skipping; remove it manually if it " +
+                "is garbage")
+              None
+          }
+        }
     }
   }
 
@@ -528,6 +580,51 @@ object MultimodalQueries {
     sys.props.get("graft.media.sigs.dir")
       .orElse(sys.env.get("SPARK_GRAFT_MEDIA_SIGS"))
       .filter(_.nonEmpty)
+
+  /** Driver-local store-resolution counters behind [[sigStoreReport]]:
+    * each [[sigSlice]] call records how it resolved — `hit` (read the
+    * materialized table), `miss` (clean cold path: no table for this
+    * corpus stamp), `probe_failure` (the existence probe itself threw —
+    * transient FS error) or `open_failure` (a table exists but failed
+    * to open). Keyed by corpus dir; counters only move when a store
+    * base is configured (unconfigured runs are inline by design, not a
+    * fallback). Resolution happens on the driver (plan construction),
+    * so driver-local state is the complete picture, cluster or not.
+    */
+  private val sigStoreCounts = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.LongAdder]()
+
+  private def recordSigStore(dir: String, outcome: String): Unit =
+    sigStoreCounts
+      .computeIfAbsent((dir, outcome),
+        _ => new java.util.concurrent.atomic.LongAdder)
+      .increment()
+
+  /** One-row observability report for the signature store (VERDICT r13
+    * #6): whether a store is configured for this session and, for
+    * `dir`, how many sigSlice resolutions hit the materialized table vs
+    * fell back to inline decode — and WHY (clean miss vs probe/open
+    * failure) — since JVM start. A production run reads this next to
+    * its near-dup reports to tell amortized from re-decoded work
+    * without grepping logs: hits with zero fallbacks is the warm steady
+    * state; climbing misses mean re-materialize; probe/open failures
+    * mean the store itself is unhealthy.
+    */
+  def sigStoreReport(s: SparkSession, dir: String): DataFrame = {
+    def n(outcome: String): Long =
+      Option(sigStoreCounts.get((dir, outcome))).map(_.sum()).getOrElse(0L)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("corpus", StringType, nullable = false),
+      StructField("store_configured", BooleanType, nullable = false),
+      StructField("store_hits", LongType, nullable = false),
+      StructField("store_misses", LongType, nullable = false),
+      StructField("probe_failures", LongType, nullable = false),
+      StructField("open_failures", LongType, nullable = false)))
+    val row = org.apache.spark.sql.Row(dir, sigStoreBase.isDefined,
+      n("hit"), n("miss"), n("probe_failure"), n("open_failure"))
+    s.createDataFrame(java.util.Arrays.asList(row), schema)
+  }
 
   /** One modality's (media_id, c0..c{chunks-1}) slice, from the
     * materialized table when one exists for this corpus AND content
@@ -543,21 +640,40 @@ object MultimodalQueries {
     */
   private def sigSlice(s: SparkSession, dir: String, modality: String,
                        chunks: Int): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val src = sigStoreBase
       .flatMap { base =>
-        val p = new org.apache.hadoop.fs.Path(mediaSigPath(s, base, dir))
-        val exists = scala.util.Try {
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-        }.getOrElse(false)
-        if (!exists) None
-        else scala.util.Try(s.read.parquet(p.toString)) match {
-          case scala.util.Success(df) => Some(df)
+        // the probe Try covers key derivation too (corpusStamp lists the
+        // corpus FS): a TRANSIENT failure anywhere in resolution is a
+        // probe_failure, WARNed like an open failure — never a silent
+        // degrade to re-decode (ADVICE r13), unlike the clean miss
+        // below, which is the designed cold path
+        scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(mediaSigPath(s, base, dir))
+          (p, p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        } match {
           case scala.util.Failure(e) =>
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"media signature store at $p exists but failed to open " +
-                s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
-                "falling back to inline decode")
+            log.warn(s"media signature store probe under $base for $dir " +
+              s"failed (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "falling back to inline decode")
+            recordSigStore(dir, "probe_failure")
             None
+          case scala.util.Success((_, false)) =>
+            recordSigStore(dir, "miss")
+            None
+          case scala.util.Success((p, true)) =>
+            scala.util.Try(s.read.parquet(p.toString)) match {
+              case scala.util.Success(df) =>
+                recordSigStore(dir, "hit")
+                Some(df)
+              case scala.util.Failure(e) =>
+                log.warn(
+                  s"media signature store at $p exists but failed to open " +
+                    s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+                    "falling back to inline decode")
+                recordSigStore(dir, "open_failure")
+                None
+            }
         }
       }
       .getOrElse(mediaSignatures(s, dir))

@@ -991,9 +991,10 @@ object Streaming {
     * ([[withRocksDbStateStore]]) exists for. Positions deliberately
     * NEVER expire: a host's politeness sequence is meant to continue
     * across micro-batches (StreamingSpec pins the continuation) and
-    * across restarts — the same GroupState checkpoint machinery
-    * StreamingRestartSpec proves for the flagged-dedup and drift twins
-    * (a recrawl cycle that wants a reset starts a fresh checkpoint).
+    * across restarts — positions recover from the GroupState
+    * checkpoint, pinned directly by StreamingRestartSpec's scheduler
+    * restart case and its StreamingRocksDbSpec twin (a recrawl cycle
+    * that wants a reset starts a fresh checkpoint).
     * Within a micro-batch, arrival order is (ts, doc_id)
     * — the deterministic stand-in the stateful dedup twins also use —
     * so a batch-ordered replay is bit-equal to the batch scheduler.

@@ -17,12 +17,24 @@ object DedupProfile {
       Pipeline.cleanAndFilter(
         Pipeline.fromDocuments(Tables.documents(spark, d)), applyNfkc = false),
       collapseRepeats = false)
+    // the compressed conf is captured at persist() time (CacheManager
+    // reads SQLConf when building the InMemoryRelation), so setting it
+    // inside the variant builder scopes it to that variant
+    def withComp(on: Boolean)(b: => DataFrame): DataFrame = {
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", on)
+      b
+    }
     val variants: Seq[(String, String => DataFrame)] = Seq(
       "s3_plain" -> (d => s3(d)),
-      "s3_persist_matzd" -> (d => s3(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-      "dedup_full" -> (d => graft.ops.Dedup.dedupStage(s3(d),
-        textCol = "text_pii_masked", seqCol = "doc_id")))
+      "s3_persist_matzd" -> (d => withComp(true)(s3(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
+      "s3_persist_nocomp" -> (d => withComp(false)(s3(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
+      "dedup_full" -> (d => withComp(true)(graft.ops.Dedup.dedupStage(s3(d),
+        textCol = "text_pii_masked", seqCol = "doc_id"))),
+      "dedup_full_nocomp" -> (d => withComp(false)(graft.ops.Dedup.dedupStage(
+        s3(d), textCol = "text_pii_masked", seqCol = "doc_id"))))
     ProfileHarness.run("DEDUP", spark, dir, variants)
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", true)
   }
 }

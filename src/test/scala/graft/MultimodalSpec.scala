@@ -365,6 +365,13 @@ class MultimodalSpec extends SparkTestBase {
       "incr" -> graft.queries.MultimodalQueries.incrMediaNearDup(spark, dirPath)
         .collect().map(_.toSeq).toSet)
     val inline = snapshot()
+    // inline-by-design mode (no store configured): the observability
+    // report says so and no fallback counters move — unconfigured is
+    // not a fallback
+    val rep0 = graft.queries.MultimodalQueries
+      .sigStoreReport(spark, dirPath).collect().head
+    assert(!rep0.getBoolean(1), "store must report unconfigured")
+    assert((2 to 5).forall(rep0.getLong(_) == 0L), rep0.toString)
     spark.catalog.clearCache()
     val store = java.nio.file.Files.createTempDirectory("sigstore").toString
     val written = graft.queries.MultimodalQueries
@@ -379,6 +386,14 @@ class MultimodalSpec extends SparkTestBase {
       val staged = snapshot()
       assert(staged === inline,
         "staged signature reads must be bit-identical to inline decode")
+      // staged mode: all four consumers resolved from the store — the
+      // report counts 4 hits and zero fallbacks of any kind
+      val rep1 = graft.queries.MultimodalQueries
+        .sigStoreReport(spark, dirPath).collect().head
+      assert(rep1.getBoolean(1), "store must report as configured")
+      assert(rep1.getLong(2) === 4L, s"4 staged reads must count as hits: $rep1")
+      assert(rep1.getLong(3) === 0L && rep1.getLong(4) === 0L &&
+        rep1.getLong(5) === 0L, rep1.toString)
       // staleness guard: regenerating the corpus at the SAME path must
       // change the content-stamped store key, so the old materialization
       // can never be served for the new data. No mtime-tick sleep: the
@@ -391,6 +406,17 @@ class MultimodalSpec extends SparkTestBase {
         .mediaSigPath(spark, store, dirPath)
       assert(newKey !== written,
         "regenerated corpus must key to a different store path")
+      // cold read of the regenerated corpus: no table for the new stamp
+      // yet — a CLEAN miss (the designed cold path, counted as such,
+      // not as a failure)
+      graft.queries.MultimodalQueries.mediaNearDup(spark, dirPath).collect()
+      spark.catalog.clearCache()
+      val rep2 = graft.queries.MultimodalQueries
+        .sigStoreReport(spark, dirPath).collect().head
+      assert(rep2.getLong(3) === 1L,
+        s"regenerated-corpus cold read must count as a store miss: $rep2")
+      assert(rep2.getLong(2) === 4L && rep2.getLong(4) === 0L &&
+        rep2.getLong(5) === 0L, rep2.toString)
       // retention guard: materialize the new generation, then prune —
       // the grace window protects the just-superseded generation, a
       // zero grace removes it, and the live generation always survives
@@ -411,10 +437,24 @@ class MultimodalSpec extends SparkTestBase {
       assert(aborted.isEmpty, "unresolvable live dir must abort the prune")
       assert(new java.io.File(written).exists,
         "fail-safe prune must not delete anything")
+      // owner attribution (ADVICE r13): a generation owned by a corpus
+      // NOT in liveDirs (another deployment's store) and a generation
+      // with no _owner manifest must both SURVIVE the prune — deletion
+      // requires positive attribution to a managed corpus
+      val foreign = s"$store/media_sigs_feedfeedfeed.parquet"
+      new java.io.File(foreign).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$foreign/_owner"), "/some/other/corpus")
+      val orphan = s"$store/media_sigs_0rphan000000.parquet"
+      new java.io.File(orphan).mkdirs()
       val deleted = graft.queries.MultimodalQueries
         .pruneMediaSignatures(spark, store, Seq(dirPath), graceMs = 0L)
       assert(deleted.map(p => p.split('/').last) ===
         Seq(written.split('/').last))
+      assert(new java.io.File(foreign).exists,
+        "foreign-owner generation must survive an incomplete liveDirs prune")
+      assert(new java.io.File(orphan).exists,
+        "ownerless generation must survive the prune")
       assert(!new java.io.File(written).exists,
         "stale generation must be removed")
       assert(new java.io.File(written2).exists,
@@ -445,6 +485,13 @@ class MultimodalSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet
       assert(got === inline,
         "corrupt store must fall back to inline decode, bit-identical")
+      // the degrade is visible in the report: an exists-but-unreadable
+      // store counts as an open_failure, not a clean miss
+      val rep = graft.queries.MultimodalQueries
+        .sigStoreReport(spark, dirPath).collect().head
+      assert(rep.getLong(5) === 1L,
+        s"corrupt store read must count as an open_failure: $rep")
+      assert(rep.getLong(2) === 0L && rep.getLong(3) === 0L, rep.toString)
     } finally {
       System.clearProperty("graft.media.sigs.dir")
       spark.catalog.clearCache()

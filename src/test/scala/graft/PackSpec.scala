@@ -94,6 +94,46 @@ class PackSpec extends SparkTestBase {
     // both regimes agree with the plain two-pass form
     assert(got(Pack.withRunningTotalPerGroup(
       df, "host", Seq(col("id")), "n", "off")) === expect)
+    // semi-join dispatch regime: inListMax forced below the detected
+    // key count, so routing goes through broadcast anti/semi joins
+    // against the distributed key set instead of an IN-list literal —
+    // the shape the helper takes past ~1k mega-keys, where a literal
+    // list would compile 50k+ constants into the plan
+    val joined = Pack.withRunningTotalPerGroupHybrid(
+      df, "host", Seq(col("id")), "n", "off",
+      skewThreshold = 50L, inListMax = 0)
+    val joinedPlan = joined.queryExecution.executedPlan.toString
+    assert(joinedPlan.contains("BroadcastHashJoin"), joinedPlan)
+    assert(!joinedPlan.contains("isInCollection") &&
+      !joinedPlan.contains("INSET"), joinedPlan)
+    assert(got(joined) === expect)
+    spark.catalog.clearCache()
+  }
+
+  test("hybrid grouped total: null group keys ride the window path in both dispatch shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // null-host rows must never be routed to the two-pass path (engine
+    // convention: callers fold null -> '' first, but the helper still
+    // has to keep them, once each, whichever dispatch shape fires)
+    val rows = (1L to 80L).map { i =>
+      val host: String = if (i <= 60) "mega.example.org"
+      else if (i % 2 == 0) null else "small.example.org"
+      (i, host, 2L)
+    }
+    val df = rows.toDF("id", "host", "n").repartition(5)
+    val expect: Map[Long, Long] = rows.groupBy(_._2).values.flatMap { grp =>
+      var run = 0L
+      grp.sortBy(_._1).map { case (id, _, n) => val r = id -> run; run += n; r }
+    }.toMap
+    Seq(1000, 0).foreach { max =>
+      val out = Pack.withRunningTotalPerGroupHybrid(
+        df, "host", Seq(col("id")), "n", "off",
+        skewThreshold = 30L, inListMax = max)
+        .select("id", "off").as[(Long, Long)].collect().toMap
+      assert(out === expect, s"inListMax=$max")
+    }
+    spark.catalog.clearCache()
   }
 
   test("pack layout: boundaries, straddles, zero-token docs") {

@@ -328,17 +328,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("line dedup / dup spans: frequent-set joins back as a broadcast") {
-    // The corpus-frequency table after HAVING >= minDocs is a sliver
-    // (boilerplate is few distinct strings); if it ever planned as a
-    // shuffle join the whole exploded corpus would re-shuffle on raw
-    // line/span text — the broadcast is the 100 TB shape.
-    Seq(graft.queries.CurationQueries.lineDedup(spark, dir),
-      graft.queries.CurationQueries.dupSpans(spark, dir)).foreach { df =>
-      val p = plan(df)
-      assert(p.contains("BroadcastHashJoin"), s"frequent set must broadcast:\n$p")
-      assert(!p.contains("CartesianProduct"), p)
-    }
+  test("line dedup / dup spans / span removal: no forced broadcast on a " +
+    "corpus-derived gram/span/line sliver; AQE broadcasts the small case") {
+    // The corpus-frequency tables after HAVING >= minDocs look like
+    // slivers on fixtures but are CORPUS-DERIVED: across 100 TB of web
+    // scrape the duplicated gram/span/line set is vocab-scale
+    // (boilerplate variants, licenses, templates — removeDupSpans's
+    // documented analysis), past any broadcast budget. A broadcast()
+    // HINT overrides AQE's size check and OOMs at that scale, so none
+    // of the three is allowed to carry one — sizing is AQE's call from
+    // measured runtime stats (r13 VERDICT weak finding).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    Seq("lineDedup" -> graft.queries.CurationQueries.lineDedup(spark, dir),
+      "dupSpans" -> graft.queries.CurationQueries.dupSpans(spark, dir),
+      "spanRemoval" -> graft.queries.CurationQueries.spanRemoval(spark, dir))
+      .foreach { case (name, df) =>
+        val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        assert(hints.isEmpty,
+          s"$name must not force-broadcast a corpus-derived sliver: $hints")
+        assert(!plan(df).contains("CartesianProduct"), plan(df))
+      }
+    // ...and the genuinely-small fixture sliver still broadcasts — from
+    // AQE's runtime size, not a hint (the join-back never re-shuffles
+    // the exploded corpus when the sliver really is small)
+    val df = graft.queries.CurationQueries.dupSpans(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the fixture-scale sliver:\n$finalPlan")
+    spark.catalog.clearCache()
   }
 
   test("c4 filters / split assign: one shuffle-free single-scan pass each") {

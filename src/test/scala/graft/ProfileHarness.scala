@@ -29,13 +29,17 @@ object ProfileHarness {
     */
   def run(label: String, spark: SparkSession, dir: String,
           variants: Seq[(String, String => DataFrame)]): Unit = {
+    // NaN on failure, NOT the elapsed time: a crashing variant's
+    // near-zero elapsed must never win the per-variant min and land in
+    // a SCALING.md table looking like a valid bench number (ADVICE r13)
     def runOne(fn: String => DataFrame, d: String): Double = {
       val t0 = System.nanoTime()
-      try fn(d).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => println(s"ERR ${e.getMessage}") }
+      val ok =
+        try { fn(d).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable => println(s"ERR ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      if (ok) dt else Double.NaN
     }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
@@ -46,7 +50,12 @@ object ProfileHarness {
     (1 to repeat).foreach { _ =>
       variants.foreach { case (name, fn) =>
         val dt = runOne(fn, dir)
-        mins(name) = mins.get(name).fold(dt)(math.min(_, dt))
+        // a NaN sample (variant threw) is skipped: min stays whatever
+        // the valid passes produced, or NaN if every pass failed
+        if (!dt.isNaN)
+          mins(name) = mins.get(name).filterNot(_.isNaN)
+            .fold(dt)(math.min(_, dt))
+        else if (!mins.contains(name)) mins(name) = Double.NaN
       }
     }
     mins.foreach { case (name, v) =>

@@ -102,6 +102,53 @@ class StreamingRestartSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("politeness scheduler restart: per-host positions continue from recovered state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sched_restart").toString
+    val in = MemoryStream[(Timestamp, String, Long, Long)]
+    val df = in.toDF().toDF("ts", "host", "doc_id", "crawl_delay")
+
+    def start() = Streaming.scheduleStream(df)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData((ts(0), "a.example.org", 1L, 10L),
+        (ts(1), "a.example.org", 2L, 10L),
+        (ts(2), "b.example.org", 3L, 5L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def slots() = spark.read.parquet(s"$base/out")
+      .select("host", "doc_id", "seq", "fetch_at_sec")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val before = slots()
+    assert(before.toSet === Set(
+      ("a.example.org", 1L, 0L, 0L), ("a.example.org", 2L, 1L, 10L),
+      ("b.example.org", 3L, 0L, 0L)))
+
+    // restart from the checkpoint: host a's next position (2) must come
+    // back from the recovered GroupState — a reset to seq=0 would
+    // double-book the host's politeness slots, and a re-emission of the
+    // pre-stop rows would double-fetch them (the scaladoc's
+    // cross-restart continuation claim, pinned; its cross-BATCH half
+    // lives in StreamingSpec)
+    val q2 = start()
+    try {
+      in.addData((ts(3), "a.example.org", 4L, 10L),
+        (ts(4), "c.example.org", 5L, 7L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = slots()
+    assert(after.size === 5, s"pre-restart slots must appear exactly once: $after")
+    assert(after.toSet === before.toSet ++ Set(
+      ("a.example.org", 4L, 2L, 20L), ("c.example.org", 5L, 0L, 0L)))
+  }
+
   test("windowed aggregation restart: buffers merge rows from both sides of the stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

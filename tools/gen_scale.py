@@ -38,11 +38,18 @@ def perturb_text(text, rep):
 
 def main():
     src, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    # replica ids occupy [0, n*10^7); the perturbed-twin ids some
-    # multimodal queries synthesize live at +10^9 (a multiple of 10^7,
-    # so base-id recovery via % 10^7 still works) — n > 100 would walk
-    # the replica namespace into the twin namespace
-    assert n <= 100, f"replica ids would collide with the +1e9 twin namespace: n={n}"
+    # Replica id stride. Up to 100 replicas the historical layout is
+    # kept byte-reproducible: ids occupy [0, n*10^7), below the +10^9
+    # perturbed-twin namespace some multimodal queries synthesize.
+    # Past 100 replicas (the 1000x layout), stride jumps to 10^10 so
+    # each replica's band [k*10^10, k*10^10 + 10^7) has its twin ids at
+    # k*10^10 + 10^9 + base — still inside the band, no cross-replica
+    # collision. Both strides are multiples of 10^7, so base-id
+    # recovery via % 10^7 works unchanged.
+    stride = 10_000_000 if n <= 100 else 10_000_000_000
+    assert n * stride < 2**62, f"replica ids would overflow int64: n={n}"
+    if n > 100:
+        print(f"n={n} > 100: using wide replica stride {stride}")
     import os
     os.makedirs(out, exist_ok=True)
 
@@ -50,7 +57,7 @@ def main():
     d = docs.to_pydict()
     cols = {k: [] for k in d}
     for rep in range(n):
-        off = rep * 10_000_000
+        off = rep * stride
         cols["doc_id"].extend(x + off for x in d["doc_id"])
         if rep == 0:
             texts = d["text"]
@@ -83,7 +90,7 @@ def main():
     ids, labels, out_vecs = [], [], []
     rng = np.random.default_rng(42)
     for rep in range(n):
-        off = rep * 10_000_000
+        off = rep * stride
         ids.extend(x + off for x in e["vec_id"])
         labels.extend(e["label"])
         noise = 0.0 if rep == 0 else rng.normal(0, 0.01, vecs.shape).astype(np.float32)
