@@ -24,16 +24,27 @@ object DedupProfile {
       spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", on)
       b
     }
+    import org.apache.spark.storage.StorageLevel
     val variants: Seq[(String, String => DataFrame)] = Seq(
       "s3_plain" -> (d => s3(d)),
       "s3_persist_matzd" -> (d => withComp(true)(s3(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
+        .persist(StorageLevel.MEMORY_AND_DISK))),
       "s3_persist_nocomp" -> (d => withComp(false)(s3(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
+        .persist(StorageLevel.MEMORY_AND_DISK))),
       "dedup_full" -> (d => withComp(true)(graft.ops.Dedup.dedupStage(s3(d),
         textCol = "text_pii_masked", seqCol = "doc_id"))),
       "dedup_full_nocomp" -> (d => withComp(false)(graft.ops.Dedup.dedupStage(
-        s3(d), textCol = "text_pii_masked", seqCol = "doc_id"))))
+        s3(d), textCol = "text_pii_masked", seqCol = "doc_id"))),
+      // storage-strategy A/B for the branch-point frame: disk-only
+      // frees executor memory for the window/SMJ sorts (the contention
+      // suspect at the 1000x layout), no-persist recomputes the
+      // stage-2/3 chain on the second consumer instead of caching
+      "dedup_diskonly" -> (d => graft.ops.Dedup.dedupStage(s3(d),
+        textCol = "text_pii_masked", seqCol = "doc_id",
+        branchCache = Some(StorageLevel.DISK_ONLY))),
+      "dedup_nopersist" -> (d => graft.ops.Dedup.dedupStage(s3(d),
+        textCol = "text_pii_masked", seqCol = "doc_id",
+        branchCache = None)))
     ProfileHarness.run("DEDUP", spark, dir, variants)
     spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", true)
   }
