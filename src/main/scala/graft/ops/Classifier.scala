@@ -298,10 +298,11 @@ object Classifier {
     * w_d ← w_d − trunc(Σ_docs (p̂µ − y·1e6)·x_d / (lrDen·n)). Integer
     * sums are order-free, so the fold is bit-identical under any row
     * order or partitioning — the property the spec pins by shuffling.
-    * Runs on the collected labeled sliver (the [[trainLogistic]]
-    * trainLocal rationale: no curation classifier trains on the full
-    * crawl); accumulation is addExact/multiplyExact so an overflowing
-    * sliver fails loudly, never wraps.
+    * This array form runs job-free on an already-collected sliver; the
+    * DataFrame overload below is the scale-safe front door that decides
+    * whether collecting is affordable. Accumulation is
+    * addExact/multiplyExact so an overflowing sliver fails loudly,
+    * never wraps.
     */
   def trainFixedPoint(rows: Array[(Array[Long], Int)], dim: Int,
                       iters: Int, lrDen: Long): Array[Long] = {
@@ -333,6 +334,77 @@ object Classifier {
       it += 1
     }
     w
+  }
+
+  /** DataFrame front door for the fixed-point trainer — the same
+    * size-gated hybrid as [[trainLogistic]]: at or below the local
+    * gate the sliver collects once and the array form runs job-free on
+    * the driver; above it (or at unknown-large counts) each round
+    * folds the integer gradient through a treeAggregate with the
+    * weight vector broadcast. Bit-identical across the two paths by
+    * construction — every per-row contribution is already an exact
+    * long and long addition is associative, so driver-order and
+    * tree-order sums agree to the last bit (ClassifierSpec pins
+    * local == distributed under the test seam).
+    *
+    * This front door is what makes the graded twin safe to point at a
+    * corpus-derived split: the round-14 1000x plan sweep caught the
+    * previous unconditional collect() shipping 70% of a 5M-doc corpus
+    * (features and all) to the driver — a maxResultSize abort at
+    * default confs, an executor OOM without them — the exact
+    * driver-side-loop scale-killer the engine's operator docs warn
+    * about everywhere else.
+    */
+  def trainFixedPoint(df: DataFrame, featCol: String, labelCol: String,
+                      dim: Int, iters: Int, lrDen: Long): Array[Long] = {
+    val spark = df.sparkSession
+    val data = df.select(col(featCol).cast("array<long>"),
+        col(labelCol).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = data.count()
+      require(n > 0, "fixed-point trainer needs a nonempty sliver")
+      if (n <= localGate) {
+        val rows = data.collect()
+          .map(r => (r.getSeq[Long](0).toArray, r.getInt(1)))
+        return trainFixedPoint(rows, dim, iters, lrDen)
+      }
+      val w = new Array[Long](dim)
+      var it = 0
+      while (it < iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val g = data.rdd.treeAggregate(new Array[Long](dim))(
+          seqOp = (g, row) => {
+            val ww = bw.value
+            val x = row.getSeq[Long](0)
+            val y = row.getInt(1)
+            var m = 0L
+            var i = 0
+            while (i < dim) {
+              m = Math.addExact(m, Math.multiplyExact(ww(i), x(i))); i += 1
+            }
+            val e = fpProb(m) - y.toLong * FpScale
+            i = 0
+            while (i < dim) {
+              if (x(i) != 0L)
+                g(i) = Math.addExact(g(i), Math.multiplyExact(e, x(i)))
+              i += 1
+            }
+            g
+          },
+          combOp = (a, c) => {
+            var i = 0
+            while (i < dim) { a(i) = Math.addExact(a(i), c(i)); i += 1 }
+            a
+          },
+          depth = 2)
+        var i = 0
+        while (i < dim) { w(i) -= g(i) / (lrDen * n); i += 1 }
+        bw.destroy()
+        it += 1
+      }
+      w
+    } finally data.unpersist()
   }
 
   /** Columnar µ-margin of an array<long> feature column against the

@@ -654,14 +654,14 @@ object CurationQueries {
         .cast("array<long>").as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTrain = pmod(col("doc_id"), lit(10)) < 7
-    // the labeled sliver collects once (bounded by the same argument as
-    // trainLogistic's local gate); integer gradients are order-free, so
-    // the collected row order is immaterial (spec-pinned by shuffling)
-    val trainRows = feat.filter(isTrain).select(col("x"), col("label"))
-      .collect()
-      .map(r => (r.getSeq[Long](0).toArray, r.getInt(1)))
-    val w = Classifier.trainFixedPoint(trainRows, ClassifierDim,
-      FpIters, FpLrDen)
+    // the train split is a corpus FRACTION, not a fixed-size sliver, so
+    // it goes through the size-gated front door: collected only below
+    // the local gate, per-round treeAggregate above it (bit-identical
+    // either way — integer gradients are order-free). The previous
+    // unconditional collect() here is what the 1000x plan sweep killed:
+    // 70% of a 5M-doc corpus shipped to the driver.
+    val w = Classifier.trainFixedPoint(feat.filter(isTrain), "x", "label",
+      ClassifierDim, FpIters, FpLrDen)
     feat.filter(!isTrain)
       .select(col("label").cast("long").as("label"),
         Classifier.fpMargin(col("x"), w).as("m"))

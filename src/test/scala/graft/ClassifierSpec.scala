@@ -291,6 +291,29 @@ class ClassifierSpec extends SparkTestBase {
     assert(acc >= 0.9, s"fixed-point twin accuracy degraded to $acc")
   }
 
+  test("fixed-point DataFrame front door: distributed path bit-identical to local") {
+    // same property as the libm trainer's gate pin: per-row integer
+    // contributions make the gradient sum order- and topology-free, so
+    // the treeAggregate path (forced via the test seam) must reproduce
+    // the collected-sliver path to the last bit — what makes the front
+    // door safe to point at a corpus-fraction split at scale
+    import spark.implicits._
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d * 7) % 9 - 4).toLong).toSeq, i % 2)
+    }
+    val df = rows.toDF("id", "x", "label").repartition(7, col("id"))
+    val local = Classifier.trainFixedPoint(df, "x", "label", 8, 10, 16L)
+    System.setProperty("graft.classifier.localGate", "0")
+    val dist =
+      try Classifier.trainFixedPoint(df, "x", "label", 8, 10, 16L)
+      finally System.clearProperty("graft.classifier.localGate")
+    assert(local.toSeq === dist.toSeq)
+    // and both agree with the job-free array form on the same rows
+    val arr = Classifier.trainFixedPoint(
+      rows.map { case (_, x, y) => (x.toArray, y) }.toArray, 8, 10, 16L)
+    assert(local.toSeq === arr.toSeq)
+  }
+
   test("fixed-point trainer fails loudly on overflow, never wraps") {
     val rows = Array((Array.fill(4)(Long.MaxValue / 2), 0),
       (Array.fill(4)(Long.MaxValue / 2), 1))
