@@ -949,6 +949,18 @@ object Multimodal {
     * never all-pairs. Input: (media_id, <chunkCols>); the caller
     * persists if its signature computation is expensive (it is consumed
     * #chunks+2 times: the band projections + both verify sides).
+    *
+    * Scale caveat — the OUTPUT is quadratic in exact-duplicate cluster
+    * size: B identical signatures form a hamming-0 clique of B²/2
+    * pairs, and web corpora carry 10⁵-fold exact-duplicate images as a
+    * matter of course. That is inherent to the pair-LIST contract, not
+    * to this implementation; consumers that only need clusters or
+    * keep/drop decisions must collapse identical signatures to one
+    * representative (min id per signature group) BEFORE calling this,
+    * and lift members back afterward — hamming depends only on the
+    * signatures, so rep-level pairs lose nothing ([[hammingClusters]]
+    * is that consumer; the r14 1000x sweep OOMed on the uncollapsed
+    * form).
     */
   def hammingPairs(sigs: DataFrame,
                    chunkCols: Seq[String] = Seq("c0", "c1", "c2", "c3"),
@@ -970,6 +982,43 @@ object Multimodal {
         .reduce(_ + _).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** [[hammingPairs]]' cluster-level consumer with the exact-duplicate
+    * collapse that makes it safe on duplication-heavy corpora: identical
+    * full signatures (a hamming-0 clique — quadratic as a pair list)
+    * survive as ONE representative (min id per signature group), the
+    * banded self-join runs over DISTINCT signatures only (bounded by
+    * near-miss structure, not duplication factor), connected components
+    * run on rep-level pairs, and members lift back through their
+    * representative. Result-identical to clustering the item-level pair
+    * list — hamming depends only on the signatures, so rep pairs reach
+    * exactly the components item pairs would, and cluster_id = min rep
+    * id = min member id since each rep is its group's min (pinned
+    * against the uncollapsed form in MultimodalSpec). Output one row
+    * per cluster: (cluster_id, n_members, keeper_id); singletons —
+    * unique signature, no near pair — carry no dedup decision and are
+    * excluded, matching the pair-list consumer they replace.
+    */
+  def hammingClusters(sigs: DataFrame,
+                      chunkCols: Seq[String] = Seq("c0", "c1", "c2", "c3"),
+                      maxHamming: Int = 3): DataFrame = {
+    val groups = sigs.groupBy(chunkCols.map(col): _*)
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("grp_n"))
+    val repPairs = hammingPairs(
+      groups.select((col("rep").as("media_id") +: chunkCols.map(col)): _*),
+      chunkCols, maxHamming)
+    val repClusters = DupClusters.connectedComponents(repPairs)
+      .select(col("id").as("rep"), col("cluster_id").as("rep_cluster"))
+    sigs.join(groups, chunkCols)
+      .join(repClusters, Seq("rep"), "left")
+      // paired = identical-sig twin exists (grp_n > 1) or the rep
+      // near-paired with another distinct signature
+      .filter(col("rep_cluster").isNotNull || col("grp_n") > 1)
+      .withColumn("cluster_id", coalesce(col("rep_cluster"), col("rep")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("media_id")).as("keeper_id"))
   }
 
   /** Incremental cross-batch perceptual near-dup — the

@@ -971,18 +971,32 @@ object MultimodalQueries {
 
   // ---- q_media_dupclusters: perceptual pairs -> dedup clusters ----------
 
-  /** Close the image-dedup loop: the q_media_neardup pair list through
+  /** Close the image-dedup loop: perceptual near-dup pairs through
     * [[graft.ops.DupClusters.connectedComponents]] (a touched-up copy
     * of a touched-up copy must collapse into ONE cluster even when the
     * endpoints never paired directly), then the per-cluster dedup
     * artifact — size + keeper (min media_id, the keep-first policy).
     * Only paired media appear: singletons need no dedup decision.
+    *
+    * Scale shape — exact-duplicate collapse BEFORE the banded join.
+    * The item-level pair list (q_media_neardup's contract) is
+    * inherently quadratic in exact-duplicate cluster size: B identical
+    * signatures in a band bucket emit B²/2 pairs, and the same image
+    * replicated 10⁵ times across a web crawl is normal — the r14
+    * 1000x sweep OOMed exactly here. Clustering never needs those
+    * intra-clique pairs: identical full signatures are a hamming-0
+    * clique whose membership survives as one representative (min id
+    * per signature group), the banded self-join runs over DISTINCT
+    * signatures only (bounded by near-miss structure, not duplication
+    * factor), and members lift back through their representative.
+    * Result-identical to clustering the item-level list — hamming
+    * depends only on the signatures, so rep-level pairs reach exactly
+    * the components item pairs would, and cluster_id = min rep id =
+    * min member id since each rep is its group's min (the DuckDB
+    * oracle still replays the item-level definition, unchanged).
     */
   def mediaDupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.ops.DupClusters.connectedComponents(mediaNearDup(s, dir))
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        min(col("id")).as("keeper_id"))
+    Multimodal.hammingClusters(sigSlice(s, dir, "image", 4))
 
   val mediaDupClustersSql: String =
     s"""WITH RECURSIVE pairs AS ($mediaNearDupSql),

@@ -563,4 +563,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(!keys.exists(p => p._1 < 1000000000L && p._2 < 1000000000L),
       s"unrelated originals paired: $keys")
   }
+
+  test("hammingClusters: exact-dup collapse identical to clustering the item-level pair list") {
+    import spark.implicits._
+    // planted structure, heavy exact duplication: ids 0-9 share sig A
+    // (a 10-clique as pairs — 45 rows the collapsed path never emits),
+    // ids 10-11 carry sig A+1bit (near A, bridges into the A cluster),
+    // ids 20-21 share sig B (an isolated exact-dup pair), id 30 is a
+    // singleton — excluded by both paths
+    val sigA = (17L, 4097L, 258L, 9L)
+    val sigA1 = (16L, 4097L, 258L, 9L) // hamming 1 from A
+    val sigB = (700L, 33L, 5L, 1024L)
+    val rows =
+      (0L until 10L).map(i => (i, sigA._1, sigA._2, sigA._3, sigA._4)) ++
+      Seq(10L, 11L).map(i => (i, sigA1._1, sigA1._2, sigA1._3, sigA1._4)) ++
+      Seq(20L, 21L).map(i => (i, sigB._1, sigB._2, sigB._3, sigB._4)) ++
+      Seq((30L, 9999L, 8888L, 7777L, 6666L))
+    val sigs = rows.toDF("media_id", "c0", "c1", "c2", "c3")
+    val collapsed = graft.ops.Multimodal.hammingClusters(sigs)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val itemLevel = graft.ops.DupClusters
+      .connectedComponents(graft.ops.Multimodal.hammingPairs(sigs))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keeper_id"))
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(collapsed.toSeq === itemLevel.toSeq)
+    assert(collapsed.toSeq === Seq((0L, 12L, 0L), (20L, 2L, 20L)))
+    spark.catalog.clearCache()
+  }
 }
