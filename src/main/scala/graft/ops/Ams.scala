@@ -24,10 +24,12 @@ object Ams {
 
   val K = 8
 
-  /** ±1 as a Column: parity of the first md5 hex digit of "j:" ++ tok. */
+  /** ±1 as a Column: parity of the first md5 hex digit of "j:" ++ tok
+    * (fused [[graft.plans.Md5PrefixLong]] kernel — bit-identical to the
+    * conv/substring/md5 form the oracle replays).
+    */
   def sign(j: Int, tok: Column): Column =
-    (conv(substring(md5(concat(lit(j + ":"), tok)), 1, 1), 16, 10)
-      .cast("long") % 2) * 2 - 1
+    (graft.plans.Md5PrefixLong(tok, j + ":", 1) % 2) * 2 - 1
 
   /** Per-group AMS state: one row per group with s0..s(K-1). */
   def sketch(df: DataFrame, groupCol: String, tokCol: String): DataFrame =

@@ -28,12 +28,14 @@ object CountMin {
   val Width = 256
 
   /** Row-j bucket of a token: first 16 bits of md5("j:" ++ tok) mod
-    * Width. conv() yields ≤0xffff, so the mod domain is nonnegative in
-    * both engines.
+    * Width. The hash yields ≤0xffff, so the mod domain is nonnegative
+    * in both engines. Fused [[graft.plans.Md5PrefixLong]] kernel —
+    * bit-identical to the conv(substring(md5(concat(...)),1,4),16,10)
+    * form the oracle replays (PlanSpec parity pin), without that form's
+    * three intermediate strings per (row, j).
     */
   def bucket(j: Int, tok: Column, width: Int = Width): Column =
-    conv(substring(md5(concat(lit(j + ":"), tok)), 1, 4), 16, 10)
-      .cast("long") % width
+    graft.plans.Md5PrefixLong(tok, j + ":", 4) % width
 
   /** The sketch: (j, b, c) cells summed over one exploded token column.
     * ≤ Depth×Width rows regardless of vocabulary size.

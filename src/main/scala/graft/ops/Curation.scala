@@ -176,7 +176,7 @@ object Curation {
     * lookup since DuckDB has no conv().
     */
   def dsirBucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 2), 16, 10).cast("int")
+    graft.plans.Md5PrefixLong(tok, 2).cast("int")
 
   /** DSIR importance weights: estimate hashed-unigram distributions for
     * a target slice and for the rest of the corpus (add-one smoothing

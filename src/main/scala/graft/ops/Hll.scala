@@ -48,9 +48,12 @@ object Hll {
   val RankBits = 48
   val HashHexChars = 15 // 60 bits = P + RankBits
 
-  /** 60-bit md5-prefix hash of a key (engine side of the convention). */
+  /** 60-bit md5-prefix hash of a key (engine side of the convention;
+    * fused [[graft.plans.Md5PrefixLong]] kernel, bit-identical to the
+    * conv/substring/md5 form the oracle replays).
+    */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, HashHexChars), 16, 10).cast("long")
+    graft.plans.Md5PrefixLong(c.cast("string"), HashHexChars)
 
   /** Sparse register table: only registers with a nonzero rank. */
   case class Buf(regs: scala.collection.Map[Int, Int])

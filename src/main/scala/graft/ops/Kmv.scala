@@ -51,8 +51,7 @@ object Kmv {
     * DuckDB fragment.
     */
   def hash52(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, HashHexChars), 16, 10)
-      .cast("long")
+    graft.plans.Md5PrefixLong(c.cast("string"), HashHexChars)
 
   /** [[hash52]] clamped to ≥ 1 — the sketch-input form. The estimator
     * divides by the k-th smallest hash, so a hash of exactly 0

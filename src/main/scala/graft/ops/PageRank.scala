@@ -45,6 +45,14 @@ object PageRank {
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the edge cache BEFORE the node census: the census is
+    // a union whose two branches both scan `e`, and against a cache
+    // that is only marked-not-materialized those two branches RACE —
+    // each recomputes the upstream edge join before either publishes
+    // the blocks (q_pagerank_nations' 5-way join ran twice; R14Profile
+    // measured the query at 6.6 s vs 1.8 s for the join itself). One
+    // count() runs the expensive subtree exactly once.
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -411,8 +411,9 @@ object SketchDedup {
     val Bits = 60
     val tok = df.select(col(idCol).as("id"),
         explode(TextMetrics.tokens(col(textCol))).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      // fused md5-prefix kernel — bit-identical to
+      // conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+      .withColumn("h", graft.plans.Md5PrefixLong(col("tok"), 15))
     val bitSums = (0 until Bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
     val sig = tok.groupBy(col("id"))

@@ -167,6 +167,9 @@ object GraftFunctions {
       FunctionIdentifier("fix_mojibake"), FixMojibake.info, FixMojibake.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), Simhash64.info, Simhash64.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("md5_prefix_long"),
+      Md5PrefixLong.info, Md5PrefixLong.builder)
     if (!spark.experimental.extraOptimizations.contains(CollapseNfkc))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseNfkc
