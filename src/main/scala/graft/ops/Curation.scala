@@ -458,6 +458,16 @@ object Curation {
           transform(sequence(lit(0), size(col("__toks")) - n),
             i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as(Seq("gpos", "gram")))
+      // persisted like dupSpans' span table: the gram frame feeds BOTH
+      // the duplicate-frequency aggregate and the marked-position join,
+      // and re-deriving it pays the n-token array_join per position a
+      // second time (r14 A/B at sf0.1: 2.67 → 2.32 s with the persist).
+      // Node-local MEMORY_AND_DISK, released by the caller's
+      // clearCache; at the 1000-executor shape this caches ~n× corpus
+      // — the same trade q_heavy_hitters' trigram persist makes, and
+      // the first thing to drop if executor memory is the constraint
+      // (re-derivation is one extra pass over the cached token arrays).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

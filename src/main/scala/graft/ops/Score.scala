@@ -116,7 +116,7 @@ object Score {
     * empty-array cast in sync across orders (and with the DuckDB slice
     * mirrors in the oracle SQL).
     */
-  private def ngramStructs(toks: Column, n: Int): Column =
+  private[graft] def ngramStructs(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => struct((1 to n).map(j =>

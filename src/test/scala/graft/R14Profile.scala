@@ -82,6 +82,131 @@ object R14Profile {
       case "kn" => Seq(
         "kn2_full" -> (d => queries.CurationQueries.knPerplexity(spark, d)),
         "kn3_full" -> (d => queries.CurationQueries.knTrigram(spark, d)))
+      case "kn2" =>
+        import org.apache.spark.storage.StorageLevel
+        def bi(d: String, persist: Boolean) = {
+          val b = Tables.documents(spark, d)
+            .withColumn("__toks", graft.text.TextMetrics.tokens(col("text")))
+            .select(col("doc_id").as("id"),
+              explode(graft.ops.Score.ngramStructs(col("__toks"), 2)).as("bg"))
+            .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          if (persist) b.persist(StorageLevel.MEMORY_AND_DISK) else b
+        }
+        Seq(
+          "bi_count" -> (d => bi(d, false).agg(count(lit(1)).as("n"))),
+          "cb_only" -> (d => bi(d, false).groupBy("w1", "w2")
+            .agg(count(lit(1)).as("cb"))),
+          "kn2_score_only" -> (d => graft.ops.Score.knBigramLogprobs(
+            Tables.documents(spark, d), "doc_id", "text")),
+          "kn2_full" -> (d => queries.CurationQueries.knPerplexity(spark, d)),
+          "kn2_score_bipersist" -> { d =>
+            // alternative scoring: persist the exploded bigrams so the
+            // corpus tokenizes once (scored join reads the cache)
+            val b = bi(d, true)
+            val cb = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val cs = cb.groupBy("w1")
+              .agg(sum("cb").as("cs"), count(lit(1)).as("n1f"))
+            val cr = cb.groupBy("w2").agg(count(lit(1)).as("n1r"))
+            val types = cb.count().toDouble
+            val disc = graft.ops.Score.KnDiscount
+            val p = (greatest(col("cb").cast("double") - disc, lit(0.0))
+              + ((lit(disc) * col("n1f")) * col("n1r")) / lit(types)) / col("cs")
+            val lpByType = cb.join(cs, Seq("w1")).join(cr, Seq("w2"))
+              .withColumn("klp_q", floor(log(p) * 10000).cast("long"))
+              .select("w1", "w2", "klp_q")
+            b.join(lpByType, Seq("w1", "w2"))
+              .groupBy("id")
+              .agg(count(lit(1)).as("n_bigrams"), sum("klp_q").as("kn_lp_sum_q"))
+          })
+      case "span" =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel
+        import graft.ops.Curation
+        val n = Curation.DupSpanN
+        val minDocs = Curation.DupSpanMinDocs
+        def variantGramsPersist(d: String): DataFrame = {
+          val df = Tables.documents(spark, d)
+          val idCol = "doc_id"
+          val base = df
+            .select(col(idCol), graft.text.TextMetrics.tokens(col("text")).as("__toks"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val toks = base
+            .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+          val grams = base
+            .select(col(idCol), posexplode(
+              when(size(col("__toks")) >= n,
+                transform(sequence(lit(0), size(col("__toks")) - n),
+                  i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+                .otherwise(array().cast("array<string>"))).as(Seq("gpos", "gram")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val dup = grams.groupBy("gram")
+            .agg(countDistinct(col(idCol)).as("__nd"))
+            .filter(col("__nd") >= minDocs)
+            .select(col("gram"))
+          val marked = grams.join(dup, Seq("gram"))
+            .select(col(idCol), col("gpos")).distinct()
+          val byPos = Window.partitionBy(idCol).orderBy("pos")
+          val trail = byPos.rowsBetween(-(n - 1), 0)
+          val covered = toks
+            .join(marked.withColumnRenamed("gpos", "pos")
+              .withColumn("__start", lit(1)), Seq(idCol, "pos"), "left")
+            .withColumn("__cov", max(coalesce(col("__start"), lit(0))).over(trail))
+            .withColumn("__cut_start",
+              (col("__cov") === 1 &&
+                coalesce(lag(col("__cov"), 1).over(byPos), lit(0)) === 0)
+                .cast("int"))
+          val perDoc = covered.groupBy(idCol)
+            .agg(count(lit(1)).as("n_tokens"),
+              sum("__cov").as("n_removed"),
+              sum("__cut_start").as("n_cut_spans"),
+              array_sort(collect_list(
+                when(col("__cov") === 0, struct(col("pos"), col("tok")))))
+                .as("__kept"))
+            .withColumn("clean_md5",
+              md5(array_join(transform(col("__kept"), s => s.getField("tok")), " ")
+                .cast("binary")))
+            .drop("__kept")
+          df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+            .select(col(idCol),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+              coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+              coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+              coalesce(col("clean_md5"), md5(lit("").cast("binary"))).as("clean_md5"))
+        }
+        Seq(
+          "span_full" -> (d => queries.CurationQueries.spanRemoval(spark, d)),
+          "span_grams_persist" -> (d => variantGramsPersist(d)),
+          "dupspans_full" -> (d => queries.CurationQueries.dupSpans(spark, d)),
+          "dupspans_eager" -> { d =>
+            val df = Tables.documents(spark, d)
+            val spans = df
+              .withColumn("__toks", graft.text.TextMetrics.tokens(col("text")))
+              .select(col("doc_id"), explode(
+                when(size(col("__toks")) >= n,
+                  transform(sequence(lit(0), size(col("__toks")) - n),
+                    i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+                  .otherwise(array().cast("array<string>"))).as("span"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            spans.count()
+            val dup = spans.groupBy("span")
+              .agg(countDistinct(col("doc_id")).as("__nd"))
+              .filter(col("__nd") >= minDocs)
+              .select(col("span"), lit(1).as("__dup"))
+            val perDoc = spans
+              .join(dup, Seq("span"), "left")
+              .groupBy("doc_id")
+              .agg(count(lit(1)).as("n_spans"), count(col("__dup")).as("dup_spans"))
+            df.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+              .withColumn("dup_frac_q",
+                when(col("n_spans") > 0,
+                  floor(col("dup_spans").cast("double") * 10000.0d /
+                    col("n_spans").cast("double")))
+                  .otherwise(lit(0L)).cast("long"))
+          })
       case _ => sys.error(s"unknown group $group")
     }
     if (args.lift(2).contains("explain"))
