@@ -59,12 +59,25 @@ object MinhashMd5 {
     prefixCache.computeIfAbsent(n, m =>
       Array.tabulate(m)(j => s"$j:".getBytes("UTF-8")))
 
+  /** Thread-local 16-byte digest output, reused across every
+    * (slot, shingle) call: the previous `d.digest(s)` allocated a fresh
+    * 16-byte array per call — numHashes·|sh| short-lived allocations per
+    * row (24M for q_incr_neardup's two sketch tables at sf0.1) for
+    * digests that lose the running-min compare almost always. Winners
+    * (O(log |sh|) expected per slot) are copied out; everything else
+    * never escapes the scratch buffer. Same digests, same minima.
+    */
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
   /** Static kernel shared by interpreted eval and generated code.
     * Returns null when no non-null shingle exists (array_min parity).
     */
   def kernel(sh: ArrayData, numHashes: Int): ArrayData = {
     val pre = prefixes(numHashes)
     val mins = new Array[Array[Byte]](numHashes)
+    val buf = scratch.get()
     val n = sh.numElements()
     var i = 0
     while (i < n) {
@@ -74,9 +87,11 @@ object MinhashMd5 {
         while (j < numHashes) {
           val d = Md5Hex.digest()
           d.update(pre(j))
-          val dig = d.digest(s)
-          if (mins(j) == null ||
-              java.util.Arrays.compareUnsigned(dig, mins(j)) < 0) mins(j) = dig
+          d.update(s)
+          d.digest(buf, 0, 16)
+          if (mins(j) == null) mins(j) = java.util.Arrays.copyOf(buf, 16)
+          else if (java.util.Arrays.compareUnsigned(buf, mins(j)) < 0)
+            System.arraycopy(buf, 0, mins(j), 0, 16)
           j += 1
         }
       }
