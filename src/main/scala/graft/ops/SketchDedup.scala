@@ -380,8 +380,13 @@ object SketchDedup {
     // kernel is null-intolerant (kernel convention); the spec UDF maps
     // null -> 0L — the coalesce preserves that exact legacy semantic
     // (null and blank docs sketch identically and pair up)
-    val sketched = df.select(col(idCol).as("id"),
+    // persisted pre-explode: the chunk self-join references the sketch
+    // twice, and without the persist the corpus-linear kernel ran once
+    // per side (the minhashLshPairs never-recompute-a-sketch rule)
+    val sk = df.select(col(idCol).as("id"),
       coalesce(graft.plans.Simhash64(col(textCol)), lit(0L)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sketched = sk
       .withColumn("chunk", explode(array((0 until 4).map(i =>
         concat_ws("_", lit(i),
           shiftright(col("sig"), 16 * i).bitwiseAND(lit(0xFFFFL)))): _*)))
@@ -416,12 +421,18 @@ object SketchDedup {
       .withColumn("h", graft.plans.Md5PrefixLong(col("tok"), 15))
     val bitSums = (0 until Bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    // persisted: the chunk self-join below references the signature
+    // table twice (a-side and b-side), and without the persist the
+    // whole explode + md5 + 60-bit-sum aggregate ran once per side
+    // (the minhashLshPairs never-recompute-a-sketch rule). One long
+    // per doc — the smallest cache in the family.
     val sig = tok.groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
         (0 until Bits).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.withColumn("chunk", explode(array((0 until 4).map(i =>
       concat_ws("_", lit(i),
         shiftright(col("sig"), 15 * i).bitwiseAND(lit(0x7FFFL)))): _*)))
@@ -513,11 +524,19 @@ object SketchDedup {
     // regroup it saves. The explode+regroup below shuffles every
     // (id, struct(df, s)) occurrence once, keeps per-row work at
     // O(n log n), and stays the fastest measured form.)
+    // persisted: the candidate self-join below references the exploded
+    // prefix twice (a-side and b-side), and without the persist the
+    // WHOLE ordering pipeline — df join, regroup shuffle, per-doc sort —
+    // ran once per side (the r14 plan dump showed the two identical
+    // ObjectHashAggregate subtrees; the same never-recompute-a-sketch
+    // rule minhashLshPairs documents). One row per doc, so the cache is
+    // corpus-row-sized, not posting-sized.
     val ordered = ex.join(broadcast(rep), Seq("s"), "left")
       .select(col("id"), struct(
         coalesce(col("df_s"), lit(1L)).as("df_s"), col("s")).as("__ds"))
       .groupBy("id")
       .agg(array_sort(collect_list(col("__ds"))).as("ord"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = size(col("ord"))
     val p = (n - ceil(n.cast("double") * lit(threshold)) + 1).cast("int")
     val prefix = slice(transform(col("ord"), x => x.getField("s")), lit(1), p)

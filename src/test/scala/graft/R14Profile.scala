@@ -119,6 +119,37 @@ object R14Profile {
               .groupBy("id")
               .agg(count(lit(1)).as("n_bigrams"), sum("klp_q").as("kn_lp_sum_q"))
           })
+      case "pj" =>
+        import org.apache.spark.storage.StorageLevel
+        import graft.ops.{SketchDedup, Skew}
+        def pjBase(d: String) = Skew.ensureParallelism(
+          Tables.documents(spark, d)
+            .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+            .select(col("doc_id").as("id"), col("text").as("__t")))
+          .select(col("id"),
+            SketchDedup.shinglesFromTokens(
+              graft.text.TextMetrics.tokens(col("__t")), 3).as("sh"))
+        def pjOrdered(d: String) = {
+          val base = pjBase(d).persist(StorageLevel.MEMORY_AND_DISK)
+          val ex = base.select(col("id"), explode(col("sh")).as("s"))
+          val rep = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+            .filter(col("df_s") > 1)
+          ex.join(broadcast(rep), Seq("s"), "left")
+            .select(col("id"), struct(
+              coalesce(col("df_s"), lit(1L)).as("df_s"), col("s")).as("__ds"))
+            .groupBy("id")
+            .agg(array_sort(collect_list(col("__ds"))).as("ord"))
+        }
+        Seq(
+          "pj_base" -> (d => pjBase(d).agg(count(lit(1)))),
+          "pj_rep" -> { d =>
+            val base = pjBase(d).persist(StorageLevel.MEMORY_AND_DISK)
+            base.select(col("id"), explode(col("sh")).as("s"))
+              .groupBy("s").agg(count(lit(1)).as("df_s"))
+              .filter(col("df_s") > 1).agg(count(lit(1)))
+          },
+          "pj_ordered" -> (d => pjOrdered(d).agg(count(lit(1)))),
+          "pj_full" -> (d => queries.SimilarityQueries.prefixJaccard(spark, d)))
       case "span" =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.storage.StorageLevel
