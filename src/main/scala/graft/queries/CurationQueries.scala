@@ -301,6 +301,11 @@ object CurationQueries {
     * deterministic top-quantile gate is the oracle-checkable variant.)
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted, measured (r14 A/B at sf0.1: 1.25 s unpersisted vs
+    // 1.49 s persisted): the weight table feeds the percentile cutoff
+    // and the selection join, but both references end in the same
+    // aggregate exchanges and AQE's stage reuse already dedups them —
+    // a persist here only adds the cache write.
     val w = dsirWeights(s, dir)
     // quantized cut, same reason as ccnetBuckets: the interpolated
     // percentile is the only value the two engines compute with

@@ -614,9 +614,16 @@ object SimilarityQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
+    // the corpus state is REFERENCED twice inside the op (band keys +
+    // verify join); in production it is a parquet-backed state table
+    // (cheap to scan twice, never re-sketched), but here it is computed
+    // in-query — persist it or the 16-digest md5 sketch of the corpus
+    // half runs once per reference (caller's clearCache releases)
+    val corpusState = SketchDedup.minhashMd5SketchTable(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = SketchDedup.incrementalFromSketches(batch,
       SketchDedup.minhashMd5SketchTable(batch, "doc_id", "text"),
-      SketchDedup.minhashMd5SketchTable(corpus, "doc_id", "text"),
+      corpusState,
       "doc_id", threshold = 0.7)
     r.flagged.select(col("doc_id"),
       col("is_dup_near_batch").as("is_dup_batch"),
