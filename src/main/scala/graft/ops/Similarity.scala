@@ -75,12 +75,7 @@ object Similarity {
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
                       nbits: Int = 8, tables: Int = 8,
                       maxBucket: Long = Long.MaxValue): DataFrame = {
-    // persisted: feeds the banding projection AND both verify joins —
-    // three evaluations of the embedding scan/cast otherwise (the
-    // minhashLshPairs never-recompute-a-sketch rule; 1x corpus of
-    // double[] in cache, released by the caller's clearCache)
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = e
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(tables - 1))).as("t"))

@@ -33,20 +33,11 @@ object Triangles {
     * canonicalized here.
     */
   def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // persisted: the canonical edge list feeds the degree count AND the
-    // orientation join, and `oriented` below is referenced three times
-    // (both wedge sides + the closing edge). Unpersisted, the upstream
-    // pair pipeline (for q_tri_neardup: the whole LSH near-dup build)
-    // re-evaluated once per reference — the minhashLshPairs
-    // never-recompute rule applies to edge lists too. Edge lists are
-    // pair-bounded (banding caps them upstream), so the cache is the
-    // small frame of this op. Released by the caller's clearCache.
     val e = edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -59,7 +50,6 @@ object Triangles {
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges at src, endpoints ordered by the SAME total order, so the
     // closing edge — if present — is oriented exactly (w1 -> w2)
     val o1 = oriented.select(col("src"), col("dst").as("w1"), col("ddst").as("dw1"))
