@@ -119,6 +119,61 @@ object R14Profile {
               .groupBy("id")
               .agg(count(lit(1)).as("n_bigrams"), sum("klp_q").as("kn_lp_sum_q"))
           })
+      case "tri" =>
+        import graft.ops.Similarity
+        def perNodeNoPersist(edges: DataFrame): DataFrame = {
+          val e = edges
+            .select(least(col("id_a"), col("id_b")).as("u"),
+              greatest(col("id_a"), col("id_b")).as("v"))
+            .filter(col("u") =!= col("v"))
+            .distinct()
+          val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("deg"))
+          val withDeg = e
+            .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+            .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+          val uFirst = col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v"))
+          val oriented = withDeg.select(
+            when(uFirst, col("u")).otherwise(col("v")).as("src"),
+            when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+            when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+          val o1 = oriented.select(col("src"), col("dst").as("w1"), col("ddst").as("dw1"))
+          val o2 = oriented.select(col("src"), col("dst").as("w2"), col("ddst").as("dw2"))
+          val wedges = o1.join(o2, Seq("src"))
+            .filter(col("dw1") < col("dw2") ||
+              (col("dw1") === col("dw2") && col("w1") < col("w2")))
+          val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
+          val tris = wedges.join(closing, Seq("w1", "w2"))
+            .select(col("src").as("a"), col("w1").as("b"), col("w2").as("c"))
+          tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("n_tri"))
+        }
+        def lshNoPersist(d: String): DataFrame = {
+          val emb = Tables.embeddings(spark, d)
+          val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          val banded = e
+            .select(col("vec_id"), col("v"),
+              explode(sequence(lit(0), lit(7))).as("t"))
+            .select(col("vec_id"), col("t"),
+              Similarity.lshBucketAt(col("v"), col("t") * 8 + 1, 8).as("bucket"))
+          val pairs = banded.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+            .join(banded.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+              Seq("t", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b").distinct()
+          pairs
+            .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+            .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+            .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+            .filter(col("cosine") >= 0.25)
+            .select("id_a", "id_b", "cosine")
+        }
+        Seq(
+          "tri_persisted" -> (d => queries.SimilarityQueries.triNearDup(spark, d)),
+          "tri_nopersist" -> (d => perNodeNoPersist(lshNoPersist(d))),
+          "embed_persisted" -> (d => queries.SimilarityQueries.embedNearDup(spark, d)),
+          "embed_nopersist" -> (d => lshNoPersist(d)))
       case "pj" =>
         import org.apache.spark.storage.StorageLevel
         import graft.ops.{SketchDedup, Skew}
