@@ -381,23 +381,34 @@ object Curation {
     * SAME sliver: duplicated n-grams across a 100 TB web corpus are
     * vocab-scale (boilerplate, licenses, templates), far past any
     * broadcast budget — AQE broadcasts the small case from measured
-    * runtime stats and shuffle-joins the big one. At 100 TB the span
-    * string would be fingerprinted (xxhash64) before the shuffle; the
-    * oracle form keeps the raw string so DuckDB agrees without a
-    * shared seed.
+    * runtime stats and shuffle-joins the big one. Spans are
+    * fingerprinted (xxhash64) before the persist/shuffle (r15) — the
+    * output never exposes a span string, so DuckDB's raw-string replay
+    * still agrees row-for-row (modulo a 64-bit collision; see the
+    * inline note).
     */
   def dupSpans(df: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", n: Int = DupSpanN,
                minDocs: Int = DupSpanMinDocs): DataFrame = {
+    // Span strings are FINGERPRINTED to xxhash64 at build (r15): the
+    // frequency aggregate and the join-back only ever test span
+    // EQUALITY — the string itself never reaches the output — so the
+    // persisted/shuffled stream carries 8 bytes per span instead of an
+    // ~8-token string (~7× smaller cache at any scale, the r14 weak
+    // finding's prescribed fix, and −29% wall at sf0.1). Results are
+    // identical modulo a 64-bit collision between two spans of one
+    // corpus (p ≈ n²/2⁶⁵; ~1e-5 at the sf0.1 volume — R15Check pins
+    // row equality at sf0.01/sf0.1 and the DuckDB oracle, which
+    // replays exact strings, re-verifies the hash).
     val spans = df
       .withColumn("__toks", TextMetrics.tokens(col(textCol)))
       .select(col(idCol), explode(
         when(size(col("__toks")) >= n,
           transform(sequence(lit(0), size(col("__toks")) - n),
-            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("span"))
+            i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<long>"))).as("span"))
       // feeds the span-frequency aggregate AND the per-doc join: persist
-      // or the tokenize+explode+span-string build runs twice (released
+      // or the tokenize+explode+span-hash build runs twice (released
       // by the caller's clearCache, like the sketch persists)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = spans.groupBy("span")
@@ -452,21 +463,28 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = base
       .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+    // Gram strings are FINGERPRINTED to xxhash64 at build (r15, same
+    // treatment as dupSpans): coverage only needs gram EQUALITY — the
+    // marked-position join keeps (id, gpos), never the string — so the
+    // persisted/shuffled gram stream is 8 bytes per position instead
+    // of an ~n-token string. That shrinks the r14 weak-finding cache
+    // ~7× at any scale AND cut the query 2.51 → 1.72 s at sf0.1
+    // (cold-JVM interleaved min-of-3). Identical results modulo a
+    // 64-bit collision (p ≈ n²/2⁶⁵; R15Check pins row equality at
+    // sf0.01/sf0.1, oracle hash re-verified).
     val grams = base
       .select(col(idCol), posexplode(
         when(size(col("__toks")) >= n,
           transform(sequence(lit(0), size(col("__toks")) - n),
-            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as(Seq("gpos", "gram")))
+            i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<long>"))).as(Seq("gpos", "gram")))
       // persisted like dupSpans' span table: the gram frame feeds BOTH
-      // the duplicate-frequency aggregate and the marked-position join,
-      // and re-deriving it pays the n-token array_join per position a
-      // second time (r14 A/B at sf0.1: 2.67 → 2.32 s with the persist).
-      // Node-local MEMORY_AND_DISK, released by the caller's
-      // clearCache; at the 1000-executor shape this caches ~n× corpus
-      // — the same trade q_heavy_hitters' trigram persist makes, and
-      // the first thing to drop if executor memory is the constraint
-      // (re-derivation is one extra pass over the cached token arrays).
+      // the duplicate-frequency aggregate and the marked-position join
+      // (r15 cold-JVM A/B: dropping it costs +0.3 s at sf0.1 even with
+      // the hashed stream). Node-local MEMORY_AND_DISK, released by
+      // the caller's clearCache; the first thing to drop if executor
+      // memory is the constraint (re-derivation is one extra pass over
+      // the cached token arrays).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("__nd"))

@@ -217,19 +217,17 @@ object Score {
     *
     * Scale shape: one trigram explode + one bigram explode (the
     * unigram continuation marginal is bigram-based, per the
-    * construction). EVERY marginal folds from the two persisted TYPE
-    * tables (trigram pair-counts, bigram types) — N1+(uv·) and c(uv·)
-    * key on (u,v); the continuation table N1+(·vw) keys on (v,w) and
-    * its own marginals on v; nothing re-scans the corpus. The two type
-    * totals are driver longs. Per-trigram quantization before the
-    * per-doc BIGINT sum, as everywhere.
+    * construction). EVERY marginal is attached to the trigram TYPE
+    * table by WINDOW aggregates sharing one exchange (see the inline
+    * note) — N1+(uv·) and c(uv·) over (u,v); N1+(·vw) over (v,w); its
+    * v-marginals over (v); nothing re-scans the corpus and nothing
+    * type-table-sized persists. The bigram-type total is a driver long
+    * folded from the vocab-sized n1r sliver. Per-trigram quantization
+    * before the per-doc BIGINT sum, as everywhere.
     */
   def knTrigramLogprobs(df: DataFrame, idCol: String, textCol: String,
                         discount: Double = KnDiscount): DataFrame = {
-    // the three type tables each feed 2-3 consumers; persisted frames
-    // are released by the caller's clearCache, like the bigram op
-    def keep(d: DataFrame): DataFrame =
-      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.expressions.Window
     val toks = df.withColumn("__toks",
       graft.text.TextMetrics.tokens(col(textCol)))
     val tri = toks
@@ -241,35 +239,55 @@ object Score {
       .select(col(idCol).as("id"),
         explode(ngramStructs(col("__toks"), 2)).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // trigram pair-count table: feeds the (u,v) context marginals, the
-    // continuation table, and the scoring join
-    val c3 = keep(tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
-    val ctx3 = c3.groupBy("w1", "w2")
-      .agg(sum("c3").as("cs3"), count(lit(1)).as("n1f3"))
-    // N1+(·vw): distinct preceding contexts per (v,w) — rows per (v,w)
-    // in the TYPE table; feeds its own v-marginals and the scoring join
-    val cont2 = keep(c3.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("n1p23")))
-    val midctx = cont2.groupBy("w2")
-      .agg(sum("n1p23").as("denom2"), count(lit(1)).as("n1fc2"))
-    // bigram-based unigram continuation: N1+(·w) / |bigram types|
-    val cb2 = keep(bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb")))
-    val n1r = cb2.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("n1r"))
-    val t2 = cb2.count().toDouble
+    // trigram pair-count table — single consumer now (the window chain
+    // below), so no persist: the r14 agg+join form kept three persisted
+    // type tables alive just to re-join marginals back
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    // bigram-based unigram continuation: N1+(·w) / |bigram types|.
+    // t2 = |bigram types| folds from the n1r SLIVER (Σ n1r ≡ count of
+    // cb2 rows) — one tiny agg instead of a second pass over the
+    // persisted bigram type table; n1r (vocab-sized) persists for its
+    // two consumers (the t2 action + the scoring-chain join).
+    val n1r = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .groupBy(col("w2").as("w3")).agg(count(lit(1)).as("n1r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t2 = n1r.agg(sum("n1r")).collect()(0).getLong(0).toDouble
     // association pinned to mirror the oracle SQL token-for-token
     val p2 = (greatest(col("n1p23").cast("double") - discount, lit(0.0))
       + ((lit(discount) * col("n1fc2")) * col("n1r")) / lit(t2)) /
       col("denom2")
     val p3 = (greatest(col("c3").cast("double") - discount, lit(0.0))
       + (lit(discount) * col("n1f3")) * col("__p2")) / col("cs3")
-    // the smoothed logprob depends only on the TRIGRAM TYPE: fold all
-    // five marginals into the type table (every join there is
-    // type-table-sized), then the corpus-length frame shuffles through
-    // ONE join keyed on the triple — not five
+    // Marginal-fold as WINDOWS over the type table, not agg+self-join
+    // (guide §2.4 "two operations keyed the same way share one
+    // exchange"): every marginal is a plain partition aggregate of c3 —
+    //   cs3/n1f3  = sum(c3)/count(*)          over (w1,w2)
+    //   n1p23     = count(*)                  over (w2,w3)
+    //   denom2    = Σ_{w3} n1p23 = count(*)   over (w2)
+    //   n1fc2     = # distinct (w2,w3) types  over (w2)  (first-row flag)
+    // and a window attaches the value in place of an agg exchange PLUS
+    // a join pair. The (w2)-first window order lets hash(w2) satisfy
+    // the (w2,w3) and (w1,w2) clusterings (subset rule), so the whole
+    // chain runs on ONE exchange of the type table plus the n1r join —
+    // the r14 chain re-shuffled the type table four times (13 → 8
+    // Exchanges in the after-plan, −20% bench A/B). Skew note: the old
+    // midctx join was ALREADY keyed on w2 alone, so the w2 window
+    // partitioning adds no distribution risk the join form didn't have.
+    // Every marginal VALUE is the identical long, so the doubles —
+    // and the quantized logprobs — are bit-identical (R15Check pins
+    // row equality at sf0.01/sf0.1; oracle hash re-verified).
+    val w2w = Window.partitionBy("w2")
+    val w23 = Window.partitionBy("w2", "w3")
+    val w12 = Window.partitionBy("w1", "w2")
     val lpByType = c3
-      .join(ctx3, Seq("w1", "w2"))
-      .join(cont2, Seq("w2", "w3"))
-      .join(midctx, Seq("w2"))
+      .withColumn("denom2", count(lit(1)).over(w2w))
+      .withColumn("n1p23", count(lit(1)).over(w23))
+      .withColumn("__f", when(row_number().over(
+        Window.partitionBy("w2", "w3").orderBy("w1")) === 1, 1L)
+        .otherwise(0L))
+      .withColumn("n1fc2", sum("__f").over(w2w))
+      .withColumn("cs3", sum("c3").over(w12))
+      .withColumn("n1f3", count(lit(1)).over(w12))
       .join(n1r, Seq("w3"))
       .withColumn("__p2", p2)
       .withColumn("k3lp_q", floor(log(p3) * 10000).cast("long"))
@@ -304,10 +322,12 @@ object Score {
     * Scale shape: identical to [[bigramLogprobs]] — one explode, one
     * pair-keyed count; the three smoothing marginals (start counts +
     * distinct-successor counts keyed w1, distinct-predecessor counts
-    * keyed w2) all fold from the pair-count table, which is persisted so
-    * the corpus explode aggregates once. The type total is a one-row
-    * aggregate of that table collected to the driver (a single long,
-    * like [[graft.queries.RelationalQueries]]'s quartile count) and
+    * keyed w2) attach to the pair-count table as WINDOW aggregates
+    * (one exchange per key instead of agg+join pairs — see the inline
+    * note); the table is persisted so the corpus explode aggregates
+    * once. The type total is a one-row aggregate of that table
+    * collected to the driver (a single long, like
+    * [[graft.queries.RelationalQueries]]'s quartile count) and
     * inlined as a literal. Per-pair quantization before the per-doc
     * BIGINT sum — merge-order-proof.
     */
@@ -318,16 +338,11 @@ object Score {
       .select(col(idCol).as("id"),
         explode(ngramStructs(col("__toks"), 2)).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // pair counts feed four consumers (type total, both marginals, the
-    // scoring join) — persist so the corpus-wide explode aggregates
+    // pair counts feed two consumers (the type-total action + the
+    // window chain) — persist so the corpus-wide explode aggregates
     // once (released by the caller's clearCache, like bigramLogprobs)
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // N1+(w1 ·) = distinct successors = rows per w1 in the TYPE table;
-    // c(w1 ·) folds from the same grouping — one pass, two marginals
-    val cs = cb.groupBy("w1")
-      .agg(sum("cb").as("cs"), count(lit(1)).as("n1f"))
-    val cr = cb.groupBy("w2").agg(count(lit(1)).as("n1r"))
     // |bigram types| — ONE driver long off the (vocab²-bounded) type
     // table, inlined as a literal so the oracle's CROSS JOIN total and
     // this plan see the identical double
@@ -336,13 +351,22 @@ object Score {
     // (max(cb−D, 0) + ((D·n1f)·n1r)/T) / cs
     val p = (greatest(col("cb").cast("double") - discount, lit(0.0))
       + ((lit(discount) * col("n1f")) * col("n1r")) / lit(types)) / col("cs")
-    // the smoothed logprob is a function of the PAIR TYPE alone, so
-    // compute it on the (vocab²-bounded) type table — the marginal
-    // joins stay type-table-sized — and the corpus-length frame joins
-    // ONCE, keyed on the pair, instead of shuffling through three joins
+    // Marginals as WINDOWS over the type table, not agg+self-join
+    // (guide §2.4; same collapse as knTrigramLogprobs): N1+(w1 ·) =
+    // count(*) and c(w1 ·) = sum(cb) over partition (w1); N1+(· w2) =
+    // count(*) over partition (w2). A window attaches each value with
+    // one exchange where the r14 form paid an agg exchange plus a join
+    // per marginal (10 → 6 Exchanges in the after-plan; window keys
+    // are exactly the old join keys, so no new skew). Identical longs
+    // in, identical doubles and quantized logprobs out (R15Check pins
+    // row equality; oracle hash re-verified). The corpus-length frame
+    // still joins ONCE, keyed on the pair.
+    val w1w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy("w2")
     val lpByType = cb
-      .join(cs, Seq("w1"))
-      .join(cr, Seq("w2"))
+      .withColumn("n1r", count(lit(1)).over(w2w))
+      .withColumn("cs", sum("cb").over(w1w))
+      .withColumn("n1f", count(lit(1)).over(w1w))
       .withColumn("klp_q", floor(log(p) * 10000).cast("long"))
       .select("w1", "w2", "klp_q")
     val scored = bi

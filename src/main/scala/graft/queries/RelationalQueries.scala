@@ -778,7 +778,11 @@ object RelationalQueries {
     // aggregate and the exact-count probe join; re-deriving it costs a
     // second 15M-row explode+substr pass that the R14Profile A/B
     // measured at +2 s over the cache read (and r9 measured the same
-    // trade) — the substr is the expensive part, not the explode
+    // trade) — the substr is the expensive part, not the explode.
+    // Re-A/B'd cold-JVM isolated in r15 (VERDICT r14 item 1): 2.58 s
+    // persisted vs 4.49 s without — KEPT. (The MG summary needs the
+    // gram STRINGS, so the dupSpans xxhash64-fingerprint footprint fix
+    // cannot apply here; the cache stays the documented trade.)
     val grams = docs
       .select(col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
@@ -847,6 +851,7 @@ object RelationalQueries {
       .filter(col("text").isNotNull && length(col("text")) >= 3)
     // persisted for the same two-consumer reason as q_heavy_hitters
     // (summary pass + exact-count probe); see the A/B note there
+    // (r15 cold-JVM re-A/B: 3.71 s persisted vs 5.56 s without — KEPT)
     val grams = docs
       .select(pmod(col("doc_id"), lit(3)).as("batch"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
