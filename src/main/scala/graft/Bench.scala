@@ -6,7 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // input-derived, NOT core-derived (r15; see graft.Sizing): the
+      // same data gets the same task count at every $SPARK_GRAFT_CPUS,
+      // so the low-core re-run measures parallel compute instead of
+      // task-count overhead
+      .config("spark.sql.shuffle.partitions", Sizing.shufflePartitions(sfDir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

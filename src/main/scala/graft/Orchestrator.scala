@@ -239,7 +239,9 @@ object Orchestrator {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // input-derived, not core-derived (graft.Sizing) — the production
+      // justification lives there; override: SPARK_GRAFT_SHUFFLE_PARTS
+      .config("spark.sql.shuffle.partitions", Sizing.shufflePartitions(sfDir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

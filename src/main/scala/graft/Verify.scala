@@ -9,7 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same input-derived partitioning as Bench (graft.Sizing), so the
+      // oracle verifies results under the benched plan shape
+      .config("spark.sql.shuffle.partitions", Sizing.shufflePartitions(sfDir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -563,32 +563,51 @@ object Curation {
     * cell flags a mirror/re-crawl feeding the corpus twice under two
     * names, before doc-level dedup spends a corpus shuffle on it.
     *
-    * Scale shape: the corpus explodes once into distinct
-    * (source, shingle) rows — the per-source shingle *vocabulary*,
-    * Zipf-small relative to token mass. The self-join keys on shingle,
-    * whose fan-out is bounded by sources-per-shingle ≤ |sources|
-    * (sources number thousands at most, never corpus-scale), and the
-    * per-source sizes re-join as a broadcast.
+    * Scale shape (r15, guide §2.3/§2.4): the exploded (source, shingle)
+    * stream pays exactly ONE corpus-sized exchange — groupBy on
+    * xxhash64(shingle) collecting the per-shingle source SET (map-side
+    * collect_set partials dedup in place, so the previous explicit
+    * `.distinct()` exchange is free) — and every downstream row is
+    * vocabulary- or |sources|²-sized. The earlier distinct + self-join
+    * form paid three vocab-sized exchanges ((src,sh) distinct, then sh
+    * twice for the join), all carrying shingle STRINGS; the shingle is
+    * an equality-only key that never reaches the output, so it ships as
+    * 8 hashed bytes (the dup-span fingerprinting precedent; collision
+    * odds ~1e-9 per 15M-shingle vocab, and the DuckDB oracle replays
+    * exact strings, so a collision cannot pass unnoticed at the checked
+    * SFs). Pair counts leave each map partition pre-aggregated —
+    * ≤ |sources|² distinct keys — so the pair exchange is bytes, not
+    * rows. R15Check: row-identical at sf0.01/sf0.1; R15Profile `ovl`:
+    * 1.41 → 1.19 s at sf0.1.
     */
   def sourceOverlap(df: DataFrame, sourceCol: String = "source",
                     textCol: String = "text",
                     shingleSize: Int = 3): DataFrame = {
-    val sv = df
+    val grouped = df
       .filter(trim(coalesce(col(textCol), lit(""))) =!= "")
       .select(col(sourceCol).as("src"),
-        TextMetrics.tokens(col(textCol)).as("toks"))
-      .select(col("src"),
-        explode(SketchDedup.shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
-      .distinct()
-      // feeds both self-join sides plus the sizes aggregate — persist so
-      // the corpus tokenize/explode/distinct runs once, not per branch
+        explode(SketchDedup.shinglesFromTokens(
+          TextMetrics.tokens(col(textCol)), shingleSize)).as("sh"))
+      .groupBy(xxhash64(col("sh")).as("gh"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .select(col("srcs"))
+      // feeds the sizes aggregate + the pair explode — persist so the
+      // corpus tokenize/explode/group runs once, not per branch
       // (released by the caller's clearCache, like the sketch persists)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sv.groupBy("src").agg(count(lit(1)).as("n_sh"))
-    sv.select(col("sh"), col("src").as("src_a"))
-      .join(sv.select(col("sh"), col("src").as("src_b")), Seq("sh"))
-      .filter(col("src_a") < col("src_b"))
+    val sizes = grouped.select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_sh"))
+    // all (a < b) pairs of the sorted source set, generated in-row —
+    // fan-out bounded by |sources| per shingle, same bound the join had
+    val pairs = grouped.filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, a ->
+          |  transform(filter(srcs, b -> b > a),
+          |            b -> struct(a AS src_a, b AS src_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
       .join(broadcast(sizes.select(col("src").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
       .join(broadcast(sizes.select(col("src").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("n_shared"),

@@ -24,6 +24,11 @@ import graft.text.Normalize
   */
 object Dedup {
 
+  /** Serializes the session-conf save/restore window around the
+    * compression-off branch persist (see dedupStage).
+    */
+  private[ops] object ConfLock
+
   val NearDupMinLen = 200
   val NearKeyChars = 500
 
@@ -136,9 +141,15 @@ object Dedup {
     // default.
     val compKey = "spark.sql.inMemoryColumnarStorage.compressed"
     val spark = df0.sparkSession
+    // The set→persist→restore window mutates session-global conf; the
+    // JVM-wide lock makes it atomic so two queries building concurrently
+    // in one session can never interleave their save/restore pairs (the
+    // r14 hygiene finding). Callers that capture this conf for their own
+    // persists must build under the same lock — today query build is
+    // single-threaded (Orchestrator), so this is belt-and-braces.
     val df = branchCache match {
       case None => df0
-      case Some(level) =>
+      case Some(level) => Dedup.ConfLock.synchronized {
         val prevComp = spark.conf.getOption(compKey)
         spark.conf.set(compKey, "false")
         try df0.persist(level)
@@ -146,6 +157,7 @@ object Dedup {
           case Some(v) => spark.conf.set(compKey, v)
           case None => spark.conf.unset(compKey)
         }
+      }
     }
     val idExpr =
       if (df.columns.contains("doc_id")) col("doc_id").cast("string")

@@ -60,11 +60,47 @@ object HeavyHitters {
     * contract explicitly permits buffer mutation — and Kryo-serialized
     * only at partial-aggregation boundaries (≤ k entries each time).
     * Order is irrelevant until [[MisraGries.finish]].
+    *
+    * Serialized form (KryoSerializable): the live (key, count) entries
+    * only — the default field serialization shipped the full capacity
+    * arrays (512 slots at k=128, mostly nulls plus a 4 KB raw long[])
+    * across every partial-aggregation boundary. The table layout is
+    * content-derived (every operation — reduce, merge, subtractAll —
+    * keys on contents, never on slot positions), so rebuilding via
+    * [[add]] on read is exact; HeavyHittersSpec pins the roundtrip.
     */
   final class MgState(
       private[HeavyHitters] var keys: Array[String],
       private[HeavyHitters] var cnts: Array[Long],
-      private[HeavyHitters] var used: Int) extends Serializable {
+      private[HeavyHitters] var used: Int)
+      extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
+
+    override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                       out: com.esotericsoftware.kryo.io.Output): Unit = {
+      out.writeVarInt(used, true)
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != null) {
+          out.writeString(keys(i))
+          out.writeVarLong(cnts(i), true)
+        }
+        i += 1
+      }
+    }
+
+    override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                      in: com.esotericsoftware.kryo.io.Input): Unit = {
+      val n = in.readVarInt(true)
+      val c = MgState.capacityFor(math.max(1, n))
+      keys = new Array[String](c)
+      cnts = new Array[Long](c)
+      used = 0
+      var j = 0
+      while (j < n) {
+        add(in.readString(), in.readVarLong(true))
+        j += 1
+      }
+    }
 
     /** Live contents as an immutable map (spec/finish surface). */
     def m: Map[String, Long] = {
@@ -174,7 +210,10 @@ object HeavyHitters {
       if (a != null) {
         val i = b.slot(a)
         if (b.keys(i) != null) b.cnts(i) += 1L
-        else if (b.used < k) { b.keys(i) = a; b.cnts(i) = 1L; b.used += 1 }
+        // add(), not a direct slot write: a buffer rebuilt by the compact
+        // Kryo read() is sized to its live entries, not to k, so the
+        // insert path must keep the grow check (same contents either way)
+        else if (b.used < k) b.add(a, 1L)
         else b.subtractAll(1L)
       }
       b

@@ -129,6 +129,21 @@ object KMeans {
                          iters: Int, idCol: String)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
+    val (cls, dst, cents) = lloydLocalCore(rows, k, iters)
+    val out = rows.indices.map(i => (rows(i)._1, cls(i), dst(i)))
+      .toDF(idCol, "cluster", "dist_q")
+    (out, cents.toDF("cluster", "cv"))
+  }
+
+  /** The driver-local Lloyd rounds shared by [[lloydLocal]] and
+    * [[graft.ops.Pq]]'s fused multi-subspace codebook training: returns
+    * (final assignment, final dist_q, final centroids) for
+    * already-quantized rows. Extracted verbatim from lloydLocal — same
+    * round structure, same exact-integer arithmetic, bit-identical.
+    */
+  private[ops] def lloydLocalCore(rows: Array[(Long, Seq[Long])], k: Int,
+                                  iters: Int)
+      : (Array[Int], Array[Long], Seq[(Int, Seq[Long])]) = {
     val qvs = rows.map { case (id, v) => (id, v.toArray) }
 
     def centroidsOf(clusters: Array[Int]): Seq[(Int, Seq[Long])] =
@@ -172,8 +187,6 @@ object KMeans {
       val r = assign(cents); cls = r._1; dst = r._2
     }
     cents = centroidsOf(cls)
-    val out = qvs.indices.map(i => (qvs(i)._1, cls(i), dst(i)))
-      .toDF(idCol, "cluster", "dist_q")
-    (out, cents.toDF("cluster", "cv"))
+    (cls, dst, cents)
   }
 }

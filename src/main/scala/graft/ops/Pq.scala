@@ -104,21 +104,49 @@ object Pq {
     val spark = vecs.sparkSession
     import spark.implicits._
     val sub = dim / m
-    val staged = vecs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = (0 until m).flatMap { mi =>
-      val (_, cents) = KMeans.lloyd(
-        staged.select(col("vec_id"),
-          slice(col("__vec"), lit(mi * sub + 1), lit(sub)).as("embedding")),
-        k, iters)
-      // a cluster can empty out during iteration (data-dependent, not
-      // just init): re-index the surviving centroids densely 0..len-1
-      // so the positional ADC contract always holds
-      cents.collect().sortBy(_.getInt(0)).zipWithIndex.map { case (r, code) =>
-        (mi, code, r.getSeq[Long](1).map(_.toDouble / KMeans.Quant))
+    // ONE probe job covers all m subspace fits: collect the full
+    // quantized vectors once and slice them on the driver. The
+    // per-subspace KMeans.lloyd calls each ran their own limit-probe
+    // job over the same staged frame — m sequential jobs of pure
+    // scheduler latency for the same bytes. Quantization commutes with
+    // slicing (elementwise floor), the local core is the same code the
+    // per-subspace path would reach, and centroids were already sorted
+    // by cluster id before re-indexing — bit-identical (PqSpec pins it
+    // against the per-subspace composition).
+    val qv = transform(col("__vec"),
+      x => floor(x * KMeans.Quant.toDouble).cast("long"))
+    val probe = vecs.select(col("vec_id").as("id"), qv.as("qv"))
+      .limit(KMeans.LocalGate + 1)
+      .as[(Long, Seq[Long])].collect()
+    val rows =
+      if (probe.length <= KMeans.LocalGate) {
+        (0 until m).flatMap { mi =>
+          val sliced = probe.map { case (id, v) =>
+            (id, v.slice(mi * sub, mi * sub + sub)) }
+          val (_, _, cents) = KMeans.lloydLocalCore(sliced, k, iters)
+          // a cluster can empty out during iteration (data-dependent,
+          // not just init): re-index the surviving centroids densely
+          // 0..len-1 so the positional ADC contract always holds
+          cents.sortBy(_._1).zipWithIndex.map { case ((_, cv), code) =>
+            (mi, code, cv.map(_.toDouble / KMeans.Quant))
+          }
+        }
+      } else {
+        // past the gate: the original distributed per-subspace loop
+        val staged = vecs
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = (0 until m).flatMap { mi =>
+          val (_, cents) = KMeans.lloyd(
+            staged.select(col("vec_id"),
+              slice(col("__vec"), lit(mi * sub + 1), lit(sub)).as("embedding")),
+            k, iters)
+          cents.collect().sortBy(_.getInt(0)).zipWithIndex.map { case (r, code) =>
+            (mi, code, r.getSeq[Long](1).map(_.toDouble / KMeans.Quant))
+          }
+        }
+        staged.unpersist(blocking = false)
+        out
       }
-    }
-    staged.unpersist(blocking = false)
     rows.toDF("m_idx", "code", "cv")
   }
 

@@ -615,8 +615,12 @@ object SketchDedup {
                          minShared: Int = 8): DataFrame = {
     val (idCast, collector) =
       BoundedCollect.forIdType(df.schema(idCol).dataType, maxDf)
+    // the 32-char hex fingerprint is an equality-only group key that
+    // never reaches the output (ids and counts only) — ship 8 hashed
+    // bytes through the one keyed exchange instead (r15; the dup-span /
+    // source-overlap fingerprinting precedent, oracle-checked)
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(idCast(col("id")).as("id"), col("fp"))
+      .select(idCast(col("id")).as("id"), xxhash64(col("fp")).as("fp"))
     val byFp = fps.groupBy("fp")
       .agg(collector(col("id")).as("c"))
       .select(col("c.ids").as("ids"))

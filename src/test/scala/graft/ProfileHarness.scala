@@ -11,11 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ProfileHarness {
 
-  def session(): SparkSession = {
+  def session(dir: String =
+                sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      : SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // mirror Bench: input-derived, not core-derived (graft.Sizing)
+      .config("spark.sql.shuffle.partitions", Sizing.shufflePartitions(dir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

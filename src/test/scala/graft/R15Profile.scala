@@ -204,6 +204,115 @@ object R15Variants {
             .otherwise(lit(0L)).cast("long"))
     }
 
+    // ---- containment: posting shuffle keyed on xxhash64(shingle) ----
+    // same legality as the span fix: the posting groupBy only tests
+    // shingle EQUALITY; neither the shingle nor its group survives to
+    // the output (pairs + counts only).
+    def contHashed(d: String): DataFrame = {
+      import graft.ops.BoundedCollect
+      val maxDf = 20
+      val threshold = 0.9
+      val df = Tables.documents(spark, d)
+      val (idCast, collector) =
+        BoundedCollect.forIdType(df.schema("doc_id").dataType, maxDf)
+      val base = Skew.ensureParallelism(df
+        .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+        .select(idCast(col("doc_id")).as("id"), col("text").as("__t")))
+        .select(col("id"),
+          SketchDedup.shinglesFromTokens(TextMetrics.tokens(col("__t")), 3).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bySh = base.select(col("id"),
+          explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+        .groupBy("g")
+        .agg(collector(col("id")).as("c"))
+        .select(col("c.ids").as("ids"))
+        .filter(size(col("ids")).between(2, maxDf))
+      val pairs = bySh.select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b != a), b -> struct(a AS id_a, b AS id_b))))
+          |""".stripMargin)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      val sizes = base.select(col("id").as("id_a"),
+        size(col("sh")).cast("long").as("n_sh"))
+      val idType = df.schema("doc_id").dataType
+      pairs
+        .join(sizes, Seq("id_a"))
+        .withColumn("containment",
+          col("n_shared").cast("double") / col("n_sh").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"),
+          col("n_shared"), col("containment"))
+    }
+
+    // ---- source overlap: one vocab exchange (groupBy hashed shingle →
+    // source set → in-row pairs) instead of distinct + self-join. The
+    // distinct form pays three vocab-sized exchanges ((src,sh) distinct,
+    // then sh twice for the self-join) all carrying shingle strings; here
+    // the exploded stream exchanges ONCE keyed on xxhash64(sh) (map-side
+    // collect_set partials dedup in place) and the pair count is
+    // map-side-crushable (≤ |src|² distinct keys). Shingle is an
+    // equality-only key that never reaches the output — same legality as
+    // the committed dup-span fingerprinting.
+    def ovlGrouped(d: String): DataFrame = {
+      val df = Tables.documents(spark, d)
+      val grouped = df
+        .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+        .select(col("source").as("src"),
+          explode(SketchDedup.shinglesFromTokens(
+            TextMetrics.tokens(col("text")), 3)).as("sh"))
+        .groupBy(xxhash64(col("sh")).as("gh"))
+        .agg(sort_array(collect_set(col("src"))).as("srcs"))
+        .select(col("srcs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sizes = grouped.select(explode(col("srcs")).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped.filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(srcs, a ->
+            |  transform(filter(srcs, b -> b > a),
+            |            b -> struct(a AS src_a, b AS src_b))))
+            |""".stripMargin)).as("p"))
+        .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(sizes.select(col("src").as("src_a"),
+          col("n_sh").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("src").as("src_b"),
+          col("n_sh").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+    }
+
+    // ---- winnow overlap: OLD string-fp form (A/B reference for the
+    // xxhash64 fingerprint key now in winnowOverlapPairs) ----
+    def wnString(d: String): DataFrame = {
+      import graft.ops.BoundedCollect
+      val (kk, ww, maxDf, minShared) = (8, 4, 20, 8)
+      val df = Tables.documents(spark, d)
+      val (idCast, collector) =
+        BoundedCollect.forIdType(df.schema("doc_id").dataType, maxDf)
+      val fps = SketchDedup.winnowFingerprints(df, "doc_id", "text", kk, ww)
+        .select(idCast(col("id")).as("id"), col("fp"))
+      val byFp = fps.groupBy("fp")
+        .agg(collector(col("id")).as("c"))
+        .select(col("c.ids").as("ids"))
+        .filter(size(col("ids")).between(2, maxDf))
+        .withColumn("ids", array_sort(col("ids")))
+      val pairs = byFp.select(explode(flatten(expr(
+        """transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b)))
+          |""".stripMargin))).as("p"))
+      val idType = df.schema("doc_id").dataType
+      pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"), col("n_shared"))
+    }
+
     // ---- heavy hitters: gram persist on/off ----
     def hhVariant(d: String, persistGrams: Boolean): DataFrame = {
       import graft.ops.HeavyHitters
@@ -378,7 +487,13 @@ object R15Variants {
       ("span_hashed", d => queries.CurationQueries.spanRemoval(spark, d),
         b.spanHashed _),
       ("dupspans_hashed", d => queries.CurationQueries.dupSpans(spark, d),
-        b.dupSpansHashed _))
+        b.dupSpansHashed _),
+      ("cont_hashed", d => queries.SimilarityQueries.containment(spark, d),
+        b.contHashed _),
+      ("ovl_grouped", d => queries.CurationQueries.sourceOverlap(spark, d),
+        b.ovlGrouped _),
+      ("wn_string_ref", d => queries.SimilarityQueries.winnowOverlap(spark, d),
+        b.wnString _))
   }
 }
 
@@ -386,7 +501,7 @@ object R15Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val group = args.lift(1).getOrElse("pj")
-    val spark = ProfileHarness.session()
+    val spark = ProfileHarness.session(dir)
     val bld = new R15Variants.Builders(spark)
     import bld._
     val variants: Seq[(String, String => DataFrame)] = group match {
@@ -416,7 +531,17 @@ object R15Profile {
         "kn3_full" -> (d => queries.CurationQueries.knTrigram(spark, d)),
         "kn3_win" -> (d => kn3Win(d)))
       case "cont" => Seq(
-        "cont_full" -> (d => queries.SimilarityQueries.containment(spark, d)))
+        "cont_full" -> (d => queries.SimilarityQueries.containment(spark, d)),
+        "cont_hashed" -> (d => contHashed(d)))
+      case "ovl" => Seq(
+        "ovl_full" -> (d => queries.CurationQueries.sourceOverlap(spark, d)),
+        "ovl_grouped" -> (d => ovlGrouped(d)))
+      case "wn" => Seq(
+        "wn_hashed" -> (d => queries.SimilarityQueries.winnowOverlap(spark, d)),
+        "wn_string" -> (d => wnString(d)))
+      case "ivfpq" => Seq(
+        "ivfpq_residual" -> (d => queries.SimilarityQueries.ivfPqResidual(spark, d)),
+        "ivfpq_residual_fx" -> (d => queries.SimilarityQueries.ivfPqResidualFixed(spark, d)))
       case _ => sys.error(s"unknown group $group")
     }
     if (args.lift(2).contains("explain"))

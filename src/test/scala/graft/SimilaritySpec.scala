@@ -165,6 +165,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(Pq.encode(emb, trained, m = 4, dim = 64).count() === emb.count())
   }
 
+  test("fused multi-subspace Lloyd codebooks match the per-subspace composition") {
+    import org.apache.spark.sql.functions.{lit, slice}
+    import graft.ops.{KMeans, Pq}
+    val (m, dim, k, iters) = (4, 64, 10, 3)
+    val sub = dim / m
+    // the exact input codebooksLloyd prepares, rebuilt from public API
+    val vecs = emb.select(col("vec_id"),
+      graft.plans.L2Normalize(col("embedding").cast("array<double>"))
+        .as("__vec"))
+    // the per-subspace composition the fused single-collect path replaced
+    val want = (0 until m).flatMap { mi =>
+      val (_, cents) = KMeans.lloyd(
+        vecs.select(col("vec_id"),
+          slice(col("__vec"), lit(mi * sub + 1), lit(sub)).as("embedding")),
+        k, iters)
+      cents.collect().sortBy(_.getInt(0)).zipWithIndex.map { case (r, code) =>
+        (mi, code, r.getSeq[Long](1).map(_.toDouble / KMeans.Quant))
+      }
+    }.toSet
+    val got = Pq.codebooksLloyd(emb, m, dim, k, iters).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(got === want, "fused codebooks diverged from per-subspace Lloyd")
+  }
+
   test("multi-table LSH near-dup: exact precision, usable recall") {
     val threshold = 0.25
     val exact = Similarity.nearDupPairsBrute(emb, threshold)
