@@ -58,6 +58,54 @@ object R15Variants {
         .select("id_a", "id_b", "jaccard")
     }
 
+    // ---- prefix-jaccard: shingle fingerprinted to xxhash64 at the
+    // explode (codegen'd column hash, NOT a transform() lambda — the
+    // cont_hashed lesson). The prefix-filter guarantee holds for ANY
+    // consistent total order, so ordering by (df, hash) instead of
+    // (df, text) keeps the candidate set a superset of true pairs and
+    // exact verification makes the OUTPUT identical; every exchange
+    // (df agg, regroup, cand self-join) and the ordered cache carry
+    // 8-byte longs instead of ~25-byte strings.
+    def pjHashed(d: String): DataFrame = {
+      val shingleSize = 3
+      val threshold = 0.8
+      val base = Skew.ensureParallelism(Tables.documents(spark, d)
+        .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+        .select(col("doc_id").as("id"), col("text").as("__t")))
+        .select(col("id"),
+          SketchDedup.shinglesFromTokens(
+            TextMetrics.tokens(col("__t")), shingleSize).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ex = base.select(col("id"), explode(col("sh")).as("__s0"))
+        .select(col("id"), xxhash64(col("__s0")).as("s"))
+      val rep = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+        .filter(col("df_s") > 1)
+      val ordered = ex.join(broadcast(rep), Seq("s"), "left")
+        .select(col("id"), struct(
+          coalesce(col("df_s"), lit(1L)).as("df_s"), col("s")).as("__ds"))
+        .groupBy("id")
+        .agg(array_sort(collect_list(col("__ds"))).as("ord"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = size(col("ord"))
+      val p = (n - ceil(n.cast("double") * lit(threshold)) + 1).cast("int")
+      val prefix = slice(transform(col("ord"), x => x.getField("s")), lit(1), p)
+      val cands = ordered.select(col("id"), explode(prefix).as("s"))
+      val pairs = cands.select(col("s"), col("id").as("id_a"))
+        .join(cands.select(col("s"), col("id").as("id_b")), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      pairs
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(size(col("sh_a")).cast("double") >= lit(threshold) * size(col("sh_b")) &&
+          size(col("sh_b")).cast("double") >= lit(threshold) * size(col("sh_a")))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+
     // ---- span removal: gram/base persist on-off matrix ----
     def spanVariant(d: String, persistBase: Boolean,
                     persistGrams: Boolean): DataFrame = {
@@ -313,6 +361,47 @@ object R15Variants {
           col("id_b").cast(idType).as("id_b"), col("n_shared"))
     }
 
+    // ---- containment: hash AFTER the explode (codegen'd column hash;
+    // the rejected cont_hashed put xxhash64 inside a transform() lambda,
+    // which is interpreted per element — the pj/span lesson) ----
+    def contHashed2(d: String): DataFrame = {
+      import graft.ops.BoundedCollect
+      val maxDf = 20
+      val threshold = 0.9
+      val df = Tables.documents(spark, d)
+      val (idCast, collector) =
+        BoundedCollect.forIdType(df.schema("doc_id").dataType, maxDf)
+      val base = Skew.ensureParallelism(df
+        .filter(trim(coalesce(col("text"), lit(""))) =!= "")
+        .select(idCast(col("doc_id")).as("id"), col("text").as("__t")))
+        .select(col("id"),
+          SketchDedup.shinglesFromTokens(TextMetrics.tokens(col("__t")), 3).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bySh = base.select(col("id"), explode(col("sh")).as("__g0"))
+        .select(col("id"), xxhash64(col("__g0")).as("g"))
+        .groupBy("g")
+        .agg(collector(col("id")).as("c"))
+        .select(col("c.ids").as("ids"))
+        .filter(size(col("ids")).between(2, maxDf))
+      val pairs = bySh.select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b != a), b -> struct(a AS id_a, b AS id_b))))
+          |""".stripMargin)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      val sizes = base.select(col("id").as("id_a"),
+        size(col("sh")).cast("long").as("n_sh"))
+      val idType = df.schema("doc_id").dataType
+      pairs
+        .join(sizes, Seq("id_a"))
+        .withColumn("containment",
+          col("n_shared").cast("double") / col("n_sh").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"),
+          col("n_shared"), col("containment"))
+    }
+
     // ---- heavy hitters: gram persist on/off ----
     def hhVariant(d: String, persistGrams: Boolean): DataFrame = {
       import graft.ops.HeavyHitters
@@ -493,7 +582,13 @@ object R15Variants {
       ("ovl_grouped", d => queries.CurationQueries.sourceOverlap(spark, d),
         b.ovlGrouped _),
       ("wn_string_ref", d => queries.SimilarityQueries.winnowOverlap(spark, d),
-        b.wnString _))
+        b.wnString _),
+      // reference is the OLD string-ordered form (pjNoPersist — persist
+      // presence cannot change rows), so this gates hashed ≡ string
+      ("pj_hashed_vs_string", d => queries.SimilarityQueries.prefixJaccard(spark, d),
+        b.pjNoPersist _),
+      ("cont_hashed2", d => queries.SimilarityQueries.containment(spark, d),
+        b.contHashed2 _))
   }
 }
 
@@ -504,9 +599,24 @@ object R15Profile {
     val spark = ProfileHarness.session(dir)
     val bld = new R15Variants.Builders(spark)
     import bld._
+    if (group == "pjfoot") {
+      // footprint of the corpus-volume `ordered` cache, string vs hashed
+      // shingles: build each variant, materialize, read the block manager
+      Seq("pj_full" -> (() => queries.SimilarityQueries.prefixJaccard(spark, dir)),
+          "pj_hashed" -> (() => bld.pjHashed(dir))).foreach { case (name, fn) =>
+        fn().write.mode("overwrite").format("noop").save()
+        val stored = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+        println(f"PJFOOT $name%-10s cachedBytes=$stored%d (${stored / 1024.0 / 1024.0}%.1f MiB)")
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
     val variants: Seq[(String, String => DataFrame)] = group match {
       case "pj" => Seq(
         "pj_full" -> (d => queries.SimilarityQueries.prefixJaccard(spark, d)),
+        "pj_hashed" -> (d => pjHashed(d)),
         "pj_nopersist" -> (d => pjNoPersist(d)))
       case "span" => Seq(
         "span_full" -> (d => spanVariant(d, persistBase = true, persistGrams = true)),
@@ -532,7 +642,8 @@ object R15Profile {
         "kn3_win" -> (d => kn3Win(d)))
       case "cont" => Seq(
         "cont_full" -> (d => queries.SimilarityQueries.containment(spark, d)),
-        "cont_hashed" -> (d => contHashed(d)))
+        "cont_hashed" -> (d => contHashed(d)),
+        "cont_hashed2" -> (d => contHashed2(d)))
       case "ovl" => Seq(
         "ovl_full" -> (d => queries.CurationQueries.sourceOverlap(spark, d)),
         "ovl_grouped" -> (d => ovlGrouped(d)))
