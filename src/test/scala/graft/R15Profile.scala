@@ -504,6 +504,68 @@ object R15Variants {
           coalesce(col("kn_lp_sum_q"), lit(0L)).as("kn_lp_sum_q"))
     }
 
+    // kn3 with the scored join keyed on xxhash64(w1,w2,w3): the type
+    // table's words feed the marginal windows, but the JOIN back to the
+    // corpus occurrences only tests trigram equality and the words never
+    // reach the output — both SMJ sides (≈ corpus-sized each) sort and
+    // shuffle one long instead of three strings.
+    def kn3Hashed(d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val df = Tables.documents(spark, d)
+      val discount = graft.ops.Score.KnDiscount
+      val toks = df.withColumn("__toks", TextMetrics.tokens(col("text")))
+      val tri = toks
+        .select(col("doc_id").as("id"),
+          explode(graft.ops.Score.ngramStructs(col("__toks"), 3)).as("tg"))
+        .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+          col("tg.w3").as("w3"))
+      val bi = toks
+        .select(explode(graft.ops.Score.ngramStructs(col("__toks"), 2)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      val n1r = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .groupBy(col("w2").as("w3")).agg(count(lit(1)).as("n1r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val t2 = n1r.agg(sum("n1r")).collect()(0).getLong(0).toDouble
+      val p2 = (greatest(col("n1p23").cast("double") - discount, lit(0.0))
+        + ((lit(discount) * col("n1fc2")) * col("n1r")) / lit(t2)) /
+        col("denom2")
+      val p3 = (greatest(col("c3").cast("double") - discount, lit(0.0))
+        + (lit(discount) * col("n1f3")) * col("__p2")) / col("cs3")
+      val w2w = Window.partitionBy("w2")
+      val w23 = Window.partitionBy("w2", "w3")
+      val w12 = Window.partitionBy("w1", "w2")
+      val lpByType = c3
+        .withColumn("denom2", count(lit(1)).over(w2w))
+        .withColumn("n1p23", count(lit(1)).over(w23))
+        .withColumn("__f", when(row_number().over(
+          Window.partitionBy("w2", "w3").orderBy("w1")) === 1, 1L)
+          .otherwise(0L))
+        .withColumn("n1fc2", sum("__f").over(w2w))
+        .withColumn("cs3", sum("c3").over(w12))
+        .withColumn("n1f3", count(lit(1)).over(w12))
+        .join(n1r, Seq("w3"))
+        .withColumn("__p2", p2)
+        .withColumn("k3lp_q", floor(log(p3) * 10000).cast("long"))
+        .select(xxhash64(col("w1"), col("w2"), col("w3")).as("k"),
+          col("k3lp_q"))
+      val scored = tri
+        .select(col("id"), xxhash64(col("w1"), col("w2"), col("w3")).as("k"))
+        .join(lpByType, Seq("k"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_trigrams"), sum("k3lp_q").as("kn3_lp_sum_q"))
+      df.select(col("doc_id").as("id"))
+        .join(scored, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+          coalesce(col("kn3_lp_sum_q"), lit(0L)).as("kn3_lp_sum_q"))
+        .withColumn("ppl3_q",
+          when(col("n_trigrams") > 0,
+            floor((-col("kn3_lp_sum_q")).cast("double")
+              / col("n_trigrams").cast("double")))
+            .otherwise(lit(0L)).cast("long"))
+    }
+
     def kn3Win(d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val df = Tables.documents(spark, d)
@@ -588,7 +650,9 @@ object R15Variants {
       ("pj_hashed_vs_string", d => queries.SimilarityQueries.prefixJaccard(spark, d),
         b.pjNoPersist _),
       ("cont_hashed2", d => queries.SimilarityQueries.containment(spark, d),
-        b.contHashed2 _))
+        b.contHashed2 _),
+      ("kn3_hashed", d => queries.CurationQueries.knTrigram(spark, d),
+        b.kn3Hashed _))
   }
 }
 
@@ -639,7 +703,8 @@ object R15Profile {
         "kn2_cur_score" -> (d => graft.ops.Score.knBigramLogprobs(
           Tables.documents(spark, d), "doc_id", "text")),
         "kn3_full" -> (d => queries.CurationQueries.knTrigram(spark, d)),
-        "kn3_win" -> (d => kn3Win(d)))
+        "kn3_win" -> (d => kn3Win(d)),
+        "kn3_hashed" -> (d => kn3Hashed(d)))
       case "cont" => Seq(
         "cont_full" -> (d => queries.SimilarityQueries.containment(spark, d)),
         "cont_hashed" -> (d => contHashed(d)),
